@@ -1,0 +1,84 @@
+"""Column-level helper functions.
+
+All helpers return Spark ``Column`` expressions built from
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, no Python UDFs
+in any hot path. Where a function participates in oracle-checked queries,
+its semantics are chosen to be expressible identically in ANSI SQL
+(cross-engine-deterministic: md5-hex prefixes for hashing, sequential
+left-to-right folds for vector math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# vector math (embedding array<float> columns → double)
+# --------------------------------------------------------------------------
+
+def vec_double(col: Column | str) -> Column:
+    """Cast an ``array<float>`` embedding to ``array<double>`` so all math
+    runs in double precision (matches the oracle's ``::DOUBLE[]`` cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product via ``zip_with`` + ``aggregate``
+    — a deterministic fold, not a shuffle-order-dependent sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --------------------------------------------------------------------------
+# text metrics (documents.text) — engine-portable building blocks
+# --------------------------------------------------------------------------
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace-token count; empty/blank text counts 0. Matches
+    ``len(string_split_regex(trim(text), '\\s+'))`` modulo the blank guard."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring via the replace-length trick —
+    ``replace``/``length`` have identical semantics in every SQL engine, so
+    the language-ID heuristic built on this is oracle-portable."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def non_alnum_ratio(text: Column) -> Column:
+    """Share of characters that are not [a-z0-9 ] after lowercasing."""
+    lower = F.lower(text)
+    stripped = F.regexp_replace(lower, "[a-z0-9 ]", "")
+    return F.when(F.length(lower) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(lower)
+    )
+
+
+def hex_hash64(col: Column, length: int = 16) -> Column:
+    """Deterministic engine-portable fingerprint: leading hex chars of the
+    md5 digest. Fixed-width hex compares identically as string or number."""
+    return F.substring(F.md5(col), 1, length)
+
+
+def hash_bucket(col: Column, buckets: int) -> Column:
+    """Uniform bucket id in [0, buckets) from an md5 prefix — portable
+    (``('0x' || substr(md5(x),1,8))::bigint % buckets`` in DuckDB)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % buckets).cast("int")

@@ -1,0 +1,14 @@
+"""Extension operators beyond the reference's surface (SURVEY.md §2B
+north-star): deduplication, similarity search, text analysis, time-series
+joins, multimodal columns. Each is a plain ``DataFrame -> DataFrame``
+function usable directly or through a ``PythonTransform`` stage."""
+
+from arc_cassandra_pipeline_plugin_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    timeseries,
+)
+
+__all__ = ["dedup", "similarity", "text", "timeseries", "multimodal"]

@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (the design target is ~100 TB of documents on 1000 executors):
+
+- **Exact**: one hash-shuffle on the 16-byte fingerprint, never on the text
+  itself — group keys stay tiny regardless of document size.
+- **MinHash+LSH**: signatures are computed in a single projection per
+  document (explode shingles → groupBy doc → min per permutation is ONE
+  shuffle keyed by doc_id); banding turns the quadratic pair problem into a
+  shuffle keyed by (band, band_hash) where only same-bucket docs meet. The
+  candidate self-join joins on the band key, so Catalyst plans a shuffled
+  hash join on a well-distributed key instead of a cartesian product.
+- **SimHash**: pure projection to a 64-bit code; near-dup = same code
+  bucket (or banded sub-codes), again linear shuffle volume.
+- **n-gram Jaccard** is the *verify* step run only on LSH candidates —
+  never on all pairs.
+
+Hashing uses md5-hex prefixes throughout so every step is certified against
+the DuckDB oracle (see queries.dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arc_cassandra_pipeline_plugin_spark.functions import hex_hash64
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical text form shared by all dedup flavors: lowercased, trimmed,
+    whitespace collapsed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per normalized-text
+    fingerprint. Shuffles 16-byte keys, not documents."""
+    h = hex_hash64(normalize_text(F.col(text_col)), 32).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def char_shingles(col: F.Column, k: int = 5) -> F.Column:
+    """Distinct character k-shingles of the normalized text as an array —
+    built with ``sequence``+``transform`` (codegen'd, no UDF). Oracle
+    equivalent: DuckDB list comprehension over ``range``."""
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: for permutation ``p`` the hash of a
+    shingle is ``substr(md5(p || ':' || shingle), 1, 8)`` and the signature
+    element is the minimum over shingles — fixed-width hex, so string min ==
+    numeric min, portable to the oracle.
+
+    One explode + one groupBy(doc) shuffle; signature width is
+    ``num_perm * 8`` bytes/doc.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 8)).alias(
+            f"mh_{p}"
+        )
+        for p in range(num_perm)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (``bands`` bands × ``num_perm/bands`` rows) and
+    emit candidate pairs sharing any band. The self-join key is
+    (band_id, band_hash) — high cardinality, so the shuffle distributes.
+    Pairs are deduplicated and oriented (a < b)."""
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity over character n-gram sets, computed
+    distributively: explode distinct shingles, count per-doc set sizes,
+    equi-join on shingle to count intersections — |A∪B| = |A|+|B|-|A∩B|.
+
+    When ``pairs`` (e.g. LSH candidates) is given, only those pairs are
+    scored; otherwise all same-shingle pairs that share ≥1 shingle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on=[F.col("a.shingle") == F.col("b.shingle"),
+                                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, on=["doc_a", "doc_b"], how="inner")
+    scored = (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "set_size": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "set_size": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if threshold > 0.0:
+        scored = scored.filter(F.col("jaccard") >= threshold)
+    return scored
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-token 64-bit hash from the
+    md5 prefix; each bit contributes +1/-1; sign of the per-bit sum forms the
+    code. Expressed as explode → groupBy(doc) with 64 conditional sums folded
+    into one ``sum`` over a bit-array column (single shuffle)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    # bit b of the 60-bit token hash → ±1 contribution; SQL lambda because
+    # the Python shiftright API needs a literal shift amount
+    with_bits = tokens.select(
+        F.col(id_col),
+        F.expr(
+            "transform(sequence(0, 59), b -> "
+            "CASE WHEN (CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) "
+            "div shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1 THEN 1 ELSE -1 END)"
+        ).alias("bits"),
+    )
+    summed = with_bits.groupBy(id_col).agg(
+        *[F.sum(F.element_at("bits", b + 1)).alias(f"bit_{b}") for b in range(60)]
+    )
+    code = F.lit(0).cast("bigint")
+    for b in range(60):
+        code = code + F.when(F.col(f"bit_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+    return summed.select(F.col(id_col), code.alias("simhash"))

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the standard ANN playbook:
+
+- :func:`brute_force_topk` — exact cosine top-k. At scale this is a
+  broadcast of the (small) query set against a full scan of the corpus:
+  no shuffle of the corpus, one narrow crossJoin stage, then a top-k
+  window per query. Correctness baseline and the oracle-checked path.
+- :func:`lsh_topk` — sign-random-projection LSH (a.k.a. SRP/SimHash for
+  vectors): bucket by the sign-bit code of ``r`` random hyperplanes, probe
+  only the query's bucket. Turns the corpus scan into a bucket-pruned scan;
+  the hyperplanes are generated deterministically from a seed via md5 so
+  runs are reproducible. Recall is tunable via code width / multi-probe.
+- :func:`embedding_neardup_pairs` — all-pairs near-duplicate detection
+  above a cosine threshold, blocked by LSH code to avoid the quadratic
+  self-join at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arc_cassandra_pipeline_plugin_spark.functions import cosine_similarity, vec_double
+
+
+def _unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    v = vec_double(vec_col)
+    return df.withColumn(out, v)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows for each query row.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus is
+    scanned once. Ranking uses the score rounded to 6 dp with the corpus id
+    as tiebreak, making the result set fully deterministic across engines
+    and float-summation orders. Self-matches are excluded.
+    """
+    q = _unit(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    c = _unit(corpus, vec_col, "cv").select(F.col(id_col).alias("match_id"), "cv")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5(seed, plane, i)
+    — reproducible across runs/machines with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
+            # map hex to (-1, 1)
+            vals.append(int(h, 16) / float(0xFFFFFFFF) * 2.0 - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals])
+    return planes
+
+
+def srp_code(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Append an integer sign-random-projection code column ``srp_code``:
+    bit ``p`` is the sign of <vec, plane_p>. Pure projection — no shuffle."""
+    v = vec_double(vec_col)
+    code = F.lit(0)
+    for p, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("srp_code", code)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose SRP code is within
+    Hamming distance 1 of the query's code (multi-probe). The join key is
+    the code bucket → shuffle volume is corpus-size, not corpus×queries."""
+    c = srp_code(_unit(corpus, vec_col, "cv"), "cv", dim, n_planes).select(
+        F.col(id_col).alias("match_id"), "cv", "srp_code"
+    )
+    q = srp_code(_unit(queries, vec_col, "qv"), "qv", dim, n_planes).select(
+        F.col(id_col).alias("query_id"), "qv", F.col("srp_code").alias("q_code")
+    )
+    # multi-probe: the exact bucket plus each single-bit flip
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("q_code"),
+                *[F.col("q_code").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+            )
+        ).alias("srp_code"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="srp_code")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 6,
+    blocked: bool = True,
+) -> DataFrame:
+    """Near-duplicate vector pairs with cosine ≥ threshold.
+
+    With ``blocked=True`` the self-join is restricted to equal SRP codes
+    (near-dup vectors almost surely share all sign bits), which shards the
+    quadratic join into per-bucket joins. ``blocked=False`` is the exact
+    small-scale oracle path.
+    """
+    base = _unit(df, vec_col, "v").select(F.col(id_col).alias("id"), "v")
+    if blocked:
+        base = srp_code(base, "v", dim, n_planes)
+        join_on = [F.col("a.srp_code") == F.col("b.srp_code"), F.col("a.id") < F.col("b.id")]
+    else:
+        join_on = [F.col("a.id") < F.col("b.id")]
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), on=join_on)
+        .withColumn("cosine", F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"), "cosine")
+    )
+    return pairs

@@ -1,0 +1,113 @@
+"""Time-series operators the reference lacks: as-of join, range join,
+gap-based sessionization.
+
+Each is a *composition of built-in DataFrame ops* (SURVEY.md §2B "Range /
+as-of / interval joins — absent") — no Python in the data path, so the whole
+thing stays in Catalyst's hands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the same key
+    and the greatest ``right_ts`` ≤ ``left_ts`` (``backward``; ``forward``
+    is the least ``right_ts`` ≥ ``left_ts``).
+
+    Implementation: union both sides tagged, one window sort per key carries
+    the most recent right row forward, then filter to left rows. This is the
+    classic single-shuffle formulation — shuffle volume is |L|+|R| on the
+    join key, versus the naive range-join which explodes to |L|×|R| per key.
+    Skewed keys can be salted upstream with the standard bucket trick.
+
+    DuckDB's native ``ASOF JOIN`` certifies this operator in the oracle
+    harness.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c != on]
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("_r"),
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("_l"),
+        F.struct(*rcols).alias("_r"),
+    )
+    merged = tagged_l.unionByName(tagged_r)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts so "at or before" includes ties
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    carried = merged.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[F.col("_match")[c].alias(c) for c in rcols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list,
+) -> DataFrame:
+    """Generic theta/range join — thin wrapper that exists to carry the scale
+    guidance: always pair the range predicate with at least one equi-key so
+    Catalyst plans a hash join with a post-filter instead of
+    BroadcastNestedLoop/cartesian."""
+    return left.join(right, on=on)
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    user's previous event exceeds ``gap_minutes``. lag → boundary flag →
+    running sum = session index; one shuffle on the user key.
+
+    Fully expressible in ANSI SQL (LAG + SUM OVER), so oracle-certified.
+    The streaming twin is ``session_window`` in :mod:`..streaming`.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn("is_new_session", new_session).withColumn(
+        "session_id",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1,0 +1,65 @@
+"""Certified query registry.
+
+Every operator claimed in SURVEY.md §2 is represented here as a
+:class:`Query`: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus
+(when SQL-expressible) the equivalent DuckDB oracle SQL. ``__spark_entry__``
+exposes this registry to the driver's correctness harness.
+
+Cross-engine determinism rules every query follows:
+
+- float aggregates are ``round(x, n)``-ed in BOTH engines (sum order over
+  doubles is engine/partitioning-dependent; rounding absorbs ulp drift);
+- ordered-limit queries use a total order (unique tiebreak column);
+- sums of integers are cast to bigint in the oracle (DuckDB sums to int128);
+- hashing is md5-hex-prefix based (portable string semantics);
+- every aggregate/computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str = ""
+    category: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: Optional[str] = None, category: str = "", description: str = ""
+):
+    """Decorator adding a query to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle.strip() if oracle else None,
+            description=description or (fn.__doc__ or "").strip().splitlines()[0] if (description or fn.__doc__) else "",
+            category=category,
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules (side-effect: registration) and return the
+    registry."""
+    from arc_cassandra_pipeline_plugin_spark.queries import (  # noqa: F401
+        extensions,
+        relational,
+        tpch,
+    )
+
+    return REGISTRY

@@ -1,0 +1,518 @@
+"""Certified queries for the north-star extension operators: text analysis,
+deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+near-dup), similarity search, time-series (as-of join, sessionization,
+event-time windows), and multimodal binary columns.
+
+Where the operator is hash-based, the oracle SQL is *generated from the same
+Python constants* (permutation counts, band layout, marker words) so the two
+sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+from arc_cassandra_pipeline_plugin_spark.operators import similarity as S
+from arc_cassandra_pipeline_plugin_spark.operators import text as TX
+from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
+from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    category="text",
+    oracle=r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  ELSE length(regexp_replace(trim(text), '\s+', '', 'g'))
+                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END, 6)
+         AS avg_token_len,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       / CAST(length(lower(text)) AS DOUBLE) END, 6) AS non_alnum_ratio
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics — single codegen'd projection, no shuffle."""
+    d = TX.with_token_stats(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_measured",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("non_alnum_ratio", 6).alias("non_alnum_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    category="text",
+    oracle=r"""
+SELECT doc_id,
+       round(0.5 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 100.0, 1.0)
+           + 0.5 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       / CAST(length(lower(text)) AS DOUBLE) END) * 2.0, 1.0)), 6) AS quality_score
+FROM documents
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1] per document."""
+    return TX.quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang in sorted(TX.LANG_MARKERS):
+        terms = []
+        for w in TX.LANG_MARKERS[lang]:
+            needle = f" {w} "
+            terms.append(
+                f"(length(t) - length(replace(t, '{needle}', ''))) / {len(needle)}"
+            )
+        score_exprs.append(f"({' + '.join(terms)}) AS score_{lang}")
+    langs = sorted(TX.LANG_MARKERS)
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    whens = " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)}
+  FROM (SELECT doc_id, lang, concat(' ', lower(text), ' ') AS t FROM documents)
+), best_of AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred
+FROM best_of
+"""
+
+
+@register("text_lang_id", category="text", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification (engine-portable heuristic)."""
+    return TX.lang_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+@register(
+    "text_fingerprint",
+    category="text",
+    oracle=rf"SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-prefix document fingerprint over normalized text."""
+    return TX.fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    category="dedup",
+    oracle=rf"""
+SELECT substr(md5({_NORM}), 1, 32) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (hash-shuffle, never text)."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_NUM_PERM = 16
+_BANDS = 4
+_SHINGLE_K = 5
+
+
+def _shingle_cte(k: int) -> str:
+    return (
+        f"WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),\n"
+        f"sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"generate_series(1, greatest(length(t) - {k - 1}, 1)), i -> substr(t, i, {k})"
+        f"))) AS shingle FROM norm)"
+    )
+
+
+def _minhash_select() -> str:
+    cols = ",\n       ".join(
+        f"min(substr(md5('{p}:' || shingle), 1, 8)) AS mh_{p}" for p in range(_NUM_PERM)
+    )
+    return f"SELECT doc_id,\n       {cols}\nFROM sh GROUP BY doc_id"
+
+
+@register(
+    "dedup_minhash_signature",
+    category="dedup",
+    oracle=f"{_shingle_cte(_SHINGLE_K)}\n{_minhash_select()}",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms over 5-char shingles) — one explode +
+    one groupBy(doc_id) shuffle."""
+    return D.minhash_signature(
+        load_table(spark, sf_dir, "documents"), num_perm=_NUM_PERM, shingle_k=_SHINGLE_K
+    )
+
+
+def _lsh_oracle() -> str:
+    rows = _NUM_PERM // _BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+{_shingle_cte(_SHINGLE_K)},
+sig AS ({_minhash_select()}),
+banded AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", category="dedup", oracle=_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from banded MinHash signatures (4 bands × 4 rows):
+    the self-join keys on (band, band_hash), sharding the pair space."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    return D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
+
+
+_JACCARD_K = 3
+_JACCARD_MAX_DOC = 100
+_JACCARD_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="dedup",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < {_JACCARD_MAX_DOC}),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(length(t) - {_JACCARD_K - 1}, 1)),
+         i -> substr(t, i, {_JACCARD_K})))) AS shingle FROM norm),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= {_JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard similarity (bounded doc subset — at
+    scale this runs only on LSH candidates, never all pairs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    return D.ngram_jaccard_pairs(
+        docs, shingle_k=_JACCARD_K, threshold=_JACCARD_THRESHOLD
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
+        for b in range(60)
+    )
+    code = " + ".join(f"CASE WHEN bit_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+           FROM toks WHERE length(tok) > 0),
+bits AS (SELECT doc_id,
+       {bit_sums}
+FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({code} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@register("dedup_simhash", category="dedup", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash codes per document (pure projection + one shuffle)."""
+    return D.simhash64(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_neardup",
+    category="dedup",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.3
+""",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs path at test
+    scale; the blocked SRP variant is the scale path — see
+    similarity_ann_lsh)."""
+    return S.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, blocked=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk_bruteforce",
+    category="similarity",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+     c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, match_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q CROSS JOIN c WHERE match_id <> query_id)
+SELECT query_id, match_id, cosine, rn AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 3 query vectors: broadcast queries × one
+    corpus scan, rank by rounded score with id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+@register("similarity_ann_lsh", category="similarity")  # approximate → rows-only
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN with Hamming-1 multi-probe — the
+    bucket-pruned scale path (approximate ⇒ no SQL oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+# ---------------------------------------------------------------------------
+# time-series: as-of join, sessionization, event-time windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_events_orders",
+    category="timeseries",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time. Single-shuffle union+window formulation,
+    certified against DuckDB's native ASOF JOIN. The right side is
+    pre-deduped to one order per (custkey, day) so the match is total-order
+    deterministic."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    joined = TS.asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "sessionize_events",
+    category="timeseries",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                   > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events)
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → boundary → running sum."""
+    out = TS.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select("event_id", "user_id", "session_id")
+
+
+@register(
+    "events_windowed_agg",
+    category="timeseries",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows via F.window (epoch-aligned, so
+    window.start ≡ date_trunc('hour')). Streaming twin in
+    streaming/ runs the same plan incrementally with a watermark."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_session_window",
+    category="timeseries",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (F.session_window, 30 min gap) —
+    oracle replicates the merge rule (new session when gap >= 30 min)
+    via lag + running sum. Event times are unique per user at test scale,
+    so ordering is total."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_checksums",
+    category="multimodal",
+    oracle="""
+SELECT doc_id AS asset_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS checksum
+FROM documents
+""",
+)
+def multimodal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text → utf-8 payload → Arrow-batched
+    mapInPandas feature kernel → byte length + sha-256. Certifies the
+    binary plumbing end-to-end against the oracle."""
+    assets = M.documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(assets).select("asset_id", "n_bytes", "checksum")
+
+
+@register("multimodal_features", category="multimodal")  # array output → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake feature vectors over binary payloads (the decode
+    step is stubbed — no codec libs in this environment; the Spark-side
+    schema/batching/partitioning is real)."""
+    assets = M.documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(assets).select("asset_id", "media_type", "feature")
+
+
+# ---------------------------------------------------------------------------
+# declarative pipeline end-to-end (the reference's own composition pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_declarative",
+    category="pipeline",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical composition (arc.json pattern): declarative
+    JSON config → parse (error-accumulating) → Extract stage → SQLTransform
+    stage → result view. Certifies the whole shell, not just the query."""
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+
+    config = {
+        "stages": [
+            {
+                "type": "ParquetExtract",
+                "name": "extract orders",
+                "environments": ["production", "test"],
+                "inputURI": f"{sf_dir}/orders.parquet",
+                "outputView": "orders_v",
+            },
+            {
+                "type": "SQLTransform",
+                "name": "aggregate by priority",
+                "environments": ["production", "test"],
+                "sql": (
+                    "SELECT o_orderpriority, count(*) AS n_orders, "
+                    "round(sum(o_totalprice), 2) AS total "
+                    "FROM orders_v WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+                ),
+                "outputView": "priority_summary",
+            },
+        ]
+    }
+    ctx = PipelineContext(environment="test")
+    pipeline = parse_config(config, ctx)
+    result = pipeline.run(spark, ctx)
+    assert result is not None
+    return result

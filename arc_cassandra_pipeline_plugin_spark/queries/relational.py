@@ -1,0 +1,654 @@
+"""Operator-zoo queries: one certified query per relational operator
+category from SURVEY.md §2B (projections/filters, every join type,
+aggregation variants, grouping sets/cube/rollup, windows, sorts, set ops,
+scalar/JSON functions, pivot, save-mode round-trip)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.sources import load_table, register_tables
+
+
+# ---------------------------------------------------------------------------
+# projection / filter / predicate pushdown
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_project",
+    category="scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection+filter; both reach the parquet scan (PushedFilters +
+    ReadSchema pruned to 5 columns — asserted in tests/test_plans.py)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000.0))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins — every type
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner",
+    category="join",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_mktsegment, round(o_totalprice, 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 300000.0
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; strategy left to Catalyst/AQE (customer scales with
+    SF, so no static broadcast hint)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+@register(
+    "join_left",
+    category="join",
+    oracle="""
+SELECT c_custkey, o.o_orderkey
+FROM customer
+LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 350000.0) o
+  ON c_custkey = o.o_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no qualifying orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000.0)
+        .select("o_orderkey", "o_custkey")
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_right",
+    category="join",
+    oracle="""
+SELECT c.c_custkey, o_orderkey
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) c
+RIGHT JOIN orders ON c.c_custkey = o_custkey
+WHERE o_totalprice > 400000.0
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: all qualifying orders, customer key nullable."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0).select(
+        "c_custkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_full",
+    category="join",
+    oracle="""
+SELECT coalesce(b.nk, s.nk)   AS nationkey,
+       b.n_buyers, s.n_suppliers
+FROM (SELECT c_nationkey AS nk, count(*) AS n_buyers FROM customer WHERE c_acctbal > 9500.0 GROUP BY c_nationkey) b
+FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey) s
+  ON b.nk = s.nk
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (the reference's own equality
+    harness uses exactly this shape — TestUtils.scala:97-100)."""
+    buyers = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500.0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_buyers"))
+    )
+    sellers = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000.0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        buyers.alias("b")
+        .join(sellers.alias("s"), F.col("b.nk") == F.col("s.nk"), "full")
+        .select(
+            F.coalesce(F.col("b.nk"), F.col("s.nk")).alias("nationkey"),
+            "n_buyers",
+            "n_suppliers",
+        )
+    )
+
+
+@register(
+    "join_cross",
+    category="join",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two fixed-cardinality dims (5×25)."""
+    return load_table(spark, sf_dir, "region").crossJoin(
+        load_table(spark, sf_dir, "nation")
+    ).select("r_name", "n_name")
+
+
+@register(
+    "join_semi",
+    category="join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join = EXISTS; no right columns, no row duplication."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    category="join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join = NOT EXISTS (the reference computes this via full
+    join + null filters — TestUtils.scala:104-107; left_anti is the
+    idiomatic single-operator Spark form)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta",
+    category="join",
+    oracle="""
+SELECT o_orderkey, l_linenumber, l_shipdate, o_orderdate
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate > o_orderdate + INTERVAL 120 DAY
+WHERE o_totalprice > 400000.0
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi-key plus a range predicate. The equi-key keeps it a
+    hash join with a residual filter — never a nested-loop cartesian."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    li = load_table(spark, sf_dir, "lineitem")
+    return orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 120 DAYS")),
+    ).select("o_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# aggregation variants
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_stats",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                              AS n_rows,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       round(min(l_quantity), 2)             AS min_qty,
+       round(max(l_quantity), 2)             AS max_qty,
+       round(avg(l_extendedprice), 4)        AS avg_price,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(sum(l_tax), 2)                  AS sum_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate function battery incl. count-distinct and sample stddev."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand+two-phase under the hood)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("agg_approx_distinct", category="aggregation")  # approximate → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct — the 100 TB substitute for
+    exact distinct counts (no shuffle of the distinct values, fixed-size
+    sketch). Approximate ⇒ no SQL oracle; driver records rows-only."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@register(
+    "agg_cube",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-key combinations in one pass."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_rollup",
+    category="aggregation",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the region→nation hierarchy (dims broadcast)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", category="aggregation", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (identical text runs on both
+    engines — the view-based dataflow model from the reference)."""
+    register_tables(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    category="window",
+    oracle="""
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: ranking window + filter. AQE inserts a
+    partial row_number pushdown (WindowGroupLimit) so only 3 rows per key
+    survive the shuffle — the scalable form of per-group top-k."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_running_sum",
+    category="window",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+WHERE l_suppkey < 10
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame over a *total* order
+    (shipdate ties broken by the unique line id — frame determinism)."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .withColumn("running_qty", F.round(F.sum("l_quantity").over(w), 2))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    )
+
+
+@register(
+    "window_lag_lead",
+    category="window",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over each customer's order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+def _half_year_custkeys(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    h2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    return h1, h2
+
+
+_SET_ORACLE_BASE = """
+WITH h1 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+     h2 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+"""
+
+
+@register(
+    "set_union",
+    category="setop",
+    oracle=_SET_ORACLE_BASE + "SELECT o_custkey FROM h1 UNION SELECT o_custkey FROM h2",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): customers active in either half of 1997."""
+    h1, h2 = _half_year_custkeys(spark, sf_dir)
+    return h1.union(h2).distinct()
+
+
+@register(
+    "set_intersect",
+    category="setop",
+    oracle=_SET_ORACLE_BASE + "SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both halves."""
+    h1, h2 = _half_year_custkeys(spark, sf_dir)
+    return h1.intersect(h2)
+
+
+@register(
+    "set_except",
+    category="setop",
+    oracle=_SET_ORACLE_BASE + "SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set semantics = ``subtract``): customers who
+    churned after H1. (``exceptAll`` would keep multiplicity *differences*
+    — a different operator.)"""
+    h1, h2 = _half_year_custkeys(spark, sf_dir)
+    return h1.subtract(h2)
+
+
+# ---------------------------------------------------------------------------
+# scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_funcs",
+    category="scalar",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name)                          AS name_upper,
+       substr(c_name, 1, 8)                   AS name_prefix,
+       length(c_name)                         AS name_len,
+       concat(c_mktsegment, ':', c_name)      AS seg_name,
+       replace(c_name, 'Customer', 'C')       AS name_short,
+       trim(c_mktsegment)                     AS seg_trim
+FROM customer WHERE c_custkey < 100
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery (upper/substr/length/concat/replace/trim)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+        F.trim("c_mktsegment").alias("seg_trim"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)      AS order_year,
+       CAST(month(o_orderdate) AS INT)     AS order_month,
+       CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+       CAST(o_orderdate AS DATE)           AS order_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 30 DAY       AS due_ts
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar battery (extract/trunc/cast/interval arithmetic)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       round(abs(o_totalprice - 200000.0), 2)          AS abs_diff,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT)     AS price_ceil_k,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT)    AS price_floor_k,
+       round(sqrt(o_totalprice), 6)                    AS price_sqrt,
+       round(ln(o_totalprice), 6)                      AS price_ln,
+       round(power(o_totalprice / 100000.0, 2), 6)     AS price_pow,
+       CAST(o_orderkey % 7 AS BIGINT)                  AS key_mod
+FROM orders WHERE o_orderkey < 1000 AND o_totalprice > 0
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery; transcendentals rounded to absorb libm ulps,
+    ceil/floor cast to bigint on both sides (DuckDB keeps double)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") < 1000) & (F.col("o_totalprice") > 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(F.col("o_totalprice") - 200000.0), 2).alias("abs_diff"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_ceil_k"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_floor_k"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("o_totalprice") / 100000.0, 2), 6).alias("price_pow"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    category="scalar",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS balance_band,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       round(greatest(c_acctbal, 0.0), 2) AS bal_clamped,
+       round(least(c_acctbal, 5000.0), 2) AS bal_capped
+FROM customer
+""",
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/greatest/least."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_clamped"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 2).alias("bal_capped"),
+    )
+
+
+@register(
+    "json_funcs",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+FROM events WHERE event_type = 'click'
+""",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_value")
+    )
+
+
+@register(
+    "pivot_linestatus",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on an explicit value list (explicit list = single-pass, no
+    distinct-values pre-query — the scalable form)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+    )

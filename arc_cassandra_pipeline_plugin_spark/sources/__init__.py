@@ -1,0 +1,94 @@
+"""Source catalog for the fixture corpus + session factory.
+
+The reference infers every schema from the source (connector-driven,
+``CassandraExtract.scala:95-98``); likewise here ``spark.read.parquet``
+infers from parquet footers. This module centralizes table access so every
+query reads through one code path (predicate pushdown and column pruning
+then apply uniformly — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the driver's deterministic synthetic tables (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at ANY scale factor — region
+#: and nation are fixed-cardinality (5 / 25 rows) regardless of SF, so a
+#: broadcast hint is always correct. Larger dims (customer/part/supplier)
+#: grow with SF: leave those to AQE's size-based broadcast decision.
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def get_spark(app_name: str = "arc-cassandra-pipeline-plugin-spark") -> SparkSession:
+    """Local session tuned per the public PySpark guidance: AQE on, shuffle
+    partitions sized to cores (not the 200 default), UTC timezone pinned for
+    reproducible timestamps (``CassandraLoadSuite.scala:48-49``), Arrow on
+    for the Pandas-UDF paths."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (schema inferred from parquet metadata).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark rejects by default (PARQUET_TYPE_ILLEGAL). We read it via the
+    ``nanosAsLong`` legacy flag and truncate to microseconds with integer
+    division (``ts div 1000`` — exact on int64, no double rounding), which
+    matches DuckDB's own ns→µs truncation on read (TESTDATA.md note).
+    """
+    path = table_path(sf_dir, name)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read the given tables (default: all present) and register each as a
+    temp view under its own name — the view-based dataflow model
+    (``CassandraExtract.scala:123``)."""
+    use = names or tuple(n for n in TABLES if os.path.exists(table_path(sf_dir, n)))
+    out: dict[str, DataFrame] = {}
+    for n in use:
+        df = load_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,86 @@
+"""Stage registry.
+
+Mirrors Arc's ``ServiceLoader`` discovery of ``PipelineStagePlugin``
+implementations (reference ``META-INF/services/...PipelineStagePlugin:1-3``,
+loaded in ``TestUtils.scala:79``): the declarative ``"type"`` string in a
+config dispatches to a registered stage class. Python entry-point style —
+third-party packages can call :func:`register_stage`.
+"""
+
+from __future__ import annotations
+
+from typing import Type
+
+from arc_cassandra_pipeline_plugin_spark.stages.base import (
+    PipelineStage,
+    inject_parameters,
+    register_view,
+    repartition,
+)
+from arc_cassandra_pipeline_plugin_spark.stages.execute import CassandraExecute, SQLExecute
+from arc_cassandra_pipeline_plugin_spark.stages.extract import (
+    CassandraExtract,
+    DelimitedExtract,
+    ExtractStage,
+    JSONExtract,
+    ParquetExtract,
+    RateStreamExtract,
+)
+from arc_cassandra_pipeline_plugin_spark.stages.load import (
+    SAVE_MODES,
+    CassandraLoad,
+    DelimitedLoad,
+    LoadStage,
+    ParquetLoad,
+)
+from arc_cassandra_pipeline_plugin_spark.stages.transform import PythonTransform, SQLTransform
+
+STAGE_REGISTRY: dict[str, Type[PipelineStage]] = {}
+
+
+def register_stage(cls: Type[PipelineStage]) -> Type[PipelineStage]:
+    """Register a stage class under its declarative ``stage_type`` string."""
+    stage_type = cls.stage_type or cls.__name__
+    STAGE_REGISTRY[stage_type] = cls
+    return cls
+
+
+for _cls in (
+    ParquetExtract,
+    DelimitedExtract,
+    JSONExtract,
+    CassandraExtract,
+    RateStreamExtract,
+    SQLTransform,
+    PythonTransform,
+    ParquetLoad,
+    DelimitedLoad,
+    CassandraLoad,
+    SQLExecute,
+    CassandraExecute,
+):
+    register_stage(_cls)
+
+__all__ = [
+    "PipelineStage",
+    "ExtractStage",
+    "LoadStage",
+    "ParquetExtract",
+    "DelimitedExtract",
+    "JSONExtract",
+    "CassandraExtract",
+    "RateStreamExtract",
+    "SQLTransform",
+    "PythonTransform",
+    "ParquetLoad",
+    "DelimitedLoad",
+    "CassandraLoad",
+    "SQLExecute",
+    "CassandraExecute",
+    "SAVE_MODES",
+    "STAGE_REGISTRY",
+    "register_stage",
+    "register_view",
+    "repartition",
+    "inject_parameters",
+]

@@ -1,0 +1,85 @@
+"""Execute stages: run a statement for side effects; contribute no DataFrame.
+
+Rebuilds ``CassandraExecute`` (``CassandraExecute.scala:86-111``): SQL text
+resolved from ``inputURI`` at parse time (``:31-32``), ``${param}`` injection
+at execute time (``:93``), statement executed out-of-band (driver → cluster,
+bypassing Spark executors, ``:97-102``), returns ``None`` (``:110``) so the
+pipeline dataflow is unchanged. Errors propagate with the server's message
+intact (``CassandraExecuteSuite.scala:96``).
+
+Two backends:
+
+- :class:`SQLExecute` — ``spark.sql(ddl)`` against the session catalog (the
+  parquet-backed rebuild path; SURVEY.md §2A row 11).
+- :class:`CassandraExecute` — true-Cassandra parity via the Python
+  ``cassandra-driver``, gated behind an import-try (the driver package is not
+  in this environment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+from arc_cassandra_pipeline_plugin_spark.stages.base import PipelineStage, resolve_sql_input
+
+
+@dataclass
+class SQLExecute(PipelineStage):
+    """Run DDL/DML on the Spark session catalog; returns no DataFrame."""
+
+    stage_type: str = "SQLExecute"
+    sql: str | None = None
+    input_uri: str | None = None
+    sql_params: dict[str, str] = field(default_factory=dict)
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        merged = {**ctx.sql_params, **self.sql_params}
+        text = resolve_sql_input(self.sql, self.input_uri, merged)
+        self.stage_detail.set("sql", text)
+        spark.sql(text).collect()  # force side effect; DDL returns empty frame
+        return None  # execute contributes nothing to the dataflow (":110")
+
+
+@dataclass
+class CassandraExecute(PipelineStage):
+    """Raw CQL over a driver-side connection (``CassandraExecute.scala:97-102``).
+    Connection settings merge stage params over session conf, mirroring the
+    ``CassandraConnectorConf.fromSparkConf`` overlay (``:98-101``)."""
+
+    stage_type: str = "CassandraExecute"
+    sql: str | None = None
+    input_uri: str | None = None
+    sql_params: dict[str, str] = field(default_factory=dict)
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        merged = {**ctx.sql_params, **self.sql_params}
+        text = resolve_sql_input(self.sql, self.input_uri, merged)
+        self.stage_detail.set("sql", text)
+        try:
+            from cassandra.cluster import Cluster  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "CassandraExecute requires the 'cassandra-driver' package; "
+                "use SQLExecute for the catalog-backed path"
+            ) from exc
+        host = self.params.get(
+            "spark.cassandra.connection.host",
+            spark.conf.get("spark.cassandra.connection.host", "localhost"),
+        )
+        port = int(
+            self.params.get(
+                "spark.cassandra.connection.port",
+                spark.conf.get("spark.cassandra.connection.port", "9042"),
+            )
+        )
+        cluster = Cluster([host], port=port)  # pragma: no cover - needs a cluster
+        try:
+            session = cluster.connect()
+            session.execute(text)
+        finally:
+            cluster.shutdown()
+        return None

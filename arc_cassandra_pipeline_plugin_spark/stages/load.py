@@ -1,0 +1,144 @@
+"""Load stages: named temp view → external sink.
+
+Rebuilds ``CassandraLoad`` (``CassandraLoad.scala:92-164``):
+
+1. resolve input view with ``spark.table`` (``CassandraLoad.scala:96``)
+2. instrumentation (``CassandraLoad.scala:98-101``)
+3. streaming no-op guard (``CassandraLoad.scala:108-109``) — parity default;
+   the :mod:`..streaming` module upgrades this with ``foreachBatch``
+4. SaveMode whitelist Append / ErrorIfExists / Ignore / Overwrite with
+   Overwrite default (``CassandraLoad.scala:35``); Overwrite on a
+   truncating sink requires ``confirm.truncate=true``
+   (``CassandraLoadSuite.scala:104``)
+5. optional repartition before write (``CassandraLoad.scala:131-151``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+from arc_cassandra_pipeline_plugin_spark.errors import DetailException
+from arc_cassandra_pipeline_plugin_spark.stages.base import (
+    PipelineStage,
+    record_frame_metrics,
+    repartition,
+)
+
+#: SaveMode whitelist (CassandraLoad.scala:35); Overwrite is the default.
+SAVE_MODES = ("Append", "ErrorIfExists", "Ignore", "Overwrite")
+
+_SAVE_MODE_MAP = {
+    "Append": "append",
+    "ErrorIfExists": "errorifexists",
+    "Ignore": "ignore",
+    "Overwrite": "overwrite",
+}
+
+
+@dataclass
+class LoadStage(PipelineStage):
+    """Common load behavior; subclasses implement :meth:`_write`."""
+
+    input_view: str = ""
+    save_mode: str = "Overwrite"
+    num_partitions: int | None = None
+    partition_by: list[str] = field(default_factory=list)
+
+    #: sinks that destroy existing data on Overwrite gate it behind the
+    #: ``confirm.truncate`` param (CassandraLoadSuite.scala:104)
+    requires_truncate_confirmation: bool = False
+
+    def __post_init__(self) -> None:
+        if self.save_mode not in SAVE_MODES:
+            raise ValueError(
+                f"invalid saveMode '{self.save_mode}'; expected one of {list(SAVE_MODES)}"
+            )
+
+    def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        raise NotImplementedError
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        df = spark.table(self.input_view)  # view resolution (CassandraLoad.scala:96)
+        record_frame_metrics(self.stage_detail, df)
+
+        if df.isStreaming:
+            # Parity: streaming input view → skip the write entirely
+            # (CassandraLoad.scala:108-109). streaming.StreamingLoad upgrades.
+            self.stage_detail.set("streamingSkipped", True)
+            return df
+
+        if (
+            self.save_mode == "Overwrite"
+            and self.requires_truncate_confirmation
+            and str(self.params.get("confirm.truncate", "false")).lower() != "true"
+        ):
+            raise DetailException(
+                "You are attempting to use SaveMode.Overwrite on an existing table "
+                "without setting the confirm.truncate parameter to true.",
+                self.stage_detail.as_dict(),
+            )
+
+        out = repartition(df, self.num_partitions, self.partition_by or None)
+        self._write(out, spark, ctx)
+        return df
+
+
+@dataclass
+class ParquetLoad(LoadStage):
+    """Parquet sink. ``partition_by`` doubles as hive-style partition columns
+    when ``partition_output=True`` — at 100 TB the on-disk partitioning *is*
+    the downstream partition-pruning strategy."""
+
+    stage_type: str = "ParquetLoad"
+    output_uri: str = ""
+    partition_output: bool = False
+
+    def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        writer = df.write.mode(_SAVE_MODE_MAP[self.save_mode]).options(**self.params)
+        if self.partition_output and self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.output_uri)
+
+
+@dataclass
+class DelimitedLoad(LoadStage):
+    """CSV sink (header on by default, mirroring DelimitedExtract)."""
+
+    stage_type: str = "DelimitedLoad"
+    output_uri: str = ""
+    header: bool = True
+
+    def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        (
+            df.write.mode(_SAVE_MODE_MAP[self.save_mode])
+            .option("header", self.header)
+            .options(**self.params)
+            .csv(self.output_uri)
+        )
+
+
+@dataclass
+class CassandraLoad(LoadStage):
+    """Cassandra table write (``CassandraLoad.scala:110-153``): the connector
+    format string with keyspace/table options and the params passthrough
+    (``CassandraLoad.scala:116-117``). Cassandra truncates on Overwrite, so
+    the ``confirm.truncate`` gate is mandatory here."""
+
+    stage_type: str = "CassandraLoad"
+    table: str = ""
+    keyspace: str = ""
+    requires_truncate_confirmation: bool = True
+
+    def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        opts = {k: v for k, v in self.params.items() if k != "confirm.truncate"}
+        (
+            df.write.mode(_SAVE_MODE_MAP[self.save_mode])
+            .options(**opts)
+            .options(table=self.table, keyspace=self.keyspace)
+            .format("org.apache.spark.sql.cassandra")
+            .save()
+        )
