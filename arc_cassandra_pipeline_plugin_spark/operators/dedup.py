@@ -46,14 +46,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def char_shingles(col: F.Column, k: int = 5) -> F.Column:
-    """Distinct character k-shingles of the normalized text as an array —
-    built with ``sequence``+``transform`` (codegen'd, no UDF). Oracle
-    equivalent: DuckDB list comprehension over ``range``."""
+    """Distinct character k-shingles of the normalized text as an array.
+
+    NOTE: array-building via a higher-order ``transform`` lambda falls out
+    of whole-stage codegen and was measured ~6× slower than the row-based
+    :func:`shingle_rows` path — prefer that in anything hot."""
     norm = normalize_text(col)
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
     )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int, distinct: bool = False
+) -> DataFrame:
+    """(id, shingle) rows: normalize once, explode the position sequence,
+    one codegen'd ``substring`` per row. ``distinct=True`` dedupes per-doc
+    shingle sets (needed for Jaccard set sizes; MinHash minima are
+    duplicate-insensitive so the extra shuffle is skipped)."""
+    normed = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    pos = normed.select(
+        id_col,
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(k - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    out = pos.select(id_col, F.expr(f"substring(t, i, {k})").alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+
+
+#: affine-permutation constants for MinHash: mh_p = (A(p)·h + B(p)) mod P
+#: with h the 32-bit md5-prefix base hash. A(p) stays < 2^24 so A·h < 2^56
+#: — no 64-bit overflow in either engine. P is the smallest prime > 2^32.
+MINHASH_P = 4294967311
+
+
+def minhash_coeffs(p: int) -> tuple[int, int]:
+    return 1_000_003 * p + 17, 999_983 * p + 31
 
 
 def minhash_signature(
@@ -63,24 +94,22 @@ def minhash_signature(
     num_perm: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """MinHash signature per document: for permutation ``p`` the hash of a
-    shingle is ``substr(md5(p || ':' || shingle), 1, 8)`` and the signature
-    element is the minimum over shingles — fixed-width hex, so string min ==
-    numeric min, portable to the oracle.
+    """MinHash signature per document: ONE md5 per shingle (the expensive
+    op), then ``num_perm`` cheap affine permutations of the 32-bit base
+    hash; signature element p is the min over shingles. Integer arithmetic
+    is identical in DuckDB, so the oracle mirrors it exactly.
 
     One explode + one groupBy(doc) shuffle; signature width is
     ``num_perm * 8`` bytes/doc.
     """
-    shingled = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle")
-    )
-    aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 8)).alias(
-            f"mh_{p}"
-        )
-        for p in range(num_perm)
-    ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    shingled = shingle_rows(df, text_col, id_col, shingle_k, distinct=False)
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    hashed = shingled.select(F.col(id_col), base.alias("h"))
+    aggs = []
+    for p in range(num_perm):
+        a, b = minhash_coeffs(p)
+        aggs.append(F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{p}"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -141,9 +170,7 @@ def ngram_jaccard_pairs(
     When ``pairs`` (e.g. LSH candidates) is given, only those pairs are
     scored; otherwise all same-shingle pairs that share ≥1 shingle.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle")
-    )
+    sh = shingle_rows(df, text_col, id_col, shingle_k, distinct=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     inter = (
         sh.alias("a")

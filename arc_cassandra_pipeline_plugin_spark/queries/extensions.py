@@ -159,10 +159,21 @@ def _shingle_cte(k: int) -> str:
 
 
 def _minhash_select() -> str:
-    cols = ",\n       ".join(
-        f"min(substr(md5('{p}:' || shingle), 1, 8)) AS mh_{p}" for p in range(_NUM_PERM)
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
     )
-    return f"SELECT doc_id,\n       {cols}\nFROM sh GROUP BY doc_id"
+
+    cols = []
+    for p in range(_NUM_PERM):
+        a, b = minhash_coeffs(p)
+        cols.append(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{p}")
+    return (
+        "SELECT doc_id,\n       "
+        + ",\n       ".join(cols)
+        + "\nFROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh)"
+        + "\nGROUP BY doc_id"
+    )
 
 
 @register(

@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into the noop sink (full pipeline runs, no
+driver collect bottleneck, no output I/O in the timing)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arc_cassandra_pipeline_plugin_spark.queries import load_all
+from arc_cassandra_pipeline_plugin_spark.sources import get_spark
+
+#: representative mix: scan-agg, multi-join, window, cube, time-series,
+#: dedup, similarity, text, multimodal
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "filter_project",
+    "agg_cube",
+    "window_topk_per_group",
+    "events_windowed_agg",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "multimodal_checksums",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    registry = load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial job so q1 doesn't pay startup costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
