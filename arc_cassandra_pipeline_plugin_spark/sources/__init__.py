@@ -69,6 +69,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matches DuckDB's own ns→µs truncation on read (TESTDATA.md note).
     """
     path = table_path(sf_dir, name)
+    if name == "events":
+        # pre-set to avoid a noisy failed first read attempt on executors
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
     except Exception:

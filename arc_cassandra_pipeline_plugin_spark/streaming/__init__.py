@@ -1,0 +1,153 @@
+"""Structured Streaming support — the upgrade path beyond the reference.
+
+The reference explicitly *stubs* streaming: extract short-circuits to an
+empty frame (``CassandraExtract.scala:92-94``) and load silently no-ops on a
+streaming view (``CassandraLoad.scala:108-109``). Parity keeps those guards
+(see stages/); this module is the real implementation a modern pipeline
+needs: file-replay streaming extract, watermarked event-time windows, and a
+``foreachBatch``-based streaming load that reuses any batch LoadStage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+from arc_cassandra_pipeline_plugin_spark.stages.base import PipelineStage, register_view
+from arc_cassandra_pipeline_plugin_spark.stages.load import LoadStage
+
+
+@dataclass
+class FileStreamExtract(PipelineStage):
+    """Streaming extract replaying files from a directory (parquet/csv/json).
+    Unlike the reference's streaming stub, this produces a genuine streaming
+    DataFrame; schema must be supplied or inferred from a sample batch read
+    (Structured Streaming requires a fixed schema up front)."""
+
+    stage_type: str = "FileStreamExtract"
+    input_uri: str = ""
+    format: str = "parquet"
+    output_view: str = ""
+    schema: object | None = None  # StructType | DDL string; None → infer
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        schema = self.schema
+        if schema is None:
+            schema = spark.read.format(self.format).options(**self.params).load(self.input_uri).schema
+        reader = spark.readStream.format(self.format).schema(schema).options(**self.params)
+        df = reader.load(self.input_uri)
+        register_view(df, self.output_view, ctx)
+        self.stage_detail.set("isStreaming", True)
+        return df
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — works identically on batch
+    and streaming frames (same plan shape as the certified
+    ``events_windowed_agg`` query; the watermark bounds state for late
+    data in streaming mode)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding windows (each event lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked session windows (gap-merged); streaming twin of the
+    certified batch ``events_session_window`` query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(user_col, F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@dataclass
+class StreamingLoad(PipelineStage):
+    """Streaming upgrade of the load path: instead of the reference's silent
+    no-op, run the wrapped batch LoadStage inside ``foreachBatch`` — every
+    micro-batch is registered under the wrapped stage's input view and
+    written with the batch writer (save modes, truncate gate and params all
+    apply per batch).
+
+    ``trigger_available_now=True`` drains all available input then stops —
+    the batch-replay mode used by tests and backfills.
+    """
+
+    stage_type: str = "StreamingLoad"
+    input_view: str = ""
+    wrapped: LoadStage | None = None
+    checkpoint_uri: str = ""
+    trigger_available_now: bool = True
+    await_termination: bool = True
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        if self.wrapped is None:
+            raise ValueError("StreamingLoad requires a wrapped batch LoadStage")
+        df = spark.table(self.input_view)
+        if not df.isStreaming:
+            raise ValueError(f"input view '{self.input_view}' is not a streaming DataFrame")
+
+        wrapped = self.wrapped
+        batch_ctx = PipelineContext(
+            environment=ctx.environment,
+            is_streaming=False,
+            immutable_views=False,
+            storage_level=ctx.storage_level,
+            sql_params=ctx.sql_params,
+        )
+        # Overwrite semantics only make sense for the first micro-batch;
+        # subsequent batches append.
+        first_mode = wrapped.save_mode
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.createOrReplaceTempView(wrapped.input_view)
+            wrapped.save_mode = first_mode if batch_id == 0 else "Append"
+            wrapped.execute(batch_df.sparkSession, batch_ctx)
+
+        writer = df.writeStream.foreachBatch(write_batch).option(
+            "checkpointLocation", self.checkpoint_uri
+        )
+        if self.trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        self.stage_detail.set("queryId", str(query.id))
+        if self.await_termination:
+            query.awaitTermination()
+        return None

@@ -1,0 +1,156 @@
+"""Extension-operator unit tests on small constructed frames (edge cases
+the fixture corpus doesn't exercise)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+from arc_cassandra_pipeline_plugin_spark.operators import similarity as S
+from arc_cassandra_pipeline_plugin_spark.operators import text as TX
+from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups_whitespace_case_variants(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),          # same after normalization
+            (3, "  HELLO   WORLD  "),    # same after normalization
+            (4, "something else"),
+        ],
+    )
+    out = D.exact_dedup(df).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep == {1: 3, 4: 1}
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = _docs(spark, [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "xyz")])
+    sig = D.minhash_signature(df, num_perm=8).collect()
+    rows = {r["doc_id"]: tuple(r[f"mh_{p}"] for p in range(8)) for r in sig}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_lsh_pairs_catch_identical_docs(spark):
+    df = _docs(
+        spark,
+        [(1, "a long enough duplicated document body"),
+         (2, "a long enough duplicated document body"),
+         (3, "completely different content here entirely")],
+    )
+    sigs = D.minhash_signature(df, num_perm=16)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    df = _docs(spark, [(1, "abcdefgh"), (2, "abcdefgh"), (3, "zzzzzzzz")])
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(df).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out  # no shared shingles
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),
+         (3, "one two three four five")],
+    )
+    codes = {r["doc_id"]: r["simhash"] for r in D.simhash64(df).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(codes[1], codes[2]) < hamming(codes[1], codes[3])
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["match_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_lsh_topk_recovers_exact_neighbor(spark):
+    import math
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), 0.1 * (i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = S.brute_force_topk(df, df.filter(F.col("vec_id") == 5), k=1).collect()
+    approx = S.lsh_topk(df, df.filter(F.col("vec_id") == 5), k=1, dim=3, n_planes=4).collect()
+    assert approx and approx[0]["match_id"] == exact[0]["match_id"]
+
+
+def test_asof_join_backward_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12, 0)), (1, datetime.datetime(2024, 1, 1, 9, 0)),
+         (2, datetime.datetime(2024, 1, 1, 12, 0))],
+        "k bigint, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 10, 0), "a"),
+         (1, datetime.datetime(2024, 1, 1, 12, 0), "b"),   # ties with left ts → included
+         (1, datetime.datetime(2024, 1, 1, 13, 0), "c")],
+        "k bigint, rts timestamp, tag string",
+    )
+    out = TS.asof_join(left, right, on="k", left_ts="lts", right_ts="rts")
+    got = {(r["k"], r["lts"].hour): r["tag"] for r in out.collect()}
+    assert got[(1, 12)] == "b"      # at-or-before includes equal ts
+    assert got[(1, 9)] is None      # nothing at or before 9:00
+    assert got[(2, 12)] is None     # no right rows for key 2
+
+
+def test_sessionize_gap_boundaries(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + datetime.timedelta(minutes=29)),  # same session (< 30m)
+        (3, 10, t0 + datetime.timedelta(minutes=70)),  # new session (41m gap)
+        (4, 20, t0),                                    # separate user
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = {r["event_id"]: r["session_id"] for r in TS.sessionize(df, gap_minutes=30).collect()}
+    assert out[1] == out[2] == 1
+    assert out[3] == 2
+    assert out[4] == 1
+
+
+def test_text_token_stats_empty_and_blank(spark):
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "one two  three")])
+    out = {r["doc_id"]: r for r in TX.with_token_stats(df).collect()}
+    assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+    assert out[3]["n_tokens"] == 3
+    assert out[1]["avg_token_len"] == 0.0
+
+
+def test_lang_id_marker_words(spark):
+    df = _docs(
+        spark,
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze und der vogel"),
+         (3, "qqq www eee")],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in TX.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = _docs(spark, [(1, "Hello   World"), (2, "  hello world ")])
+    out = [r["fingerprint"] for r in TX.fingerprint(df).collect()]
+    assert out[0] == out[1]
+    assert len(out[0]) == 16

@@ -1,0 +1,181 @@
+"""Stage semantics: parity behaviors ported from the reference
+(repartition matrix, save modes + truncate gate, immutable views,
+streaming guards, persist + metrics, error wrapping, execute DDL)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arc_cassandra_pipeline_plugin_spark.config import parse_config
+from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+from arc_cassandra_pipeline_plugin_spark.errors import DetailException
+from arc_cassandra_pipeline_plugin_spark.stages import (
+    CassandraLoad,
+    DelimitedExtract,
+    ParquetExtract,
+    ParquetLoad,
+    SQLExecute,
+    SQLTransform,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_extract_repartition_matrix(spark, ctx):
+    """numPartitions / partitionBy combinations (CassandraExtract.scala:107-122)."""
+    base = dict(input_uri=f"{SF_SMALL}/nation.parquet", output_view="nation_rp")
+    df = ParquetExtract(name="a", num_partitions=4, **base).execute(spark, ctx)
+    assert df.rdd.getNumPartitions() == 4
+    df = ParquetExtract(name="b", partition_by=["n_regionkey"], num_partitions=3, **base).execute(
+        spark, ctx
+    )
+    assert df.rdd.getNumPartitions() == 3
+    df = ParquetExtract(name="c", **base).execute(spark, ctx)
+    assert df.count() == 25
+
+
+def test_extract_persist_records_metrics(spark, ctx):
+    st = ParquetExtract(
+        name="p",
+        input_uri=f"{SF_SMALL}/region.parquet",
+        output_view="region_persist",
+        persist=True,
+    )
+    df = st.execute(spark, ctx)
+    detail = st.stage_detail.as_dict()
+    assert detail["records"] == 5
+    assert detail["outputColumns"] == 2
+    assert df.storageLevel.useMemory
+    df.unpersist()
+
+
+def test_streaming_guard_on_extract(spark):
+    """Streaming context → empty frame, source untouched
+    (CassandraExtract.scala:92-94)."""
+    sctx = PipelineContext(is_streaming=True)
+    df = ParquetExtract(
+        name="s", input_uri="/definitely/not/there.parquet", output_view="sguard"
+    ).execute(spark, sctx)
+    assert df.count() == 0
+
+
+def test_immutable_views(spark):
+    """createTempView raises on duplicates in immutable mode
+    (CassandraExtract.scala:123)."""
+    ictx = PipelineContext(immutable_views=True)
+    base = dict(input_uri=f"{SF_SMALL}/region.parquet", output_view="imm_v")
+    ParquetExtract(name="a", **base).execute(spark, ictx)
+    with pytest.raises(DetailException):
+        ParquetExtract(name="b", **base).execute(spark, ictx)
+    spark.catalog.dropTempView("imm_v")
+
+
+def test_load_roundtrip_save_modes(spark, ctx, tmp_path):
+    out = str(tmp_path / "nation_out")
+    ParquetExtract(
+        name="e", input_uri=f"{SF_SMALL}/nation.parquet", output_view="nation_sm"
+    ).execute(spark, ctx)
+    load = dict(input_view="nation_sm", output_uri=out)
+    ParquetLoad(name="l1", save_mode="Overwrite", **load).execute(spark, ctx)
+    ParquetLoad(name="l2", save_mode="Append", **load).execute(spark, ctx)
+    assert spark.read.parquet(out).count() == 50  # 25 + 25
+    with pytest.raises(DetailException):
+        ParquetLoad(name="l3", save_mode="ErrorIfExists", **load).execute(spark, ctx)
+    ParquetLoad(name="l4", save_mode="Ignore", **load).execute(spark, ctx)
+    assert spark.read.parquet(out).count() == 50  # ignored
+
+
+def test_cassandra_load_truncate_gate(spark, ctx):
+    """Overwrite without confirm.truncate refused (CassandraLoadSuite.scala:104)."""
+    ParquetExtract(
+        name="e", input_uri=f"{SF_SMALL}/region.parquet", output_view="region_tg"
+    ).execute(spark, ctx)
+    st = CassandraLoad(
+        name="cl", input_view="region_tg", table="t", keyspace="k", save_mode="Overwrite"
+    )
+    with pytest.raises(DetailException) as ei:
+        st.execute(spark, ctx)
+    assert "confirm.truncate" in str(ei.value)
+
+
+def test_streaming_load_noop(spark):
+    """Streaming input view → write skipped entirely (CassandraLoad.scala:108-109)."""
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    sdf.createOrReplaceTempView("rate_v")
+    st = ParquetLoad(
+        name="l", input_view="rate_v", output_uri="/tmp/never-written", save_mode="Overwrite"
+    )
+    result = st.execute(spark, PipelineContext())
+    assert result is not None and result.isStreaming
+    assert st.stage_detail.as_dict().get("streamingSkipped") is True
+
+
+def test_error_wrapping_preserves_message(spark, ctx):
+    """Wrapped exceptions keep the engine's message intact
+    (CassandraExecuteSuite.scala:96 asserts the server's parser message)."""
+    st = SQLTransform(name="bad", sql="SELEKT 1", output_view="x")
+    with pytest.raises(DetailException) as ei:
+        st.execute(spark, ctx)
+    assert "SELEKT" in str(ei.value) or "Syntax error" in str(ei.value)
+    assert ei.value.stage_detail["name"] == "bad"
+
+
+def test_sql_execute_ddl_and_param_injection(spark, ctx, tmp_path):
+    """Execute stage: DDL side effect, no DataFrame returned
+    (CassandraExecute.scala:110); ${param} injection (:93)."""
+    sql_file = tmp_path / "ddl.sql"
+    sql_file.write_text("CREATE DATABASE IF NOT EXISTS ${db_name}")
+    st = SQLExecute(name="x", input_uri=str(sql_file), sql_params={"db_name": "graft_db"})
+    assert st.execute(spark, ctx) is None
+    assert spark.catalog.databaseExists("graft_db")
+    spark.sql("DROP DATABASE graft_db")
+
+
+def test_delimited_extract_all_string(spark, ctx, tmp_path):
+    """CSV without inferSchema reads all-string, matching the reference
+    (CassandraLoadSuite.scala:63; FIXTURES.md §1)."""
+    csv = tmp_path / "dogs.csv"
+    csv.write_text("breed,height_low_inches\nBeagle,13\nBorzoi,26\n")
+    df = DelimitedExtract(name="d", input_uri=str(csv), output_view="dogs_v").execute(
+        spark, ctx
+    )
+    assert df.count() == 2
+    assert all(f.dataType.simpleString() == "string" for f in df.schema)
+
+
+def test_declarative_roundtrip_last_frame_wins(spark, ctx, tmp_path):
+    """Style-1 end-to-end (CassandraLoadSuite.scala:58-141): declarative
+    config, Execute→Transform→Load→Extract, pipeline result is the last
+    stage's frame and the written data round-trips."""
+    out = str(tmp_path / "rt")
+    cfg = {
+        "stages": [
+            {
+                "type": "ParquetExtract",
+                "name": "ex",
+                "inputURI": f"{SF_SMALL}/customer.parquet",
+                "outputView": "cust_rt",
+            },
+            {
+                "type": "SQLTransform",
+                "name": "tx",
+                "sql": "SELECT c_mktsegment, count(*) AS n FROM cust_rt GROUP BY c_mktsegment",
+                "outputView": "seg_rt",
+            },
+            {
+                "type": "ParquetLoad",
+                "name": "ld",
+                "inputView": "seg_rt",
+                "outputURI": out,
+                "saveMode": "Overwrite",
+            },
+            {
+                "type": "ParquetExtract",
+                "name": "ex2",
+                "inputURI": out,
+                "outputView": "check_rt",
+            },
+        ]
+    }
+    result = parse_config(cfg, ctx).run(spark, ctx)
+    assert result is not None
+    assert result.count() == spark.table("seg_rt").count()

@@ -1,0 +1,100 @@
+"""Structured Streaming upgrades: file-replay extract, watermarked windows,
+foreachBatch StreamingLoad — verified by comparing the streaming result
+(availableNow drain) against the identical batch plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+from arc_cassandra_pipeline_plugin_spark.sources import load_table
+from arc_cassandra_pipeline_plugin_spark.stages import ParquetLoad
+from arc_cassandra_pipeline_plugin_spark.streaming import (
+    FileStreamExtract,
+    StreamingLoad,
+    session_window_agg,
+    tumbling_window_counts,
+)
+from arc_cassandra_pipeline_plugin_spark.testing import dataset_equality
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Fixture events re-written as a clean µs-timestamp parquet directory
+    (the raw fixture is ns-precision, unsupported by streaming reads)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, SF_SMALL, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_file_stream_tumbling_window_matches_batch(spark, events_dir, tmp_path, ctx):
+    stream = FileStreamExtract(
+        name="se", input_uri=events_dir, output_view="events_stream"
+    ).execute(spark, ctx)
+    assert stream.isStreaming
+
+    windowed = tumbling_window_counts(stream)
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    batch = tumbling_window_counts(spark.read.parquet(events_dir))
+    assert dataset_equality(batch, spark.table("win_counts"))
+
+
+def test_streaming_load_foreachbatch_writes_parquet(spark, events_dir, tmp_path, ctx):
+    FileStreamExtract(
+        name="se2", input_uri=events_dir, output_view="events_stream2"
+    ).execute(spark, ctx)
+
+    out = str(tmp_path / "loaded")
+    st = StreamingLoad(
+        name="sl",
+        input_view="events_stream2",
+        wrapped=ParquetLoad(
+            name="inner", input_view="stream_batch_v", output_uri=out, save_mode="Overwrite"
+        ),
+        checkpoint_uri=str(tmp_path / "ckpt2"),
+    )
+    assert st.execute(spark, ctx) is None
+
+    written = spark.read.parquet(out)
+    assert written.count() == spark.read.parquet(events_dir).count()
+
+
+def test_streaming_session_windows_match_batch(spark, events_dir, tmp_path, ctx):
+    stream = FileStreamExtract(
+        name="se3", input_uri=events_dir, output_view="events_stream3"
+    ).execute(spark, ctx)
+    sessions = session_window_agg(stream)
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    batch = session_window_agg(spark.read.parquet(events_dir))
+    assert dataset_equality(batch, spark.table("sess_counts"))
+
+
+def test_parity_guard_still_default(spark, ctx):
+    """The reference-parity streaming guards remain the batch-stage default
+    (CassandraExtract.scala:92-94 / CassandraLoad.scala:108-109) — the
+    streaming module is an explicit opt-in, not a behavior change."""
+    from arc_cassandra_pipeline_plugin_spark.stages import ParquetExtract
+
+    sctx = PipelineContext(is_streaming=True)
+    df = ParquetExtract(name="g", input_uri="/nope.parquet", output_view="g_v").execute(
+        spark, sctx
+    )
+    assert df.count() == 0
