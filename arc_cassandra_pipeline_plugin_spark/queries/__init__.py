@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
     """Import all query modules (side-effect: registration) and return the
     registry."""
     from arc_cassandra_pipeline_plugin_spark.queries import (  # noqa: F401
+        advanced,
         extensions,
         relational,
         tpch,

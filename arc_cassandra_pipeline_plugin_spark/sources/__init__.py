@@ -50,6 +50,7 @@ def get_spark(app_name: str = "arc-cassandra-pipeline-plugin-spark") -> SparkSes
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

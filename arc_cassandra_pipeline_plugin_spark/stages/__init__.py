@@ -25,6 +25,7 @@ from arc_cassandra_pipeline_plugin_spark.stages.extract import (
     JSONExtract,
     ParquetExtract,
     RateStreamExtract,
+    TableExtract,
 )
 from arc_cassandra_pipeline_plugin_spark.stages.load import (
     SAVE_MODES,
@@ -32,6 +33,7 @@ from arc_cassandra_pipeline_plugin_spark.stages.load import (
     DelimitedLoad,
     LoadStage,
     ParquetLoad,
+    TableLoad,
 )
 from arc_cassandra_pipeline_plugin_spark.stages.transform import PythonTransform, SQLTransform
 
@@ -51,11 +53,13 @@ for _cls in (
     JSONExtract,
     CassandraExtract,
     RateStreamExtract,
+    TableExtract,
     SQLTransform,
     PythonTransform,
     ParquetLoad,
     DelimitedLoad,
     CassandraLoad,
+    TableLoad,
     SQLExecute,
     CassandraExecute,
 ):
@@ -75,6 +79,8 @@ __all__ = [
     "ParquetLoad",
     "DelimitedLoad",
     "CassandraLoad",
+    "TableLoad",
+    "TableExtract",
     "SQLExecute",
     "CassandraExecute",
     "SAVE_MODES",

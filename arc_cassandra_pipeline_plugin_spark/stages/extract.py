@@ -149,6 +149,19 @@ class CassandraExtract(ExtractStage):
 
 
 @dataclass
+class TableExtract(ExtractStage):
+    """Catalog-table source (``spark.table``): reads managed/bucketed tables
+    written by :class:`~..load.TableLoad`, preserving bucket metadata so
+    downstream joins on the bucket key skip the shuffle."""
+
+    stage_type: str = "TableExtract"
+    table: str = ""
+
+    def _read(self, spark: SparkSession, ctx: PipelineContext) -> DataFrame:
+        return spark.table(self.table)
+
+
+@dataclass
 class RateStreamExtract(ExtractStage):
     """Structured Streaming ``rate`` source — extension beyond the reference
     (which stubs streaming entirely); used to replay fixture events through

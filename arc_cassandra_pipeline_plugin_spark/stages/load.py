@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
 from arc_cassandra_pipeline_plugin_spark.errors import DetailException
@@ -52,6 +53,10 @@ class LoadStage(PipelineStage):
     #: ``confirm.truncate`` param (CassandraLoadSuite.scala:104)
     requires_truncate_confirmation: bool = False
 
+    #: capture write-completion metrics via Observation (reference parity
+    #: for the stage-completed listener, CassandraLoad.scala:105,161)
+    observe_metrics: bool = True
+
     def __post_init__(self) -> None:
         if self.save_mode not in SAVE_MODES:
             raise ValueError(
@@ -83,7 +88,22 @@ class LoadStage(PipelineStage):
             )
 
         out = repartition(df, self.num_partitions, self.partition_by or None)
-        self._write(out, spark, ctx)
+        if self.observe_metrics:
+            # Write-completion metrics without a second pass: Observation
+            # rides the write job itself — the PySpark-idiomatic equivalent
+            # of the reference's stage-completed Spark listener
+            # (CassandraLoad.scala:105,161 via ListenerUtils).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("records"))
+            self._write(out, spark, ctx)
+            try:
+                self.stage_detail.set("records", obs.get["records"])
+            except Exception:
+                pass
+        else:
+            self._write(out, spark, ctx)
         return df
 
 
@@ -119,6 +139,31 @@ class DelimitedLoad(LoadStage):
             .options(**self.params)
             .csv(self.output_uri)
         )
+
+
+@dataclass
+class TableLoad(LoadStage):
+    """Managed-catalog table sink with optional **bucketing** — the
+    co-located-join strategy at scale: two tables bucketed on the same key
+    with the same bucket count join with NO shuffle on either side (verified
+    in tests/test_scale.py). ``bucket_by`` requires ``num_buckets``;
+    ``sort_by`` additionally sorts within buckets for sort-merge locality."""
+
+    stage_type: str = "TableLoad"
+    table: str = ""
+    bucket_by: list[str] = field(default_factory=list)
+    num_buckets: int | None = None
+    sort_by: list[str] = field(default_factory=list)
+
+    def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        writer = df.write.mode(_SAVE_MODE_MAP[self.save_mode]).options(**self.params)
+        if self.bucket_by:
+            if not self.num_buckets:
+                raise ValueError("bucket_by requires num_buckets")
+            writer = writer.bucketBy(self.num_buckets, *self.bucket_by)
+            if self.sort_by:
+                writer = writer.sortBy(*self.sort_by)
+        writer.format("parquet").saveAsTable(self.table)
 
 
 @dataclass

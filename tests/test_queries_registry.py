@@ -15,7 +15,12 @@ from tests.conftest import SF_SMALL
 REGISTRY = load_all()
 
 #: queries intentionally without an oracle (approximate / array outputs)
-ROWS_ONLY = {"agg_approx_distinct", "similarity_ann_lsh", "multimodal_features"}
+ROWS_ONLY = {
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "similarity_ann_lsh",
+    "multimodal_features",
+}
 
 
 def test_registry_covers_survey_categories():

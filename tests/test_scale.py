@@ -1,0 +1,136 @@
+"""Scale-strategy features: bucketed co-located joins (no shuffle),
+skew-salted joins, Observation-based write metrics."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+from arc_cassandra_pipeline_plugin_spark.operators.skew import salted_join
+from arc_cassandra_pipeline_plugin_spark.plans import explain_str
+from arc_cassandra_pipeline_plugin_spark.stages import (
+    ParquetExtract,
+    ParquetLoad,
+    TableExtract,
+    TableLoad,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_shuffle(spark, ctx):
+    """Two tables bucketed on the join key with equal bucket counts join
+    with zero Exchange nodes — the co-location strategy that at 100 TB
+    removes the dominant shuffle from repeated join workloads."""
+    import shutil
+
+    for t in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/spark-graft-warehouse/{t}", ignore_errors=True)
+    for src, table, key in [
+        ("orders", "orders_bkt", "o_orderkey"),
+        ("lineitem", "lineitem_bkt", "l_orderkey"),
+    ]:
+        ParquetExtract(
+            name=f"e_{src}", input_uri=f"{SF_SMALL}/{src}.parquet", output_view=f"{src}_bv"
+        ).execute(spark, ctx)
+        TableLoad(
+            name=f"t_{src}",
+            input_view=f"{src}_bv",
+            table=table,
+            save_mode="Overwrite",
+            bucket_by=[key],
+            num_buckets=4,
+            sort_by=[key],
+        ).execute(spark, ctx)
+
+    o = TableExtract(name="xo", table="orders_bkt", output_view="o_b").execute(spark, ctx)
+    l = TableExtract(name="xl", table="lineitem_bkt", output_view="l_b").execute(spark, ctx)
+    # disable auto-broadcast so the join strategy question is real (at 100 TB
+    # neither side of orders⋈lineitem is broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = explain_str(joined, "simple")
+        # exactly ONE shuffle is expected: the 5-value group-by after the
+        # join. The join inputs themselves must read bucketed with no
+        # Exchange (that's the whole point of co-located bucketing).
+        n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert "SortMergeJoin" in plan, plan
+        assert n_shuffles == 1, f"expected only the post-join agg shuffle:\n{plan}"
+        assert "Bucketed: true" in explain_str(joined, "formatted")
+        assert joined.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt_buckets=4).count()
+    assert plain == salted
+
+
+def test_salted_join_spreads_key_across_buckets(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    salt = (
+        (F.xxhash64(*[F.col(c) for c in li.columns]) % 4 + 4) % 4
+    ).cast("int")
+    n_buckets = li.withColumn("s", salt).select("s").distinct().count()
+    assert n_buckets == 4
+
+
+def test_load_observation_records_metric(spark, ctx, tmp_path):
+    ParquetExtract(
+        name="e", input_uri=f"{SF_SMALL}/nation.parquet", output_view="nation_obs"
+    ).execute(spark, ctx)
+    st = ParquetLoad(
+        name="l",
+        input_view="nation_obs",
+        output_uri=str(tmp_path / "obs_out"),
+        save_mode="Overwrite",
+    )
+    st.execute(spark, ctx)
+    assert st.stage_detail.as_dict()["records"] == 25
+
+
+def test_declarative_bucketed_pipeline(spark, ctx):
+    """TableLoad/TableExtract are reachable from the declarative config."""
+    import shutil
+
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+
+    spark.sql("DROP TABLE IF EXISTS region_tbl")
+    shutil.rmtree("/tmp/spark-graft-warehouse/region_tbl", ignore_errors=True)
+    cfg = {
+        "stages": [
+            {
+                "type": "ParquetExtract",
+                "name": "e",
+                "inputURI": f"{SF_SMALL}/region.parquet",
+                "outputView": "region_bd",
+            },
+            {
+                "type": "TableLoad",
+                "name": "t",
+                "inputView": "region_bd",
+                "table": "region_tbl",
+                "saveMode": "Overwrite",
+                "bucketBy": ["r_regionkey"],
+                "numBuckets": 2,
+            },
+            {"type": "TableExtract", "name": "x", "table": "region_tbl", "outputView": "region_back"},
+        ]
+    }
+    out = parse_config(cfg, ctx).run(spark, ctx)
+    assert out.count() == 5
+    spark.sql("DROP TABLE IF EXISTS region_tbl")
