@@ -146,3 +146,64 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "lateral_explode_tokens",
+    category="scalar",
+    oracle=r"""
+SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+FROM documents WHERE doc_id < 20 AND length(trim(text)) > 0
+""",
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral surface: explode one row into N (the
+    table-function shape; Python UDTFs compile to the same plan node)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 20) & (F.length(F.trim("text")) > 0)
+    )
+    return d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+
+
+@register(
+    "agg_minmax_by",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS bottom_order
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) — ordering key is price-in-cents
+    composed with the unique order key, so the winner is total-order
+    deterministic in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordkey).alias("top_order"),
+        F.min_by("o_orderkey", ordkey).alias("bottom_order"),
+    )
+
+
+@register("map_funcs", category="scalar")  # map type: engine reprs differ → rows-only
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build maps from event attrs, access/keys/size.
+    (Map literals stringify differently across engines → rows-only.)"""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("k"), F.get_json_object("props", "$.k")
+    )
+    return e.select(
+        "event_id",
+        m.alias("attrs"),
+        F.map_keys(m).alias("attr_keys"),
+        F.size(m).alias("n_attrs"),
+        m.getItem("type").alias("type_via_map"),
+    )

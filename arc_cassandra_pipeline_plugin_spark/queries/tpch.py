@@ -123,17 +123,37 @@ GROUP BY n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style: 6-table join with explicit broadcast of the
-    fixed-cardinality dims (region=5, nation=25 rows at every SF)."""
-    cust = load_table(spark, sf_dir, "customer")
+    """TPC-H Q5-style 6-table join, structured for scale: the region
+    selectivity (1 of 5 regions) is pushed into BOTH fact-side inputs
+    before any big-big join — customer and supplier are semi-reduced by the
+    broadcast ASIA nation set first, so the orders and lineitem joins see
+    ~20% of the rows. The fixed-cardinality dims (region=5, nation=25 at
+    every SF) broadcast unconditionally; everything that scales with SF is
+    left to AQE."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(asian_nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(asian_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -142,8 +162,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -114,6 +114,11 @@ def test_asof_join_backward_picks_latest_at_or_before(spark):
     assert got[(1, 9)] is None      # nothing at or before 9:00
     assert got[(2, 12)] is None     # no right rows for key 2
 
+    fwd = TS.asof_join(left, right, on="k", left_ts="lts", right_ts="rts", direction="forward")
+    got_f = {(r["k"], r["lts"].hour): r["tag"] for r in fwd.collect()}
+    assert got_f[(1, 9)] == "a"     # earliest at-or-after 9:00
+    assert got_f[(1, 12)] == "b"    # equal ts included forward too
+
 
 def test_sessionize_gap_boundaries(spark):
     t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)

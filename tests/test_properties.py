@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis): invariants that must hold for any
+input, not just the fixture corpus."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
+from arc_cassandra_pipeline_plugin_spark.operators.dedup import exact_dedup
+from arc_cassandra_pipeline_plugin_spark.operators.skew import salted_join
+from arc_cassandra_pipeline_plugin_spark.testing import dataset_equality
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),   # key
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_settings
+@given(rows=rows_strategy)
+def test_dataset_equality_is_order_insensitive(spark, rows):
+    df = spark.createDataFrame([(i, k, v) for i, (k, v) in enumerate(rows)], "id int, k int, v int")
+    assert dataset_equality(df, df.orderBy("v", "k", "id"))
+
+
+@_settings
+@given(left=rows_strategy, right=rows_strategy)
+def test_salted_join_always_matches_plain_join(spark, left, right):
+    l = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(left)], "lid int, k int, lv int"
+    )
+    r = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(right)], "rid int, rk int, rv int"
+    )
+    plain = l.join(r, l.k == r.rk).select("lid", "rid")
+    salted = salted_join(l, r, "k", "rk", salt_buckets=3).select("lid", "rid")
+    assert dataset_equality(plain, salted)
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12), min_size=1, max_size=12
+    )
+)
+def test_exact_dedup_partitions_all_docs(spark, texts):
+    """Every doc lands in exactly one group; multiplicities sum to the
+    row count; keep_id is a member of its group."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    out = exact_dedup(df).collect()
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    assert len({r["keep_id"] for r in out}) == len(out)
+
+
+@_settings
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=20),
+    gap=st.integers(min_value=1, max_value=60),
+)
+def test_sessionize_invariants(spark, offsets, gap):
+    """Session ids start at 1 per user, are non-decreasing in time order,
+    and increase exactly at gaps > gap_minutes."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + datetime.timedelta(minutes=sum(offsets[: i + 1])))
+        for i in range(len(offsets))
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = sorted(TS.sessionize(df, gap_minutes=gap).collect(), key=lambda r: r["ts"])
+    assert out[0]["session_id"] == 1
+    for prev, cur in zip(out, out[1:]):
+        gap_min = (cur["ts"] - prev["ts"]).total_seconds() / 60
+        expected_bump = 1 if gap_min > gap else 0
+        assert cur["session_id"] - prev["session_id"] == expected_bump

@@ -20,6 +20,7 @@ ROWS_ONLY = {
     "agg_approx_percentiles",
     "similarity_ann_lsh",
     "multimodal_features",
+    "map_funcs",
 }
 
 
