@@ -227,3 +227,64 @@ def simhash64(
     for b in range(60):
         code = code + F.when(F.col(f"bit_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
     return summed.select(F.col(id_col), code.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group candidate-duplicate pairs into clusters: returns
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum doc id in
+    the connected component. Singletons (docs in no pair) are not emitted.
+
+    Implementation: iterative min-label propagation — each round joins the
+    current labels across the (symmetrized) edge list and keeps the
+    per-node minimum, converging in O(diameter) rounds. Each round is one
+    broadcast-free equi-join + groupBy (two shuffles on the node id); the
+    loop breaks as soon as a round changes nothing. For web-scale graphs
+    the same loop structure hosts the large-star/small-star optimization
+    (Kiveris et al.) — dedup-cluster graphs are near-clique bundles with
+    tiny diameters, so plain propagation converges in a few rounds.
+
+    Intermediate lineage is cut with ``localCheckpoint`` every round: an
+    iterative plan otherwise grows exponentially in Catalyst.
+    """
+    edges = (
+        pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+        .union(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
+        .distinct()
+        # materialize once: every iteration runs 2 actions over the edge
+        # list; without this the upstream pair pipeline (e.g. the whole
+        # MinHash+LSH chain) would be recomputed 2× per round
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    from pyspark.sql import Observation
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        candidate = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # convergence check rides the materialization action — one Spark
+        # job per round, not two
+        obs = Observation()
+        candidate = candidate.observe(
+            obs, F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n_changed")
+        )
+        labels = candidate.drop("old_label").localCheckpoint(eager=True)
+        if (obs.get["n_changed"] or 0) == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -527,3 +527,109 @@ def pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = pipeline.run(spark, ctx)
     assert result is not None
     return result
+
+
+def _clusters_oracle() -> str:
+    """MinHash → LSH bands → recursive-CTE connected components, generated
+    from the same constants as the Spark pipeline."""
+    rows = _NUM_PERM // _BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH RECURSIVE
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(length(t) - {_SHINGLE_K - 1}, 1)),
+         i -> substr(t, i, {_SHINGLE_K})))) AS shingle FROM norm),
+sig AS ({_minhash_select()}),
+banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(id, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+@register("dedup_clusters", category="dedup", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline endpoint: MinHash signatures → LSH candidate
+    pairs → connected components → (doc_id, cluster_id) groups with the
+    min-id canonical representative. The iterative min-label propagation on
+    Spark is certified against a recursive-CTE closure in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
+    return D.connected_components(pairs)
+
+
+@register(
+    "text_regex_tokens",
+    category="text",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT)    AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS INT)     AS n_punct_runs,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INT) AS n_unique_words
+FROM documents
+""",
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization counts: word-token runs, punctuation
+    runs, unique-word vocabulary size — all via regexp_extract_all (one
+    codegen'd projection, no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    puncts = F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_word_tokens"),
+        F.size(puncts).alias("n_punct_runs"),
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+    )
+
+
+@register(
+    "udtf_char_trigrams",
+    category="udf",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 10)
+SELECT doc_id,
+       unnest(list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+                             i -> substr(t, i, 3))) AS trigram
+FROM norm
+""",
+)
+def udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 @udtf): a table function emitting char
+    trigrams per document, certified against the SQL list-comprehension
+    formulation. (UDTFs are the slow path at scale — this exists to cover
+    the surface; the hot-path equivalent is shingle_rows.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="trigram: string")
+    class Trigrams:
+        def eval(self, t: str):  # noqa: ANN001
+            n = max(len(t) - 2, 1)
+            for i in range(n):
+                yield (t[i : i + 3],)
+
+    spark.udtf.register("char_trigrams", Trigrams)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    docs.select("doc_id", D.normalize_text(F.col("text")).alias("t")).createOrReplaceTempView(
+        "trigram_in"
+    )
+    return spark.sql(
+        "SELECT i.doc_id, t.trigram FROM trigram_in i, LATERAL char_trigrams(i.t) t"
+    )

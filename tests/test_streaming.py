@@ -98,3 +98,40 @@ def test_parity_guard_still_default(spark, ctx):
         spark, sctx
     )
     assert df.count() == 0
+
+
+def test_stateful_running_stats_matches_batch(spark, events_dir, tmp_path, ctx):
+    """applyInPandasWithState: after draining all input, per-user state
+    equals the batch aggregate (the last update per user wins)."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.streaming.stateful import running_stats_per_user
+
+    stream = FileStreamExtract(
+        name="se4", input_uri=events_dir, output_view="events_stream4"
+    ).execute(spark, ctx)
+    out = running_stats_per_user(stream.select("user_id", "value"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last emitted row per user == final state
+    import pandas as pd
+
+    emitted = spark.table("stateful_out").toPandas()
+    final = emitted.groupby("user_id").tail(1).set_index("user_id").sort_index()
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(final[["n_events", "sum_value"]], batch, check_dtype=False)
