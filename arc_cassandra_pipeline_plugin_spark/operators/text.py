@@ -89,3 +89,58 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (``substr(md5(regexp_replace(lower(trim(text)),'\\s+',' ','g')),1,16)``)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", hex_hash64(normalized, 16))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every k-gram, slide a window of ``window`` consecutive k-grams,
+    keep the minimum hash per window, emit the distinct survivors per doc.
+
+    Guarantees: any shared substring of length >= w+k-1 between two docs
+    yields at least one shared fingerprint — the local-dedup/plagiarism
+    primitive. Distributed shape: shingle rows → per-doc window min (one
+    shuffle on doc_id, window is partition-local) → distinct.
+
+    Hashes are md5-prefix ints, so the whole scheme replays in SQL
+    (min OVER rolling window) for oracle certification.
+    """
+    from pyspark.sql.window import Window as W
+
+    normed = df.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("t"),
+    )
+    # positions of all k-grams; n_shingles kept for the complete-window cut
+    pos = normed.select(
+        id_col,
+        "t",
+        F.greatest(F.length("t") - F.lit(k - 1), F.lit(1)).alias("n_shingles"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(k - 1), F.lit(1)))
+        ).alias("i"),
+    ).select(
+        id_col, "i", "n_shingles", F.expr(f"substring(t, i, {k})").alias("shingle")
+    )
+    hashed = pos.select(
+        id_col,
+        "i",
+        "n_shingles",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    w = W.partitionBy(id_col).orderBy("i").rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("win_min", F.min("h").over(w))
+        # only complete windows (textbook winnowing); docs shorter than one
+        # window keep their single partial window at i=1
+        .filter(
+            (F.col("i") <= F.col("n_shingles") - F.lit(window - 1)) | (F.col("i") == 1)
+        )
+        .select(F.col(id_col), F.col("win_min").alias("fingerprint_hash"))
+        .distinct()
+    )

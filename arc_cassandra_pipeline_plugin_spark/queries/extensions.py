@@ -633,3 +633,35 @@ def udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT i.doc_id, t.trigram FROM trigram_in i, LATERAL char_trigrams(i.t) t"
     )
+
+
+@register(
+    "text_winnow_fingerprints",
+    category="text",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+pos AS (
+  SELECT doc_id,
+         greatest(length(t) - 4, 1) AS n_shingles,
+         unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i,
+         t
+  FROM norm),
+hashed AS (
+  SELECT doc_id, i, n_shingles,
+         ('0x' || substr(md5(substr(t, i, 5)), 1, 8))::BIGINT AS h
+  FROM pos),
+wins AS (
+  SELECT doc_id, i, n_shingles,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 0 FOLLOWING AND 3 FOLLOWING) AS win_min
+  FROM hashed)
+SELECT DISTINCT doc_id, win_min AS fingerprint_hash
+FROM wins WHERE i <= n_shingles - 3 OR i = 1
+""",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash MOSS fingerprints, k=5 w=4): min k-gram hash
+    per sliding window, distinct survivors per doc. Shared substrings of
+    length >= w+k-1 guarantee a shared fingerprint."""
+    return TX.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=5, window=4
+    )

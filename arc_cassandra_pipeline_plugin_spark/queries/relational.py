@@ -652,3 +652,22 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
         .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
     )
+
+
+@register(
+    "window_ntile",
+    category="window",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing over a total order (price ties broken by key)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+    )

@@ -70,6 +70,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matches DuckDB's own ns→µs truncation on read (TESTDATA.md note).
     """
     path = table_path(sf_dir, name)
+    # Defensive: all certified queries assume UTC (CassandraLoadSuite.scala:49
+    # parity; the DuckDB oracle is timezone-naive). The driver's session may
+    # not pin it, so every table read re-asserts it.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # pre-set to avoid a noisy failed first read attempt on executors
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -134,3 +134,37 @@ def test_declarative_bucketed_pipeline(spark, ctx):
     out = parse_config(cfg, ctx).run(spark, ctx)
     assert out.count() == 5
     spark.sql("DROP TABLE IF EXISTS region_tbl")
+
+
+def test_partitioned_output_enables_partition_pruning(spark, ctx, tmp_path):
+    """Hive-partitioned ParquetLoad output → reads with a partition-key
+    filter prune at the directory level (PartitionFilters, no data scan of
+    other partitions) — the layout strategy for time-partitioned 100 TB
+    corpora."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.plans import explain_str
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, SF_SMALL, "events").withColumn(
+        "type_part", F.col("event_type")
+    ).createOrReplaceTempView("events_pp")
+    ParquetLoad(
+        name="ld",
+        input_view="events_pp",
+        output_uri=out,
+        save_mode="Overwrite",
+        partition_by=["type_part"],
+        partition_output=True,
+    ).execute(spark, ctx)
+
+    pruned = spark.read.parquet(out).filter(F.col("type_part") == "click")
+    plan = explain_str(pruned, "formatted")
+    assert "PartitionFilters" in plan and "type_part" in plan
+    import os
+
+    assert any(d.startswith("type_part=") for d in os.listdir(out))
+    assert pruned.count() == spark.read.parquet(out).filter(
+        F.col("type_part") == "click"
+    ).count()
