@@ -23,6 +23,7 @@ from arc_cassandra_pipeline_plugin_spark.stages.extract import (
     DelimitedExtract,
     ExtractStage,
     JSONExtract,
+    ORCExtract,
     ParquetExtract,
     RateStreamExtract,
     TableExtract,
@@ -32,6 +33,7 @@ from arc_cassandra_pipeline_plugin_spark.stages.load import (
     CassandraLoad,
     DelimitedLoad,
     LoadStage,
+    ORCLoad,
     ParquetLoad,
     TableLoad,
 )
@@ -49,6 +51,8 @@ def register_stage(cls: Type[PipelineStage]) -> Type[PipelineStage]:
 
 for _cls in (
     ParquetExtract,
+    ORCExtract,
+    ORCLoad,
     DelimitedExtract,
     JSONExtract,
     CassandraExtract,
@@ -77,6 +81,8 @@ __all__ = [
     "SQLTransform",
     "PythonTransform",
     "ParquetLoad",
+    "ORCExtract",
+    "ORCLoad",
     "DelimitedLoad",
     "CassandraLoad",
     "TableLoad",

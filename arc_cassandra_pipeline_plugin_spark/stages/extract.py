@@ -112,6 +112,21 @@ class DelimitedExtract(ExtractStage):
 
 
 @dataclass
+class ORCExtract(ExtractStage):
+    """ORC source (Spark-native columnar alternative to parquet; same
+    pushdown/pruning properties)."""
+
+    stage_type: str = "ORCExtract"
+    input_uri: str = ""
+
+    def _read(self, spark: SparkSession, ctx: PipelineContext) -> DataFrame:
+        reader = spark.read.options(**self.params)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.orc(self.input_uri)
+
+
+@dataclass
 class JSONExtract(ExtractStage):
     """JSON-lines source (schema inferred unless supplied)."""
 

@@ -125,6 +125,21 @@ class ParquetLoad(LoadStage):
 
 
 @dataclass
+class ORCLoad(LoadStage):
+    """ORC sink."""
+
+    stage_type: str = "ORCLoad"
+    output_uri: str = ""
+    partition_output: bool = False
+
+    def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        writer = df.write.mode(_SAVE_MODE_MAP[self.save_mode]).options(**self.params)
+        if self.partition_output and self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.orc(self.output_uri)
+
+
+@dataclass
 class DelimitedLoad(LoadStage):
     """CSV sink (header on by default, mirroring DelimitedExtract)."""
 

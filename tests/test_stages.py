@@ -179,3 +179,21 @@ def test_declarative_roundtrip_last_frame_wins(spark, ctx, tmp_path):
     result = parse_config(cfg, ctx).run(spark, ctx)
     assert result is not None
     assert result.count() == spark.table("seg_rt").count()
+
+
+def test_orc_roundtrip(spark, ctx, tmp_path):
+    """ORC extract/load parity with parquet (same pushdown class)."""
+    from arc_cassandra_pipeline_plugin_spark.stages import ORCExtract, ORCLoad
+
+    out = str(tmp_path / "nation_orc")
+    ParquetExtract(
+        name="e", input_uri=f"{SF_SMALL}/nation.parquet", output_view="nation_orc_v"
+    ).execute(spark, ctx)
+    ORCLoad(name="l", input_view="nation_orc_v", output_uri=out, save_mode="Overwrite").execute(
+        spark, ctx
+    )
+    back = ORCExtract(name="x", input_uri=out, output_view="nation_orc_back").execute(
+        spark, ctx
+    )
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
