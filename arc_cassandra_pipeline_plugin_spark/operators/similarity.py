@@ -166,3 +166,107 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"), "cosine")
     )
     return pairs
+
+
+def _centroids_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    iterations: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means for IVF coarse quantization: seeds are the
+    ``n_clusters`` lowest-id vectors (reproducible, no RNG), then
+    ``iterations`` Lloyd rounds computed distributively (assignment is a
+    codegen'd argmin over broadcast centroids; update is one groupBy-mean
+    shuffle). Centroid count is small (sqrt(N) at scale), so collecting
+    centroids to the driver is O(n_clusters·dim) — not a data collect."""
+    seeds = (
+        df.orderBy(id_col).limit(n_clusters).select(vec_double(vec_col).alias("v")).collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    base = df.select(F.col(id_col).alias("_id"), vec_double(vec_col).alias("v"))
+    dim = len(centroids[0][1])
+    for _ in range(iterations):
+        assigned = base.withColumn("cluster", _nearest_centroid_expr(centroids))
+        new_rows = (
+            assigned.select(
+                "cluster", *[F.element_at("v", i + 1).alias(f"d{i}") for i in range(dim)]
+            )
+            .groupBy("cluster")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        centroids = [
+            (r["cluster"], [float(r[f"d{i}"]) for i in range(dim)]) for r in new_rows
+        ]
+        centroids.sort(key=lambda c: c[0])
+    return centroids
+
+
+def _centroid_scores(centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """array of per-centroid scores (dot(v,c) - ||c||²/2) for column ``v``."""
+    scores = []
+    for _, vec in centroids:
+        arr = F.array(*[F.lit(x) for x in vec])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        scores.append(dot - F.lit(sum(x * x for x in vec) / 2.0))
+    return F.array(*scores)
+
+
+def _nearest_centroid_expr(centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """argmin_{c} ||v - c||² (≡ argmax of dot - ||c||²/2) as ONE column
+    expression. Array-based argmax keeps the expression tree O(k·dim);
+    a nested when-chain would be O(k²·dim) and blow up codegen."""
+    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    scores = _centroid_scores(centroids)
+    return F.element_at(ids, F.array_position(scores, F.array_max(scores)).cast("int"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_clusters`` cells with deterministic k-means, then score each
+    query only against its ``n_probe`` nearest cells.
+
+    Scale shape: the cell assignment is a one-pass projection; the search
+    join keys on ``cluster`` (corpus shuffled once by cell, queries
+    broadcast), scanning ~n_probe/n_clusters of the corpus per query.
+    Recall is tuned by ``n_probe``. Approximate ⇒ rows-only certification
+    (recall measured against brute force in tests)."""
+    cents = _centroids_kmeans(corpus, vec_col, id_col, n_clusters)
+    c = corpus.select(F.col(id_col).alias("match_id"), vec_double(vec_col).alias("v"))
+    c = c.withColumn("cluster", _nearest_centroid_expr(cents))
+
+    q = queries.select(F.col(id_col).alias("query_id"), vec_double(vec_col).alias("v"))
+    # n_probe nearest cells per query: zip (score, id), sort desc, take n
+    ids_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+    zipped = F.zip_with(
+        _centroid_scores(cents), ids_arr, lambda s, i: F.struct(s.alias("s"), i.alias("cid"))
+    )
+    probes = q.select(
+        "query_id",
+        F.col("v").alias("qv"),
+        F.explode(F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe)).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.cid").alias("cluster"))
+
+    scored = (
+        c.join(F.broadcast(probes), on="cluster")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )

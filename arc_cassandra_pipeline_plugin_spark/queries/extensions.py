@@ -665,3 +665,12 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k=5, window=4
     )
+
+
+@register("similarity_ann_ivf", category="similarity")  # approximate → rows-only
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer, probe
+    the 3 nearest of 8 cells per query (~40% of the corpus scanned).
+    Approximate ⇒ rows-only (recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, n_clusters=8, n_probe=3)

@@ -159,3 +159,25 @@ def test_fingerprint_normalization_invariant(spark):
     out = [r["fingerprint"] for r in TX.fingerprint(df).collect()]
     assert out[0] == out[1]
     assert len(out[0]) == 16
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with n_probe=3/16 cells recovers most exact neighbors; with
+    n_probe=16 (scan everything) it must match brute force exactly."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["match_id"])
+        for r in S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8).collect()
+    }
+    assert full_probe == exact  # probing all cells == exact search
+    partial = {
+        (r["query_id"], r["match_id"])
+        for r in S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    recall = len(partial & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

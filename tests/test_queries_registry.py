@@ -19,6 +19,7 @@ ROWS_ONLY = {
     "agg_approx_distinct",
     "agg_approx_percentiles",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "multimodal_features",
     "map_funcs",
 }
