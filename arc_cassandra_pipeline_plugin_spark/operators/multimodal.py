@@ -103,5 +103,9 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
             pdf["resize_to"] = max_px
             yield pdf
 
-    schema = assets.schema.add("resize_to", "integer")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(assets.schema.fields) + [T.StructField("resize_to", T.IntegerType())]
+    )
     return assets.mapInPandas(batches, schema=schema)

@@ -181,3 +181,18 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     }
     recall = len(partial & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_multimodal_resize_plumbing(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    docs = _docs(spark, [(1, "payload one"), (2, "payload two")])
+    assets = M.documents_as_assets(
+        docs.withColumnsRenamed({"doc_id": "doc_id", "text": "text"})
+        .withColumn("lang", F.lit("en"))
+        .select("doc_id", "text")
+    )
+    resized = M.resize_images(assets, max_px=256)
+    rows = resized.collect()
+    assert all(r["resize_to"] == 256 for r in rows)
+    assert set(resized.columns) == set(assets.columns) | {"resize_to"}

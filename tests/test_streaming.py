@@ -135,3 +135,20 @@ def test_stateful_running_stats_matches_batch(spark, events_dir, tmp_path, ctx):
         .sort_index()
     )
     pd.testing.assert_frame_equal(final[["n_events", "sum_value"]], batch, check_dtype=False)
+
+
+def test_sliding_windows_match_batch(spark, events_dir, tmp_path, ctx):
+    from arc_cassandra_pipeline_plugin_spark.streaming import sliding_window_counts
+
+    stream = FileStreamExtract(
+        name="se5", input_uri=events_dir, output_view="events_stream5"
+    ).execute(spark, ctx)
+    q = (
+        sliding_window_counts(stream).writeStream.format("memory")
+        .queryName("slide_counts").outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    batch = sliding_window_counts(spark.read.parquet(events_dir))
+    assert dataset_equality(batch, spark.table("slide_counts"))
