@@ -60,6 +60,10 @@ _KEY_TO_FIELD = {
     "numBuckets": "num_buckets",
     "sortBy": "sort_by",
     "observeMetrics": "observe_metrics",
+    "trim": "trim",
+    "nullableValues": "nullable_values",
+    "formatters": "formatters",
+    "metadata": "metadata",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 
@@ -78,20 +82,25 @@ def _coerce(field: dataclasses.Field, value: Any, key: str) -> Any:
     getValue[String]/[Int]/[Boolean]/[StringList] extractors
     (``CassandraExtract.scala:22-35``)."""
     typ = field.type if isinstance(field.type, str) else getattr(field.type, "__name__", "")
-    if field.name in ("environments", "partition_by", "bucket_by", "sort_by"):
+    if field.name in ("environments", "partition_by", "bucket_by", "sort_by", "nullable_values"):
         if not (isinstance(value, list) and all(isinstance(v, str) for v in value)):
             raise TypeError(f"expected a list of strings for '{key}'")
         return value
-    if field.name in ("params", "sql_params"):
+    if field.name in ("params", "sql_params", "formatters"):
         if not isinstance(value, dict):
             raise TypeError(f"expected an object for '{key}'")
         return {str(k): str(v) for k, v in value.items()}
+    if field.name == "metadata":
+        if not isinstance(value, dict):
+            raise TypeError(f"expected an object for '{key}'")
+        return value
     if field.name in ("num_partitions", "num_buckets"):
         if isinstance(value, bool) or not isinstance(value, int):
             raise TypeError(f"expected an integer for '{key}'")
         return value
     if field.name in (
-        "persist", "header", "infer_schema", "multi_line", "partition_output", "observe_metrics"
+        "persist", "header", "infer_schema", "multi_line", "partition_output",
+        "observe_metrics", "trim",
     ):
         if not isinstance(value, bool):
             raise TypeError(f"expected a boolean for '{key}'")

@@ -37,7 +37,12 @@ from arc_cassandra_pipeline_plugin_spark.stages.load import (
     ParquetLoad,
     TableLoad,
 )
-from arc_cassandra_pipeline_plugin_spark.stages.transform import PythonTransform, SQLTransform
+from arc_cassandra_pipeline_plugin_spark.stages.transform import (
+    MetadataTransform,
+    PythonTransform,
+    SQLTransform,
+    TypingTransform,
+)
 
 STAGE_REGISTRY: dict[str, Type[PipelineStage]] = {}
 
@@ -60,6 +65,8 @@ for _cls in (
     TableExtract,
     SQLTransform,
     PythonTransform,
+    TypingTransform,
+    MetadataTransform,
     ParquetLoad,
     DelimitedLoad,
     CassandraLoad,
@@ -80,6 +87,8 @@ __all__ = [
     "RateStreamExtract",
     "SQLTransform",
     "PythonTransform",
+    "TypingTransform",
+    "MetadataTransform",
     "ParquetLoad",
     "ORCExtract",
     "ORCLoad",

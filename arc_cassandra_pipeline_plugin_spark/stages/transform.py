@@ -79,3 +79,88 @@ class PythonTransform(PipelineStage):
         if self.persist and not df.isStreaming:
             df.persist(ctx.storage_level)
         return df
+
+
+@dataclass
+class TypingTransform(PipelineStage):
+    """Type an all-string frame against a target schema — the Arc-ecosystem
+    ingestion pattern the reference's tests are built around: DelimitedExtract
+    reads all-string (CassandraLoadSuite.scala:63, FIXTURES.md §1) and a
+    typing step coerces to the declared types with per-column formatters,
+    trim, and nullable-value lists (the column-metadata vocabulary in
+    TestUtils.scala:174-349: ``trim``, ``nullableValues``, ``formatters``).
+
+    - ``schema``: target schema (DDL string or StructType); columns absent
+      from the input are ignored, input columns absent from the schema pass
+      through untouched.
+    - ``trim``: strip whitespace before interpreting (default True).
+    - ``nullable_values``: string values treated as null (default ["", "null"]).
+    - ``formatters``: per-column datetime pattern for date/timestamp targets.
+    """
+
+    stage_type: str = "TypingTransform"
+    input_view: str = ""
+    output_view: str = ""
+    schema: object | None = None
+    trim: bool = True
+    nullable_values: list[str] = field(default_factory=lambda: ["", "null"])
+    formatters: dict[str, str] = field(default_factory=dict)
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if self.schema is None:
+            raise ValueError("TypingTransform requires a target schema")
+        target = (
+            self.schema
+            if isinstance(self.schema, T.StructType)
+            else T.StructType.fromDDL(str(self.schema))
+        )
+        df = spark.table(self.input_view)
+        by_name = {f.name: f for f in target.fields}
+        cols = []
+        for name in df.columns:
+            f = by_name.get(name)
+            if f is None:
+                cols.append(F.col(name))
+                continue
+            c = F.col(name)
+            if self.trim:
+                c = F.trim(c)
+            if self.nullable_values:
+                c = F.when(c.isin(*self.nullable_values), F.lit(None)).otherwise(c)
+            fmt = self.formatters.get(name)
+            if isinstance(f.dataType, T.DateType) and fmt:
+                c = F.to_date(c, fmt)
+            elif isinstance(f.dataType, T.TimestampType) and fmt:
+                c = F.to_timestamp(c, fmt)
+            else:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(name))
+        out = df.select(*cols)
+        register_view(out, self.output_view, ctx)
+        record_frame_metrics(self.stage_detail, out)
+        return out
+
+
+@dataclass
+class MetadataTransform(PipelineStage):
+    """Attach per-column metadata to the schema (``StructField.metadata``) —
+    the reference carries id/description/trim/nullableValues/formatters/
+    private/securityLevel per column (TestUtils.scala:174-349). Metadata
+    survives parquet round-trips and is queryable via ``df.schema``."""
+
+    stage_type: str = "MetadataTransform"
+    input_view: str = ""
+    output_view: str = ""
+    metadata: dict[str, dict] = field(default_factory=dict)
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        df = spark.table(self.input_view)
+        for col_name, meta in self.metadata.items():
+            if col_name in df.columns:
+                df = df.withMetadata(col_name, meta)
+        register_view(df, self.output_view, ctx)
+        record_frame_metrics(self.stage_detail, df)
+        return df

@@ -197,3 +197,70 @@ def test_orc_roundtrip(spark, ctx, tmp_path):
     )
     assert back.count() == 25
     assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_typing_transform_dogs_pattern(spark, ctx, tmp_path):
+    """The reference's ingestion shape: all-string CSV → typed frame
+    (dogs fixture pattern, FIXTURES.md §1) with trim + nullableValues +
+    a date formatter (KnownData vocabulary, TestUtils.scala:174-349)."""
+    from arc_cassandra_pipeline_plugin_spark.stages import TypingTransform
+
+    csv = tmp_path / "dogs.csv"
+    csv.write_text(
+        "breed,height_low_inches,registered\n"
+        "Beagle, 13 ,2016-12-18\n"
+        "Borzoi,26,null\n"
+        "Pug,,2016-12-19\n"
+    )
+    DelimitedExtract(name="d", input_uri=str(csv), output_view="dogs_raw").execute(spark, ctx)
+    typed = TypingTransform(
+        name="t",
+        input_view="dogs_raw",
+        output_view="dogs_typed",
+        schema="breed string, height_low_inches int, registered date",
+        formatters={"registered": "yyyy-MM-dd"},
+    ).execute(spark, ctx)
+    assert [f.dataType.simpleString() for f in typed.schema] == ["string", "int", "date"]
+    rows = {r["breed"]: r for r in typed.collect()}
+    assert rows["Beagle"]["height_low_inches"] == 13        # trimmed " 13 "
+    assert rows["Borzoi"]["registered"] is None              # "null" → null
+    assert rows["Pug"]["height_low_inches"] is None          # "" → null
+    assert str(rows["Pug"]["registered"]) == "2016-12-19"
+
+
+def test_metadata_transform_survives_parquet(spark, ctx, tmp_path):
+    from arc_cassandra_pipeline_plugin_spark.stages import MetadataTransform
+
+    ParquetExtract(
+        name="e", input_uri=f"{SF_SMALL}/region.parquet", output_view="region_md"
+    ).execute(spark, ctx)
+    meta = {"r_name": {"description": "region name", "private": False, "securityLevel": 0}}
+    out = MetadataTransform(
+        name="m", input_view="region_md", output_view="region_md_out", metadata=meta
+    ).execute(spark, ctx)
+    assert out.schema["r_name"].metadata["description"] == "region name"
+
+    path = str(tmp_path / "md_roundtrip")
+    ParquetLoad(name="l", input_view="region_md_out", output_uri=path, save_mode="Overwrite").execute(spark, ctx)
+    back = spark.read.parquet(path)
+    assert back.schema["r_name"].metadata["description"] == "region name"
+
+
+def test_typing_transform_declarative(spark, ctx, tmp_path):
+    """TypingTransform reachable from config with formatters dict."""
+    csv = tmp_path / "in.csv"
+    csv.write_text("a,b\n1,2.5\n")
+    cfg = {
+        "stages": [
+            {"type": "DelimitedExtract", "name": "e", "inputURI": str(csv), "outputView": "tt_raw"},
+            {
+                "type": "TypingTransform",
+                "name": "t",
+                "inputView": "tt_raw",
+                "outputView": "tt_typed",
+                "schema": "a int, b double",
+            },
+        ]
+    }
+    out = parse_config(cfg, ctx).run(spark, ctx)
+    assert [f.dataType.simpleString() for f in out.schema] == ["int", "double"]
