@@ -109,3 +109,40 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
         list(assets.schema.fields) + [T.StructField("resize_to", T.IntegerType())]
     )
     return assets.mapInPandas(batches, schema=schema)
+
+
+FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame_payload binary, frame_offset_ms int"
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000, frame_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing for video/audio assets: emit one row per
+    sampled frame with a payload slice. The *decode* is a deterministic
+    byte-slicing fake (no codecs in this container — a real kernel swaps in
+    pyav/ffmpeg per batch); the Spark-side shape is the real one: one input
+    asset row fans out to N frame rows inside a single Arrow batch, so
+    downstream per-frame operators (feature extraction, dedup) see a plain
+    distributed table keyed by (asset_id, frame_idx)."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                duration = row["duration_ms"] or max(len(payload), 1)
+                n_frames = max(int(duration // every_ms), 1)
+                for idx in range(n_frames):
+                    start = (idx * frame_bytes) % max(len(payload), 1) if payload else 0
+                    out_rows.append(
+                        {
+                            "asset_id": row["asset_id"],
+                            "frame_idx": idx,
+                            "frame_payload": bytes(payload[start : start + frame_bytes]),
+                            "frame_offset_ms": idx * every_ms,
+                        }
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["asset_id", "frame_idx", "frame_payload", "frame_offset_ms"],
+            )
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)

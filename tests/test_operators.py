@@ -196,3 +196,20 @@ def test_multimodal_resize_plumbing(spark):
     rows = resized.collect()
     assert all(r["resize_to"] == 256 for r in rows)
     assert set(resized.columns) == set(assets.columns) | {"resize_to"}
+
+
+def test_multimodal_frame_sampling(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    docs = _docs(spark, [(1, "x" * 300), (2, "y" * 50)])
+    assets = M.documents_as_assets(docs).withColumn(
+        "duration_ms", F.lit(3500)
+    )
+    frames = M.sample_frames(assets, every_ms=1000, frame_bytes=16)
+    rows = frames.collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(by_asset[1]) == 3 and len(by_asset[2]) == 3  # 3500ms // 1000
+    assert all(len(r["frame_payload"]) <= 16 for r in rows)
+    assert sorted(r["frame_offset_ms"] for r in by_asset[1]) == [0, 1000, 2000]
