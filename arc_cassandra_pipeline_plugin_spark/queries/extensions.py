@@ -674,3 +674,78 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate ⇒ rows-only (recall vs brute force asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, n_clusters=8, n_probe=3)
+
+
+@register(
+    "sample_deterministic",
+    category="sampling",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+      < 200000
+""",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic 20% sample: membership depends only on the
+    key hash — identical on any cluster layout / partitioning, certified
+    exactly (unlike seed-based df.sample)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+@register(
+    "sample_train_val_test",
+    category="sampling",
+    oracle="""
+SELECT split, count(*) AS n_docs
+FROM (
+  SELECT CASE
+           WHEN b < 100000 THEN 'val'
+           WHEN b < 200000 THEN 'test'
+           ELSE 'train'
+         END AS split
+  FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS b
+        FROM documents))
+GROUP BY split
+""",
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (80/10/10) — disjoint, exhaustive,
+    and consistent across tables sharing the key."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id", 0.1, 0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_stratified",
+    category="sampling",
+    oracle="""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('stratified:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS b
+  FROM documents)
+WHERE b < CASE WHEN lang = 'en' THEN 100000
+               WHEN lang = 'zh' THEN 800000
+               ELSE 400000 END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling: downsample dominant 'en' to 10%,
+    keep 80% of 'zh', 40% elsewhere — the language-balancing step of an
+    LLM data pipeline, as a pure deterministic filter."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "zh": 0.8}, default_fraction=0.4
+    ).select("doc_id", "lang")
