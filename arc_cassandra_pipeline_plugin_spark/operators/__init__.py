@@ -6,9 +6,11 @@ function usable directly or through a ``PythonTransform`` stage."""
 from arc_cassandra_pipeline_plugin_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    sampling,
     similarity,
+    skew,
     text,
     timeseries,
 )
 
-__all__ = ["dedup", "similarity", "text", "timeseries", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "timeseries", "multimodal", "sampling", "skew"]
