@@ -671,3 +671,103 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") < 2000)
         .select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
     )
+
+
+_IN_SUBQUERY_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+"""
+
+
+@register("subquery_in", category="subquery", oracle=_IN_SUBQUERY_SQL)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (SQL surface; Catalyst rewrites to a left-semi join —
+    same plan as the DataFrame join_semi query)."""
+    register_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(_IN_SUBQUERY_SQL)
+
+
+_NOT_EXISTS_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_quantity > 49 AND l_extendedprice > 80000.0
+)
+"""
+
+
+@register("subquery_not_exists", category="subquery", oracle=_NOT_EXISTS_SQL)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (→ left-anti join)."""
+    register_tables(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_NOT_EXISTS_SQL)
+
+
+_SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@register("subquery_scalar", category="subquery", oracle=_SCALAR_SUBQUERY_SQL)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (computed once, broadcast as a
+    literal into the filter)."""
+    register_tables(spark, sf_dir, "orders")
+    return spark.sql(_SCALAR_SUBQUERY_SQL)
+
+
+_CORRELATED_SCALAR_SQL = """
+SELECT c_custkey,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer WHERE c_custkey < 200
+"""
+
+
+@register("subquery_correlated_scalar", category="subquery", oracle=_CORRELATED_SCALAR_SQL)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (→ aggregate + left outer join rewrite)."""
+    register_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(_CORRELATED_SCALAR_SQL)
+
+
+_UNION_ALL_SQL = """
+SELECT o_custkey AS custkey, 'big_order' AS reason FROM orders WHERE o_totalprice > 400000.0
+UNION ALL
+SELECT c_custkey AS custkey, 'rich' AS reason FROM customer WHERE c_acctbal > 9900.0
+"""
+
+
+@register("set_union_all", category="setop", oracle=_UNION_ALL_SQL)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics, multiplicity preserved)."""
+    register_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(_UNION_ALL_SQL)
+
+
+@register(
+    "distinct_rows",
+    category="setop",
+    oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a column subset ≡ SELECT DISTINCT."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderstatus")
+        .dropDuplicates()
+    )
+
+
+_HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+"""
+
+
+@register("agg_having", category="aggregation", oracle=_HAVING_SQL)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation filter (the aggregate-then-reduce shape)."""
+    register_tables(spark, sf_dir, "orders")
+    return spark.sql(_HAVING_SQL)
