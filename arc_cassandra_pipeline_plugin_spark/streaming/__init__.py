@@ -151,3 +151,28 @@ class StreamingLoad(PipelineStage):
         if self.await_termination:
             query.awaitTermination()
         return None
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: drop rows whose key was already seen within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of exact dedup, with state bounded by the watermark
+    instead of growing forever. Exactly-once per key within the horizon."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich a stream with a (periodically re-read)
+    dimension table. The static side is broadcast per micro-batch — the
+    standard pattern for attaching user/customer attributes to an event
+    stream without stateful join machinery."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -152,3 +152,51 @@ def test_sliding_windows_match_batch(spark, events_dir, tmp_path, ctx):
     q.awaitTermination()
     batch = sliding_window_counts(spark.read.parquet(events_dir))
     assert dataset_equality(batch, spark.table("slide_counts"))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, ctx):
+    """Duplicate event_ids in the replay are emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "dup_events")
+    base = load_table(spark, SF_SMALL, "events").limit(200)
+    base.union(base).write.mode("overwrite").parquet(src)  # every event twice
+
+    stream = FileStreamExtract(name="sd", input_uri=src, output_view="dup_stream").execute(
+        spark, ctx
+    )
+    q = (
+        dedup_stream(stream).writeStream.format("memory")
+        .queryName("dedup_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_out")
+    assert out.count() == 200
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path, ctx):
+    from arc_cassandra_pipeline_plugin_spark.streaming import enrich_stream
+
+    dim = (
+        load_table(spark, SF_SMALL, "customer")
+        .selectExpr("CAST(c_custkey AS BIGINT) AS user_id", "c_mktsegment")
+    )
+    stream = FileStreamExtract(name="en", input_uri=events_dir, output_view="enrich_in").execute(
+        spark, ctx
+    )
+    q = (
+        enrich_stream(stream.select("event_id", "user_id"), dim, on="user_id")
+        .writeStream.format("memory").queryName("enriched")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckpt_en"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    batch = enrich_stream(
+        spark.read.parquet(events_dir).select("event_id", "user_id"), dim, on="user_id"
+    )
+    assert dataset_equality(batch, spark.table("enriched"))
