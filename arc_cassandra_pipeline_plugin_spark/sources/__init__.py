@@ -72,9 +72,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     # Defensive: all certified queries assume UTC (CassandraLoadSuite.scala:49
     # parity; the DuckDB oracle is timezone-naive). The driver's session may
-    # not pin it, so every table read re-asserts it.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # not pin it, so every table read re-asserts it. Set unconditionally:
+    # conf.get(key, default) in Spark 4 VALIDATES the default when the key
+    # is unset, so probing with a sentinel raises on a fresh session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # pre-set to avoid a noisy failed first read attempt on executors
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
