@@ -14,3 +14,6 @@ from arc_cassandra_pipeline_plugin_spark.operators import (  # noqa: F401
 )
 
 __all__ = ["dedup", "similarity", "text", "timeseries", "multimodal", "sampling", "skew"]
+from arc_cassandra_pipeline_plugin_spark.operators import quality  # noqa: F401,E402
+
+__all__.append("quality")

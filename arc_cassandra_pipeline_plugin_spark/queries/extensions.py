@@ -749,3 +749,60 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", {"en": 0.1, "zh": 0.8}, default_fraction=0.4
     ).select("doc_id", "lang")
+
+
+@register(
+    "dq_fk_violations",
+    category="quality",
+    oracle="""
+SELECT 'orders->customer' AS fk, count(*) AS n_violations
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem->orders' AS fk, count(*) AS n_violations
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+""",
+)
+def dq_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema (anti-join counts;
+    0 everywhere on the clean fixtures — the point is the certified shape)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.quality import fk_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = fk_violations(orders, cust, "o_custkey", "c_custkey").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    ).select(F.lit("orders->customer").alias("fk"), "n_violations")
+    b = fk_violations(li, orders, "l_orderkey", "o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    ).select(F.lit("lineitem->orders").alias("fk"), "n_violations")
+    return a.unionByName(b)
+
+
+@register(
+    "dq_null_profile",
+    category="quality",
+    oracle="""
+SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       round(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_fraction
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', count(*),
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       round(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*),
+       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       round(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+FROM customer
+""",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null profile (unpivoted per-column stats in one pass)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.quality import null_profile
+
+    return null_profile(
+        load_table(spark, sf_dir, "customer"), "c_custkey", "c_acctbal", "c_mktsegment"
+    )
