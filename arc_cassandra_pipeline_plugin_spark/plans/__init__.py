@@ -58,5 +58,8 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans — wider/fewer is better."""
-    return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
+    """Number of WholeStageCodegen subtrees — wider/fewer is better.
+    Uses the 'codegen' explain mode (AQE's pre-execution 'simple' plan
+    hides codegen boundaries)."""
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", explain_str(df, "codegen"))
+    return int(m.group(1)) if m else 0

@@ -771,3 +771,28 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING: post-aggregation filter (the aggregate-then-reduce shape)."""
     register_tables(spark, sf_dir, "orders")
     return spark.sql(_HAVING_SQL)
+
+
+@register(
+    "set_except_all",
+    category="setop",
+    oracle=_SET_ORACLE_BASE
+    + "SELECT o_custkey FROM h1 EXCEPT ALL SELECT o_custkey FROM h2",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicity differences preserved) —
+    the operator exceptAll maps to, distinct from subtract/EXCEPT."""
+    h1, h2 = _half_year_custkeys(spark, sf_dir)
+    return h1.exceptAll(h2)
+
+
+@register(
+    "set_intersect_all",
+    category="setop",
+    oracle=_SET_ORACLE_BASE
+    + "SELECT o_custkey FROM h1 INTERSECT ALL SELECT o_custkey FROM h2",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: min of multiplicities)."""
+    h1, h2 = _half_year_custkeys(spark, sf_dir)
+    return h1.intersectAll(h2)
