@@ -806,3 +806,42 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return null_profile(
         load_table(spark, sf_dir, "customer"), "c_custkey", "c_acctbal", "c_mktsegment"
     )
+
+
+@register(
+    "interval_join_events",
+    category="timeseries",
+    oracle="""
+SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+FROM events e
+JOIN events c
+  ON e.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts > e.ts
+ AND c.ts <= e.ts + INTERVAL 24 HOUR
+WHERE e.event_type = 'error'
+""",
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within 24 hours AFTER an error by the same
+    user. The user_id equi-key keeps it a hash join with the time window
+    as a residual filter — the batch shape of a stream-stream time-bounded
+    join (never a per-row range scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        errors.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") > F.col("err_ts"))
+            & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("error_id", "click_id", "user_id")
+    )

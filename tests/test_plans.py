@@ -90,3 +90,23 @@ def test_window_topk_uses_group_limit_pushdown(spark):
     """Spark ≥3.5 pushes rn<=k through the shuffle as WindowGroupLimit."""
     df = REGISTRY["window_topk_per_group"].fn(spark, SF_SMALL)
     assert has_node(df, "WindowGroupLimit")
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The full strategy-control surface: broadcast / merge / shuffle_hash
+    hints each produce their join operator."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select("l_orderkey")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select("o_orderkey")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for hint, node in cases.items():
+            df = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+            assert node in explain_str(df, "simple"), f"hint {hint} did not yield {node}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
