@@ -17,7 +17,7 @@ Cross-engine determinism rules every query follows:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,11 +41,14 @@ def register(
     """Decorator adding a query to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        desc = description
+        if not desc and fn.__doc__:
+            desc = fn.__doc__.strip().splitlines()[0]
         REGISTRY[name] = Query(
             name=name,
             fn=fn,
             oracle=oracle.strip() if oracle else None,
-            description=description or (fn.__doc__ or "").strip().splitlines()[0] if (description or fn.__doc__) else "",
+            description=desc or "",
             category=category,
         )
         return fn

@@ -10,7 +10,7 @@ needs: file-replay streaming extract, watermarked event-time windows, and a
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
