@@ -61,6 +61,7 @@ _KEY_TO_FIELD = {
     "sortBy": "sort_by",
     "observeMetrics": "observe_metrics",
     "trim": "trim",
+    "lenient": "lenient",
     "nullableValues": "nullable_values",
     "formatters": "formatters",
     "metadata": "metadata",
@@ -100,7 +101,7 @@ def _coerce(field: dataclasses.Field, value: Any, key: str) -> Any:
         return value
     if field.name in (
         "persist", "header", "infer_schema", "multi_line", "partition_output",
-        "observe_metrics", "trim",
+        "observe_metrics", "trim", "lenient",
     ):
         if not isinstance(value, bool):
             raise TypeError(f"expected a boolean for '{key}'")

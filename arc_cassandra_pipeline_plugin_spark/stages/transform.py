@@ -96,6 +96,10 @@ class TypingTransform(PipelineStage):
     - ``trim``: strip whitespace before interpreting (default True).
     - ``nullable_values``: string values treated as null (default ["", "null"]).
     - ``formatters``: per-column datetime pattern for date/timestamp targets.
+    - ``lenient``: use ``try_cast`` so malformed values become null instead
+      of failing the job under ANSI mode (Arc's typing model treats
+      conversion failures as data errors, not job failures). ``False``
+      fails fast on the first bad value.
     """
 
     stage_type: str = "TypingTransform"
@@ -105,6 +109,7 @@ class TypingTransform(PipelineStage):
     trim: bool = True
     nullable_values: list[str] = field(default_factory=lambda: ["", "null"])
     formatters: dict[str, str] = field(default_factory=dict)
+    lenient: bool = True
 
     def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
         from pyspark.sql import functions as F
@@ -132,9 +137,15 @@ class TypingTransform(PipelineStage):
                 c = F.when(c.isin(*self.nullable_values), F.lit(None)).otherwise(c)
             fmt = self.formatters.get(name)
             if isinstance(f.dataType, T.DateType) and fmt:
-                c = F.to_date(c, fmt)
+                c = F.to_date(c, fmt) if not self.lenient else F.try_to_timestamp(
+                    c, F.lit(fmt)
+                ).cast("date")
             elif isinstance(f.dataType, T.TimestampType) and fmt:
-                c = F.to_timestamp(c, fmt)
+                c = F.to_timestamp(c, fmt) if not self.lenient else F.try_to_timestamp(
+                    c, F.lit(fmt)
+                )
+            elif self.lenient:
+                c = c.try_cast(f.dataType)
             else:
                 c = c.cast(f.dataType)
             cols.append(c.alias(name))

@@ -264,3 +264,30 @@ def test_typing_transform_declarative(spark, ctx, tmp_path):
     }
     out = parse_config(cfg, ctx).run(spark, ctx)
     assert [f.dataType.simpleString() for f in out.schema] == ["int", "double"]
+
+
+def test_typing_transform_lenient_vs_strict(spark, ctx, tmp_path):
+    """lenient=True: malformed values -> null (Arc typing-error model);
+    lenient=False: job fails fast under ANSI."""
+    from arc_cassandra_pipeline_plugin_spark.stages import TypingTransform
+
+    csv = tmp_path / "bad.csv"
+    csv.write_text("a,d\n12,2020-01-01\nnot_a_number,also_bad\n")
+    DelimitedExtract(name="e", input_uri=str(csv), output_view="bad_raw").execute(spark, ctx)
+
+    out = TypingTransform(
+        name="t", input_view="bad_raw", output_view="bad_typed",
+        schema="a int, d date", formatters={"d": "yyyy-MM-dd"},
+    ).execute(spark, ctx)
+    rows = sorted(out.collect(), key=lambda r: (r["a"] is None, r["a"] or 0))
+    assert rows[0]["a"] == 12 and str(rows[0]["d"]) == "2020-01-01"
+    assert rows[1]["a"] is None and rows[1]["d"] is None  # malformed -> null
+
+    strict = TypingTransform(
+        name="s", input_view="bad_raw", output_view="bad_strict",
+        schema="a int", lenient=False,
+    )
+    # strict cast errors surface lazily at the first action (ANSI mode)
+    strict_df = strict.execute(spark, ctx)
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        strict_df.collect()
