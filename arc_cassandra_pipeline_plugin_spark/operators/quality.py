@@ -45,7 +45,11 @@ def null_profile(df: DataFrame, *cols: str) -> DataFrame:
         "s.column_name",
         "s.n_rows",
         "s.n_null",
-        F.round(F.col("s.n_null") / F.col("s.n_rows"), 6).alias("null_fraction"),
+        # guard: integer division by zero raises under ANSI; empty table
+        # profiles report null fractions as null
+        F.when(F.col("s.n_rows") == 0, F.lit(None).cast("double")).otherwise(
+            F.round(F.col("s.n_null").cast("double") / F.col("s.n_rows"), 6)
+        ).alias("null_fraction"),
     )
 
 

@@ -39,6 +39,12 @@ def asof_join(
 
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(
+            f"asof_join output would have duplicate columns {sorted(overlap)}; "
+            "rename one side first"
+        )
     tagged_l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -96,6 +102,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since the
     user's previous event exceeds ``gap_minutes``. lag → boundary flag →
@@ -103,8 +110,10 @@ def sessionize(
 
     Fully expressible in ANSI SQL (LAG + SUM OVER), so oracle-certified.
     The streaming twin is ``session_window`` in :mod:`..streaming`.
+    ``order_col`` breaks timestamp ties so the running sum is total-order
+    deterministic.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return events.withColumn("is_new_session", new_session).withColumn(

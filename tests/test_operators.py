@@ -213,3 +213,21 @@ def test_multimodal_frame_sampling(spark):
     assert len(by_asset[1]) == 3 and len(by_asset[2]) == 3  # 3500ms // 1000
     assert all(len(r["frame_payload"]) <= 16 for r in rows)
     assert sorted(r["frame_offset_ms"] for r in by_asset[1]) == [0, 1000, 2000]
+
+
+def test_null_profile_handles_empty_table(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators.quality import null_profile
+
+    empty = spark.createDataFrame([], "a int, b string")
+    rows = {r["column_name"]: r for r in null_profile(empty).collect()}
+    assert rows["a"]["n_rows"] == 0 and rows["a"]["null_fraction"] is None
+
+
+def test_asof_join_rejects_overlapping_columns(spark):
+    import datetime
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "x")], "k bigint, ts timestamp, v string"
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate columns"):
+        TS.asof_join(df, df, on="k", left_ts="ts", right_ts="ts")
