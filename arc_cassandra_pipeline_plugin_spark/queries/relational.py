@@ -796,3 +796,84 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL (bag semantics: min of multiplicities)."""
     h1, h2 = _half_year_custkeys(spark, sf_dir)
     return h1.intersectAll(h2)
+
+
+@register(
+    "window_range_frame",
+    category="window",
+    oracle="""
+SELECT o_orderkey,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS BIGINT) AS n_similar_price
+FROM orders WHERE o_custkey < 100
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window, ties included by definition —
+    deterministic without a tiebreak column, unlike ROWS frames):
+    per customer, how many of their orders fall within ±50k of each
+    order's price."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, 50000)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", F.count(F.lit(1)).over(w).alias("n_similar_price"))
+    )
+
+
+@register(
+    "window_rank_stats",
+    category="window",
+    oracle="""
+SELECT o_orderkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM orders WHERE o_orderkey < 1000
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking statistics battery over a total order: rank, dense_rank,
+    percent_rank, cume_dist."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+_LISTAGG_SQL_SPARK = """
+SELECT l_returnflag,
+       listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus) AS statuses_csv
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_listagg",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses_csv
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 listagg WITHIN GROUP ≡ DuckDB
+    string_agg ORDER BY) — deterministic via the explicit sort."""
+    register_tables(spark, sf_dir, "lineitem")
+    return spark.sql(_LISTAGG_SQL_SPARK)
