@@ -6,10 +6,18 @@ stages run in declared order, each returning ``Optional[DataFrame]``; stages
 that return ``None`` (execute stages, ``CassandraExecute.scala:110``) leave
 the running result unchanged — the test suite asserts on the *last produced*
 DataFrame after an Execute→Execute→Load→Extract chain.
+
+Structured logging parity: the reference emits the per-stage detail map into
+structured logs (Arc's logger; the map travels on exceptions too,
+``CassandraExtract.scala:100-104``). ``run`` logs each completed stage's
+``stage_detail`` as one JSON line on the ``arc_cassandra_pipeline_plugin_spark``
+logger.
 """
 
 from __future__ import annotations
 
+import json
+import logging
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -17,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
 from arc_cassandra_pipeline_plugin_spark.stages.base import PipelineStage
+
+logger = logging.getLogger("arc_cassandra_pipeline_plugin_spark")
 
 
 @dataclass
@@ -42,7 +52,12 @@ def run(
     for stage in pipeline.stages:
         if not ctx.should_run(stage.environments):
             continue
-        out = stage.execute(spark, ctx)
+        try:
+            out = stage.execute(spark, ctx)
+        except Exception:
+            logger.error(json.dumps({"event": "stage failed", **stage.stage_detail.as_dict()}, default=str))
+            raise
+        logger.info(json.dumps({"event": "stage completed", **stage.stage_detail.as_dict()}, default=str))
         if out is not None:
             result = out
     return result

@@ -168,3 +168,41 @@ def test_partitioned_output_enables_partition_pruning(spark, ctx, tmp_path):
     assert pruned.count() == spark.read.parquet(out).filter(
         F.col("type_part") == "click"
     ).count()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: with one hot key dominating, the adaptive
+    final plan marks the sort-merge join as skew-handled. This is the
+    automatic remedy salted_join complements manually."""
+    from pyspark.sql import functions as F
+
+    # 200k rows of one hot key + 10k spread keys, against a small dim
+    hot = spark.range(200_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    spread = spark.range(10_000).select((F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v"))
+    left = hot.union(spread)
+    right = spark.range(101).select(F.col("id").alias("rk"), F.lit("x").alias("tag"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = left.join(right, left.k == right.rk)
+        # the action must run on THIS DataFrame's own QueryExecution
+        # (count() would wrap it in a new aggregate plan) so the finalized
+        # adaptive plan is inspectable afterwards
+        assert len(joined.collect()) == 210_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
