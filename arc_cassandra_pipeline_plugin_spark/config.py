@@ -34,6 +34,7 @@ from arc_cassandra_pipeline_plugin_spark.stages import STAGE_REGISTRY, PipelineS
 # saveMode/persist — CassandraExtract.scala:22-35, CassandraLoad.scala:25-40).
 _KEY_TO_FIELD = {
     "name": "name",
+    "id": "stage_id",
     "description": "description",
     "environments": "environments",
     "params": "params",
@@ -109,6 +110,15 @@ def _coerce(field: dataclasses.Field, value: Any, key: str) -> Any:
     if field.name == "rows_per_second":
         if isinstance(value, bool) or not isinstance(value, int):
             raise TypeError(f"expected an integer for '{key}'")
+        return value
+    if field.name == "schema":
+        # schema accepts a DDL string OR a programmatic StructType (the
+        # annotation-substring fallback below would wrongly reject the
+        # latter because the stringified annotation contains 'str')
+        from pyspark.sql import types as T
+
+        if not isinstance(value, (str, T.StructType)):
+            raise TypeError(f"expected a DDL string or StructType for '{key}'")
         return value
     if "str" in str(typ) or field.name in ("sql", "input_uri", "output_uri", "description"):
         if not isinstance(value, str):

@@ -130,6 +130,11 @@ def lsh_candidate_pairs(
     (shingle explode + md5) runs twice — measured 2 FileScans of the
     corpus. At 100 TB that is the difference between one and two passes
     over the most expensive stage."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "trailing permutations would be silently dropped, weakening LSH recall"
+        )
     rows_per_band = num_perm // bands
     band_cols = [
         F.md5(
@@ -275,6 +280,7 @@ def connected_components(
     )
     from pyspark.sql import Observation
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -296,5 +302,17 @@ def connected_components(
         )
         labels = candidate.drop("old_label").localCheckpoint(eager=True)
         if (obs.get["n_changed"] or 0) == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped at max_iter={max_iter} without "
+            "converging: labels may not be the full transitive closure "
+            "(long-diameter graph — raise max_iter or switch to "
+            "large-star/small-star)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -123,26 +123,40 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, frame_bytes: int = 64
     downstream per-frame operators (feature extraction, dedup) see a plain
     distributed table keyed by (asset_id, frame_idx)."""
 
+    import numpy as np
+
     def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                duration = row["duration_ms"] or max(len(payload), 1)
-                n_frames = max(int(duration // every_ms), 1)
-                for idx in range(n_frames):
-                    start = (idx * frame_bytes) % max(len(payload), 1) if payload else 0
-                    out_rows.append(
-                        {
-                            "asset_id": row["asset_id"],
-                            "frame_idx": idx,
-                            "frame_payload": bytes(payload[start : start + frame_bytes]),
-                            "frame_offset_ms": idx * every_ms,
-                        }
-                    )
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    columns=["asset_id", "frame_idx", "frame_payload", "frame_offset_ms"]
+                )
+                continue
+            # vectorized fan-out: compute per-asset frame counts, then build
+            # the exploded frame table with numpy repeat/arange — batch-level
+            # Python only; the per-frame byte slices are the one remaining
+            # per-element op (they produce variable-length binary objects)
+            payloads = pdf["payload"].map(lambda b: b or b"")
+            plens = payloads.map(len).to_numpy(dtype=np.int64)
+            durations = pdf["duration_ms"].fillna(0).to_numpy(dtype=np.int64)
+            durations = np.where(durations > 0, durations, np.maximum(plens, 1))
+            n_frames = np.maximum(durations // every_ms, 1).astype(np.int64)
+
+            row_pos = np.repeat(np.arange(len(pdf)), n_frames)
+            frame_idx = np.concatenate([np.arange(n) for n in n_frames])
+            starts = np.where(
+                plens[row_pos] > 0, (frame_idx * frame_bytes) % np.maximum(plens[row_pos], 1), 0
+            )
+            pay = payloads.to_numpy(dtype=object)[row_pos]
             yield pd.DataFrame(
-                out_rows,
-                columns=["asset_id", "frame_idx", "frame_payload", "frame_offset_ms"],
+                {
+                    "asset_id": pdf["asset_id"].to_numpy()[row_pos],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame_payload": [
+                        bytes(p[s : s + frame_bytes]) for p, s in zip(pay, starts)
+                    ],
+                    "frame_offset_ms": (frame_idx * every_ms).astype(np.int32),
+                }
             )
 
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)

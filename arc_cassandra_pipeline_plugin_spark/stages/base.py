@@ -34,6 +34,9 @@ class PipelineStage:
     description: str | None = None
     environments: list[str] = field(default_factory=list)
     params: dict[str, str] = field(default_factory=dict)
+    #: optional stage id — the reference accepts an 'id' key in every stage's
+    #: expectedKeys (CassandraLoad.scala:26, CassandraExecute.scala:26-27)
+    stage_id: str | None = None
 
     # Populated during execute; exposed for structured logging / tests.
     stage_detail: StageDetail = field(default_factory=StageDetail, repr=False, compare=False)
@@ -47,6 +50,8 @@ class PipelineStage:
         self.stage_detail = StageDetail()
         self.stage_detail.set("type", self.stage_type or type(self).__name__)
         self.stage_detail.set("name", self.name)
+        if self.stage_id:
+            self.stage_detail.set("id", self.stage_id)
         if self.description:
             self.stage_detail.set("description", self.description)
         start = time.time()

@@ -62,11 +62,13 @@ class ExtractStage(PipelineStage):
 
         df = repartition(df, self.num_partitions, self.partition_by or None)
         register_view(df, self.output_view, ctx)
-        record_frame_metrics(self.stage_detail, df, count=self.persist)
         if self.persist and not df.isStreaming:
-            # MEMORY_AND_DISK(_SER) persist with forced materialization
-            # (CassandraExtract.scala:130-133); the count above materializes.
+            # persist FIRST so the metrics count below materializes the cache
+            # (CassandraExtract.scala:130-133: persist, then forced count) —
+            # otherwise the count pays a full uncached pass and the first
+            # downstream consumer recomputes the source.
             df.persist(ctx.storage_level)
+        record_frame_metrics(self.stage_detail, df, count=self.persist)
         return df
 
 

@@ -48,9 +48,11 @@ class SQLTransform(PipelineStage):
         df = spark.sql(text)
         df = repartition(df, self.num_partitions, self.partition_by or None)
         register_view(df, self.output_view, ctx)
-        record_frame_metrics(self.stage_detail, df, count=self.persist)
         if self.persist and not df.isStreaming:
+            # persist before the forced count so the count materializes the
+            # cache (CassandraExtract.scala:130-133 ordering)
             df.persist(ctx.storage_level)
+        record_frame_metrics(self.stage_detail, df, count=self.persist)
         return df
 
 
@@ -75,9 +77,10 @@ class PythonTransform(PipelineStage):
         df = self.fn(spark.table(self.input_view))
         df = repartition(df, self.num_partitions, self.partition_by or None)
         register_view(df, self.output_view, ctx)
-        record_frame_metrics(self.stage_detail, df, count=self.persist)
         if self.persist and not df.isStreaming:
+            # persist before the forced count (see SQLTransform)
             df.persist(ctx.storage_level)
+        record_frame_metrics(self.stage_detail, df, count=self.persist)
         return df
 
 

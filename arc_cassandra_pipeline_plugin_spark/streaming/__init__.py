@@ -10,6 +10,7 @@ needs: file-replay streaming extract, watermarked event-time windows, and a
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Optional
 
@@ -133,13 +134,16 @@ class StreamingLoad(PipelineStage):
             sql_params=ctx.sql_params,
         )
         # Overwrite semantics only make sense for the first micro-batch;
-        # subsequent batches append.
+        # subsequent batches append. The wrapped stage is never mutated —
+        # a per-batch replace keeps re-executions of this pipeline object
+        # seeing the original save_mode.
         first_mode = wrapped.save_mode
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.createOrReplaceTempView(wrapped.input_view)
-            wrapped.save_mode = first_mode if batch_id == 0 else "Append"
-            wrapped.execute(batch_df.sparkSession, batch_ctx)
+            mode = first_mode if batch_id == 0 else "Append"
+            batch_stage = dataclasses.replace(wrapped, save_mode=mode)
+            batch_stage.execute(batch_df.sparkSession, batch_ctx)
 
         writer = df.writeStream.foreachBatch(write_batch).option(
             "checkpointLocation", self.checkpoint_uri

@@ -137,3 +137,45 @@ def test_unknown_keys_listed_individually():
         )
     keys = {e.key for e in ei.value.errors}
     assert {"first_unknown", "second_unknown"} <= keys
+
+
+def test_optional_id_key_accepted():
+    """Every stage accepts an optional 'id' (CassandraLoad.scala:26,
+    CassandraExecute.scala:26-27) — reference-ported configs carrying ids
+    must parse."""
+    p = parse_config(
+        {
+            "stages": [
+                {
+                    "type": "SQLTransform",
+                    "id": "stage-uuid-001",
+                    "name": "t",
+                    "sql": "SELECT 1 AS one",
+                    "outputView": "v",
+                }
+            ]
+        }
+    )
+    assert p.stages[0].stage_id == "stage-uuid-001"
+
+
+def test_structtype_schema_through_dict_config():
+    """parse_config(dict) accepts a programmatic StructType for 'schema'
+    (the annotation-substring fallback must not reject it)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    p = parse_config(
+        {
+            "stages": [
+                {
+                    "type": "ParquetExtract",
+                    "name": "e",
+                    "inputURI": "/tmp/none.parquet",
+                    "outputView": "v",
+                    "schema": schema,
+                }
+            ]
+        }
+    )
+    assert p.stages[0].schema is schema

@@ -231,3 +231,12 @@ def test_asof_join_rejects_overlapping_columns(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="duplicate columns"):
         TS.asof_join(df, df, on="k", left_ts="ts", right_ts="ts")
+
+
+def test_lsh_rejects_indivisible_band_layout(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark, [(1, "hello world"), (2, "hello there")])
+    sigs = D.minhash_signature(docs, num_perm=16, shingle_k=5)
+    with _pytest.raises(ValueError, match="divisible"):
+        D.lsh_candidate_pairs(sigs, num_perm=16, bands=5)

@@ -67,6 +67,9 @@ def test_streaming_load_foreachbatch_writes_parquet(spark, events_dir, tmp_path,
 
     written = spark.read.parquet(out)
     assert written.count() == spark.read.parquet(events_dir).count()
+    # the wrapped stage must come out untouched: a re-execution of the same
+    # pipeline object still sees the original Overwrite for batch 0
+    assert st.wrapped.save_mode == "Overwrite"
 
 
 def test_streaming_session_windows_match_batch(spark, events_dir, tmp_path, ctx):
