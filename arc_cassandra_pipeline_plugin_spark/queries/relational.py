@@ -879,6 +879,50 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_rank_global_scalable",
+    category="window",
+    oracle="""
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS global_rn
+FROM orders
+""",
+)
+def window_rank_global_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row_number over the FULL orders table with partitioned
+    windows only (two-phase bucketed rank, operators/ranking.py) — the
+    100 TB-safe form of window_rank_stats' global ordering; no
+    single-partition WindowExec in the plan (asserted in test_plans)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(
+        orders, "o_totalprice", ["o_orderkey"], out_col="global_rn"
+    ).select("o_orderkey", "global_rn")
+
+
+@register(
+    "window_ntile_scalable",
+    category="window",
+    oracle="""
+SELECT o_orderkey,
+       ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS price_octile
+FROM orders
+""",
+)
+def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ntile(8) over the FULL orders table derived from the
+    two-phase bucketed rank (operators/ranking.py) — scale-safe ntile:
+    SQL tile sizes are a pure function of the global row number, so the
+    single-partition sort the built-in needs is never materialized."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_ntile(
+        orders, "o_totalprice", ["o_orderkey"], n=8, out_col="price_octile"
+    ).select("o_orderkey", "price_octile")
+
+
 _LISTAGG_SQL_SPARK = """
 SELECT l_returnflag,
        listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus) AS statuses_csv

@@ -240,3 +240,47 @@ def test_lsh_rejects_indivisible_band_layout(spark):
     sigs = D.minhash_signature(docs, num_perm=16, shingle_k=5)
     with _pytest.raises(ValueError, match="divisible"):
         D.lsh_candidate_pairs(sigs, num_perm=16, bands=5)
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """Two-phase bucketed rank ≡ the naive global window, including ties on
+    the leading key (strict-boundary bucketing keeps equal keys together)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arc_cassandra_pipeline_plugin_spark.operators import ranking as R
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 3, 3, 3, 9, 1, 7, 7, 2, 8, 0, 3])]
+    df = spark.createDataFrame(rows, "id INT, score DOUBLE")
+    got = {
+        (r["id"], r["global_rn"])
+        for r in R.global_row_number(df, "score", ["id"], num_buckets=4).collect()
+    }
+    w = Window.orderBy("score", "id")
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+    tiles = {
+        (r["id"], r["t"])
+        for r in R.global_ntile(df, "score", ["id"], n=5, out_col="t", num_buckets=3).collect()
+    }
+    want_t = {
+        (r["id"], r["t"])
+        for r in df.select("id", F.ntile(5).over(w).alias("t")).collect()
+    }
+    assert tiles == want_t
+
+
+def test_global_row_number_constant_key(spark):
+    """Constant leading key → one bucket; still exact via tiebreaks."""
+    from arc_cassandra_pipeline_plugin_spark.operators import ranking as R
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(6)], "id INT, score DOUBLE")
+    got = sorted(
+        (r["id"], r["global_rn"])
+        for r in R.global_row_number(df, "score", ["id"], num_buckets=4).collect()
+    )
+    assert got == [(i, i + 1) for i in range(6)]

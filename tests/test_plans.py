@@ -110,3 +110,16 @@ def test_join_strategy_hints_are_honored(spark):
             assert node in explain_str(df, "simple"), f"hint {hint} did not yield {node}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_scalable_global_rank_has_no_unpartitioned_window(spark):
+    """The two-phase global rank must never fall back to a single-partition
+    sort: every Window node in the plan carries a partition spec (the
+    WindowExec 'No Partition Defined' scale-killer is absent)."""
+    import re
+
+    for name in ("window_rank_global_scalable", "window_ntile_scalable"):
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        plan = explain_str(df, "simple")
+        for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\]", plan):
+            assert m.group("part").strip(), f"{name}: unpartitioned Window in plan:\n{plan}"
