@@ -190,7 +190,18 @@ def parse_config(
     """
     ctx = ctx or PipelineContext()
     if isinstance(text_or_dict, str):
-        doc = json.loads(_substitute_env(text_or_dict))
+        try:
+            doc = json.loads(_substitute_env(text_or_dict))
+        except json.JSONDecodeError:
+            # the reference's config layer is Typesafe Config, i.e. HOCON —
+            # a JSON superset with comments / unquoted keys / substitutions
+            # (CassandraLoadSuite.scala:126 ArcPipeline.parseConfig)
+            from arc_cassandra_pipeline_plugin_spark import hocon
+
+            try:
+                doc = hocon.loads(text_or_dict)
+            except hocon.HoconError as exc:
+                raise ConfigError([StageError(0, "-", "-", f"config parse error: {exc}")])
     else:
         doc = text_or_dict
     if not isinstance(doc, dict) or not isinstance(doc.get("stages"), list):

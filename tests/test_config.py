@@ -179,3 +179,138 @@ def test_structtype_schema_through_dict_config():
         }
     )
     assert p.stages[0].schema is schema
+
+
+# ---------------------------------------------------------------------------
+# HOCON-subset config parsing (the reference's config layer is Typesafe
+# Config — CassandraLoadSuite.scala:126 ArcPipeline.parseConfig)
+# ---------------------------------------------------------------------------
+
+_REFERENCE_ARC_JSON = "/root/reference/src/it/resources/arc.json"
+
+
+def test_reference_arc_json_parses_verbatim(monkeypatch):
+    """The reference's own integration fixture parses byte-for-byte,
+    including its ${PWD} substitution (arc.json:10)."""
+    import os
+
+    monkeypatch.setenv("PWD", "/jobs")
+    with open(_REFERENCE_ARC_JSON) as fh:
+        text = fh.read()
+    p = parse_config(text)
+    assert [s.stage_type for s in p.stages] == ["DelimitedExtract", "CassandraLoad"]
+    assert p.stages[0].input_uri == "/jobs/input_data/customer/*.csv"
+    assert p.stages[1].params["spark.cassandra.connection.host"] == "localhost"
+
+
+def test_hocon_variant_of_reference_fixture(monkeypatch):
+    """The same pipeline written as idiomatic HOCON (comments, unquoted
+    keys, = separators, newline-separated fields, substitutions) parses to
+    the same stages as the JSON fixture."""
+    monkeypatch.setenv("PWD", "/jobs")
+    text = """
+// migrated from arc.json — HOCON form
+stages = [
+  {
+    type = DelimitedExtract
+    name = "load dog extract"
+    environments = [production, test]
+    inputURI = ${PWD}/input_data/customer/*.csv   # env substitution + concat
+    outputView = dogs
+  }
+  {
+    type = CassandraLoad
+    name = "Load data into cassandra database"
+    environments = [production, test]
+    inputView = dogs
+    keyspace = test
+    table = dogs
+    params {
+      "spark.cassandra.connection.host" = localhost
+      "spark.cassandra.connection.port" = "9042"
+      "spark.cassandra.connection.local_dc" = datacenter1
+    }
+  }
+]
+"""
+    p = parse_config(text)
+    assert [s.stage_type for s in p.stages] == ["DelimitedExtract", "CassandraLoad"]
+    assert p.stages[0].input_uri == "/jobs/input_data/customer/*.csv"
+    assert p.stages[0].environments == ["production", "test"]
+    # quoted dotted keys must NOT nest
+    assert p.stages[1].params == {
+        "spark.cassandra.connection.host": "localhost",
+        "spark.cassandra.connection.port": "9042",
+        "spark.cassandra.connection.local_dc": "datacenter1",
+    }
+
+
+def test_hocon_features_doc_substitution_merge_optional():
+    from arc_cassandra_pipeline_plugin_spark import hocon
+
+    doc = hocon.loads("""
+base { dir = /data, retries = 3 }
+base { retries = 5 }            // duplicate object keys deep-merge
+job.input = ${base.dir}/in      // doc-internal substitution + concat
+job.missing = ${?NOT_SET_ANYWHERE_12345}  // optional → dropped
+flag = true
+n = 42
+ratio = 1.5
+text = \"\"\"multi "quoted" line\"\"\"
+""")
+    assert doc["base"] == {"dir": "/data", "retries": 5}
+    assert doc["job"] == {"input": "/data/in"}  # optional key dropped
+    assert doc["flag"] is True and doc["n"] == 42 and doc["ratio"] == 1.5
+    assert doc["text"] == 'multi "quoted" line'
+
+
+def test_hocon_unresolved_required_substitution_raises():
+    from arc_cassandra_pipeline_plugin_spark import hocon
+
+    import pytest as _pytest
+    with _pytest.raises(hocon.HoconError, match="could not resolve"):
+        hocon.loads("a = ${NO_SUCH_KEY_OR_ENV_98765}")
+
+
+def test_hocon_pipeline_runs_end_to_end(spark, tmp_path):
+    """A HOCON config drives a real pipeline: parquet extract (stand-in for
+    the Cassandra source, which has no driver in this env) → SQL transform
+    → parquet load."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark.pipeline import PipelineContext
+
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "out.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "k INT, v STRING").write.parquet(src)
+    os.environ["HOCON_E2E_SRC"] = src
+    try:
+        p = parse_config(f"""
+stages = [
+  {{
+    type = ParquetExtract
+    name = extract
+    inputURI = ${{HOCON_E2E_SRC}}
+    outputView = src
+  }}
+  {{
+    type = SQLTransform
+    name = transform
+    sql = "SELECT v, count(*) AS n FROM src GROUP BY v"
+    outputView = agg
+  }}
+  {{
+    type = ParquetLoad
+    name = load
+    inputView = agg
+    outputURI = {out}
+    saveMode = Overwrite
+  }}
+]
+""")
+        ctx = PipelineContext()
+        p.run(spark, ctx)
+        got = {(r["v"], r["n"]) for r in spark.read.parquet(out).collect()}
+        assert got == {("a", 2), ("b", 1)}
+    finally:
+        del os.environ["HOCON_E2E_SRC"]
