@@ -44,6 +44,7 @@ _KEY_TO_FIELD = {
     "outputURI": "output_uri",
     "sql": "sql",
     "sqlParams": "sql_params",
+    "authentication": "authentication",
     "numPartitions": "num_partitions",
     "partitionBy": "partition_by",
     "persist": "persist",
@@ -88,7 +89,7 @@ def _coerce(field: dataclasses.Field, value: Any, key: str) -> Any:
         if not (isinstance(value, list) and all(isinstance(v, str) for v in value)):
             raise TypeError(f"expected a list of strings for '{key}'")
         return value
-    if field.name in ("params", "sql_params", "formatters"):
+    if field.name in ("params", "sql_params", "formatters", "authentication"):
         if not isinstance(value, dict):
             raise TypeError(f"expected an object for '{key}'")
         return {str(k): str(v) for k, v in value.items()}

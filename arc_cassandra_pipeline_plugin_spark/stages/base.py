@@ -139,23 +139,54 @@ def inject_parameters(sql_text: str, params: dict[str, str], strict: bool = True
     return re.sub(r"\$\{([A-Za-z0-9_.]+)\}", _sub, sql_text)
 
 
+def build_auth_headers(authentication: dict[str, str] | None) -> dict[str, str]:
+    """HTTP headers for an Arc-style ``authentication`` map
+    (``CassandraExecute.scala:29,31-32``: ``readAuthentication`` feeds
+    ``textContentForURI``). Public subset: HTTP Basic and bearer tokens.
+
+    ``{"method": "BasicAuth", "username": ..., "password": ...}`` or
+    ``{"method": "BearerToken", "token": ...}``.
+    """
+    if not authentication:
+        return {}
+    method = authentication.get("method")
+    if method == "BasicAuth":
+        import base64
+
+        user = authentication.get("username", "")
+        pw = authentication.get("password", "")
+        cred = base64.b64encode(f"{user}:{pw}".encode()).decode("ascii")
+        return {"Authorization": f"Basic {cred}"}
+    if method == "BearerToken":
+        return {"Authorization": f"Bearer {authentication.get('token', '')}"}
+    raise ValueError(
+        f"unsupported authentication method {method!r} (expected BasicAuth or BearerToken)"
+    )
+
+
 def resolve_sql_input(
-    sql: str | None, input_uri: str | None, params: dict[str, str], strict: bool = True
+    sql: str | None,
+    input_uri: str | None,
+    params: dict[str, str],
+    strict: bool = True,
+    authentication: dict[str, str] | None = None,
 ) -> str:
     """Resolve stage SQL either inline or from ``inputURI`` at parse time
-    (``CassandraExecute.scala:31-32``), then apply ``${param}`` injection at
+    (``CassandraExecute.scala:31-32``, optionally authenticated via the
+    stage's ``authentication`` map), then apply ``${param}`` injection at
     execute time (``CassandraExecute.scala:93``)."""
     if sql is None and input_uri is None:
         raise ValueError("one of 'sql' or 'inputURI' is required")
     if sql is None:
         from pathlib import Path
         from urllib.parse import urlparse
-        from urllib.request import urlopen
+        from urllib.request import Request, urlopen
 
         parsed = urlparse(str(input_uri))
         if parsed.scheme in ("", "file"):
             sql = Path(parsed.path if parsed.scheme else str(input_uri)).read_text()
         else:
-            with urlopen(str(input_uri)) as resp:  # noqa: S310 - parity feature
+            req = Request(str(input_uri), headers=build_auth_headers(authentication))
+            with urlopen(req) as resp:  # noqa: S310 - parity feature
                 sql = resp.read().decode("utf-8")
     return inject_parameters(sql, params, strict=strict)

@@ -35,10 +35,14 @@ class SQLExecute(PipelineStage):
     sql: str | None = None
     input_uri: str | None = None
     sql_params: dict[str, str] = field(default_factory=dict)
+    #: optional Arc-style auth map for inputURI (CassandraExecute.scala:29)
+    authentication: dict[str, str] | None = None
 
     def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
         merged = {**ctx.sql_params, **self.sql_params}
-        text = resolve_sql_input(self.sql, self.input_uri, merged)
+        text = resolve_sql_input(
+            self.sql, self.input_uri, merged, authentication=self.authentication
+        )
         self.stage_detail.set("sql", text)
         spark.sql(text).collect()  # force side effect; DDL returns empty frame
         return None  # execute contributes nothing to the dataflow (":110")
@@ -54,10 +58,13 @@ class CassandraExecute(PipelineStage):
     sql: str | None = None
     input_uri: str | None = None
     sql_params: dict[str, str] = field(default_factory=dict)
+    authentication: dict[str, str] | None = None
 
     def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
         merged = {**ctx.sql_params, **self.sql_params}
-        text = resolve_sql_input(self.sql, self.input_uri, merged)
+        text = resolve_sql_input(
+            self.sql, self.input_uri, merged, authentication=self.authentication
+        )
         self.stage_detail.set("sql", text)
         try:
             from cassandra.cluster import Cluster  # type: ignore[import-not-found]

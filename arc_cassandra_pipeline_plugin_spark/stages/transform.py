@@ -37,13 +37,17 @@ class SQLTransform(PipelineStage):
     input_uri: str | None = None
     output_view: str = ""
     sql_params: dict[str, str] = field(default_factory=dict)
+    #: optional Arc-style auth map for inputURI (CassandraExecute.scala:29)
+    authentication: dict[str, str] | None = None
     num_partitions: int | None = None
     partition_by: list[str] = field(default_factory=list)
     persist: bool = False
 
     def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
         merged = {**ctx.sql_params, **self.sql_params}
-        text = resolve_sql_input(self.sql, self.input_uri, merged)
+        text = resolve_sql_input(
+            self.sql, self.input_uri, merged, authentication=self.authentication
+        )
         self.stage_detail.set("sql", text)
         df = spark.sql(text)
         df = repartition(df, self.num_partitions, self.partition_by or None)

@@ -291,3 +291,105 @@ def test_typing_transform_lenient_vs_strict(spark, ctx, tmp_path):
     strict_df = strict.execute(spark, ctx)
     with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
         strict_df.collect()
+
+
+# ---------------------------------------------------------------------------
+# authenticated SQL-from-URI (CassandraExecute.scala:29,31-32:
+# readAuthentication → textContentForURI)
+# ---------------------------------------------------------------------------
+
+def _serve_sql_with_auth(expected_header: str, body: str = "SELECT 1 AS one"):
+    """One-shot local HTTP server that returns SQL only for the expected
+    Authorization header; 401 otherwise."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.headers.get("Authorization") != expected_header:
+                self.send_response(401)
+                self.end_headers()
+                return
+            payload = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # keep test output quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_port}/q.sql"
+
+
+def test_sql_from_uri_bearer_auth():
+    from arc_cassandra_pipeline_plugin_spark.stages.base import resolve_sql_input
+
+    srv, url = _serve_sql_with_auth("Bearer tok-123")
+    try:
+        text = resolve_sql_input(
+            None, url, {}, authentication={"method": "BearerToken", "token": "tok-123"}
+        )
+        assert text == "SELECT 1 AS one"
+    finally:
+        srv.shutdown()
+
+
+def test_sql_from_uri_basic_auth_and_rejection():
+    import base64
+    import urllib.error
+
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.stages.base import resolve_sql_input
+
+    cred = base64.b64encode(b"alice:s3cret").decode()
+    srv, url = _serve_sql_with_auth(f"Basic {cred}")
+    try:
+        text = resolve_sql_input(
+            None, url, {},
+            authentication={"method": "BasicAuth", "username": "alice", "password": "s3cret"},
+        )
+        assert text == "SELECT 1 AS one"
+        # wrong/absent credentials are a hard failure, not silent empty SQL
+        with _pytest.raises(urllib.error.HTTPError):
+            resolve_sql_input(None, url, {})
+    finally:
+        srv.shutdown()
+
+
+def test_unknown_auth_method_raises():
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.stages.base import build_auth_headers
+
+    with _pytest.raises(ValueError, match="unsupported authentication method"):
+        build_auth_headers({"method": "AmazonIAM"})
+
+
+def test_authenticated_sqltransform_via_config(spark, ctx):
+    """End-to-end: a config-declared SQLTransform pulls its SQL from an
+    authenticated URI and runs it."""
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+
+    srv, url = _serve_sql_with_auth("Bearer cfg-tok", "SELECT 41 + 1 AS answer")
+    try:
+        p = parse_config(
+            {
+                "stages": [
+                    {
+                        "type": "SQLTransform",
+                        "name": "t",
+                        "inputURI": url,
+                        "authentication": {"method": "BearerToken", "token": "cfg-tok"},
+                        "outputView": "answer_v",
+                    }
+                ]
+            }
+        )
+        p.run(spark, ctx)
+        assert spark.table("answer_v").collect()[0]["answer"] == 42
+    finally:
+        srv.shutdown()
