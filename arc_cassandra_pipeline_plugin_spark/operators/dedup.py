@@ -34,6 +34,23 @@ def normalize_text(col: F.Column) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    has fewer partitions.
+
+    Shingle/token explodes amplify rows ~100-300×; if the scan produced few
+    partitions (small files, or a coalesced upstream), every core but N sits
+    idle through the most expensive stage (measured at sf0.1: the whole
+    MinHash chain ran as ONE task — 3.2 s on one core vs ~0.5 s on 32). The
+    shuffle moved is the *pre-amplification* text (cheap); at real scale the
+    scan already yields ≥ parallelism partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: keep the smallest id per normalized-text
     fingerprint. Shuffles 16-byte keys, not documents."""
@@ -65,7 +82,9 @@ def shingle_rows(
     one codegen'd ``substring`` per row. ``distinct=True`` dedupes per-doc
     shingle sets (needed for Jaccard set sizes; MinHash minima are
     duplicate-insensitive so the extra shuffle is skipped)."""
-    normed = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    normed = ensure_parallelism(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    )
     pos = normed.select(
         id_col,
         "t",
@@ -221,9 +240,10 @@ def simhash64(
     md5 prefix; each bit contributes +1/-1; sign of the per-bit sum forms the
     code. Expressed as explode → groupBy(doc) with 64 conditional sums folded
     into one ``sum`` over a bit-array column (single shuffle)."""
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    tokens = ensure_parallelism(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    ).select(
+        F.col(id_col), F.explode(F.split(F.col("t"), " ")).alias("tok")
     ).filter(F.length("tok") > 0)
     # bit b of the 60-bit token hash → ±1 contribution; SQL lambda because
     # the Python shiftright API needs a literal shift amount

@@ -77,6 +77,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "trials": 2,
+                "protocol": "min of 2 trials per query after sf0.001 plan warmup",
             }
         )
     )
