@@ -25,30 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from arc_cassandra_pipeline_plugin_spark.functions import hex_hash64
+from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism, hex_hash64
 
 
 def normalize_text(col: F.Column) -> F.Column:
     """Canonical text form shared by all dedup flavors: lowercased, trimmed,
     whitespace collapsed."""
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-
-
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's default parallelism when the input
-    has fewer partitions.
-
-    Shingle/token explodes amplify rows ~100-300×; if the scan produced few
-    partitions (small files, or a coalesced upstream), every core but N sits
-    idle through the most expensive stage (measured at sf0.1: the whole
-    MinHash chain ran as ONE task — 3.2 s on one core vs ~0.5 s on 32). The
-    shuffle moved is the *pre-amplification* text (cheap); at real scale the
-    scan already yields ≥ parallelism partitions and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -33,6 +33,14 @@ def _unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     return df.withColumn(out, v)
 
 
+def _parallel_corpus(df: DataFrame) -> DataFrame:
+    """Per-vector scoring/coding is the expensive projection — make sure it
+    does not run in a single scan partition (see functions.ensure_parallelism)."""
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,7 +58,7 @@ def brute_force_topk(
     q = _unit(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
-    c = _unit(corpus, vec_col, "cv").select(F.col(id_col).alias("match_id"), "cv")
+    c = _unit(_parallel_corpus(corpus), vec_col, "cv").select(F.col(id_col).alias("match_id"), "cv")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))
@@ -106,7 +114,7 @@ def lsh_topk(
     """Approximate top-k: score only corpus vectors whose SRP code is within
     Hamming distance 1 of the query's code (multi-probe). The join key is
     the code bucket → shuffle volume is corpus-size, not corpus×queries."""
-    c = srp_code(_unit(corpus, vec_col, "cv"), "cv", dim, n_planes).select(
+    c = srp_code(_unit(_parallel_corpus(corpus), vec_col, "cv"), "cv", dim, n_planes).select(
         F.col(id_col).alias("match_id"), "cv", "srp_code"
     )
     q = srp_code(_unit(queries, vec_col, "qv"), "qv", dim, n_planes).select(

@@ -112,9 +112,13 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window as W
 
-    normed = df.select(
-        F.col(id_col),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("t"),
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+
+    normed = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("t"),
+        )
     )
     # positions of all k-grams; n_shingles kept for the complete-window cut
     pos = normed.select(
