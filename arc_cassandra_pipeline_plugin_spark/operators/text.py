@@ -148,3 +148,116 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("win_min").alias("fingerprint_hash"))
         .distinct()
     )
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) rows over whitespace tokens of the normalized text.
+    The pre-amplification parallelism guard applies (explode fans out
+    ~50× on prose)."""
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+
+    normed = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("t"),
+        )
+    )
+    return normed.select(
+        id_col, F.explode(F.split(F.col("t"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 50
+) -> DataFrame:
+    """Global top-N tokens by corpus frequency (deterministic: count desc,
+    token asc). One explode + one groupBy(token) shuffle with map-side
+    combine; the top-N compiles to TakeOrderedAndProject — no global sort
+    materializes."""
+    return (
+        tokens(df, text_col, id_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"), F.countDistinct(id_col).alias("n_docs"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-N terms per document by smoothed TF-IDF:
+    ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)``.
+
+    Distributed shape: one token explode; tf = groupBy(doc, token); df =
+    groupBy(token); N arrives via a broadcast 1-row aggregate (never a
+    driver collect); per-doc top-N is a window PARTITIONED by doc. Ranking
+    orders by the 6-dp ROUNDED score with the token as tiebreak, so the
+    result is exact across engines and float-summation orders."""
+    from pyspark.sql.window import Window
+
+    tok = tokens(df, text_col, id_col)
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("dfreq"))
+    n_docs = tok.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select(id_col, "token", "tfidf", "term_rank")
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    character ``shingle_k``-gram with the probe (benchmark/eval) set.
+
+    Distributed shape: distinct shingles on both sides, equi-join on the
+    shingle string (probe side broadcast when small — benchmark suites are
+    tiny next to a training corpus), per-doc overlap counts and ratio. No
+    pairwise document comparison ever happens; shuffle volume is the
+    corpus's distinct-shingle set.
+    """
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import shingle_rows
+
+    corpus_sh = shingle_rows(corpus, text_col, id_col, shingle_k, distinct=True)
+    probe_sh = (
+        shingle_rows(probes, text_col, id_col, shingle_k, distinct=True)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, id_col)
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6),
+        )
+        .select(id_col, "n_contaminated", "n_shingles", "contamination_ratio")
+    )

@@ -990,3 +990,106 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("error_id", "click_id", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-corpus analysis: token frequencies, TF-IDF, decontamination
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = f"""
+tok AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0)
+"""
+
+_TOPN_TOKENS = 50
+
+
+@register(
+    "text_token_frequencies",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE}
+SELECT token,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM tok2 GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {_TOPN_TOKENS}
+""",
+)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global top-50 tokens (count desc, token asc
+    tiebreak). Map-side-combined groupBy; top-N compiles to
+    TakeOrderedAndProject."""
+    return TX.token_frequencies(
+        load_table(spark, sf_dir, "documents"), top_n=_TOPN_TOKENS
+    )
+
+
+_TFIDF_TOP = 5
+
+
+@register(
+    "text_tfidf_top_terms",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfreq FROM tok2 GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok2),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.dfreq + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT)
+           AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tfidf, term_rank FROM ranked WHERE term_rank <= {_TFIDF_TOP}
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. Broadcast 1-row N, doc-partitioned
+    window, ranking on the 6-dp rounded score (cross-engine determinism
+    rule for float ordering)."""
+    return TX.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), top_n=_TFIDF_TOP
+    )
+
+
+_CONTAM_K = 8
+_CONTAM_PROBE_MAX = 100  # doc_id < 100 stands in for the benchmark/eval set
+
+
+def _contamination_oracle() -> str:
+    k = _CONTAM_K
+    shingles = (
+        f"unnest(list_distinct(list_transform("
+        f"generate_series(1, greatest(length(t) - {k - 1}, 1)), i -> substr(t, i, {k}))))"
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+corpus_sh AS (SELECT doc_id, {shingles} AS shingle FROM norm WHERE doc_id >= {_CONTAM_PROBE_MAX}),
+probe_sh AS (SELECT DISTINCT {shingles} AS shingle FROM norm WHERE doc_id < {_CONTAM_PROBE_MAX}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus_sh GROUP BY 1),
+hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+         FROM corpus_sh c JOIN probe_sh p USING (shingle) GROUP BY 1)
+SELECT s.doc_id, h.n_contaminated, s.n_shingles,
+       round(h.n_contaminated / CAST(s.n_shingles AS DOUBLE), 6) AS contamination_ratio
+FROM sizes s JOIN hits h USING (doc_id)
+"""
+
+
+@register("text_contamination", category="text", oracle=_contamination_oracle())
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id >= 100) sharing any
+    8-char shingle with the probe set (doc_id < 100). Broadcast probe
+    shingles, no pairwise doc comparison — the training-pipeline
+    eval-leakage check at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= _CONTAM_PROBE_MAX)
+    probes = docs.filter(F.col("doc_id") < _CONTAM_PROBE_MAX)
+    return TX.contamination(corpus, probes, shingle_k=_CONTAM_K)

@@ -284,3 +284,36 @@ def test_global_row_number_constant_key(spark):
         for r in R.global_row_number(df, "score", ["id"], num_buckets=4).collect()
     )
     assert got == [(i, i + 1) for i in range(6)]
+
+
+def test_contamination_flags_probe_overlap(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import text as TXT
+
+    corpus = _docs(
+        spark,
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "completely unrelated zzz qqq vvv www uuu"),
+         (12, "quick brown fox appears here too somehow")],
+    )
+    probes = _docs(spark, [(1, "the quick brown fox is a benchmark sentence")])
+    got = {r["doc_id"]: r["n_contaminated"] for r in
+           TXT.contamination(corpus, probes, shingle_k=8).collect()}
+    assert 10 in got and 12 in got and 11 not in got
+    # ratio is bounded and positive for flagged docs
+    rows = TXT.contamination(corpus, probes, shingle_k=8).collect()
+    assert all(0 < r["contamination_ratio"] <= 1.0 for r in rows)
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import text as TXT
+
+    docs = _docs(
+        spark,
+        [(1, "alpha alpha alpha shared shared"),
+         (2, "beta beta beta shared shared"),
+         (3, "gamma gamma gamma shared shared")],
+    )
+    top = {r["doc_id"]: r["token"] for r in
+           TXT.tfidf_top_terms(docs, top_n=1).collect()}
+    # the doc-unique term always beats the corpus-wide one
+    assert top == {1: "alpha", 2: "beta", 3: "gamma"}
