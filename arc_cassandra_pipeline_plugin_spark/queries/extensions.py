@@ -1093,3 +1093,32 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= _CONTAM_PROBE_MAX)
     probes = docs.filter(F.col("doc_id") < _CONTAM_PROBE_MAX)
     return TX.contamination(corpus, probes, shingle_k=_CONTAM_K)
+
+
+# ---------------------------------------------------------------------------
+# streaming (certified): the streaming plan itself runs under the oracle
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_windowed_agg",
+    category="streaming",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation executed as a REAL
+    Structured Streaming query (availableNow trigger, memory sink,
+    complete mode so every window is emitted deterministically) — certifies
+    the streaming plan, not just its batch twin. Complete mode keeps all
+    window state; the production shape for unbounded runs is append mode,
+    where the watermark bounds state (tested stream≡batch in
+    tests/test_streaming.py)."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir)
+    agg = ST.tumbling_window_counts(ev, window="1 hour", watermark="2 hours",
+                                    group_cols=("event_type",))
+    return ST.run_stream_to_memory(agg, "streaming_windowed_agg_result")

@@ -180,3 +180,51 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str, how: str = "left")
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture (TIMESTAMP(NANOS) handled the
+    same way as sources.load_table: nanosAsLong + exact ns→µs truncation);
+    schema is fixed up-front as Structured Streaming requires."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: stream the sf_dir with a
+    # glob filter selecting just the events fixture
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
+) -> DataFrame:
+    """Execute a streaming frame with the availableNow trigger into a memory
+    sink and return the materialized result table. availableNow processes
+    everything currently in the source, then stops — the streaming plan
+    runs for real (stateful operators, watermarks, micro-batching), with a
+    deterministic end."""
+    import tempfile
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
