@@ -1122,3 +1122,61 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ST.tumbling_window_counts(ev, window="1 hour", watermark="2 hours",
                                     group_cols=("event_type",))
     return ST.run_stream_to_memory(agg, "streaming_windowed_agg_result")
+
+
+@register(
+    "streaming_dedup_keys",
+    category="streaming",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) executed as
+    a real streaming query: one surviving row per (user_id, event_type)
+    within the watermark horizon; projecting the key columns makes the
+    result the exact distinct key set regardless of which duplicate row
+    survives. Watermark bounds dedup state at scale."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir)
+    deduped = ST.dedup_stream(ev, key_cols=("user_id", "event_type")).select(
+        "user_id", "event_type"
+    )
+    return ST.run_stream_to_memory(
+        deduped, "streaming_dedup_keys_result", output_mode="append"
+    )
+
+
+@register(
+    "streaming_session_window",
+    category="streaming",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window session merging executed as a real streaming query
+    (complete mode emits every merged session deterministically) — the
+    streaming twin of events_session_window under the same lag/running-sum
+    oracle."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    return ST.run_stream_to_memory(agg, "streaming_session_window_result")
