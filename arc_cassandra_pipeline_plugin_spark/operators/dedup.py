@@ -319,3 +319,31 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    known_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Dedup a new crawl batch against an existing corpus: drop rows whose
+    content hash is already in ``known_hashes`` (left-anti join on the
+    16-byte fingerprint), then exact-dedup within the surviving batch.
+
+    The incremental shape a training pipeline actually runs: the known-hash
+    set is tiny relative to the corpus text (32 hex chars/doc), so the
+    anti-join shuffles fingerprints only — or broadcasts them when the
+    known set fits. Returns (content_hash, keep_id, n_copies) like
+    :func:`exact_dedup`."""
+    hashed = new_docs.select(
+        F.col(id_col),
+        hex_hash64(normalize_text(F.col(text_col)), 32).alias(hash_col),
+    )
+    fresh = hashed.join(
+        known_hashes.select(hash_col).distinct(), on=hash_col, how="left_anti"
+    )
+    return fresh.groupBy(hash_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )

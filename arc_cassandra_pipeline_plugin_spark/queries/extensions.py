@@ -1180,3 +1180,98 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
     return ST.run_stream_to_memory(agg, "streaming_session_window_result")
+
+
+_INCR_SPLIT = 250  # doc_id < 250 = previously-ingested corpus; >= 250 = new batch
+
+
+@register(
+    "dedup_incremental",
+    category="dedup",
+    oracle=rf"""
+WITH hashed AS (SELECT doc_id, substr(md5({_NORM}), 1, 32) AS content_hash FROM documents),
+fresh AS (
+  SELECT * FROM hashed WHERE doc_id >= {_INCR_SPLIT}
+    AND content_hash NOT IN (SELECT content_hash FROM hashed WHERE doc_id < {_INCR_SPLIT})
+)
+SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM fresh GROUP BY 1
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch (doc_id >= 250) against the hash set
+    of the already-ingested corpus (doc_id < 250) — anti-join on 16-byte
+    fingerprints, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    known = D.exact_dedup(docs.filter(F.col("doc_id") < _INCR_SPLIT)).select("content_hash")
+    return D.incremental_dedup(docs.filter(F.col("doc_id") >= _INCR_SPLIT), known)
+
+
+_QUALITY_EXPR = r"""round(0.5 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 100.0, 1.0)
+           + 0.5 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       / CAST(length(lower(text)) AS DOUBLE) END) * 2.0, 1.0)), 6)"""
+
+
+def _curation_oracle() -> str:
+    """End-to-end curation oracle assembled from the same generators as the
+    individual lang-id / quality / dedup oracles (single source of truth)."""
+    score_exprs = []
+    for lang in sorted(TX.LANG_MARKERS):
+        terms = [
+            f"(length(t) - length(replace(t, ' {w} ', ''))) / {len(w) + 2}"
+            for w in TX.LANG_MARKERS[lang]
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) AS score_{lang}")
+    langs = sorted(TX.LANG_MARKERS)
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    whens = " ".join(f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {', '.join(score_exprs)}
+  FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM documents)
+), best_of AS (
+  SELECT *, {best} AS best FROM scored
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred
+  FROM best_of
+), qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM documents),
+hashed AS (SELECT doc_id, substr(md5({_NORM}), 1, 32) AS content_hash FROM documents),
+joined AS (
+  SELECT d.doc_id, d.source, q.quality_score, h.content_hash
+  FROM documents d
+  JOIN lang l USING (doc_id) JOIN qual q USING (doc_id) JOIN hashed h USING (doc_id)
+  WHERE l.lang_pred = 'en' AND q.quality_score >= 0.5
+), kept AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM joined
+)
+SELECT source, count(*) AS n_docs, round(avg(quality_score), 4) AS avg_quality
+FROM kept WHERE rn = 1 GROUP BY source
+"""
+
+
+@register("corpus_curation_pipeline", category="pipeline", oracle=_curation_oracle())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation flow a training pipeline runs as one job:
+    language-ID → quality filter → exact dedup (keep first per hash) →
+    per-source statistics. All projection/filter stages fuse into one
+    codegen'd pass; the dedup window partitions by hash; the final agg is
+    one map-side-combined shuffle on source."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.quality_score(TX.lang_id(docs))
+    filtered = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
+    ).withColumn(
+        "content_hash",
+        F.substring(F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")), 1, 32),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
