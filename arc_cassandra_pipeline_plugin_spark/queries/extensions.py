@@ -1275,3 +1275,44 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+
+
+_PYDS_ROWS = 2000
+_PYDS_PARTS = 8
+
+
+@register(
+    "pyds_synthetic_docs",
+    category="source",
+    oracle=f"""
+WITH t AS (
+  SELECT i AS doc_id, md5(CAST(i AS VARCHAR)) AS text,
+         'src_' || CAST(i % 5 AS VARCHAR) AS source
+  FROM range({_PYDS_ROWS}) r(i)
+)
+SELECT source, count(*) AS n_docs, min(text) AS min_text, max(text) AS max_text
+FROM t GROUP BY source
+""",
+)
+def pyds_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 datasource API): a partition-aware
+    synthetic corpus source — the Spark-native re-expression of the
+    reference's connector-plugin model (CassandraExtract delegates its scan
+    to the connector's DSv2 source the same way). Deterministic content
+    (md5 of the row id) lets DuckDB regenerate the identical table from
+    range(), so a *custom source* is itself oracle-certified. sf_dir is
+    unused: the source synthesizes its rows."""
+    from arc_cassandra_pipeline_plugin_spark.sources.pyds import register_python_datasources
+
+    register_python_datasources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", _PYDS_ROWS)
+        .option("partitions", _PYDS_PARTS)
+        .load()
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
