@@ -1316,3 +1316,71 @@ def pyds_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("text").alias("min_text"),
         F.max("text").alias("max_text"),
     )
+
+
+_FRAME_STEP = 64  # every_ms AND frame_bytes: ~4-5 frames per fixture doc
+
+
+@register(
+    "multimodal_frames",
+    category="multimodal",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id AS asset_id, text AS t, greatest(length(text), 1) AS n FROM documents
+),
+f AS (
+  SELECT asset_id, t, n,
+         unnest(range(0, greatest(n // {_FRAME_STEP}, 1))) AS frame_idx
+  FROM d
+)
+SELECT asset_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {_FRAME_STEP} AS INT) AS frame_offset_ms,
+       md5(substr(t, ((frame_idx * {_FRAME_STEP}) % n) + 1, {_FRAME_STEP})) AS frame_md5
+FROM f
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the vectorized Arrow mapInPandas kernel
+    (operators/multimodal.sample_frames), certified byte-for-byte: the
+    fixture payload is ASCII so DuckDB's substr over the text replays the
+    kernel's byte slicing exactly, and md5 over the emitted frame payloads
+    must agree. This pins the widest-table kernel (fan-out, offsets,
+    tail-truncation, empty-payload behavior) to SQL semantics."""
+    assets = M.documents_as_assets(load_table(spark, sf_dir, "documents"))
+    frames = M.sample_frames(assets, every_ms=_FRAME_STEP, frame_bytes=_FRAME_STEP)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        "frame_offset_ms",
+        F.md5("frame_payload").alias("frame_md5"),
+    )
+
+
+@register(
+    "events_sliding_window",
+    category="timeseries",
+    oracle="""
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2 h length, 1 h slide): every event lands
+    in exactly two epoch-aligned windows — F.window's generator ≡ the
+    two-shifted-truncations union in SQL. Streaming twin in streaming/
+    (sliding_window_counts) runs the same plan incrementally."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
