@@ -1384,3 +1384,15 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
+
+
+@register("dedup_clusters_star", category="dedup", oracle=_clusters_oracle())
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster output as dedup_clusters, computed with the
+    large-star/small-star algorithm (Kiveris et al.) — O(log n) rounds on
+    any graph vs O(diameter) for plain propagation, the web-scale form.
+    Certified against the identical recursive-CTE closure oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
+    return D.connected_components_star(pairs)

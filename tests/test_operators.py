@@ -317,3 +317,34 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
            TXT.tfidf_top_terms(docs, top_n=1).collect()}
     # the doc-unique term always beats the corpus-wide one
     assert top == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
+def test_star_cc_matches_plain_propagation(spark):
+    """large-star/small-star ≡ min-label propagation on a mixed graph."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (5, 6)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    star = {(r["doc_id"], r["cluster_id"])
+            for r in D.connected_components_star(pairs).collect()}
+    plain = {(r["doc_id"], r["cluster_id"])
+             for r in D.connected_components(pairs).collect()}
+    assert star == plain
+    assert star == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+                    (20, 20), (21, 20), (5, 5), (6, 5)}
+
+
+def test_star_cc_long_diameter_converges_fast(spark):
+    """A 200-node path (diameter 200) — plain propagation needs ~200 rounds
+    (would trip its max_iter=25 warning); the star algorithm reaches the
+    fixed point in O(log n) rounds with no warning."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # any warning = failure
+        labels = D.connected_components_star(pairs, max_iter=30).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+    assert len(labels) == 201
