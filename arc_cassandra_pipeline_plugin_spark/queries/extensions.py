@@ -1396,3 +1396,44 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
     pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
     return D.connected_components_star(pairs)
+
+
+_SSJ_UPPER_MIN = 10
+_SSJ_MAX_USER = 30
+
+
+@register(
+    "streaming_stream_stream_join",
+    category="streaming",
+    oracle=f"""
+SELECT a.event_id AS click_id, b.event_id AS err_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_UPPER_MIN} MINUTE
+WHERE a.user_id < {_SSJ_MAX_USER}
+  AND a.event_type = 'click' AND b.event_type = 'error'
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as a REAL streaming query: clicks
+    joined to errors by the same user within the next 10 minutes, both
+    sides watermarked (state bounded to watermark + interval). Inner
+    matches emit deterministically, so the availableNow run equals the
+    batch interval join and certifies under the SQL oracle."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir).filter(F.col("user_id") < _SSJ_MAX_USER)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    ).withColumnRenamed("err_user", "user_id")
+    joined = ST.stream_stream_interval_join(
+        clicks, errors, key="user_id", left_ts="click_ts", right_ts="err_ts",
+        upper=f"{_SSJ_UPPER_MIN} minutes",
+    )
+    out = joined.select("click_id", "err_id", "user_id")
+    return ST.run_stream_to_memory(out, "stream_stream_join_result", output_mode="append")

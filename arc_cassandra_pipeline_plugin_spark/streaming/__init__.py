@@ -228,3 +228,34 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_s)
     return df.sparkSession.table(name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    upper: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval bound: match
+    rows sharing ``key`` where ``left_ts < right_ts <= left_ts + upper``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions — exactly what Structured Streaming requires to expire
+    join state (each side buffers only ``watermark + upper`` of history).
+    Inner matches emit as soon as both rows arrive; the batch twin is the
+    identical expression on batch frames, so stream≡batch is certifiable.
+    ``left_ts``/``right_ts`` must be distinct names (rename before calling)
+    so the joined output is unambiguous."""
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] > l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
