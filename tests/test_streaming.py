@@ -203,3 +203,52 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path, ctx
         spark.read.parquet(events_dir).select("event_id", "user_id"), dim, on="user_id"
     )
     assert dataset_equality(batch, spark.table("enriched"))
+
+
+def test_transform_with_state_matches_batch(spark, events_dir, tmp_path, ctx):
+    """transformWithStateInPandas (Spark 4 API): final per-user state equals
+    the batch aggregate, same contract as the applyInPandasWithState twin."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.streaming.stateful import running_stats_tws
+
+    if running_stats_tws is None:
+        import pytest as _pytest
+        _pytest.skip("transformWithState API not available")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = FileStreamExtract(
+            name="se_tws", input_uri=events_dir, output_view="events_stream_tws"
+        ).execute(spark, ctx)
+        out = running_stats_tws(stream.select("user_id", "value"))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        emitted = spark.table("tws_out").toPandas()
+        final = emitted.groupby("user_id").tail(1).set_index("user_id").sort_index()
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .toPandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        pd.testing.assert_frame_equal(
+            final[["n_events", "sum_value"]], batch, check_dtype=False
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
