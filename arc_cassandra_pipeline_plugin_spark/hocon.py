@@ -48,7 +48,7 @@ class _Tok:
     ws: str = ""  # raw whitespace preceding the token (same line)
 
 
-_UNQUOTED_END = set('{}[],:=#"\n ')
+_UNQUOTED_END = set('{}[],:=#"\n \t\r')
 _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?)$")
 
 

@@ -17,7 +17,7 @@ from arc_cassandra_pipeline_plugin_spark.stages.base import (
     register_view,
     repartition,
 )
-from arc_cassandra_pipeline_plugin_spark.stages.execute import CassandraExecute, SQLExecute
+from arc_cassandra_pipeline_plugin_spark.stages.execute import CassandraExecute, SQLExecute, SQLValidate
 from arc_cassandra_pipeline_plugin_spark.stages.extract import (
     CassandraExtract,
     DelimitedExtract,
@@ -72,6 +72,7 @@ for _cls in (
     CassandraLoad,
     TableLoad,
     SQLExecute,
+    SQLValidate,
     CassandraExecute,
 ):
     register_stage(_cls)
@@ -97,6 +98,7 @@ __all__ = [
     "TableLoad",
     "TableExtract",
     "SQLExecute",
+    "SQLValidate",
     "CassandraExecute",
     "SAVE_MODES",
     "STAGE_REGISTRY",

@@ -90,3 +90,50 @@ class CassandraExecute(PipelineStage):
         finally:
             cluster.shutdown()
         return None
+
+
+@dataclass
+class SQLValidate(PipelineStage):
+    """Data-quality gate: run SQL that must return EXACTLY one row whose
+    first column is a boolean verdict; optional second column is a message
+    (string, or a JSON object logged as structured detail). On a false
+    verdict the pipeline fails with the message — the Arc framework's
+    SQLValidate contract (public Arc docs), the declarative cousin of the
+    operators in operators/quality.py.
+
+    SQL resolves inline or from ``input_uri`` (with optional
+    ``authentication``) and takes ``${param}`` injection, like every other
+    SQL-bearing stage here."""
+
+    stage_type: str = "SQLValidate"
+    sql: str | None = None
+    input_uri: str | None = None
+    sql_params: dict[str, str] = field(default_factory=dict)
+    authentication: dict[str, str] | None = None
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        merged = {**ctx.sql_params, **self.sql_params}
+        text = resolve_sql_input(
+            self.sql, self.input_uri, merged, authentication=self.authentication
+        )
+        self.stage_detail.set("sql", text)
+        rows = spark.sql(text).collect()  # contract: exactly one verdict row
+        if len(rows) != 1:
+            raise ValueError(
+                f"SQLValidate expects exactly 1 row, got {len(rows)}"
+            )
+        row = rows[0]
+        if len(row) == 0 or not isinstance(row[0], bool):
+            raise ValueError("SQLValidate expects a boolean first column")
+        message = row[1] if len(row) > 1 else None
+        if message is not None:
+            import json as _json
+
+            try:
+                detail = _json.loads(message) if isinstance(message, str) else message
+            except ValueError:
+                detail = message
+            self.stage_detail.set("message", detail)
+        if not row[0]:
+            raise ValueError(f"SQLValidate failed: {message}")
+        return None

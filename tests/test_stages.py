@@ -393,3 +393,49 @@ def test_authenticated_sqltransform_via_config(spark, ctx):
         assert spark.table("answer_v").collect()[0]["answer"] == 42
     finally:
         srv.shutdown()
+
+
+def test_sql_validate_pass_and_fail(spark, ctx):
+    from arc_cassandra_pipeline_plugin_spark.stages import SQLValidate
+
+    SQLValidate(name="ok", sql="SELECT true AS valid, 'all good' AS message").execute(spark, ctx)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="0 rows short"):
+        SQLValidate(
+            name="bad",
+            sql="SELECT false AS valid, '0 rows short' AS message",
+        ).execute(spark, ctx)
+    # contract violations are their own errors
+    with _pytest.raises(Exception, match="exactly 1 row"):
+        SQLValidate(name="two", sql="SELECT true AS v UNION ALL SELECT false").execute(spark, ctx)
+    with _pytest.raises(Exception, match="boolean first column"):
+        SQLValidate(name="notbool", sql="SELECT 1 AS v").execute(spark, ctx)
+
+
+def test_sql_validate_json_message_detail(spark, ctx):
+    from arc_cassandra_pipeline_plugin_spark.stages import SQLValidate
+
+    st = SQLValidate(
+        name="jm",
+        sql="""SELECT true AS valid, to_json(named_struct('checked', 42, 'failed', 0)) AS message""",
+    )
+    st.execute(spark, ctx)
+    assert st.stage_detail.data["message"] == {"checked": 42, "failed": 0}
+
+
+def test_sql_validate_declarative_config(spark, ctx):
+    """SQLValidate parses from declarative config and gates the pipeline."""
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+
+    p = parse_config(
+        {
+            "stages": [
+                {"type": "SQLTransform", "name": "t",
+                 "sql": "SELECT 1 AS one", "outputView": "v_ok"},
+                {"type": "SQLValidate", "name": "gate",
+                 "sql": "SELECT count(*) = 1 AS valid, 'rowcount' AS message FROM v_ok"},
+            ]
+        }
+    )
+    p.run(spark, ctx)
