@@ -87,8 +87,17 @@ def _tokenize(text: str) -> list[_Tok]:
                 if text[j] == "\\" and j + 1 < n:
                     e = text[j + 1]
                     if e == "u":
-                        buf.append(chr(int(text[j + 2 : j + 6], 16)))
+                        cp = int(text[j + 2 : j + 6], 16)
                         j += 6
+                        # JSON encodes astral characters as UTF-16 surrogate
+                        # pairs: combine \uD800-\uDBFF with the following low
+                        # surrogate escape
+                        if 0xD800 <= cp <= 0xDBFF and text.startswith("\\u", j):
+                            lo = int(text[j + 2 : j + 6], 16)
+                            if 0xDC00 <= lo <= 0xDFFF:
+                                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                                j += 6
+                        buf.append(chr(cp))
                     else:
                         buf.append(escapes.get(e, e))
                         j += 2

@@ -85,3 +85,73 @@ def test_sessionize_invariants(spark, offsets, gap):
         gap_min = (cur["ts"] - prev["ts"]).total_seconds() / 60
         expected_bump = 1 if gap_min > gap else 0
         assert cur["session_id"] - prev["session_id"] == expected_bump
+
+
+# ---------------------------------------------------------------------------
+# HOCON: JSON-superset property — any JSON document round-trips
+# ---------------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+)
+_json_docs = st.dictionaries(
+    st.text(max_size=10),
+    st.recursive(
+        _json_scalars,
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(st.text(max_size=10), children, max_size=4),
+        ),
+        max_leaves=12,
+    ),
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc=_json_docs)
+def test_hocon_parses_any_json(doc):
+    """HOCON is a JSON superset: the subset reader must accept every JSON
+    document verbatim (quoted keys never nest, escapes, nested containers,
+    numeric forms)."""
+    import json
+
+    from arc_cassandra_pipeline_plugin_spark import hocon
+
+    assert hocon.loads(json.dumps(doc)) == doc
+
+
+@_settings
+@given(
+    scores=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.integers(min_value=2, max_value=6),
+)
+def test_global_row_number_property(spark, scores, buckets):
+    """Two-phase bucketed rank == naive global window for arbitrary score
+    distributions (ties, duplicates, constant runs) and bucket counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arc_cassandra_pipeline_plugin_spark.operators import ranking as R
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(scores)], "id INT, score DOUBLE"
+    )
+    got = {
+        (r["id"], r["global_rn"])
+        for r in R.global_row_number(df, "score", ["id"], num_buckets=buckets).collect()
+    }
+    w = Window.orderBy("score", "id")
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
