@@ -944,3 +944,93 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     string_agg ORDER BY) — deterministic via the explicit sort."""
     register_tables(spark, sf_dir, "lineitem")
     return spark.sql(_LISTAGG_SQL_SPARK)
+
+
+@register(
+    "unpivot_quantities",
+    category="relational",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         'quantity' AS measure, l_quantity AS val FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey < 100
+)
+""",
+)
+def unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long, the inverse of pivot): three measure columns
+    melt into (measure, val) rows — df.unpivot compiles to a single
+    Expand node, one pass over the scan, no shuffle."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+        .withColumn("val", F.round("val", 2))
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    category="scalar",
+    oracle="""
+SELECT c_custkey,
+       (c_mktsegment IS NOT DISTINCT FROM 'BUILDING') AS is_building_nullsafe,
+       (nullif(c_mktsegment, 'BUILDING') IS NULL) AS nulled_out,
+       coalesce(nullif(c_acctbal, 0.0), -1.0) AS bal_or_sentinel,
+       (CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END
+          IS NOT DISTINCT FROM NULL) AS neg_is_null
+FROM customer WHERE c_custkey < 500
+""",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: null-safe equality (<=> ≡ IS NOT DISTINCT
+    FROM), nullif-to-null, coalesce sentinels, and three-valued CASE —
+    identical across engines by the SQL standard."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    neg_null = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.round(F.col("c_acctbal"), 2)
+    )
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").eqNullSafe(F.lit("BUILDING")).alias("is_building_nullsafe"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).isNull().alias("nulled_out"),
+        F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "bal_or_sentinel"
+        ),
+        neg_null.eqNullSafe(F.lit(None).cast("double")).alias("neg_is_null"),
+    )
+
+
+@register(
+    "agg_decimal_exact",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS sum_price_exact,
+       sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(5,2)))
+         AS sum_disc_exact
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation: cast money to DECIMAL before summing —
+    associative integer arithmetic, so the result is EXACT and identical
+    across engines and partitionings with NO rounding discipline needed
+    (the one aggregate family where float drift cannot exist)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(15,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("sum_price_exact"),
+        F.sum(price * disc).alias("sum_disc_exact"),
+    )
