@@ -335,3 +335,60 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "total_qty"
         )
     )
+
+
+@register(
+    "q4_order_priority",
+    category="tpch",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): date-bounded orders
+    semi-joined to qualifying lineitems (EXISTS ≡ left_semi — no row
+    duplication, lineitem never materializes past the join), then a tiny
+    5-group aggregate. The fixture lacks commit/receipt dates, so the
+    EXISTS predicate is a discount threshold; the plan shape is Q4's.
+    Filter + EXISTS shrink before any shuffle: the 100 TB-safe order."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q14_promo_effect",
+    category="tpch",
+    oracle="""
+SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+""",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem joined to part
+    (part is the smaller side — broadcast), conditional revenue ratio in a
+    single aggregate pass. The shipdate filter is pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue"))
+    )
