@@ -252,3 +252,46 @@ def test_transform_with_state_matches_batch(spark, events_dir, tmp_path, ctx):
         )
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path, ctx):
+    """Append mode + watermark: after an availableNow drain (including the
+    final no-data flush batch that advances the watermark), exactly the
+    windows whose end <= max_event_time - delay have emitted; the newest
+    window stays open. This is the production output mode — complete mode
+    (used by the certified streaming queries for full-result determinism)
+    trades bounded state for emit-everything."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i * 10 + j, base + dt.timedelta(hours=i, minutes=30 * j), float(j))
+        for i in range(3)  # three hours...
+        for j in range(2)  # ...two events each, at :00 and :30
+    ]
+    spark.createDataFrame(rows, "event_id INT, ts TIMESTAMP, value DOUBLE").write.parquet(src)
+
+    stream = spark.readStream.schema("event_id INT, ts TIMESTAMP, value DOUBLE").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("append_wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = {(r["window_start"], r["n"]) for r in spark.table("append_wm_out").collect()}
+    # max event time 02:30, delay 10 min → watermark 02:20: hours 0 and 1
+    # closed (ends 01:00/02:00 <= 02:20); hour 2 (end 03:00) still open
+    assert emitted == {(base, 2), (base + dt.timedelta(hours=1), 2)}
