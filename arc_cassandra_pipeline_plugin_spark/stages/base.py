@@ -55,12 +55,19 @@ class PipelineStage:
         if self.description:
             self.stage_detail.set("description", self.description)
         start = time.time()
+        # tag every Spark job this stage triggers with the stage identity so
+        # the Spark UI / event logs attribute cluster work to pipeline
+        # stages (essential observability on a shared 1000-executor cluster)
+        desc = f"{self.stage_type or type(self).__name__}: {self.name}"
+        spark.sparkContext.setJobDescription(desc)
         try:
             result = self._run(spark, ctx)
         except DetailException:
             raise
         except Exception as exc:  # noqa: BLE001 - deliberate wrap-and-rethrow
             raise DetailException(str(exc), self.stage_detail.as_dict()) from exc
+        finally:
+            spark.sparkContext.setJobDescription(None)
         self.stage_detail.set("duration_ms", int((time.time() - start) * 1000))
         return result
 

@@ -130,3 +130,13 @@ def test_scalable_global_rank_has_no_unpartitioned_window(spark):
         plan = explain_str(df, "simple")
         for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\]", plan):
             assert m.group("part").strip(), f"{name}: unpartitioned Window in plan:\n{plan}"
+
+
+def test_text_pipeline_prunes_document_scan(spark):
+    """Text operators must not drag the full documents schema through the
+    scan: quality scoring reads only (doc_id, text)-derived columns."""
+    df = REGISTRY["text_quality_score"].fn(spark, SF_SMALL)
+    schemas = read_schemas(df)
+    assert schemas, "expected a parquet scan"
+    for schema in schemas:
+        assert set(schema) <= {"doc_id", "text"}, f"unpruned scan: {schema}"
