@@ -1437,3 +1437,34 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joined.select("click_id", "err_id", "user_id")
     return ST.run_stream_to_memory(out, "stream_stream_join_result", output_mode="append")
+
+
+@register(
+    "json_variant_extract",
+    category="json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract(props, '$.missing') AS INT) AS absent_is_null,
+       count(*) OVER (PARTITION BY CAST(json_extract(props, '$.k') AS INT) % 10) AS k_bucket_n
+FROM events WHERE event_id < 2000
+""",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json once into
+    a binary variant column, then typed try_variant_get extraction —
+    the open-format answer to schema-on-read JSON at scale (parse cost paid
+    once; extraction is a cheap binary probe, not a re-parse). Missing
+    paths yield NULL; a windowed count over the extracted value shows the
+    variant column composing with relational operators."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    extracted = v.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k_int"),
+        F.try_variant_get(F.col("v"), "$.missing", "int").alias("absent_is_null"),
+    )
+    w = Window.partitionBy(F.col("k_int") % 10)
+    return extracted.withColumn("k_bucket_n", F.count(F.lit(1)).over(w))
