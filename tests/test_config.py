@@ -314,3 +314,22 @@ stages = [
         assert got == {("a", 2), ("b", 1)}
     finally:
         del os.environ["HOCON_E2E_SRC"]
+
+
+def test_example_configs_parse_and_run(spark, monkeypatch, tmp_path):
+    """The shipped example configs (JSON and HOCON twins) must stay
+    runnable: parse both, run the HOCON one end-to-end in the test env
+    (the production-only load stage is filtered out)."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark.pipeline import PipelineContext
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+    ctx = PipelineContext(environment="test")
+    for fname in ("pipeline.json", "pipeline.conf"):
+        with open(os.path.join(root, fname)) as fh:
+            p = parse_config(fh.read(), ctx)
+        assert p.stages, fname
+    result = p.run(spark, ctx)  # HOCON twin: extract → transform → validate
+    assert result.count() == 3

@@ -140,3 +140,39 @@ def test_text_pipeline_prunes_document_scan(spark):
     assert schemas, "expected a parquet scan"
     for schema in schemas:
         assert set(schema) <= {"doc_id", "text"}, f"unpruned scan: {schema}"
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark):
+    """At 100 TB the selective side of a fact-fact join is too big to
+    broadcast; Spark's runtime bloom filter (injected from the filtered
+    creation side into the probe-side scan) is what prunes shuffle input.
+    Verify the optimizer injects it once the join is a shuffle join —
+    locally that means auto-broadcast off and the app-side threshold down
+    (the fixture files are tiny); at cluster scale the defaults fire."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_totalprice") > 450000.0
+        )
+        li = load_table(spark, SF_SMALL, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
