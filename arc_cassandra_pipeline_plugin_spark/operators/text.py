@@ -261,3 +261,29 @@ def contamination(
         )
         .select(id_col, "n_contaminated", "n_shingles", "contamination_ratio")
     )
+
+
+#: PII patterns, ordered: emails first (so their digits don't half-match the
+#: phone pattern), then phone-like sequences, then long digit runs (ids,
+#: card-ish numbers). Kept engine-portable: no lookarounds, POSIX classes.
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    ("digits", r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus PII scrub: replace emails, phone-like sequences and
+    long digit runs with typed placeholders, and count replacements per
+    category (the audit trail a compliance pass needs). Pure codegen'd
+    regexp projection — no shuffle, no Python; patterns are portable so the
+    whole scrub replays in the SQL oracle."""
+    cols: dict[str, F.Column] = {}
+    stage = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        # count against the text as of THIS stage (each pattern sees the
+        # previous patterns' placeholders, never their raw matches)
+        cols[f"n_{name}"] = F.size(F.regexp_extract_all(stage, F.lit(pat), 0))
+        stage = F.regexp_replace(stage, pat, token)
+    return df.withColumns({**cols, "text_redacted": stage})

@@ -1468,3 +1468,33 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy(F.col("k_int") % 10)
     return extracted.withColumn("k_bucket_n", F.count(F.lit(1)).over(w))
+
+
+def _pii_oracle() -> str:
+    """Generated from the same PII_PATTERNS constants as the operator."""
+    stage = "text"
+    count_cols = []
+    for name, pat, token in TX.PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({stage}, '{esc}')) AS INT) AS n_{name}"
+        )
+        stage = f"regexp_replace({stage}, '{esc}', '{token}', 'g')"
+    cols = ",\n       ".join(count_cols)
+    return f"""
+SELECT doc_id,
+       {cols},
+       {stage} AS text_redacted
+FROM documents
+"""
+
+
+@register("text_pii_redaction", category="text", oracle=_pii_oracle())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: typed placeholders for emails /
+    phone-like runs / long digit sequences plus per-category counts —
+    single codegen'd projection, oracle generated from the same pattern
+    constants so Spark and DuckDB replace identically."""
+    d = TX.redact_pii(load_table(spark, sf_dir, "documents"))
+    n_cols = [f"n_{name}" for name, _, _ in TX.PII_PATTERNS]
+    return d.select("doc_id", *n_cols, "text_redacted")

@@ -348,3 +348,23 @@ def test_star_cc_long_diameter_converges_fast(spark):
         labels = D.connected_components_star(pairs, max_iter=30).collect()
     assert {r["cluster_id"] for r in labels} == {0}
     assert len(labels) == 201
+
+
+def test_pii_redaction_semantics(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import text as TXT
+
+    docs = _docs(
+        spark,
+        [(1, "mail me at alice.smith+x@example.co.uk or call +1 (555) 123-4567"),
+         (2, "order 123456 shipped; ref 42"),
+         (3, "nothing sensitive here")],
+    )
+    got = {r["doc_id"]: r for r in TXT.redact_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "<EMAIL>" in got[1]["text_redacted"] and "<PHONE>" in got[1]["text_redacted"]
+    assert "example.co.uk" not in got[1]["text_redacted"]
+    # 6-digit run: too short for the phone pattern (min 9 chars), caught by
+    # the digits pattern; 2-digit run survives untouched
+    assert got[2]["n_digits"] == 1 and "<NUM>" in got[2]["text_redacted"]
+    assert "ref 42" in got[2]["text_redacted"]
+    assert got[3]["text_redacted"] == "nothing sensitive here"
