@@ -287,3 +287,80 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         cols[f"n_{name}"] = F.size(F.regexp_extract_all(stage, F.lit(pat), 0))
         stage = F.regexp_replace(stage, pat, token)
     return df.withColumns({**cols, "text_redacted": stage})
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window chunking: split each document into token chunks of
+    ``chunk_tokens`` whitespace tokens with ``overlap`` tokens of overlap —
+    the standard pre-training/embedding preparation step.
+
+    stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens). The last chunk may be short; a
+    document shorter than one chunk yields exactly one chunk. All array
+    ops (split/slice/join) are codegen'd built-ins; the explode fans out
+    ~len/stride×, so the pre-amplification parallelism guard applies."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+
+    toks = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ").alias(
+                "__toks"
+            ),
+        )
+    ).withColumn("__n", F.size("__toks"))
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.ceil((F.col("__n") - F.lit(overlap)).cast("double") / stride), F.lit(1)
+    ).cast("int")
+    return (
+        toks.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("chunk_idx") * stride
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_token_ratio``: 1 - distinct/total whitespace tokens
+    - ``top_token_ratio``: occurrences of the most frequent token / total
+
+    High values flag boilerplate/spam for the quality filter. One explode +
+    one groupBy(doc, token) + one groupBy(doc) — hash/count shuffles only."""
+    toks = tokens(df, text_col, id_col)
+    per_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("__total"),
+            F.count(F.lit(1)).alias("__distinct"),
+            F.max("c").alias("__maxc"),
+        )
+        .select(
+            id_col,
+            F.round(1.0 - F.col("__distinct") / F.col("__total").cast("double"), 6).alias(
+                "dup_token_ratio"
+            ),
+            F.round(F.col("__maxc") / F.col("__total").cast("double"), 6).alias(
+                "top_token_ratio"
+            ),
+        )
+    )

@@ -1498,3 +1498,60 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TX.redact_pii(load_table(spark, sf_dir, "documents"))
     n_cols = [f"n_{name}" for name, _, _ in TX.PII_PATTERNS]
     return d.select("doc_id", *n_cols, "text_redacted")
+
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "text_chunk_documents",
+    category="text",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+chunks AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CAST(greatest(ceil((n - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0), 1) AS INT)))
+           AS chunk_idx
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(t, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                     chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' ')
+         AS chunk_text,
+       CAST(least({_CHUNK_TOKENS}, n - chunk_idx * {_CHUNK_STRIDE}) AS INT) AS n_chunk_tokens
+FROM chunks
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token chunks, 16-token overlap) — the
+    pre-training/embedding preparation fan-out, all codegen'd array
+    builtins; chunk boundaries replay exactly in SQL list_slice."""
+    return TX.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+@register(
+    "text_repetition_signals",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+per AS (SELECT doc_id, token, count(*) AS c FROM tok2 GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS maxc FROM per GROUP BY 1)
+SELECT doc_id,
+       round(1.0 - dist / CAST(total AS DOUBLE), 6) AS dup_token_ratio,
+       round(maxc / CAST(total AS DOUBLE), 6) AS top_token_ratio
+FROM agg
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token ratio,
+    top-token dominance) — boilerplate/spam detectors for the quality
+    filter; hash/count shuffles only."""
+    return TX.repetition_signals(load_table(spark, sf_dir, "documents"))

@@ -368,3 +368,25 @@ def test_pii_redaction_semantics(spark):
     assert got[2]["n_digits"] == 1 and "<NUM>" in got[2]["text_redacted"]
     assert "ref 42" in got[2]["text_redacted"]
     assert got[3]["text_redacted"] == "nothing sensitive here"
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import text as TXT
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = _docs(spark, [(1, text), (2, "short doc")])
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in TXT.chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    # stride 2: chunk i covers tokens [2i, 2i+4); 10 tokens → ceil(8/2)=4 chunks
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t2 t3 t4 t5", 4)  # 2-token overlap
+    assert got[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert (1, 4) not in got
+    # short doc: single (partial) chunk
+    assert got[(2, 0)] == ("short doc", 2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        TXT.chunk_documents(docs, chunk_tokens=4, overlap=4)
