@@ -282,3 +282,54 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid of an embedding column: explode (vec_id, dim_idx,
+    value), average per (group, dim_idx), re-assemble ordered arrays with
+    array_agg over a sorted collect — one explode + one groupBy shuffle.
+
+    The classic map-side-combinable mean: at 100 TB the shuffle carries
+    (group, dim) partial sums, never vectors. Used for cluster profiling,
+    label drift monitoring, and IVF seeding."""
+    exploded = df.select(
+        F.col(group_col), F.posexplode(vec_double(vec_col)).alias("dim_idx", "val")
+    )
+    per_dim = exploded.groupBy(group_col, "dim_idx").agg(
+        F.round(F.avg("val"), 4).alias("dim_mean")
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim_idx"), F.col("dim_mean")))
+            ).alias("__pairs")
+        )
+        .select(
+            group_col,
+            F.transform(F.col("__pairs"), lambda p: p.dim_mean).alias("centroid"),
+        )
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (vector-store prep):
+    ``q[i] = round(v[i] * 127 / max(|v|))``, scale kept for dequantization.
+    Pure higher-order-function projection — no shuffle, 4× memory cut on
+    the widest column a training corpus ships."""
+    v = vec_double(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("q_embedding"),
+    )

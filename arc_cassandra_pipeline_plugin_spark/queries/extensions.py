@@ -1555,3 +1555,68 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token dominance) — boilerplate/spam detectors for the quality
     filter; hash/count shuffles only."""
     return TX.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embeddings_group_centroids",
+    category="similarity",
+    oracle="""
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim_idx,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+per AS (
+  SELECT label, dim_idx, round(avg(CAST(val AS DOUBLE)), 4) AS dim_mean
+  FROM e GROUP BY 1, 2
+)
+SELECT label,
+       array_to_string(list(printf('%.4f', dim_mean) ORDER BY dim_idx), ',') AS centroid_csv
+FROM per GROUP BY label
+""",
+)
+def embeddings_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: posexplode → map-side-combined
+    per-dimension mean → ordered re-assembly. Shuffle carries (label, dim)
+    partial sums, never vectors. Output is %.4f-formatted CSV so float
+    rendering is engine-identical (JSON float notation is not)."""
+    cents = S.group_centroids(
+        load_table(spark, sf_dir, "embeddings"), group_col="label"
+    )
+    return cents.select(
+        "label",
+        F.array_join(
+            F.transform(F.col("centroid"), lambda x: F.format_string("%.4f", x)), ","
+        ).alias("centroid_csv"),
+    )
+
+
+@register(
+    "embeddings_quantize_int8",
+    category="similarity",
+    oracle="""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+),
+s AS (SELECT vec_id, embedding, CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS sc FROM m)
+SELECT vec_id,
+       round(sc, 6) AS scale,
+       array_to_string(list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT)), ',') AS q_csv
+FROM s
+""",
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (4× memory cut on the widest
+    training-corpus column) — pure higher-order projection, certified
+    element-for-element via integer CSV."""
+    q = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform(F.col("q_embedding"), lambda x: x.cast("string")), ",").alias(
+            "q_csv"
+        ),
+    )
