@@ -1034,3 +1034,77 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).alias("sum_price_exact"),
         F.sum(price * disc).alias("sum_disc_exact"),
     )
+
+
+@register(
+    "agg_histogram",
+    category="aggregation",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE 1 + CAST(floor(o_totalprice / 50000.0) AS INT) END AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (DuckDB 1.0 has no
+    width_bucket, so the oracle spells out the same NIST bucket arithmetic:
+    out-of-range to buckets 0 / n+1, else 1 + floor(x/width)) — the
+    data-profiling primitive; one map-side-combined aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_corr_covar",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson correlation, sample covariance,
+    stddev) per group — single-pass distributed moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@register(
+    "scalar_edit_distance",
+    category="scalar",
+    oracle="""
+SELECT n.n_name, r.r_name,
+       levenshtein(n.n_name, r.r_name) AS edit_dist
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance (fuzzy matching primitive) over the
+    nation→region join — identical DP semantics in both engines."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name", F.levenshtein("n_name", "r_name").alias("edit_dist")
+    )
