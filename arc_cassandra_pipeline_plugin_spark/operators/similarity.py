@@ -300,7 +300,7 @@ def group_centroids(
         F.col(group_col), F.posexplode(vec_double(vec_col)).alias("dim_idx", "val")
     )
     per_dim = exploded.groupBy(group_col, "dim_idx").agg(
-        F.round(F.avg("val"), 4).alias("dim_mean")
+        (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("dim_mean")  # +0.0: -0.0 → +0.0
     )
     return (
         per_dim.groupBy(group_col)

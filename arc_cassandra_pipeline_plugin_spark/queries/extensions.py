@@ -1567,7 +1567,7 @@ WITH e AS (
   FROM embeddings
 ),
 per AS (
-  SELECT label, dim_idx, round(avg(CAST(val AS DOUBLE)), 4) AS dim_mean
+  SELECT label, dim_idx, round(avg(CAST(val AS DOUBLE)), 4) + 0.0 AS dim_mean
   FROM e GROUP BY 1, 2
 )
 SELECT label,
