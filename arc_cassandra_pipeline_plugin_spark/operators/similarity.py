@@ -299,8 +299,17 @@ def group_centroids(
     exploded = df.select(
         F.col(group_col), F.posexplode(vec_double(vec_col)).alias("dim_idx", "val")
     )
+    # decimal-sum for exact associative arithmetic (float avg order flips
+    # rounding boundaries between runs); +0.0 clears IEEE negative zero
     per_dim = exploded.groupBy(group_col, "dim_idx").agg(
-        (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("dim_mean")  # +0.0: -0.0 → +0.0
+        (
+            F.round(
+                F.sum(F.col("val").cast("decimal(24,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("dim_mean")
     )
     return (
         per_dim.groupBy(group_col)

@@ -1247,7 +1247,9 @@ joined AS (
 ), kept AS (
   SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM joined
 )
-SELECT source, count(*) AS n_docs, round(avg(quality_score), 4) AS avg_quality
+SELECT source, count(*) AS n_docs,
+       round(CAST(sum(CAST(quality_score AS DECIMAL(14,6))) AS DOUBLE) / count(*), 4)
+         AS avg_quality
 FROM kept WHERE rn = 1 GROUP BY source
 """
 
@@ -1271,9 +1273,16 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     kept = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # decimal-sum the (already 6-dp) scores: exact associative arithmetic,
+    # so the mean is bit-identical across engines and partition orders
+    # (a float avg flipped the 4th decimal between runs at sf0.001)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(14,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_quality"),
     )
 
 
@@ -1567,7 +1576,9 @@ WITH e AS (
   FROM embeddings
 ),
 per AS (
-  SELECT label, dim_idx, round(avg(CAST(val AS DOUBLE)), 4) + 0.0 AS dim_mean
+  SELECT label, dim_idx,
+         round(CAST(sum(CAST(val AS DECIMAL(24,12))) AS DOUBLE) / count(*), 4) + 0.0
+           AS dim_mean
   FROM e GROUP BY 1, 2
 )
 SELECT label,
