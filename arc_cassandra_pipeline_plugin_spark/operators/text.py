@@ -364,3 +364,45 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
             ),
         )
     )
+
+
+def unigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model fluency score per document: the mean log-prob
+    of the document's tokens under the corpus's own unigram distribution
+    (a CCNet/KenLM-style quality signal — boilerplate and rare-token salad
+    both score low).
+
+    Distributed shape: one token explode; the vocabulary (token → count) is
+    a groupBy(token); the corpus total arrives as a broadcast 1-row
+    aggregate; tokens rejoin the vocabulary on the token key (shuffle join —
+    the vocabulary is NOT broadcast: at web scale it has hundreds of
+    millions of entries); final groupBy(doc). Cross-engine determinism:
+    each token's log-prob is rounded to 6 dp and summed as an exact
+    DECIMAL, so the per-doc mean is independent of partition order.
+    """
+    tok = tokens(df, text_col, id_col)
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_cnt"))
+    total = vocab.select(F.sum("tok_cnt").alias("corpus_total"))
+    logp = (
+        F.round(
+            F.log(F.col("tok_cnt").cast("double") / F.col("corpus_total").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("logp")
+    )
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, logp)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("logp").alias("__s"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("__s").cast("double") / F.col("n_tokens"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -61,9 +61,11 @@ def load_all() -> dict[str, Query]:
     registry."""
     from arc_cassandra_pipeline_plugin_spark.queries import (  # noqa: F401
         advanced,
+        analytics,
         extensions,
         relational,
         tpch,
+        tpch2,
     )
 
     return REGISTRY

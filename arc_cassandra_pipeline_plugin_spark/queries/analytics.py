@@ -1,0 +1,245 @@
+"""Product/corpus analytics queries: funnel conversion, retention cohorts,
+time-series gap-fill (LOCF resample), unigram-LM fluency scoring, canonical
+document selection.
+
+These extend the engine's certified surface with the event-analytics and
+corpus-curation workloads a reference user runs downstream of the pipeline
+stages (the reference delegates all query semantics to the engine — these
+are the Spark-first formulations, each with an exact DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arc_cassandra_pipeline_plugin_spark.operators import text as TX
+from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
+    _clusters_oracle,
+    _TOKENS_CTE,
+    dedup_clusters,
+)
+from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+
+@register(
+    "funnel_conversion",
+    category="timeseries",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS users_view,
+       (SELECT count(*) FROM c) AS users_click,
+       (SELECT count(*) FROM p) AS users_purchase
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: users whose first click
+    follows their first view, and first purchase after that click.
+
+    Each stage is a groupBy(user) min-timestamp semi-reduction joined to
+    the previous stage on the user key — at scale all three legs shuffle
+    on the SAME key (user_id), so AQE coalesces them into co-located
+    exchanges; the final counts are three 1-row aggregates cross-joined
+    (no driver collect). All-integer output → exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("users_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("users_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("users_purchase")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    category="timeseries",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(first_ts AS DATE)) // 7 AS INT)
+         AS cohort_week,
+       CAST(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) // 7 AS INT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week
+    (cohort), counted distinct in each subsequent week offset.
+
+    Shape: one groupBy(user) for first-seen, one shuffle join back on
+    user_id (co-partitioned with the aggregate), then a tiny
+    (cohort, offset) distinct-count. Week indexes are integer day
+    arithmetic — exact on both engines (floor division on non-negative
+    day differences)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.floor(
+        F.datediff(F.to_date("first_ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    offset = F.floor(F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7).cast("int")
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(cohort.alias("cohort_week"), offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "timeseries_resample_locf",
+    category="timeseries",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         FROM bounds),
+joined AS (
+  SELECT g.user_id, g.hour, h.v
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+)
+SELECT user_id, hour,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM joined
+""",
+)
+def timeseries_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto an hourly grid, carrying the
+    last observation forward through gaps (LOCF) — the standard
+    time-series densification step before window features.
+
+    Shape: groupBy(user, hour) picks the latest value per bucket (max_by
+    on the event timestamp — (user, ts) is unique in the fixture, so the
+    pick is total-ordered); the grid is `sequence()` per user (generated
+    distributed, never a driver loop); the fill is one window partitioned
+    by user — state bounded by each user's own span. At 100 TB the only
+    shuffles are the bucket aggregate and the user-partitioned window,
+    both on user keys."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max_by("value", "ts").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+@register(
+    "text_unigram_lm_score",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+vocab AS (SELECT token, count(*) AS tok_cnt FROM tok2 GROUP BY token),
+total AS (SELECT sum(tok_cnt) AS corpus_total FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(CAST(round(ln(CAST(tok_cnt AS DOUBLE) / CAST(corpus_total AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM tok2 JOIN vocab USING (token) CROSS JOIN total
+GROUP BY doc_id
+""",
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score per document (mean token log-prob under the
+    corpus's own unigram distribution) — the CCNet-style quality signal."""
+    return TX.unigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_canonical_docs",
+    category="dedup",
+    oracle=f"""
+WITH clusters AS ({_clusters_oracle()}),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+       count(*) AS n_members
+FROM ranked
+GROUP BY cluster_id
+""",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection for near-duplicate clusters: keep
+    the longest document (doc_id tiebreak) of each LSH/connected-component
+    cluster — the "which copy survives" policy step of a dedup pipeline.
+
+    Shape: reuses the full certified cluster pipeline, joins cluster labels
+    to document metadata (a key join on doc_id), one window partitioned by
+    cluster to pick the representative, one aggregate for member counts.
+    The window partitions by cluster_id — bounded by cluster size, never
+    global."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = clusters.join(docs, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("canonical_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

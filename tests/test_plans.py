@@ -76,7 +76,12 @@ DELIBERATE_ALL_PAIRS = {"join_cross", "similarity_topk_bruteforce", "dedup_embed
 #: queries whose plan contains a broadcast nested-loop join against a
 #: 1-row aggregate (a scalar constant, e.g. corpus size N) — O(rows) work
 #: at any scale, not an all-pairs product
-SCALAR_BROADCASTS = {"text_tfidf_top_terms"}
+SCALAR_BROADCASTS = {
+    "text_tfidf_top_terms",
+    "text_unigram_lm_score",  # broadcast 1-row corpus total
+    "funnel_conversion",  # three 1-row stage counts cross-joined
+    "q22_global_sales_opportunity",  # broadcast 1-row (sum, count) threshold
+}
 
 
 @pytest.mark.parametrize(
