@@ -243,3 +243,138 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("canonical_chars"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@register(
+    "embeddings_normalize_l2",
+    category="similarity",
+    oracle="""
+WITH n2 AS (
+  SELECT vec_id,
+         embedding,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(24,12))))
+           AS DOUBLE) AS norm_sq
+  FROM embeddings
+)
+SELECT vec_id,
+       round(sqrt(norm_sq), 6) AS l2_norm,
+       array_to_string(list_transform(embedding,
+         x -> printf('%.4f', round(CAST(x AS DOUBLE) / sqrt(norm_sq), 4) + 0.0)), ',')
+         AS unit_csv
+FROM n2
+""",
+)
+def embeddings_normalize_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embedding vectors to unit length — the standard prep
+    step before cosine similarity becomes a dot product.
+
+    Pure per-row projection: zero shuffles at any scale. The squared norm
+    accumulates in exact DECIMAL (the per-element double square is
+    row-deterministic; the decimal sum is order-free), so sqrt and the
+    normalized elements are bit-identical across engines; elements render
+    as %.4f CSV with the -0.0 guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(24,12)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(24,12)")
+        ).cast("decimal(24,12)"),
+    ).cast("double")
+    norm = F.sqrt(F.col("norm_sq"))
+    return (
+        emb.select("vec_id", "embedding", norm_sq.alias("norm_sq"))
+        .select(
+            "vec_id",
+            F.round(norm, 6).alias("l2_norm"),
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.format_string(
+                        "%.4f", F.round(x.cast("double") / norm, 4) + F.lit(0.0)
+                    ),
+                ),
+                ",",
+            ).alias("unit_csv"),
+        )
+    )
+
+
+@register(
+    "events_time_rollup",
+    category="timeseries",
+    oracle="""
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (CAST(year(ts) AS INT), CAST(month(ts) AS INT),
+                 CAST(day(ts) AS INT), CAST(hour(ts) AS INT))
+""",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hour → day → month → year →
+    grand total in ONE pass (the continuous-aggregate shape TimescaleDB
+    materializes; here it's a single ROLLUP with map-side partial
+    aggregation — each level is a re-aggregation of the level below, never
+    a rescan). Value sums accumulate in exact DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "agg_sketch_union",
+    category="aggregation",
+    oracle="""
+WITH per_source AS (
+  SELECT source, count(DISTINCT text) AS n_exact FROM documents GROUP BY source
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST((SELECT count(DISTINCT text) FROM documents) AS BIGINT) AS n_exact_total,
+       TRUE AS within_bound
+FROM per_source
+""",
+)
+def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: one HLL sketch per source,
+    union-merged into a corpus-wide estimate — the 100 TB pattern where
+    per-partition/per-day sketches are tiny, mergeable, and never reshuffle
+    raw values. Certified contract: the merged estimate lands within 5% of
+    the exact corpus-wide distinct count (pinned TRUE by the oracle),
+    alongside exact per-source bookkeeping."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = docs.groupBy("source").agg(
+        F.hll_sketch_agg("text").alias("sk"),
+        F.countDistinct("text").alias("n_exact"),
+    )
+    merged = sketches.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact_total = docs.agg(F.countDistinct("text").alias("n_exact_total"))
+    return (
+        merged.crossJoin(F.broadcast(exact_total))
+        .select(
+            "n_sources",
+            "n_exact_total",
+            (
+                F.abs(F.col("_est") - F.col("n_exact_total"))
+                <= 0.05 * F.col("n_exact_total")
+            ).alias("within_bound"),
+        )
+    )

@@ -81,6 +81,7 @@ SCALAR_BROADCASTS = {
     "text_unigram_lm_score",  # broadcast 1-row corpus total
     "funnel_conversion",  # three 1-row stage counts cross-joined
     "q22_global_sales_opportunity",  # broadcast 1-row (sum, count) threshold
+    "agg_sketch_union",  # broadcast 1-row exact total joined to 1-row merged sketch
 }
 
 
