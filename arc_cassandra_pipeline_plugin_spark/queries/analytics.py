@@ -378,3 +378,52 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+from arc_cassandra_pipeline_plugin_spark.operators.layout import zorder_key_sql
+
+_Z_SQL = zorder_key_sql("user_id", "(day(ts) - 1)", bits=8)
+
+
+@register(
+    "layout_zorder_events",
+    category="scan",
+    oracle=f"""
+SELECT ({_Z_SQL}) >> 8 AS z_bucket,
+       count(*) AS n_rows,
+       CAST(min(user_id) AS BIGINT) AS min_user, CAST(max(user_id) AS BIGINT) AS max_user,
+       CAST(min(day(ts)) AS BIGINT) AS min_day,  CAST(max(day(ts)) AS BIGINT) AS max_day
+FROM events
+GROUP BY 1
+""",
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave user_id × day-of-month into
+    a Z key and report per-Z-bucket row counts and min/max ranges of BOTH
+    dimensions — the file-level statistics a clustered write would produce.
+
+    Tight per-bucket ranges on both columns are exactly what makes min/max
+    file skipping work for predicates on either dimension; a plain sort
+    gives tight ranges on one column only. The key is pure integer bit
+    arithmetic (codegen, zero extra shuffles — the groupBy stands in for
+    the file boundary). Write-side twin: `operators.layout.cluster_by_zorder`
+    (range-partition + sort on the same key)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    z = zorder_key(F.col("user_id"), F.dayofmonth("ts") - 1, bits=8)
+    return (
+        ev.select(
+            z.alias("z"),
+            "user_id",
+            F.dayofmonth("ts").alias("_day"),
+        )
+        .groupBy(F.shiftright("z", 8).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.min("_day").cast("bigint").alias("min_day"),
+            F.max("_day").cast("bigint").alias("max_day"),
+        )
+    )

@@ -390,3 +390,48 @@ def test_chunk_documents_overlap_and_short_docs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         TXT.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (5, 2)], "x int, y int"
+    )
+    rows = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=4).alias("z")
+        ).collect()
+    }
+    # x bits at even positions, y bits at odd: z(3,0)=0b0101, z(0,3)=0b1010
+    assert rows[(0, 0)] == 0
+    assert rows[(3, 0)] == 0b0101
+    assert rows[(0, 3)] == 0b1010
+    assert rows[(3, 3)] == 0b1111
+    # 5=0b101 -> even slots 0b010001; 2=0b010 -> odd slots 0b001000
+    assert rows[(5, 2)] == 0b010001 + 0b001000
+
+
+def test_cluster_by_zorder_tightens_both_dims(spark):
+    """Z-order clustering bounds BOTH dimensions per partition, unlike a
+    single-column sort which only bounds its leading column."""
+    from arc_cassandra_pipeline_plugin_spark.operators.layout import cluster_by_zorder
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    clustered = cluster_by_zorder(df, "x", "y", bits=6, num_partitions=16)
+    spans = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(spans) == 16
+    # a 64x64 grid in 16 Z-partitions: each covers a ~16x16 quadrant-ish
+    # region, so both spans stay well under the full 0..63 extent
+    assert max(s.dx for s in spans) <= 32
+    assert max(s.dy for s in spans) <= 32
