@@ -427,3 +427,100 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_day").cast("bigint").alias("max_day"),
         )
     )
+
+
+@register(
+    "dq_outliers_zscore",
+    category="quality",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           AS sq
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CAST(e.value AS DOUBLE), 2) AS value,
+       round((e.value - s / n) / sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12)), 4)
+         AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE abs((e.value - s / n) / sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12))) > 2.0
+""",
+)
+def dq_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: events whose value deviates more
+    than 2σ from their event-type mean — the numeric-column anomaly screen
+    of a data-quality suite.
+
+    One pass builds per-group (n, Σx, Σx²) — exact DECIMAL sums, so mean
+    and population variance are bit-identical across engines — then a
+    broadcast-joinable tiny stats table rejoins the facts: two scans, one
+    tiny shuffle, no window. The z threshold compares doubles derived from
+    exact sums (deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.col("sq") / F.col("n") - mean * mean, F.lit(1e-12))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+_POSTINGS_MIN_DF = 40
+
+
+@register(
+    "text_inverted_index",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+posting AS (SELECT DISTINCT token, doc_id FROM tok2)
+SELECT token,
+       count(*) AS doc_freq,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS postings_csv
+FROM posting
+GROUP BY token
+HAVING count(*) >= {_POSTINGS_MIN_DF}
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (token → sorted posting list) for the
+    corpus's frequent terms — the search/retrieval building block over a
+    document store.
+
+    One explode + distinct + one groupBy(token) shuffle; posting lists
+    assemble with sort_array (deterministic order) and ship as CSV so the
+    array representation is engine-identical. The doc-frequency floor keeps
+    posting lists bounded — at web scale the long tail is sharded by
+    (token, bucket) instead of materializing unbounded arrays."""
+    toks = TX.tokens(load_table(spark, sf_dir, "documents")).dropDuplicates(
+        ["token", "doc_id"]
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings_csv"),
+        )
+        .filter(F.col("doc_freq") >= _POSTINGS_MIN_DF)
+    )
