@@ -524,3 +524,112 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_freq") >= _POSTINGS_MIN_DF)
     )
+
+
+@register(
+    "events_rolling_24h",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_prev_24h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+         AS sum_prev_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling features: per user, the count and value-sum of
+    events in the trailing 24 hours of each event (inclusive) — the
+    feature-engineering staple RANGE frame, keyed on event time, not row
+    position.
+
+    One user-partitioned window; the frame is RANGE over epoch seconds so
+    gaps and bursts are handled correctly (a ROWS frame would not be).
+    Frame sums accumulate in exact DECIMAL. Window state is bounded by 24h
+    of any single user's events at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_24h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("sum_prev_24h"),
+    )
+
+
+@register(
+    "event_transitions",
+    category="timeseries",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (behavioral bigrams): for each user's
+    time-ordered stream, count consecutive (current → next) event-type
+    pairs — the input to funnel discovery / Markov-chain attribution.
+
+    One user-partitioned window (lead), one tiny 25-cell aggregate.
+    (user_id, ts) is unique in the fixture so the sequence order is total;
+    at scale the window state is one row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "scd2_history_orders",
+    category="window",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) IS NULL
+            THEN TRUE ELSE FALSE END AS is_current
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def scd2_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each key's
+    versions get [valid_from, valid_to) intervals and an is_current flag —
+    the warehouse pattern for effectivity-dated records, built with one
+    key-partitioned lead() window (total order: date + unique key
+    tiebreak). The custkey bound keeps the certified output small; the
+    plan is identical unbounded."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
