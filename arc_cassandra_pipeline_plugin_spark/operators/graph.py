@@ -1,0 +1,119 @@
+"""Graph operators: weighted PageRank as DataFrame iterations.
+
+Complements the connected-components operators in :mod:`dedup` — PageRank is
+the canonical "iterate a vector against an edge list" shape: each round is
+one join (edge ⋈ rank on src) + one aggregation (sum contributions by dst),
+both shuffling on graph keys. No adjacency structure ever materializes on
+the driver.
+
+Cross-engine determinism (the oracle unrolls the same rounds as SQL CTEs):
+every per-edge contribution is rounded to 12 dp (row-deterministic double
+arithmetic), summed as exact DECIMAL (order-free), and each round's rank is
+re-rounded to 12 dp — so the iterate is bit-identical regardless of
+partitioning, on Spark and DuckDB alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for per-round rank values and edge contributions
+_SCALE = 12
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank with ``iters`` synchronous rounds over an edge
+    DataFrame (src, dst, w). Returns (node, rank).
+
+    Scale shape: the rank vector is a DataFrame keyed by node — each round
+    shuffles |E| contributions on dst and |V| ranks on node; out-weights are
+    computed once. The node count arrives as a broadcast 1-row aggregate
+    (never a driver collect). Dangling mass is dropped (simplified PageRank),
+    matching the oracle formulation. For long chains of rounds, callers
+    should `localCheckpoint` the iterate every few rounds (the certified
+    query uses 3 rounds — lineage stays shallow)."""
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    base = nodes.crossJoin(F.broadcast(n_nodes))
+    rank = base.select(
+        "node", "_n", F.round(F.lit(1.0) / F.col("_n"), _SCALE).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(outw, "_src")
+            .join(rank.select(F.col("node").alias("_src"), "rank"), "_src")
+            .select(
+                "_dst",
+                F.round(F.col("rank") * F.col("_w") / F.col("_out_w"), _SCALE)
+                .cast(f"decimal(20,{_SCALE})")
+                .alias("_c"),
+            )
+        )
+        summed = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
+        rank = (
+            base.join(summed, base.node == summed._dst, "left")
+            .select(
+                "node",
+                "_n",
+                F.round(
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
+                    _SCALE,
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", "rank")
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iters: int = 3, damping: float = 0.85
+) -> str:
+    """The identical computation as DuckDB SQL: ``edges_cte`` must define a
+    CTE body producing (src, dst, w). Rounds unroll into one CTE each,
+    generated from the same constants as :func:`pagerank` so the two cannot
+    drift."""
+    d = damping
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, round(1.0 / n, {_SCALE}) AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst,
+         sum(CAST(round(r.rank * e.w / o.out_w, {_SCALE}) AS DECIMAL(20,{_SCALE}))) AS s
+  FROM edges e JOIN outw o ON e.src = o.src JOIN r{i} r ON r.node = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         round((1.0 - {d}) / nn.n + {d} * coalesce(CAST(c{i}.s AS DOUBLE), 0.0),
+               {_SCALE}) AS rank
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank FROM r{iters}"
+    )

@@ -633,3 +633,59 @@ def scd2_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+_TRADE_EDGES_SQL = """
+SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+FROM lineitem
+JOIN orders    ON o_orderkey = l_orderkey
+JOIN supplier  ON s_suppkey  = l_suppkey
+JOIN customer  ON c_custkey  = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank_oracle_sql
+
+    sql = pagerank_oracle_sql(_TRADE_EDGES_SQL, iters=3, damping=0.85)
+    return f"SELECT node AS nation, round(rank, 8) AS pagerank FROM ({sql})"
+
+
+@register("graph_pagerank_trade", category="dedup", oracle=_pagerank_oracle())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the international trade graph (supplier
+    nation → customer nation, edge weight = lineitem count): which nations
+    the flow of goods concentrates on.
+
+    The edge list is a fact-table rollup (dims broadcast, one fact
+    shuffle); three synchronous PageRank rounds then iterate the rank
+    vector via edge-join + dst-aggregation — the distributed
+    vector-against-edges shape, certified against three unrolled CTE rounds
+    generated from the same constants (see operators/graph.py)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("nation"), F.round("rank", 8).alias("pagerank")
+    )

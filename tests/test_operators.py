@@ -435,3 +435,28 @@ def test_cluster_by_zorder_tightens_both_dims(spark):
     # region, so both spans stay well under the full 0..63 extent
     assert max(s.dx for s in spans) <= 32
     assert max(s.dy for s in spans) <= 32
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """On a symmetric cycle every node has equal rank at every iteration."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], "src string, dst string, w long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    assert all(abs(v - 1.0 / 3.0) < 1e-9 for v in ranks.values())
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    """A node every other node points at accumulates the highest rank."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub", 2), ("b", "hub", 3), ("c", "hub", 1), ("hub", "a", 1)],
+        "src string, dst string, w long",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert ranks["hub"] == max(ranks.values())
+    assert abs(sum(ranks.values())) > 0

@@ -82,6 +82,7 @@ SCALAR_BROADCASTS = {
     "funnel_conversion",  # three 1-row stage counts cross-joined
     "q22_global_sales_opportunity",  # broadcast 1-row (sum, count) threshold
     "agg_sketch_union",  # broadcast 1-row exact total joined to 1-row merged sketch
+    "graph_pagerank_trade",  # broadcast 1-row node count into every rank round
 }
 
 
