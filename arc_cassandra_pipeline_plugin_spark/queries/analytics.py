@@ -689,3 +689,133 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("nation"), F.round("rank", 8).alias("pagerank")
     )
+
+
+@register(
+    "merge_upsert_customers",
+    category="pipeline",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey < 50
+  UNION ALL
+  SELECT 1000000 + i AS c_custkey,
+         'Customer#new' || CAST(i AS VARCHAR) AS c_name,
+         CAST(i % 25 AS BIGINT) AS c_nationkey,
+         0.0 AS c_acctbal,
+         'BUILDING' AS c_mktsegment
+  FROM range(10) t(i)
+)
+SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+       coalesce(u.c_name, b.c_name) AS c_name,
+       coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+       round(coalesce(u.c_acctbal, b.c_acctbal), 2) AS c_acctbal,
+       coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+       CASE WHEN b.c_custkey IS NULL THEN 'insert'
+            WHEN u.c_custkey IS NULL THEN 'unchanged'
+            ELSE 'update' END AS merge_action
+FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+""",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style batch upsert (MERGE) into a parquet-lake dimension:
+    update-rows overwrite matching keys, insert-rows append new keys,
+    untouched rows pass through — with a merge_action audit column.
+
+    Without a transactional table format, MERGE is exactly one full-outer
+    join on the key + column-wise coalesce (update wins) — one
+    co-partitioned shuffle; at scale the rewrite is confined to matched
+    partitions when the lake is key-partitioned. The synthetic update set
+    (50 balance adjustments + 10 new keys via `spark.range` ≡ DuckDB
+    `range`) keeps the query self-contained and exact."""
+    base = load_table(spark, sf_dir, "customer")
+    mods = (
+        base.filter(F.col("c_custkey") < 50)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    news = spark.range(10).select(
+        (F.lit(1000000) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("id").cast("string")).alias("c_name"),
+        (F.col("id") % 25).alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    updates = mods.unionByName(news)
+    u = updates.alias("u")
+    b = base.alias("b")
+    action = (
+        F.when(F.col("b.c_custkey").isNull(), "insert")
+        .when(F.col("u.c_custkey").isNull(), "unchanged")
+        .otherwise("update")
+    )
+    return b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full_outer").select(
+        F.coalesce("u.c_custkey", "b.c_custkey").alias("c_custkey"),
+        F.coalesce("u.c_name", "b.c_name").alias("c_name"),
+        F.coalesce("u.c_nationkey", "b.c_nationkey").alias("c_nationkey"),
+        F.round(F.coalesce("u.c_acctbal", "b.c_acctbal"), 2).alias("c_acctbal"),
+        F.coalesce("u.c_mktsegment", "b.c_mktsegment").alias("c_mktsegment"),
+        action.alias("merge_action"),
+    )
+
+
+_COOC_VOCAB = 30
+_COOC_TOP = 20
+
+
+@register(
+    "text_cooccurrence_pairs",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+vocab AS (
+  SELECT token FROM tok2 GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {_COOC_VOCAB}
+),
+dt AS (SELECT DISTINCT doc_id, token FROM tok2 JOIN vocab USING (token)),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_docs
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+)
+SELECT token_a, token_b, n_docs
+FROM pairs
+ORDER BY n_docs DESC, token_a, token_b
+LIMIT {_COOC_TOP}
+""",
+)
+def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document co-occurrence counts for pairs of
+    head-vocabulary tokens (the PMI/market-basket building block).
+
+    The pair explosion is bounded by the broadcast head vocabulary (top-30
+    tokens → ≤ C(30,2) pairs per doc), so the within-doc self-join never
+    goes quadratic in document length; one groupBy(pair) shuffle; top-N is
+    TakeOrderedAndProject with a total order."""
+    toks = TX.tokens(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(_COOC_VOCAB)
+        .select("token")
+    )
+    dt = toks.join(F.broadcast(vocab), "token").dropDuplicates(["doc_id", "token"])
+    a = dt.select("doc_id", F.col("token").alias("token_a"))
+    b = dt.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("token_b"))
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b")) & (F.col("token_a") < F.col("token_b")),
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "token_a", "token_b")
+        .limit(_COOC_TOP)
+    )
