@@ -535,3 +535,232 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_price_supplier",
+    category="tpch",
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+parts AS (SELECT p_partkey FROM part WHERE p_type = 'LARGE' AND p_size < 25),
+mins AS (
+  SELECT l_partkey AS mp, min(offer_price) AS best
+  FROM offers JOIN parts ON p_partkey = l_partkey GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, s_name, n_name,
+       round(best, 2) AS min_offer_price
+FROM offers
+JOIN mins ON l_partkey = mp AND offer_price = best
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+""",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each part in a
+    type/size subset, the supplier(s) offering the lowest price.
+
+    The fixture has no partsupp, so the offer book derives from lineitem
+    (per (part, supplier) min line price). The correlated `= (SELECT
+    min(...))` becomes aggregate-then-rejoin on the part key — one offers
+    shuffle reused by both sides, broadcast part filter, broadcast
+    supplier/nation decoration. Min compares RAW stored doubles (no
+    arithmetic → no rounding boundary); all tied suppliers survive, as in
+    the spec."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer_price")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") < 25))
+        .select("p_partkey")
+    )
+    offers_f = offers.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).drop("p_partkey")
+    mins = offers_f.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("offer_price").alias("best")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        offers_f.join(
+            mins,
+            (F.col("l_partkey") == F.col("mp"))
+            & (F.col("offer_price") == F.col("best")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.round("best", 2).alias("min_offer_price"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    category="tpch",
+    oracle=f"""
+WITH v AS (
+  SELECT l_partkey, sum({_REV_DEC_SQL}) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       round(CAST(part_value AS DOUBLE), 2) AS part_value
+FROM v
+WHERE part_value * 2000 > (SELECT sum(part_value) FROM v)
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose value
+    through one nation's suppliers exceeds a fraction of that nation's
+    total — the scalar-subquery-in-HAVING pattern.
+
+    Value per part aggregates once (exact decimals); the nation total is a
+    1-row re-aggregate of the SAME frame broadcast back — the fraction
+    threshold `> 0.05% of total` is evaluated as `value * 2000 > total` in
+    exact integer-scaled decimals (no float boundary). Supplier/nation
+    broadcast; one fact shuffle on l_partkey."""
+    nation3 = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(nation3), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_dec()).alias("part_value"))
+    )
+    total = v.agg(F.sum("part_value").alias("nation_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 2000 > F.col("nation_total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cardinality",
+    category="tpch",
+    oracle="""
+WITH complaints AS (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM complaints)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (part/supplier relationship): distinct supplier
+    counts per part attribute group, excluding black-listed suppliers via
+    NOT IN (→ left_anti against a broadcast list).
+
+    The part filter broadcasts (4 sizes, brand exclusion); the anti-join
+    side is tiny; the only big operation is one distinct-count shuffle on
+    the (brand, type, size) grid. All-integer → exact."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    category="tpch",
+    oracle="""
+WITH blue_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+moved AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN blue_parts ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50
+)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM supplier
+JOIN moved  ON l_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-volume suppliers): the nested semi-join
+    chain — part name filter → half-year per-(supplier, part) volume
+    threshold → distinct suppliers decorated with nation.
+
+    Each link shrinks before the next join touches it: the part filter
+    broadcasts into the date-pruned fact scan, the HAVING aggregate
+    reduces to qualifying (supplier, part) pairs, and only the surviving
+    supplier keys reach the dimension join. Quantity sums are exact at the
+    fixture's integer quantities (sum of doubles holding integer values —
+    exact for any order below 2^53)."""
+    blue = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    moved = (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(moved, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -83,6 +83,7 @@ SCALAR_BROADCASTS = {
     "q22_global_sales_opportunity",  # broadcast 1-row (sum, count) threshold
     "agg_sketch_union",  # broadcast 1-row exact total joined to 1-row merged sketch
     "graph_pagerank_trade",  # broadcast 1-row node count into every rank round
+    "q11_important_parts",  # broadcast 1-row nation total threshold
 }
 
 
