@@ -460,3 +460,55 @@ def test_pagerank_sink_attracts_mass(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
     assert ranks["hub"] == max(ranks.values())
     assert abs(sum(ranks.values())) > 0
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from arc_cassandra_pipeline_plugin_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(10000).selectExpr(
+        "id", "id % 64 AS x", "CAST(id / 157 AS INT) AS y"
+    ).repartition(32).write.parquet(src)
+    n_in, n_out = compact_files(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_in == 32 and n_out == 1
+    assert spark.read.parquet(dst).count() == 10000
+    import os
+
+    out_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(out_files) == 1
+
+
+def test_compact_files_zorder_clusters_output(spark, tmp_path):
+    from arc_cassandra_pipeline_plugin_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "comp2")
+    spark.range(4096).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id / 64 AS INT) AS y"
+    ).repartition(16).write.parquet(src)
+    _, n_out = compact_files(
+        spark, src, dst, target_file_bytes=8 << 10, zorder=("x", "y")
+    )
+    assert n_out >= 4
+    spans = (
+        spark.read.parquet(dst)
+        .withColumn("f", F.col("x") * 0 + F.spark_partition_id())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    # clustered: no output file spans the full extent of both dimensions
+    assert all(not (s.dx >= 63 and s.dy >= 63) for s in spans)
+
+
+def test_unigram_lm_rare_tokens_score_lower(spark):
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "zzqx common common common")],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.avg_logprob for r in TX.unigram_lm_score(docs).collect()}
+    assert scores[2] < scores[1]
