@@ -819,3 +819,62 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "token_a", "token_b")
         .limit(_COOC_TOP)
     )
+
+
+@register(
+    "streaming_funnel_stage_mins",
+    category="streaming",
+    oracle="""
+WITH mins AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       CASE WHEN t_view IS NULL THEN 0
+            WHEN t_click IS NULL OR t_click <= t_view THEN 1
+            WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+            ELSE 3 END AS funnel_depth
+FROM mins
+""",
+)
+def streaming_funnel_stage_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel state maintained BY A STREAM: per-user first-touch timestamp
+    of each stage (view/click/purchase) as a real Structured Streaming
+    aggregation (availableNow → memory sink, complete mode), with the
+    funnel depth derived from the stage ordering.
+
+    Conditional `min` is fully mergeable — each micro-batch folds into
+    per-user state of three timestamps, so the streaming plan is a plain
+    stateful aggregation (state = |users| × 3 values, key-partitioned).
+    This is the streaming-safe funnel formulation: the batch variant
+    (`funnel_conversion`) orders events within history; this one maintains
+    first-touch state incrementally and derives depth from the overall
+    first-touch ordering — the trade a production stream actually makes."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir)
+    mins = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    depth = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(
+            F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 1
+        )
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") <= F.col("t_click")),
+            2,
+        )
+        .otherwise(3)
+    )
+    out = mins.select(
+        "user_id", "t_view", "t_click", "t_purchase", depth.alias("funnel_depth")
+    )
+    return ST.run_stream_to_memory(out, "streaming_funnel_stage_mins_result")
