@@ -67,6 +67,8 @@ _KEY_TO_FIELD = {
     "nullableValues": "nullable_values",
     "formatters": "formatters",
     "metadata": "metadata",
+    "leftView": "left_view",
+    "rightView": "right_view",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 

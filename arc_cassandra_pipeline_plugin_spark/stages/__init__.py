@@ -17,7 +17,12 @@ from arc_cassandra_pipeline_plugin_spark.stages.base import (
     register_view,
     repartition,
 )
-from arc_cassandra_pipeline_plugin_spark.stages.execute import CassandraExecute, SQLExecute, SQLValidate
+from arc_cassandra_pipeline_plugin_spark.stages.execute import (
+    CassandraExecute,
+    EqualityValidate,
+    SQLExecute,
+    SQLValidate,
+)
 from arc_cassandra_pipeline_plugin_spark.stages.extract import (
     CassandraExtract,
     DelimitedExtract,
@@ -73,6 +78,7 @@ for _cls in (
     TableLoad,
     SQLExecute,
     SQLValidate,
+    EqualityValidate,
     CassandraExecute,
 ):
     register_stage(_cls)
@@ -99,6 +105,7 @@ __all__ = [
     "TableExtract",
     "SQLExecute",
     "SQLValidate",
+    "EqualityValidate",
     "CassandraExecute",
     "SAVE_MODES",
     "STAGE_REGISTRY",

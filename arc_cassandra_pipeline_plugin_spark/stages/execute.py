@@ -137,3 +137,44 @@ class SQLValidate(PipelineStage):
         if not row[0]:
             raise ValueError(f"SQLValidate failed: {message}")
         return None
+
+
+@dataclass
+class EqualityValidate(PipelineStage):
+    """Equality gate between two registered views: fails the pipeline when
+    the frames differ as multisets (order-insensitive, duplicate-aware) —
+    the Arc framework's EqualityValidate contract (public Arc docs), built
+    on the same sha2-hash full-outer diff as testing.dataset_equality
+    (reference TestUtils.scala:88-125).
+
+    Scale shape: each side reduces to (row_hash, count) — one groupBy per
+    side plus one full-outer join on 64-hex keys; row payloads never
+    reshuffle. The mismatch detail records per-side row counts and the
+    number of differing hash groups."""
+
+    stage_type: str = "EqualityValidate"
+    left_view: str | None = None
+    right_view: str | None = None
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        if not self.left_view or not self.right_view:
+            raise ValueError("EqualityValidate requires left_view and right_view")
+        from arc_cassandra_pipeline_plugin_spark.testing import dataset_diff
+
+        left = spark.table(self.left_view)
+        right = spark.table(self.right_view)
+        if set(left.columns) != set(right.columns):
+            raise ValueError(
+                f"EqualityValidate failed: column sets differ "
+                f"({sorted(left.columns)} vs {sorted(right.columns)})"
+            )
+        diff = dataset_diff(left, right)
+        self.stage_detail.set("left_count", diff.left_count)
+        self.stage_detail.set("right_count", diff.right_count)
+        if not diff.equal:
+            raise ValueError(
+                f"EqualityValidate failed: {len(diff.left_only)} hash groups only in "
+                f"{self.left_view}, {len(diff.right_only)} only in {self.right_view} "
+                f"(rows {diff.left_count} vs {diff.right_count})"
+            )
+        return None

@@ -439,3 +439,34 @@ def test_sql_validate_declarative_config(spark, ctx):
         }
     )
     p.run(spark, ctx)
+
+
+def test_equality_validate_pass_fail_and_config(spark, ctx):
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+    from arc_cassandra_pipeline_plugin_spark.stages import EqualityValidate
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").createOrReplaceTempView("eq_l")
+    spark.createDataFrame([(2, "b"), (1, "a")], "k int, v string").createOrReplaceTempView("eq_r")
+    spark.createDataFrame([(1, "a"), (3, "c")], "k int, v string").createOrReplaceTempView("eq_x")
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("eq_narrow")
+
+    ok = EqualityValidate(name="same", left_view="eq_l", right_view="eq_r")
+    ok.execute(spark, ctx)  # order-insensitive equality passes
+    assert ok.stage_detail.as_dict()["left_count"] == 2
+
+    with _pytest.raises(Exception, match="hash groups only in"):
+        EqualityValidate(name="diff", left_view="eq_l", right_view="eq_x").execute(spark, ctx)
+    with _pytest.raises(Exception, match="column sets differ"):
+        EqualityValidate(name="cols", left_view="eq_l", right_view="eq_narrow").execute(spark, ctx)
+    with _pytest.raises(Exception, match="requires left_view"):
+        EqualityValidate(name="none").execute(spark, ctx)
+
+    # declarative config path (Arc-style camelCase keys)
+    p = parse_config(
+        '{"stages": [{"type": "EqualityValidate", "name": "gate",'
+        ' "environments": ["test"], "leftView": "eq_l", "rightView": "eq_r"}]}',
+        ctx,
+    )
+    p.run(spark, ctx)
