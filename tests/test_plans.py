@@ -184,3 +184,59 @@ def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_window_queries_all_partitioned(spark):
+    """The session's window-based queries (rolling 24h, SCD2, transitions,
+    LOCF) all carry a partition spec on every Window node — no
+    single-partition fallback at any scale."""
+    import re
+
+    for name in (
+        "events_rolling_24h",
+        "scd2_history_orders",
+        "event_transitions",
+        "timeseries_resample_locf",
+    ):
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        plan = explain_str(df, "simple")
+        for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\]", plan):
+            assert m.group("part").strip(), f"{name}: unpartitioned Window:\n{plan}"
+
+
+def test_zorder_audit_is_single_aggregation_no_join(spark):
+    """The Z-order layout audit is pure projection + one aggregate: no join
+    operator of any kind in the plan (the Morton key is codegen'd bit
+    arithmetic, not a lookup)."""
+    df = REGISTRY["layout_zorder_events"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_q21_uses_semi_and_anti_self_joins(spark):
+    """Q21's EXISTS / NOT EXISTS compile to left_semi / left_anti joins (no
+    row duplication, no full materialization of the inner legs)."""
+    df = REGISTRY["q21_suppliers_kept_waiting"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert has_node(df, "TakeOrderedAndProject")
+
+
+def test_q19_broadcasts_part_with_disjunctive_filter(spark):
+    """Q19's OR-of-ANDs predicate keeps the part side broadcast and the
+    plan free of cartesian products."""
+    df = REGISTRY["q19_disjunctive_revenue"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
+
+
+def test_merge_upsert_is_single_key_join(spark):
+    """The CDC merge is one full-outer join on the key — no extra shuffles
+    of the base table beyond the join exchange."""
+    df = REGISTRY["merge_upsert_customers"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "FullOuter" in plan
+    assert_no_cartesian(df)
