@@ -878,3 +878,57 @@ def streaming_funnel_stage_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "t_view", "t_click", "t_purchase", depth.alias("funnel_depth")
     )
     return ST.run_stream_to_memory(out, "streaming_funnel_stage_mins_result")
+
+
+@register(
+    "incremental_view_maintenance",
+    category="pipeline",
+    oracle="""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_spend
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized per-customer aggregate
+    built from history (orders before 2000), then brought current by
+    merging ONLY the delta batch (orders from 2000 on) — never rescanning
+    history. Certified against the full recompute, proving the merge
+    algebra (count and decimal-sum are commutative monoids) is exact.
+
+    At 100 TB this is the difference between a nightly full rebuild and an
+    O(delta) refresh: the delta aggregates alone (map-side combine), then
+    one full-outer join on the aggregate key merges partial states. Both
+    aggregates and the merge shuffle on the same key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    spend = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"), F.sum(spend).alias("spend")
+        )
+
+    base = agg(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = agg(orders.filter(F.col("o_orderdate") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer")
+        .select(
+            F.coalesce("b.o_custkey", "d.o_custkey").alias("o_custkey"),
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            F.round(
+                (
+                    F.coalesce(F.col("b.spend"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("d.spend"), F.lit(0).cast("decimal(18,2)"))
+                ).cast("double"),
+                2,
+            ).alias("total_spend"),
+        )
+    )
