@@ -14,15 +14,11 @@ from tests.conftest import SF_SMALL
 
 REGISTRY = load_all()
 
-#: queries intentionally without an oracle (approximate / array outputs)
-ROWS_ONLY = {
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "multimodal_features",
-    "map_funcs",
-}
+#: queries intentionally without an oracle — EMPTY since round 2: every
+#: registered query (including the approximate/ANN/array ones) carries a
+#: DuckDB oracle (to_json'd outputs, generated SRP/IVF SQL, error-bound
+#: certification for sketches)
+ROWS_ONLY: set[str] = set()
 
 
 def test_registry_covers_survey_categories():
