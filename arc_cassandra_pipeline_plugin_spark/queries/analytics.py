@@ -932,3 +932,116 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_spend"),
         )
     )
+
+
+@register(
+    "dq_profile_summary",
+    category="quality",
+    oracle="""
+WITH per AS (
+  SELECT 'o_orderkey' AS column_name,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         CAST(count(*) - count(o_orderstatus) AS BIGINT),
+         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(count(DISTINCT o_totalprice) AS BIGINT),
+         CAST(count(*) - count(o_totalprice) AS BIGINT),
+         CAST(round(min(o_totalprice), 2) AS VARCHAR),
+         CAST(round(max(o_totalprice), 2) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         CAST(count(*) - count(o_orderpriority) AS BIGINT),
+         CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+  FROM orders
+)
+SELECT * FROM per
+""",
+)
+def dq_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiler summary (the data-catalog staple): one row per
+    profiled column with distinct count, null count, min and max — computed
+    in a SINGLE scan of the table (all per-column aggregates in one
+    groupBy-less pass), then unpivoted to rows.
+
+    The naive per-column loop would scan the table once per column; this
+    shape is the one-pass profile every catalog/quality tool wants at
+    100 TB. Numeric min/max render through round+string so both engines
+    format identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.countDistinct("o_orderkey").alias("d_key"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        F.countDistinct("o_orderstatus").alias("d_st"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("n_st"),
+        F.min("o_orderstatus").cast("string").alias("mn_st"),
+        F.max("o_orderstatus").cast("string").alias("mx_st"),
+        F.countDistinct("o_totalprice").alias("d_tp"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("n_tp"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("mn_tp"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("mx_tp"),
+        F.countDistinct("o_orderpriority").alias("d_pr"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("n_pr"),
+        F.min("o_orderpriority").cast("string").alias("mn_pr"),
+        F.max("o_orderpriority").cast("string").alias("mx_pr"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+           'o_orderkey',      d_key, n_key, mn_key, mx_key,
+           'o_orderstatus',   d_st,  n_st,  mn_st,  mx_st,
+           'o_totalprice',    d_tp,  n_tp,  mn_tp,  mx_tp,
+           'o_orderpriority', d_pr,  n_pr,  mn_pr,  mx_pr
+        ) AS (column_name, n_distinct, n_nulls, min_value, max_value)"""
+    )
+
+
+@register(
+    "attribution_last_touch",
+    category="timeseries",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM events
+)
+SELECT coalesce(touch_type, 'none') AS touch_type,
+       count(*) AS n_purchases
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the user's
+    most recent preceding non-purchase event type — the marketing-analytics
+    primitive, expressed as one user-partitioned window (last non-purchase
+    carried forward, frame ending 1 row before current) plus a 5-group
+    count. No self-join, single shuffle on user_id; window state is one
+    value. (user_id, ts) is unique in the fixture → total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
