@@ -1045,3 +1045,45 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@register(
+    "agg_mad_robust",
+    category="aggregation",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(m, 4) AS median_value,
+       round(quantile_cont(abs(e.value - m), 0.5), 4) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type, m
+""",
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion measure
+    (outlier-insensitive, unlike stddev): two-level exact-percentile
+    aggregation with the group medians broadcast back between passes.
+
+    Shape: one groupBy computes medians, rejoins (25-row broadcast), a
+    second groupBy computes the deviation median. Exact interpolated
+    percentiles (`percentile` ≡ `quantile_cont`) are deterministic doubles
+    on both engines (established by agg_percentiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(
+            F.expr("percentile(abs(value - m), 0.5)").alias("_mad"),
+        )
+        .select(
+            "event_type",
+            F.round("m", 4).alias("median_value"),
+            F.round("_mad", 4).alias("mad"),
+        )
+    )
