@@ -1087,3 +1087,71 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_mad", 4).alias("mad"),
         )
     )
+
+
+_PACK_TOKENS = 300
+
+
+@register(
+    "text_pack_sequences",
+    category="text",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                         t -> length(t) > 0)) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_PACK_TOKENS}
+           AS BIGINT) AS pack_id
+  FROM sized
+)
+SELECT source, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY source, pack_id
+""",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: greedily bin documents into
+    ~fixed-token-budget packs (the step that turns a curated corpus into
+    dense training batches — minimal padding, stable assignment).
+
+    Token counts come from `size(split(...))` — a pure projection, NO
+    explode. The greedy assignment is one running sum over a
+    (source)-partitioned window ordered by doc_id: pack_id =
+    prior-cumulative-tokens div budget. Packing within source keeps every
+    window partition bounded (never a global single-partition sort) and is
+    what a sharded pipeline does anyway. All-integer → exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    normed = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(normed, " "), lambda t: F.length(t) > 0)).alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_TOKENS
+        ),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
