@@ -333,3 +333,25 @@ def test_example_configs_parse_and_run(spark, monkeypatch, tmp_path):
         assert p.stages, fname
     result = p.run(spark, ctx)  # HOCON twin: extract → transform → validate
     assert result.count() == 3
+
+
+def test_curation_example_pipeline_runs(spark, monkeypatch):
+    """The shipped examples/curation.conf (HOCON) parses and runs end-to-end
+    in the test environment: extract → SQL scoring → SQLValidate gate →
+    EqualityValidate determinism audit (ParquetLoad is production-only)."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "curation.conf")
+    with open(path) as f:
+        text = f.read()
+    ctx = PipelineContext(environment="test")
+    p = parse_config(text, ctx)
+    assert [s.stage_type for s in p.stages] == [
+        "ParquetExtract", "SQLTransform", "SQLValidate", "EqualityValidate",
+    ]
+    p.run(spark, ctx)
+    assert spark.table("scored_docs").count() > 0
