@@ -1155,3 +1155,51 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "udf_grouped_map_normalize",
+    category="udf",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round((e.value - mn) / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END), 6)
+         AS norm
+FROM events e JOIN stats USING (event_type)
+""",
+)
+def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (`applyInPandas`): per-event-type min-max
+    normalization computed inside an Arrow batch per group — certifying the
+    THIRD Python execution surface (alongside the grouped-agg pandas UDF
+    and mapInPandas kernels) against the SQL window formulation.
+
+    The kernel does only exact float64 ops (min/max/subtract/divide — IEEE
+    bit-identical to the SQL engines); rounding happens JVM-side afterward
+    so Python's banker's rounding never touches the result. Group state is
+    one Arrow batch per event_type — bounded by the largest group, the
+    standard applyInPandas scaling contract."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        rng = (mx - mn) if mx != mn else 1.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "norm_raw": (pdf["value"] - mn) / rng,
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandas(
+        norm, schema="event_id long, event_type string, norm_raw double"
+    )
+    return out.select(
+        "event_id", "event_type", F.round("norm_raw", 6).alias("norm")
+    )
