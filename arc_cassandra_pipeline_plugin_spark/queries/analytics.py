@@ -1203,3 +1203,90 @@ def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", F.round("norm_raw", 6).alias("norm")
     )
+
+
+import math as _math
+
+#: shared natural-log lookup (6 dp) for integer counts 1..4096 — BOTH engines
+#: consume these literals, so entropy terms are identical by construction
+#: (ln() ulp differences between JVM and C libm are out of the picture)
+_LN_LUT = [round(_math.log(i), 6) for i in range(1, 4097)]
+
+
+def _entropy_oracle() -> str:
+    lut = "[" + ", ".join(f"{v!r}" for v in _LN_LUT) + "]"
+    return f"""
+WITH lut AS (
+  SELECT generate_subscripts(L, 1) AS i, unnest(L) AS lnv
+  FROM (SELECT {lut}::DOUBLE[] AS L)
+),
+chars AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '')) AS ch
+  FROM documents
+),
+chars2 AS (SELECT doc_id, ch FROM chars WHERE ch <> ''),
+freq AS (SELECT doc_id, ch, count(*) AS c FROM chars2 GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freq GROUP BY 1),
+summed AS (
+  SELECT f.doc_id,
+         sum(CAST(f.c AS DECIMAL(18,6)) * CAST(l.lnv AS DECIMAL(12,6))) AS s
+  FROM freq f JOIN lut l ON l.i = f.c
+  GROUP BY f.doc_id
+)
+SELECT t.doc_id, t.n AS n_chars_counted,
+       round(ln_n.lnv - CAST(s AS DOUBLE) / t.n, 4) AS char_entropy
+FROM tot t JOIN summed USING (doc_id) JOIN lut ln_n ON ln_n.i = t.n
+"""
+
+
+@register("text_char_entropy", category="text", oracle=_entropy_oracle())
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the classic
+    gibberish/boilerplate screen: natural prose sits in a narrow entropy
+    band, while repeated boilerplate (low) and random noise (high) fall
+    outside it.
+
+    Determinism by construction: H = ln(n) - (1/n)·Σ c·ln(c) over integer
+    character counts, with every ln value drawn from a Python-generated
+    6-dp lookup table that is embedded as LITERALS in both the Spark plan
+    (broadcast 4096-row dim) and the DuckDB oracle — no transcendental is
+    ever evaluated by either engine, so there is no ulp to disagree on.
+    The c·ln(c) products are exact decimals, summed associatively. One
+    char explode (parallelism guard) + two doc-keyed aggregates + one
+    broadcast lookup join. Docs beyond 4096 counted chars would fall out
+    of the lookup (inner join) — the fixture maximum is ~600."""
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+
+    lut = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_LN_LUT)], "i long, lnv double"
+    )
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+        )
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("t"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    summed = (
+        freq.join(F.broadcast(lut), freq.c == lut.i)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(18,6)") * F.col("lnv").cast("decimal(12,6)")
+            ).alias("s"),
+            F.sum("c").alias("n"),
+        )
+    )
+    ln_n = lut.select(F.col("i").alias("n_i"), F.col("lnv").alias("ln_n"))
+    return (
+        summed.join(F.broadcast(ln_n), summed.n == ln_n.n_i)
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars_counted"),
+            F.round(
+                F.col("ln_n") - F.col("s").cast("double") / F.col("n"), 4
+            ).alias("char_entropy"),
+        )
+    )
