@@ -1290,3 +1290,98 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_entropy"),
         )
     )
+
+
+@register(
+    "gdpr_delete_audit",
+    category="quality",
+    oracle="""
+WITH del AS (SELECT user_id FROM events WHERE event_type = 'error'
+             GROUP BY user_id HAVING count(*) >= 5),
+surviving AS (
+  SELECT e.* FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = e.user_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_users_deleted,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_before,
+       CAST((SELECT count(*) FROM surviving) AS BIGINT) AS rows_after,
+       CAST((SELECT count(*) FROM events) - (SELECT count(*) FROM surviving)
+         AS BIGINT) AS rows_purged
+""",
+)
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation audit: a delete-list of subjects (here:
+    users with ≥5 error events, standing in for deletion requests) is
+    anti-joined out of the fact table, and the audit row records
+    users-deleted / rows-before / rows-after / rows-purged — the
+    compliance evidence a deletion job must emit.
+
+    Shape: the delete-list is a HAVING aggregate (tiny, broadcastable);
+    the purge is one left_anti join on the subject key — at scale this is
+    the partition-rewrite driver, never a row-by-row delete. All counts
+    are 1-row aggregates cross-joined; everything integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    del_list = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 5)
+        .select("user_id")
+    )
+    surviving = ev.join(F.broadcast(del_list), "user_id", "left_anti")
+    return (
+        del_list.agg(F.count(F.lit(1)).alias("n_users_deleted"))
+        .crossJoin(ev.agg(F.count(F.lit(1)).alias("rows_before")))
+        .crossJoin(surviving.agg(F.count(F.lit(1)).alias("rows_after")))
+        .withColumn("rows_purged", F.col("rows_before") - F.col("rows_after"))
+    )
+
+
+@register(
+    "feature_winsorize",
+    category="aggregation",
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(count(*) FILTER (WHERE e.value < lo) AS BIGINT) AS n_clipped_low,
+       CAST(count(*) FILTER (WHERE e.value > hi) AS BIGINT) AS n_clipped_high,
+       round(CAST(sum(CAST(greatest(least(e.value, hi), lo) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*), 4) AS winsorized_mean
+FROM events e JOIN cuts USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized features: clip each group's values at its exact 5th/95th
+    percentile and report the robust mean plus clip counts — the
+    outlier-tolerant normalization step of a feature pipeline.
+
+    Two-pass: exact interpolated percentiles per group (tiny, broadcast
+    back), then a single clipped-aggregate pass with DECIMAL-exact sums.
+    The clip itself is `greatest(least(...))` — pure codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -84,6 +84,7 @@ SCALAR_BROADCASTS = {
     "agg_sketch_union",  # broadcast 1-row exact total joined to 1-row merged sketch
     "graph_pagerank_trade",  # broadcast 1-row node count into every rank round
     "q11_important_parts",  # broadcast 1-row nation total threshold
+    "gdpr_delete_audit",  # three 1-row audit counts cross-joined
 }
 
 
