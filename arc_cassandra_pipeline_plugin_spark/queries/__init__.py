@@ -63,6 +63,7 @@ def load_all() -> dict[str, Query]:
         advanced,
         analytics,
         extensions,
+        mining,
         relational,
         tpch,
         tpch2,

@@ -1,0 +1,322 @@
+"""Data-mining and feature-engineering certified queries (round-2 batch).
+
+Four operators a reference user runs downstream of the pipeline stages,
+each Spark-first with an exact DuckDB oracle:
+
+- ``pareto_frontier_parts`` — 2-D skyline (min price, max size) computed
+  with *partitioned* prefix-max windows only (bucket boundaries from an
+  exact discrete-quantile sketch, per-bucket carry-in maxes broadcast —
+  the same two-phase shape as :mod:`..operators.ranking`), certified
+  against the textbook NOT EXISTS dominance oracle.
+- ``dq_benford_digits`` — Benford's-law first-digit audit; expected
+  frequencies are Python-generated ``log10`` literals embedded in BOTH
+  engines (the char-entropy LUT rule: never trust two libms to agree on
+  a transcendental to the last ulp).
+- ``events_ewma_rolling`` — exponentially-weighted rolling mean over the
+  last K events per user. The weighted sum is a *fixed-order* expression
+  tree over lag columns (identical text in both engines), so the float
+  arithmetic is bit-identical by construction — no aggregation-order
+  nondeterminism exists to round away.
+- ``agg_histogram_equidepth`` — equi-depth histogram whose bucket
+  boundaries are exact discrete quantiles (``approx_percentile`` with
+  lossless accuracy ≡ DuckDB ``quantile_disc`` — certified equivalence
+  inherited from ``agg_approx_percentiles``), so boundary comparisons
+  are against *stored* doubles, never interpolated ones.
+
+Determinism rules follow the registry header; scale notes per query.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline)
+# --------------------------------------------------------------------------
+
+_PARETO_BUCKETS = 8
+
+
+@register(
+    "pareto_frontier_parts",
+    category="mining",
+    oracle="""
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+""",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier: parts not dominated on (price low, size high).
+
+    A part is dominated iff some part is <= on price and >= on size with
+    at least one strict. Equivalent prefix-max formulation (what we
+    compute): reduce to one row per distinct price with the max size at
+    that price (``gmax``); a part survives iff its size equals ``gmax``
+    at its price AND the max size over all *strictly cheaper* prices
+    (``cheaper_max``) is below its size.
+
+    Scale shape: the O(n²) dominance join is replaced by one groupBy on
+    price (massive reduction: |distinct prices| rows), a *partitioned*
+    prefix-max window (buckets from exact discrete price quantiles), and
+    an O(buckets) driver-side carry-in max — the exact two-phase pattern
+    of ``operators.ranking``. No global window, no cartesian join; the
+    comparisons all run on raw stored doubles (no arithmetic → no
+    rounding rule needed).
+    """
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+
+    qs = [i / _PARETO_BUCKETS for i in range(1, _PARETO_BUCKETS)]
+    row = g.select(
+        F.percentile_approx("p_retailprice", qs, 100_000).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"] or []))
+    if bounds:
+        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        g = g.withColumn(
+            "__bkt", F.size(F.filter(bounds_arr, lambda b: b < F.col("p_retailprice")))
+        )
+    else:  # constant price column: single bucket, still exact
+        g = g.withColumn("__bkt", F.lit(0))
+    # lineage cut: the carry-in collect and the final frontier both read
+    # this frame; one materialization instead of two source scans
+    g = g.localCheckpoint(eager=True)
+
+    bucket_max = sorted(
+        (r["__bkt"], r["m"])
+        for r in g.groupBy("__bkt").agg(F.max("gmax").alias("m")).collect()
+    )
+    carry, running = [], None
+    for bkt, m in bucket_max:
+        carry.append((bkt, running))  # max over all strictly-lower buckets
+        running = m if running is None else max(running, m)
+    carry_df = spark.createDataFrame(
+        [(b, -1 if m is None else m) for b, m in carry], "__bkt INT, prev_max INT"
+    )
+
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = (
+        g.join(F.broadcast(carry_df), "__bkt")
+        .withColumn("in_max", F.max("gmax").over(w_in))
+        # one row per *distinct* price inside each bucket, so "earlier
+        # rows" ≡ "strictly cheaper prices"; sizes are >= 1 so -1 is a
+        # safe identity for the running max
+        .withColumn(
+            "cheaper_max",
+            F.greatest(F.coalesce(F.col("in_max"), F.lit(-1)), F.col("prev_max")),
+        )
+        .select("p_retailprice", "gmax", "cheaper_max")
+    )
+    return (
+        part.join(g2, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("cheaper_max") < F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+# Expected Benford frequency log10(1 + 1/d), Python-generated literals
+# shared by both engines (LUT rule: a transcendental evaluated by two
+# different libms is a certified 1-ulp divergence source — see
+# text_char_entropy).
+_BENFORD = [(str(d), round(math.log10(1.0 + 1.0 / d), 6)) for d in range(1, 10)]
+
+
+def _benford_oracle() -> str:
+    values = ", ".join(f"('{d}', {e!r})" for d, e in _BENFORD)
+    return f"""
+WITH digits AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit
+  FROM orders),
+counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+total AS (SELECT count(*) AS total FROM orders),
+expected(digit, expected) AS (VALUES {values})
+SELECT c.digit, CAST(c.n AS BIGINT) AS n, e.expected AS expected,
+       round(CAST(c.n AS DOUBLE) / t.total - e.expected, 6) + 0.0 AS dev
+FROM counts c JOIN expected e USING (digit) CROSS JOIN total t
+"""
+
+
+@register("dq_benford_digits", category="quality", oracle=_benford_oracle())
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: observed vs expected first-digit frequency of
+    order totals (a standard fraud/synthetic-data smell test).
+
+    The digit is taken from the DECIMAL(18,2) string rendering (identical
+    plain notation in both engines for values >= 1 — no float formatting
+    ambiguity); expected frequencies are shared Python literals; the
+    deviation divides two exact integers (bit-identical double division)
+    and rounds. Scale: one scan, one 9-group aggregate, one broadcast of
+    a 1-row total — nothing grows with data."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = spark.createDataFrame(_BENFORD, "digit STRING, expected DOUBLE")
+    total = orders.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.join(F.broadcast(expected), "digit")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            "expected",
+            (
+                F.round(
+                    F.col("n").cast("double") / F.col("total") - F.col("expected"), 6
+                )
+                + F.lit(0.0)
+            ).alias("dev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exponentially-weighted rolling mean
+# --------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.7
+_EWMA_LAGS = 8  # current row + 7 lags
+
+
+def _ewma_expr() -> str:
+    """The weighted-mean expression over ``value`` and ``lag_1..lag_7``.
+
+    Emitted once and used verbatim in BOTH engines: a fixed-order
+    left-associative expression tree over IEEE doubles evaluates
+    bit-identically everywhere, so no aggregation-order nondeterminism
+    exists — the trailing round(6) is cosmetic, not load-bearing."""
+    num, den = [], []
+    for j in range(_EWMA_LAGS):
+        w = repr(_EWMA_DECAY**j)
+        if j == 0:
+            num.append(f"value * {w}")
+            den.append(f"{w}")
+        else:
+            num.append(f"coalesce(lag_{j}, 0.0) * {w}")
+            den.append(f"(CASE WHEN lag_{j} IS NULL THEN 0.0 ELSE {w} END)")
+    return f"round(({' + '.join(num)}) / ({' + '.join(den)}), 6) + 0.0"
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n         ".join(
+        f"lag(value, {j}) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS lag_" + str(j)
+        for j in range(1, _EWMA_LAGS)
+    )
+    return f"""
+WITH lagged AS (
+  SELECT event_id, user_id, value,
+         {lags}
+  FROM events)
+SELECT event_id, user_id, {_ewma_expr()} AS ewma
+FROM lagged
+"""
+
+
+@register("events_ewma_rolling", category="timeseries", oracle=_ewma_oracle())
+def events_ewma_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted rolling mean of the last 8 event
+    values (decay 0.7) — the standard smoothed-feature kernel of a
+    training-data pipeline.
+
+    Formulated over ``lag`` columns + one shared fixed-order arithmetic
+    expression (see ``_ewma_expr``) instead of an aggregate, so both
+    engines evaluate the *same* IEEE expression tree. Scale: one shuffle
+    on user_id, partitioned windows only, O(K) lag columns — the
+    unbounded-history EWMA recurrence is deliberately avoided because
+    its ``decay**-k`` rescaling overflows on long partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.select("event_id", "user_id", "value", "ts")
+    for j in range(1, _EWMA_LAGS):
+        df = df.withColumn(f"lag_{j}", F.lag("value", j).over(w))
+    return df.select("event_id", "user_id", F.expr(_ewma_expr()).alias("ewma"))
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram
+# --------------------------------------------------------------------------
+
+_EQD_FRACS = [round(i / 10, 1) for i in range(1, 10)]
+
+
+def _equidepth_oracle() -> str:
+    fracs = ", ".join(repr(f) for f in _EQD_FRACS)
+    bucket = " + ".join(
+        f"(CASE WHEN o_totalprice > qs[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(len(_EQD_FRACS))
+    )
+    return f"""
+WITH b AS (SELECT quantile_disc(o_totalprice, [{fracs}]) AS qs FROM orders)
+SELECT 1 + {bucket} AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders CROSS JOIN b
+GROUP BY 1
+"""
+
+
+@register("agg_histogram_equidepth", category="aggregation", oracle=_equidepth_oracle())
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: 10 buckets
+    bounded by exact discrete deciles (sibling of the equi-width
+    ``agg_histogram``).
+
+    The boundaries come from ``approx_percentile`` at lossless accuracy —
+    *stored* data values, ≡ DuckDB ``quantile_disc`` (the certified
+    equivalence of ``agg_approx_percentiles``) — so bucket assignment
+    compares raw doubles against raw doubles; no interpolated boundary
+    can straddle an ulp. Scale: one mergeable sketch pass for the
+    boundaries (broadcast 1 row), one group aggregate; bucket count is
+    fixed, so the result never grows."""
+    orders = load_table(spark, sf_dir, "orders")
+    fracs = ", ".join(repr(f) for f in _EQD_FRACS)
+    b = orders.agg(
+        F.expr(f"approx_percentile(o_totalprice, array({fracs}), 1000000)").alias("qs")
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN o_totalprice > element_at(qs, {i + 1}) THEN 1 ELSE 0 END)"
+        for i in range(len(_EQD_FRACS))
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .groupBy(F.expr(f"1 + {bucket}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+    )

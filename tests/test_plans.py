@@ -85,6 +85,8 @@ SCALAR_BROADCASTS = {
     "graph_pagerank_trade",  # broadcast 1-row node count into every rank round
     "q11_important_parts",  # broadcast 1-row nation total threshold
     "gdpr_delete_audit",  # three 1-row audit counts cross-joined
+    "dq_benford_digits",  # broadcast 1-row total count
+    "agg_histogram_equidepth",  # broadcast 1-row decile boundary array
 }
 
 
