@@ -63,11 +63,18 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (schema inferred from parquet metadata).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark rejects by default (PARQUET_TYPE_ILLEGAL). We read it via the
-    ``nanosAsLong`` legacy flag and truncate to microseconds with integer
-    division (``ts div 1000`` — exact on int64, no double rounding), which
-    matches DuckDB's own ns→µs truncation on read (TESTDATA.md note).
+    The ``events`` table's ``ts`` column has shipped in two physical forms
+    across fixture generations; both are normalized to TIMESTAMP (LTZ,
+    session tz pinned UTC) so every certified query sees one type:
+
+    - parquet TIMESTAMP(NANOS): Spark rejects it by default
+      (PARQUET_TYPE_ILLEGAL); read via the ``nanosAsLong`` legacy flag and
+      truncate to microseconds with integer division (``ts div 1000`` —
+      exact on int64), matching DuckDB's ns→µs truncation on read.
+    - parquet timestamp[us] without isAdjustedToUTC: Spark 4 infers
+      TIMESTAMP_NTZ (``inferTimestampNTZ``); cast to TIMESTAMP — with the
+      session tz pinned UTC the wall-clock → instant mapping is the
+      identity, which is exactly the timezone-naive DuckDB reading.
     """
     path = table_path(sf_dir, name)
     # Defensive: all certified queries assume UTC (CassandraLoadSuite.scala:49
@@ -86,8 +93,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     from pyspark.sql import types as T
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

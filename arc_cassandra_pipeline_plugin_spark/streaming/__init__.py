@@ -205,6 +205,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
