@@ -444,3 +444,99 @@ def connected_components_star(
         F.col("u").alias("doc_id"),
         F.least(F.col("u"), F.col("m")).alias("cluster_id"),
     )
+
+
+def word_token_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token) rows over the DISTINCT word tokens (``[a-z0-9]+`` runs of
+    the lowercased text) of each document. Per-document dedup happens
+    inside the projection (``array_distinct`` before the explode), so no
+    extra shuffle is spent de-duplicating rows."""
+    words = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    )
+    return ensure_parallelism(df.select(F.col(id_col), words.alias("w"))).select(
+        id_col, F.explode("w").alias("token")
+    )
+
+
+def setsim_join_prefix(
+    df: DataFrame,
+    threshold_pct: int = 70,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs with word-token Jaccard ≥ threshold, found by a
+    PREFIX-FILTERING set-similarity join (the PPJoin family) instead of an
+    all-pairs comparison.
+
+    Under any global total order on tokens, a pair with Jaccard ≥ t must
+    share a token within the first ``m - ceil(t*m) + 1`` tokens of each
+    side's sorted token set (prefix-filter guarantee) — so candidates are
+    generated by an equi-join on PREFIX tokens only. Ordering tokens by
+    ascending corpus frequency makes prefixes consist of the rarest tokens,
+    collapsing the candidate count; frequent tokens (the quadratic blowup
+    in a naive token join) never enter the join key. Exact |A∩B| is then
+    counted only for candidate pairs, and the threshold test is the
+    integer cross-multiplication ``100*c >= t_pct*(ma+mb-c)`` — no float
+    compare anywhere, so Spark and the oracle cannot disagree on boundary
+    pairs.
+
+    Scale shape: token explode (linear) → frequency count (one shuffle on
+    token) → per-doc rank (one shuffle on doc) → prefix equi-join keyed on
+    rare tokens → candidate-bounded verification joins. The quadratic
+    region is confined to docs sharing RARE tokens, which is the smallest
+    bucket set the data permits. threshold_pct is an integer percent
+    (70 = Jaccard 0.7) to keep every comparison exact.
+    """
+    from pyspark.sql.window import Window
+
+    tok = word_token_sets(df, text_col, id_col)
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_freq"))
+    ordered = tok.join(freq, "token")
+    w = Window.partitionBy(id_col).orderBy("tok_freq", "token")
+    ranked = ordered.select(
+        id_col, "token", F.row_number().over(w).alias("pos")
+    )
+    sizes = ranked.groupBy(id_col).agg(F.max("pos").alias("m"))
+    # prefix length p = m - ceil(t*m) + 1, with ceil done in exact integer
+    # arithmetic: ceil(t_pct*m/100) = (t_pct*m + 99) div 100
+    pref_len = F.col("m") - ((F.lit(threshold_pct) * F.col("m") + 99) / 100).cast(
+        "bigint"
+    ) + 1
+    prefix = ranked.join(sizes, id_col).filter(F.col("pos") <= pref_len)
+    a = prefix.select(F.col(id_col).alias("doc_a"), "token")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verification: expand each candidate pair by A's tokens, probe B's
+    # token set — work is bounded by candidates × |A|, never all pairs
+    ta = tok.select(F.col(id_col).alias("doc_a"), "token")
+    tb = tok.select(F.col(id_col).alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sz = sizes.select(F.col(id_col), F.col("m"))
+    out = (
+        inter.join(sz.withColumnsRenamed({id_col: "doc_a", "m": "ma"}), "doc_a")
+        .join(sz.withColumnsRenamed({id_col: "doc_b", "m": "mb"}), "doc_b")
+        .filter(
+            F.lit(100) * F.col("c")
+            >= F.lit(threshold_pct) * (F.col("ma") + F.col("mb") - F.col("c"))
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")), 6).alias(
+            "jaccard"
+        ),
+    )

@@ -62,6 +62,7 @@ def load_all() -> dict[str, Query]:
     from arc_cassandra_pipeline_plugin_spark.queries import (  # noqa: F401
         advanced,
         analytics,
+        curation,
         extensions,
         mining,
         relational,

@@ -1,0 +1,289 @@
+"""Training-corpus curation queries (round-2, continuation batch).
+
+Four operators a large-scale data pipeline runs between raw ingestion and
+training-set emission, each Spark-first with an exact DuckDB oracle:
+
+- ``dedup_setsim_prefix`` — prefix-filtering set-similarity self-join
+  (the PPJoin family): all pairs with word-token Jaccard ≥ 0.7, found by
+  equi-joining only the RAREST-token prefixes instead of all pairs. The
+  oracle is the brute-force token join, which is feasible at oracle scale
+  and is exactly what the prefix filter provably reproduces.
+- ``quality_filter_cascade`` — reason-coded quality gate: each document
+  gets a bitmask of failed filters (too short / low alpha / few tokens /
+  absurd word length / low token diversity). All comparisons are exact
+  integer cross-multiplications — no float thresholds to drift.
+- ``sample_mixture_weighted`` — deterministic mixture resampling toward
+  target language proportions: per-language keep-rates derived from the
+  observed counts, membership by content hash (the sampling module's
+  md5-bucket convention), certified per-language counts.
+- ``split_leakage_safe`` — near-dup-aware train/val/test split: the split
+  key is the document's dedup CLUSTER id (LSH connected components), not
+  the document id, so near-duplicates can never straddle a split boundary
+  (train/test contamination). Certified against the recursive-CTE closure
+  reused from the cluster oracle.
+
+Determinism rules follow the registry header (integer comparisons, single
+float ops with identical expression shape on both engines, md5 bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
+    _BANDS,
+    _NUM_PERM,
+    _SHINGLE_K,
+    _clusters_cte,
+)
+from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# prefix-filtering set-similarity join
+# ---------------------------------------------------------------------------
+
+_SETSIM_THRESHOLD_PCT = 70
+
+
+@register(
+    "dedup_setsim_prefix",
+    category="dedup",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(c / (sa.m + sb.m - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE 100 * c >= {_SETSIM_THRESHOLD_PCT} * (sa.m + sb.m - c)
+""",
+)
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity self-join at Jaccard ≥ 0.7.
+
+    The Spark side generates candidates only from rarest-token prefixes
+    (provably complete under the prefix-filter guarantee); the oracle
+    brute-forces the token join — identical result set by theorem, so a
+    hash match certifies the filter's completeness, not just its precision.
+    The threshold test is integer cross-multiplication on both engines;
+    the reported Jaccard is one exactly-rounded IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.setsim_join_prefix(docs, threshold_pct=_SETSIM_THRESHOLD_PCT)
+
+
+# ---------------------------------------------------------------------------
+# reason-coded quality filter cascade
+# ---------------------------------------------------------------------------
+
+# bit, name, DuckDB predicate, kept in one table so the Spark expressions
+# and the oracle are generated from the same source of truth
+_QF_BITS = (
+    (1, "too_short", "n_chars < 200"),
+    (2, "low_alpha", "2 * n_alpha < n_chars"),
+    (4, "few_tokens", "n_tokens < 30"),
+    (8, "long_word", "max_word > 40"),
+    (16, "low_diversity", "4 * n_unique < n_tokens"),
+)
+
+
+def _qf_oracle() -> str:
+    bit_sum = " + ".join(
+        f"CASE WHEN {pred} THEN {bit} ELSE 0 END" for bit, _, pred in _QF_BITS
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         coalesce(list_max(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                          w -> length(w))), 0) AS max_word,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_unique
+  FROM documents)
+SELECT doc_id, CAST({bit_sum} AS INT) AS reasons, ({bit_sum}) = 0 AS keep
+FROM feat
+"""
+
+
+@register("quality_filter_cascade", category="text", oracle=_qf_oracle())
+def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reason-coded quality gate: bitmask of failed filters per document.
+
+    A production filter cascade must explain WHY a document was dropped
+    (for ablation and drift monitoring), so each filter sets one bit
+    instead of short-circuiting. One codegen'd projection, no shuffle, no
+    Python; every threshold is an exact integer comparison (ratios as
+    cross-multiplications), so both engines agree on every boundary doc.
+    The predicate table (:data:`_QF_BITS`) generates both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    feat = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).alias("n_alpha"),
+        F.size(words).alias("n_tokens"),
+        F.coalesce(
+            F.array_max(F.transform(words, lambda w: F.length(w))), F.lit(0)
+        ).alias("max_word"),
+        F.size(F.array_distinct(words)).alias("n_unique"),
+    )
+    reasons = None
+    for bit, _, pred in _QF_BITS:
+        term = F.when(F.expr(pred), F.lit(bit)).otherwise(F.lit(0))
+        reasons = term if reasons is None else reasons + term
+    return feat.select(
+        "doc_id",
+        reasons.cast("int").alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted mixture sampling
+# ---------------------------------------------------------------------------
+
+# target language mixture for the resampled corpus (weights sum to 1)
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.15, "fr": 0.15, "es": 0.1}
+_MIX_SALT = "mix"
+_MIX_BUCKETS = 1_000_000  # operators.sampling.BUCKETS
+
+
+def _mix_oracle() -> str:
+    weight_case = " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS BIGINT) // 2 AS target FROM counts),
+rates AS (
+  SELECT lang, n,
+         CAST(floor(least(1.0, (CASE {weight_case} ELSE 0.0 END) * target / n)
+                    * {_MIX_BUCKETS}) AS BIGINT) AS keep_below
+  FROM counts, tot),
+tagged AS (
+  SELECT d.lang,
+         ('0x' || substr(md5('{_MIX_SALT}:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_MIX_BUCKETS} AS b,
+         r.keep_below
+  FROM documents d JOIN rates r ON d.lang = r.lang)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN b < keep_below THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM tagged GROUP BY lang
+"""
+
+
+@register("sample_mixture_weighted", category="sampling", oracle=_mix_oracle())
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling toward target language weights.
+
+    Per-language keep-rate = min(1, w_lang * target_size / n_lang), with
+    target_size = N/2 — the standard recipe for hitting a prescribed data
+    mixture without replacement. Membership is the content-hash bucket of
+    the sampling module (layout-independent, certified exactly); the rate
+    itself is two float ops in a fixed order on both engines, floored to
+    an integer bucket threshold before any comparison.
+
+    Scale shape: the per-language counts are a tiny aggregate broadcast
+    back onto the corpus; the sample itself is a pure filter — no shuffle
+    of the corpus at any point."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(
+        (F.sum("n").cast("bigint") / F.lit(2)).cast("bigint").alias("target")
+    )
+    weight = None
+    for lang, w in sorted(_MIX_WEIGHTS.items()):
+        term = F.when(F.col("lang") == lang, F.lit(w))
+        weight = term if weight is None else weight.when(F.col("lang") == lang, F.lit(w))
+    weight = weight.otherwise(F.lit(0.0))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.floor(
+            F.least(F.lit(1.0), weight * F.col("target") / F.col("n"))
+            * _MIX_BUCKETS
+        ).alias("keep_below"),
+    )
+    tagged = docs.join(F.broadcast(rates), "lang").select(
+        "lang",
+        _bucket(F.col("doc_id"), _MIX_SALT).alias("b"),
+        "keep_below",
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("b") < F.col("keep_below"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "clsplit"
+
+
+def _leakage_split_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+bucketed AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5('{_SPLIT_SALT}:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS b
+  FROM assigned)
+SELECT CASE WHEN b < 100000 THEN 'val' WHEN b < 200000 THEN 'test' ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM bucketed GROUP BY 1
+"""
+
+
+@register("split_leakage_safe", category="sampling", oracle=_leakage_split_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash the dedup CLUSTER id, not
+    the document id.
+
+    A plain per-document split leaks near-duplicates across the train/test
+    boundary (the classic benchmark-contamination bug); assigning whole
+    LSH connected components to one split makes leakage structurally
+    impossible. Certified: per-split document AND cluster counts against
+    the recursive-closure oracle reused from ``dedup_clusters`` — the same
+    band constants generate both sides, so the clustering cannot drift
+    from the certified one.
+
+    Scale shape: components come from the banded-LSH pipeline (linear
+    shuffles, see operators.dedup); the split itself is a hash filter on
+    the cluster label — no extra shuffle beyond the final tiny aggregate."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
+    comp = D.connected_components(pairs)
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    b = _bucket(F.col("cluster_id"), _SPLIT_SALT)
+    bucketed = assigned.withColumn(
+        "split",
+        F.when(b < 100000, "val").when(b < 200000, "test").otherwise("train"),
+    )
+    return bucketed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )

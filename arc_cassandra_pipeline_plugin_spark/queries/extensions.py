@@ -609,9 +609,11 @@ def pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-def _clusters_oracle() -> str:
-    """MinHash → LSH bands → recursive-CTE connected components, generated
-    from the same constants as the Spark pipeline."""
+def _clusters_cte() -> str:
+    """The MinHash → LSH bands → recursive-closure CTE chain (everything
+    after ``WITH RECURSIVE``), ending in a ``comp(doc_id, cluster_id)``
+    relation. Shared by the cluster queries and the leakage-safe split
+    oracle (queries/curation.py) so the band layout cannot drift."""
     rows = _NUM_PERM // _BANDS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
@@ -620,7 +622,6 @@ def _clusters_oracle() -> str:
         for b in range(_BANDS)
     )
     return f"""
-WITH RECURSIVE
 norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
          generate_series(1, greatest(length(t) - {_SHINGLE_K - 1}, 1)),
@@ -637,8 +638,16 @@ walk(id, label) AS (
   SELECT DISTINCT a, a FROM edges
   UNION
   SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id
-)
-SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id)"""
+
+
+def _clusters_oracle() -> str:
+    """MinHash → LSH bands → recursive-CTE connected components, generated
+    from the same constants as the Spark pipeline."""
+    return f"""
+WITH RECURSIVE {_clusters_cte()}
+SELECT doc_id, cluster_id FROM comp
 """
 
 
