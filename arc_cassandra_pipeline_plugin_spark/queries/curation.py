@@ -287,3 +287,117 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space classification & geometry
+# ---------------------------------------------------------------------------
+
+_KNN_PROBE_MAX_ID = 20  # vec_id < 20 → the "unlabeled" probe set
+_KNN_K = 5
+
+
+@register(
+    "knn_label_predict",
+    category="similarity",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_KNN_PROBE_MAX_ID}),
+c AS (SELECT vec_id AS match_id, label, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= {_KNN_PROBE_MAX_ID}),
+scored AS (
+  SELECT query_id, match_id, label,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q CROSS JOIN c),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+    FROM scored) WHERE rn <= {_KNN_K}),
+votes AS (SELECT query_id, label, count(*) AS n_votes FROM topk GROUP BY 1, 2)
+SELECT query_id, label AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS r FROM votes)
+WHERE r = 1
+""",
+)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction over the embedding column: for
+    each unlabeled probe vector, the modal label among its 5 nearest
+    labeled neighbors by cosine (votes desc, label asc tiebreak — fully
+    deterministic).
+
+    Reuses the brute-force top-k kernel (broadcast probes × one corpus
+    scan — the corpus is never shuffled); the vote count and argmax are
+    two tiny aggregates on k·|probes| rows. At 100 TB the probe set rides
+    the same broadcast pattern; the scale path for large probe sets is the
+    ANN bucket join (similarity_ann_lsh)."""
+    from arc_cassandra_pipeline_plugin_spark.operators import similarity as S
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _KNN_PROBE_MAX_ID)
+    corpus = emb.filter(F.col("vec_id") >= _KNN_PROBE_MAX_ID)
+    topk = S.brute_force_topk(corpus, probes, k=_KNN_K)
+    labels = corpus.select(F.col("vec_id").alias("match_id"), "label")
+    votes = (
+        topk.join(labels, "match_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+@register(
+    "centroid_pairwise_cosine",
+    category="similarity",
+    oracle="""
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim_idx, unnest(embedding) AS val
+  FROM embeddings),
+per AS (
+  SELECT label, dim_idx,
+         round(CAST(sum(CAST(val AS DECIMAL(24,12))) AS DOUBLE) / count(*), 4) + 0.0 AS dim_mean
+  FROM e GROUP BY 1, 2),
+cents AS (
+  SELECT label, list(dim_mean ORDER BY dim_idx) AS centroid FROM per GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(list_dot_product(a.centroid, b.centroid)
+             / (sqrt(list_dot_product(a.centroid, a.centroid))
+                * sqrt(list_dot_product(b.centroid, b.centroid))), 6) AS cosine
+FROM cents a JOIN cents b ON a.label < b.label
+""",
+)
+def centroid_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-drift geometry: pairwise cosine between per-label embedding
+    centroids — the confusion-structure monitor for a labeled corpus
+    (near-parallel centroids predict classifier confusion).
+
+    Centroids come from the certified decimal-summed mean (identical
+    4-dp doubles on both engines by the embeddings_group_centroids
+    certification); the pairwise stage is a self-join of ONE ROW PER
+    LABEL — trivially broadcast at any corpus size, since the quadratic
+    term is label-count, not row-count."""
+    from arc_cassandra_pipeline_plugin_spark.operators import similarity as S
+    from arc_cassandra_pipeline_plugin_spark.functions import cosine_similarity
+
+    cents = S.group_centroids(load_table(spark, sf_dir, "embeddings"), group_col="label")
+    a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine_similarity(F.col("ca"), F.col("cb")), 6).alias("cosine"),
+        )
+    )
