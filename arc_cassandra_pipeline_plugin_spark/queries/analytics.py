@@ -1385,3 +1385,240 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval sweep-line: concurrent sessions per day
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessions_concurrency_sweep",
+    category="timeseries",
+    oracle="""
+WITH labeled AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                     > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events)),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS sp,
+         CAST(floor(epoch(max(ts))) AS BIGINT) + 1 AS ep
+  FROM labeled GROUP BY 1, 2),
+span AS (SELECT min(sp) // 86400 AS d0, max(ep) // 86400 AS d1 FROM sess),
+pts AS (
+  SELECT sp AS p, 1 AS delta FROM sess
+  UNION ALL SELECT ep, -1 FROM sess
+  UNION ALL SELECT unnest(generate_series(d0, d1)) * 86400, 0 FROM span),
+net AS (SELECT p, CAST(sum(delta) AS BIGINT) AS net FROM pts GROUP BY p),
+run AS (SELECT p, sum(net) OVER (ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        FROM net)
+SELECT DATE '1970-01-01' + CAST(p // 86400 AS INT) AS day,
+       CAST(max(open) AS BIGINT) AS max_concurrent
+FROM run GROUP BY 1
+""",
+)
+def sessions_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent user sessions per day via an interval sweep-line:
+    +1 at session start, -1 one second past session end (closed-interval
+    semantics — single-event sessions still occupy their instant), net
+    delta per timestamp, running sum = open-session count.
+
+    The running sum is NOT a global window: points are bucketed by day,
+    prefix-summed WITHIN each day (partitioned window), and each day adds
+    a carry-in offset equal to the sum of all earlier days' net deltas —
+    the offset table is day-count sized and joins as a broadcast. Synthetic
+    zero-delta points at each midnight carry concurrency into days with no
+    session boundary of their own. Scale shape: linear shuffles keyed by
+    (user), (timestamp), (day); the only quadratic term is days², i.e.
+    calendar-sized.
+    """
+    from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = TS.sessionize(ev, gap_minutes=30)
+    sess = labeled.groupBy("user_id", "session_id").agg(
+        F.floor(F.min(F.col("ts").cast("double"))).cast("bigint").alias("sp"),
+        (F.floor(F.max(F.col("ts").cast("double"))).cast("bigint") + 1).alias("ep"),
+    )
+    span = sess.agg(
+        (F.min("sp") / 86400).cast("bigint").alias("d0"),
+        (F.max("ep") / 86400).cast("bigint").alias("d1"),
+    )
+    midnights = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    ).select((F.col("d") * 86400).alias("p"), F.lit(0).alias("delta"))
+    pts = (
+        sess.select(F.col("sp").alias("p"), F.lit(1).alias("delta"))
+        .unionAll(sess.select(F.col("ep").alias("p"), F.lit(-1).alias("delta")))
+        .unionAll(midnights)
+    )
+    net = pts.groupBy("p").agg(F.sum("delta").cast("bigint").alias("net"))
+    net = net.withColumn("day_idx", (F.col("p") / 86400).cast("bigint"))
+    w_day = (
+        Window.partitionBy("day_idx")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = net.withColumn("prefix", F.sum("net").over(w_day))
+    day_tot = net.groupBy("day_idx").agg(F.sum("net").alias("day_net"))
+    a = day_tot.select(F.col("day_idx").alias("di"))
+    b = day_tot.select(F.col("day_idx").alias("dj"), "day_net")
+    carry = (
+        a.join(F.broadcast(b), F.col("dj") < F.col("di"), "left")
+        .groupBy("di")
+        .agg(F.coalesce(F.sum("day_net"), F.lit(0)).alias("carry"))
+    )
+    run = within.join(
+        F.broadcast(carry), within["day_idx"] == carry["di"]
+    ).withColumn("open", F.col("prefix") + F.col("carry"))
+    return (
+        run.groupBy("day_idx")
+        .agg(F.max("open").cast("bigint").alias("max_concurrent"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int")
+            ).alias("day"),
+            "max_concurrent",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users (first-seen decomposition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "users_cumulative_distinct",
+    category="timeseries",
+    oracle="""
+WITH first_seen AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+""",
+)
+def users_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day, the growth-curve staple.
+
+    A naive COUNT(DISTINCT) per expanding window rescans history per day;
+    the scalable identity is first-seen decomposition: each user counts
+    exactly once, on their first-seen day, and the cumulative curve is a
+    running sum of the per-day first-seen counts. Both shuffles are linear
+    (user, then day); the running sum runs over the per-day aggregate —
+    calendar-sized, so the join-based carry is a broadcast of day rows."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    a = daily.select(F.col("day").alias("di"))
+    b = daily.select(F.col("day").alias("dj"), "new_users")
+    cum = (
+        a.join(F.broadcast(b), F.col("dj") <= F.col("di"))
+        .groupBy("di")
+        .agg(F.sum("new_users").cast("bigint").alias("cum_users"))
+    )
+    return daily.join(F.broadcast(cum), daily["day"] == cum["di"]).select(
+        "day", "new_users", "cum_users"
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the near-duplicate candidate graph
+# ---------------------------------------------------------------------------
+
+def _triangles_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import _clusters_cte
+
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY node),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+wed AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg)
+SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       round(CASE WHEN n_wedges = 0 THEN 0.0
+                  ELSE 3 * n_triangles / n_wedges END, 6) AS clustering_coeff
+FROM tri, wed
+"""
+
+
+@register("graph_triangle_count", category="graph", oracle=_triangles_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the LSH near-duplicate candidate graph:
+    edges, wedges (2-paths), triangles, and the global clustering
+    coefficient 3·triangles/wedges — the standard density diagnostic for
+    how clique-like dedup clusters are.
+
+    Algorithm: edges are kept in canonical a<b orientation, so each
+    triangle a<b<c is counted exactly once via the two-hop join
+    (a,b)⋈(b,c)⋈(a,c) — the compact-forward strategy without the
+    quadratic symmetric blowup. Wedges come from the degree aggregate in
+    exact integer arithmetic. The only data-sized shuffles are the edge
+    joins, keyed by vertex; the band constants are shared with the dedup
+    certifications so the graph is the certified one."""
+    from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
+        _BANDS,
+        _NUM_PERM,
+        _SHINGLE_K,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    pairs = pairs.localCheckpoint()
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges")
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    F.lit(3) * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
