@@ -71,7 +71,21 @@ def test_semi_anti_use_join_not_full_materialization(spark):
 #:   which joins on the SRP bucket key)
 #: - dedup_embedding_neardup: exact all-pairs oracle path at test scale
 #:   (blocked=True switches to the SRP-bucketed equi-join at scale)
-DELIBERATE_ALL_PAIRS = {"join_cross", "similarity_topk_bruteforce", "dedup_embedding_neardup"}
+DELIBERATE_ALL_PAIRS = {
+    "join_cross",
+    "similarity_topk_bruteforce",
+    "dedup_embedding_neardup",
+    "knn_label_predict",  # broadcast probe set × corpus scan (brute-force top-k kernel)
+}
+
+#: queries with a non-equi join whose BOTH sides are bounded by a dimension
+#: (calendar days, label count), not by data size — the nested-loop term is
+#: days² / labels², constant w.r.t. corpus scale
+DIMENSION_BOUNDED = {
+    "sessions_concurrency_sweep",  # day×day carry-offset join + 1-row span
+    "users_cumulative_distinct",  # day×day running-sum join
+    "centroid_pairwise_cosine",  # label×label centroid self-join
+}
 
 #: queries whose plan contains a broadcast nested-loop join against a
 #: 1-row aggregate (a scalar constant, e.g. corpus size N) — O(rows) work
@@ -87,6 +101,8 @@ SCALAR_BROADCASTS = {
     "gdpr_delete_audit",  # three 1-row audit counts cross-joined
     "dq_benford_digits",  # broadcast 1-row total count
     "agg_histogram_equidepth",  # broadcast 1-row decile boundary array
+    "sample_mixture_weighted",  # broadcast 1-row corpus-size target
+    "graph_triangle_count",  # three 1-row census aggregates cross-joined
 }
 
 
@@ -100,6 +116,8 @@ def test_no_accidental_cartesian_anywhere(spark, name):
         pytest.skip("deliberate all-pairs plan")
     if name in SCALAR_BROADCASTS:
         pytest.skip("1-row scalar broadcast join by design")
+    if name in DIMENSION_BOUNDED:
+        pytest.skip("non-equi join bounded by dimension cardinality (days/labels)")
     df = REGISTRY[name].fn(spark, SF_SMALL)
     assert_no_cartesian(df)
 
