@@ -1134,6 +1134,39 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_append_closed_windows",
+    category="streaming",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= max_ts - INTERVAL 2 HOUR
+GROUP BY 1, 2
+""",
+)
+def streaming_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming output mode, certified: the same tumbling
+    window aggregation as streaming_windowed_agg but in APPEND mode, where
+    only watermark-closed windows emit and state is bounded by the
+    watermark horizon (complete mode keeps all windows forever).
+
+    Determinism: after an availableNow drain the final no-data batch
+    advances the watermark to max_event_time - delay, so exactly the
+    windows with end <= max(ts) - 2h have emitted — which is what the
+    oracle computes in SQL. This certifies the append/watermark eviction
+    contract itself, not just the window arithmetic."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir)
+    agg = ST.tumbling_window_counts(ev, window="1 hour", watermark="2 hours",
+                                    group_cols=("event_type",))
+    return ST.run_stream_to_memory(
+        agg, "streaming_append_closed_result", output_mode="append"
+    )
+
+
+@register(
     "streaming_dedup_keys",
     category="streaming",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
