@@ -401,3 +401,48 @@ def centroid_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity(F.col("ca"), F.col("cb")), 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exactly-k deterministic priority sampling
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 20
+_PRIO_SALT = "prio"
+
+
+@register(
+    "sample_priority_topk",
+    category="sampling",
+    oracle=f"""
+SELECT lang, doc_id, CAST(rn AS INT) AS priority_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn
+  FROM (SELECT lang, doc_id,
+               ('0x' || substr(md5('{_PRIO_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 AS b
+        FROM documents))
+WHERE rn <= {_PRIO_K}
+""",
+)
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (priority sampling): rank
+    documents per language by content-hash priority and keep the first 20 —
+    the fixed-budget complement to fraction-based sampling (a fraction
+    cannot guarantee an exact per-stratum quota; a priority order can).
+
+    Membership depends only on content hashes, so the same corpus yields
+    the same sample on any layout, and adding documents only displaces the
+    lowest-priority members. The rank filter compiles to Spark's
+    WindowGroupLimit pushdown — each group keeps a k-row heap through the
+    shuffle, so no group ever materializes fully sorted."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import _bucket
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_bucket(F.col("doc_id"), _PRIO_SALT), "doc_id")
+    return (
+        docs.withColumn("priority_rank", F.row_number().over(w))
+        .filter(F.col("priority_rank") <= _PRIO_K)
+        .select("lang", "doc_id", "priority_rank")
+    )

@@ -320,3 +320,54 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# blocked fuzzy entity resolution (record linkage)
+# --------------------------------------------------------------------------
+
+_ER_MAX_EDIT = 3
+
+
+@register(
+    "er_blocked_fuzzy_match",
+    category="mining",
+    oracle=f"""
+WITH b AS (
+  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS blk FROM part)
+SELECT a.p_partkey AS part_a, c.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS INT) AS edit_dist
+FROM b a
+JOIN b c ON a.p_brand = c.p_brand AND a.blk = c.blk AND a.p_partkey < c.p_partkey
+WHERE levenshtein(a.p_name, c.p_name) <= {_ER_MAX_EDIT}
+""",
+)
+def er_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking: candidate entity pairs whose names are
+    within edit distance 3, generated ONLY within (brand, first-name-token)
+    blocks — the standard two-phase shape (cheap blocking key → expensive
+    verify) that keeps fuzzy matching off the all-pairs cliff.
+
+    Scale shape: the self-join is an equi-join on the block key, so the
+    quadratic term is the largest block, not the table; edit distance runs
+    only on in-block candidates. The integer threshold and JVM levenshtein
+    (certified against DuckDB's in scalar_edit_distance) keep both engines
+    in exact agreement."""
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table as _lt
+
+    parts = _lt(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"), "p_brand", "blk"
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"), "p_brand", "blk"
+    )
+    return (
+        a.join(b, ["p_brand", "blk"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= _ER_MAX_EDIT)
+        .select("part_a", "part_b", "edit_dist")
+    )
