@@ -1622,3 +1622,137 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse behavioral cosine similarity (inverted-index join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_behavior_similarity",
+    category="similarity",
+    oracle="""
+WITH cnt AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+nrm AS (SELECT user_id, sum(c * c) AS n2 FROM cnt GROUP BY 1),
+dots AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, sum(a.c * b.c) AS dot
+  FROM cnt a JOIN cnt b ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT user_a, user_b,
+       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots
+JOIN nrm na ON na.user_id = dots.user_a
+JOIN nrm nb ON nb.user_id = dots.user_b
+WHERE 10000 * dot * dot >= 9801 * na.n2 * nb.n2
+""",
+)
+def user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user cosine similarity over sparse behavioral vectors (event-
+    type count profiles), computed by the inverted-index join: the dot
+    product is a sum over SHARED coordinates (join keyed on event_type),
+    so user pairs never meet unless they share a dimension and no dense
+    vector is ever materialized.
+
+    Everything until the final cosine is exact integer arithmetic —
+    counts, squared norms, dot products — and the >= 0.99 threshold is the
+    cross-multiplied comparison 10000·dot² >= 9801·n2a·n2b, so boundary
+    pairs are engine-exact; the reported cosine is the single rounded
+    float expression. Scale: the quadratic term concentrates in hot
+    dimensions (frequent event types) — the production mitigation is the
+    same df-cap/prefix ordering as the set-similarity join."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    nrm = cnt.groupBy("user_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = cnt.select(F.col("user_id").alias("user_a"), "event_type", F.col("c").alias("ca"))
+    b = cnt.select(F.col("user_id").alias("user_b"), "event_type", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "event_type")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("user_id").alias("user_a"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("user_id").alias("user_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(na, "user_a")
+        .join(nb, "user_b")
+        .filter(
+            F.lit(10000) * F.col("dot") * F.col("dot")
+            >= F.lit(9801) * F.col("n2a") * F.col("n2b")
+        )
+        .select(
+            "user_a",
+            "user_b",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session path mining (top event-type sequences)
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_top_paths",
+    category="timeseries",
+    oracle="""
+WITH labeled AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                     > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events)),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string((list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+  FROM labeled GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+""",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 10 most common session-opening paths (first 3
+    event types per session, in order). The sequential-pattern staple for
+    funnel discovery.
+
+    Distributed shape: sessionize (lag + running sum, one user-keyed
+    shuffle), per-session rank filter (rn <= 3 compiles to the
+    WindowGroupLimit heap — sessions never sort fully), ordered
+    re-assembly via array_sort on (rank, type) structs, then one
+    path-keyed count and a TakeOrderedAndProject top-10. Total order
+    (count desc, path asc) makes the limit deterministic."""
+    from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = TS.sessionize(ev, gap_minutes=30)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    firstk = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda p: p.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        firstk.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

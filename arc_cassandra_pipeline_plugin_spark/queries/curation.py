@@ -446,3 +446,55 @@ def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("priority_rank") <= _PRIO_K)
         .select("lang", "doc_id", "priority_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# shared-passage detection (winnowing fingerprint pairs)
+# ---------------------------------------------------------------------------
+
+_PASSAGE_MIN_SHARED = 50
+
+
+def _shared_passages_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import _WINNOW_CTE
+
+    return f"""
+WITH {_WINNOW_CTE},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fps a JOIN fps b
+    ON a.fingerprint_hash = b.fingerprint_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM shared WHERE n_shared >= {_PASSAGE_MIN_SHARED}
+"""
+
+
+@register("dedup_shared_passages", category="dedup", oracle=_shared_passages_oracle())
+def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (substring) duplicate detection: document pairs
+    sharing >= 50 winnowing fingerprints. By the winnowing guarantee, any
+    shared substring of length >= w+k-1 chars produces a shared
+    fingerprint, so this finds copied PASSAGES that whole-document Jaccard
+    misses — the plagiarism/boilerplate primitive.
+
+    Scale shape: the pair join is keyed on fingerprint hashes (16-bit-ish
+    ints, never text); document pairs meet only if they actually share a
+    fingerprint. Boilerplate fingerprints shared by thousands of docs are
+    the known skew risk — at production scale, drop fingerprints above a
+    document-frequency cap first (the same rare-first logic as the
+    prefix-filter join). The CTE is shared with text_winnow_fingerprints
+    so both certifications pin the same scheme."""
+    from arc_cassandra_pipeline_plugin_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(docs, k=5, window=4)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fingerprint_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fingerprint_hash")
+    return (
+        a.join(b, "fingerprint_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _PASSAGE_MIN_SHARED)
+    )

@@ -724,11 +724,10 @@ def udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_winnow_fingerprints",
-    category="text",
-    oracle=f"""
-WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+#: the winnowing scheme (k=5, w=4) as a reusable CTE chain ending in
+#: ``fps(doc_id, fingerprint_hash)`` — shared by the fingerprint query and
+#: the shared-passage pair query so the scheme cannot drift between them
+_WINNOW_CTE = f"""norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 pos AS (
   SELECT doc_id,
          greatest(length(t) - 4, 1) AS n_shingles,
@@ -742,9 +741,18 @@ hashed AS (
 wins AS (
   SELECT doc_id, i, n_shingles,
          min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 0 FOLLOWING AND 3 FOLLOWING) AS win_min
-  FROM hashed)
-SELECT DISTINCT doc_id, win_min AS fingerprint_hash
-FROM wins WHERE i <= n_shingles - 3 OR i = 1
+  FROM hashed),
+fps AS (
+  SELECT DISTINCT doc_id, win_min AS fingerprint_hash
+  FROM wins WHERE i <= n_shingles - 3 OR i = 1)"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    category="text",
+    oracle=f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, fingerprint_hash FROM fps
 """,
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
