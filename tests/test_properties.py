@@ -155,3 +155,45 @@ def test_global_row_number_property(spark, scores, buckets):
         for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
     }
     assert got == want
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=30), min_size=2, max_size=10
+    )
+)
+def test_setsim_prefix_filter_is_complete(spark, texts):
+    """The prefix-filtered set-similarity join must find EXACTLY the pairs
+    the brute-force token join finds at the threshold — the prefix-filter
+    guarantee (completeness) plus the verify step (precision), on
+    arbitrary token multisets including empties and duplicates."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import (
+        setsim_join_prefix,
+        word_token_sets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    fast = setsim_join_prefix(df, threshold_pct=60).select("doc_a", "doc_b")
+
+    tok = word_token_sets(df)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    brute = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "m": "ma"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "m": "mb"}), "doc_b")
+        .filter(F.lit(100) * F.col("c") >= F.lit(60) * (F.col("ma") + F.col("mb") - F.col("c")))
+        .select("doc_a", "doc_b")
+    )
+    assert dataset_equality(fast, brute)
