@@ -1756,3 +1756,121 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join with tolerance (pandas merge_asof parity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_tolerance",
+    category="timeseries",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_ts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts)
+SELECT event_id, user_id,
+       CASE WHEN view_ts IS NOT NULL
+              AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(view_ts)) AS BIGINT) <= 3600
+            THEN view_event_id END AS view_event_id,
+       CASE WHEN view_ts IS NOT NULL
+              AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(view_ts)) AS BIGINT) <= 3600
+            THEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(view_ts)) AS BIGINT)
+       END AS staleness_s
+FROM j
+""",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof
+    tolerance=`` parity): each purchase matched to the user's most recent
+    prior view, but matches older than 1 hour are nulled out — the
+    attribution-window form of the as-of join.
+
+    Same single-shuffle union+window kernel as asof_join_events_orders;
+    tolerance is a post-join projection (integer epoch arithmetic on both
+    engines), so the scale shape is unchanged."""
+    from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    j = TS.asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="view_ts")
+    stale = F.floor(F.col("ts").cast("double")).cast("bigint") - F.floor(
+        F.col("view_ts").cast("double")
+    ).cast("bigint")
+    ok = F.col("view_ts").isNotNull() & (stale <= 3600)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.col("view_event_id")).alias("view_event_id"),
+        F.when(ok, stale).alias("staleness_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-table reconciliation audit (header vs line totals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_reconcile_order_totals",
+    category="quality",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(5,2))
+             * CAST(1 + l_tax AS DECIMAL(5,2))) AS computed
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS header, li.computed
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN computed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lineless,
+       CAST(sum(CASE WHEN computed IS NOT NULL
+                      AND abs(header - computed) <= CAST(0.01 AS DECIMAL(18,2))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       CAST(sum(CASE WHEN computed IS NOT NULL
+                      AND abs(header - computed) > CAST(0.01 AS DECIMAL(18,2))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched
+FROM j
+""",
+)
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: does each order header's total
+    equal the sum of its line amounts (price × (1−discount) × (1+tax))
+    within a cent? The anti-entropy audit every warehouse runs between a
+    fact header and its detail table.
+
+    All arithmetic is exact DECIMAL — products and sums are associative,
+    so no float-summation order can flip a boundary row on either engine.
+    One line-keyed aggregate and one header join; both shuffles linear."""
+    li = load_table(spark, sf_dir, "lineitem")
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(5,2)")
+        ).alias("computed")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("header")
+    )
+    j = orders.join(computed, orders["o_orderkey"] == computed["l_orderkey"], "left")
+    tol = F.lit("0.01").cast("decimal(18,2)")
+    has = F.col("computed").isNotNull()
+    diff_ok = F.abs(F.col("header") - F.col("computed")) <= tol
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("bigint").alias("n_lineless"),
+        F.sum(F.when(has & diff_ok, 1).otherwise(0)).cast("bigint").alias("n_reconciled"),
+        F.sum(F.when(has & ~diff_ok, 1).otherwise(0)).cast("bigint").alias("n_mismatched"),
+    )

@@ -1108,3 +1108,39 @@ def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(r, n.n_regionkey == r.r_regionkey).select(
         "n_name", "r_name", F.levenshtein("n_name", "r_name").alias("edit_dist")
     )
+
+
+@register(
+    "window_value_functions",
+    category="window",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+       nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE functions (first_value / last_value / nth_value) with
+    explicit frames: each customer's first, latest, and second order price
+    in date order. last/nth use the full-partition frame (the default
+    running frame silently returns the CURRENT row for last_value — the
+    classic frame bug this query pins down). Pure value selection under a
+    unique total order — nothing to round, partitioned window only."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    running = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    full = running.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(running).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
