@@ -1874,3 +1874,75 @@ def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(has & diff_ok, 1).otherwise(0)).cast("bigint").alias("n_reconciled"),
         F.sum(F.when(has & ~diff_ok, 1).otherwise(0)).cast("bigint").alias("n_mismatched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "attribution_linear",
+    category="timeseries",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+  FROM events),
+seqd AS (
+  SELECT *, coalesce(sum(isp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+  FROM ordered),
+totals AS (SELECT user_id, sum(isp) AS p FROM ordered GROUP BY user_id),
+touches AS (
+  SELECT s.user_id, s.event_type, s.pb + 1 AS segment
+  FROM seqd s JOIN totals t ON t.user_id = s.user_id
+  WHERE s.isp = 0 AND s.pb + 1 <= t.p),
+szs AS (SELECT user_id, segment, count(*) AS n FROM touches GROUP BY 1, 2),
+credited AS (
+  SELECT tc.event_type,
+         CAST(round(CAST(1 AS DOUBLE) / n, 9) AS DECIMAL(12,9)) AS credit
+  FROM touches tc JOIN szs USING (user_id, segment))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       round(CAST(sum(credit) AS DOUBLE), 6) AS total_credit
+FROM credited GROUP BY event_type
+""",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every touch between two purchases
+    shares the next purchase's credit equally (1/n each), the
+    position-agnostic counterpart to attribution_last_touch. Touches after
+    a user's final purchase convert nothing and get zero credit.
+
+    Per-credit shares are rounded to 9 dp and summed in exact DECIMAL, so
+    the cross-engine result is independent of float summation order — the
+    one unrounded float op is the 1/n division, which IEEE rounds
+    identically everywhere. Shuffles: one user-keyed window pass, two
+    small keyed aggregates, one segment join — all linear."""
+    ev = load_table(spark, sf_dir, "events")
+    isp = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seqd = ev.select(
+        "user_id",
+        "event_type",
+        isp.alias("isp"),
+        F.coalesce(F.sum(isp).over(w), F.lit(0)).alias("pb"),
+    )
+    totals = seqd.groupBy("user_id").agg(F.sum("isp").alias("p"))
+    touches = (
+        seqd.join(totals, "user_id")
+        .filter((F.col("isp") == 0) & (F.col("pb") + 1 <= F.col("p")))
+        .select("user_id", "event_type", (F.col("pb") + 1).alias("segment"))
+    )
+    szs = touches.groupBy("user_id", "segment").agg(F.count(F.lit(1)).alias("n"))
+    credited = touches.join(szs, ["user_id", "segment"]).select(
+        "event_type",
+        F.round(F.lit(1.0) / F.col("n"), 9).cast("decimal(12,9)").alias("credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
+    )

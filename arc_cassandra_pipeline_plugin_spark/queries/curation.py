@@ -498,3 +498,111 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _PASSAGE_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# training-export shard manifest
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+_SHARD_SALT = "shard"
+
+
+@register(
+    "export_shard_manifest",
+    category="sampling",
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5('{_SHARD_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_N_SHARDS} AS shard,
+         ('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 8))::BIGINT
+           AS doc_ck
+  FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_ck) AS BIGINT) AS content_checksum
+FROM tagged GROUP BY shard
+""",
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for a training-data export: documents assigned to 16
+    output shards by content hash, with per-shard document / character /
+    token counts and an order-insensitive CONTENT checksum (sum of per-doc
+    md5-prefix ints over id+text) — the artifact a downstream trainer uses
+    to verify an export landed complete and unaltered.
+
+    Layout-independent by construction: hash sharding and an additive
+    checksum mean any cluster, any partitioning, any row order produces
+    the identical manifest. One scan, one 16-group aggregate."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_ck = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ck:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col("text")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    tagged = docs.select(
+        (_bucket(F.col("doc_id"), _SHARD_SALT) % _N_SHARDS).alias("shard"),
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("n_tokens"),
+        doc_ck.alias("doc_ck"),
+    )
+    return tagged.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("doc_ck").cast("bigint").alias("content_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster size distribution
+# ---------------------------------------------------------------------------
+
+def _cluster_hist_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@register("dedup_cluster_size_hist", category="dedup", oracle=_cluster_hist_oracle())
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the dedup graph (singletons included):
+    how much of the corpus is unique vs. templated — the one-look summary
+    that decides dedup policy (a fat tail of giant clusters means
+    boilerplate; mostly singletons means light-touch dedup suffices).
+    Two tiny aggregates over the certified component labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
+    comp = D.connected_components(pairs)
+    assigned = docs.join(comp, "doc_id", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
