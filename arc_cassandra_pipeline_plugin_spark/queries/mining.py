@@ -371,3 +371,165 @@ def er_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= _ER_MAX_EDIT)
         .select("part_a", "part_b", "edit_dist")
     )
+
+
+# --------------------------------------------------------------------------
+# two-sample distribution drift (discrete KS statistic)
+# --------------------------------------------------------------------------
+
+_KS_FRACS = [round(i / 10, 1) for i in range(1, 10)]
+
+
+def _drift_oracle() -> str:
+    fracs = ", ".join(repr(f) for f in _KS_FRACS)
+    return f"""
+WITH b AS (SELECT quantile_disc(value, [{fracs}]) AS qs FROM events),
+th AS (SELECT unnest(qs) AS t FROM b),
+per AS (
+  SELECT t,
+         sum(CASE WHEN event_id % 2 = 0 AND value <= t THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_id % 2 = 1 AND value <= t THEN 1 ELSE 0 END) AS cb
+  FROM events CROSS JOIN th GROUP BY t),
+tot AS (
+  SELECT sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cand
+  FROM events)
+SELECT round(max(abs(CAST(ca AS DOUBLE) / n_base - CAST(cb AS DOUBLE) / n_cand)), 6)
+         AS ks_stat,
+       CAST(any_value(n_base) AS BIGINT) AS n_base,
+       CAST(any_value(n_cand) AS BIGINT) AS n_cand
+FROM per CROSS JOIN tot
+"""
+
+
+@register("dq_distribution_drift", category="quality", oracle=_drift_oracle())
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution drift monitor: the discrete Kolmogorov-
+    Smirnov statistic (max CDF gap at the combined deciles) between a
+    baseline and a candidate slice of the value column — the standard
+    "did the feature distribution move?" gate between pipeline runs.
+
+    The decile grid comes from the lossless-accuracy percentile sketch
+    (stored data values ≡ DuckDB quantile_disc), CDF counts are exact
+    integers against those stored boundaries, and each CDF is one IEEE
+    division — so the statistic is engine-exact after one rounding. Scale:
+    one sketch pass, one constant-factor (×9) conditional aggregate, no
+    shuffle wider than the 9-row grid broadcast."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    fracs = ", ".join(repr(f) for f in _KS_FRACS)
+    b = ev.agg(F.expr(f"approx_percentile(value, array({fracs}), 1000000)").alias("qs"))
+    th = b.select(F.explode("qs").alias("t"))
+    even = F.col("event_id") % 2 == 0
+    per = (
+        ev.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(even & (F.col("value") <= F.col("t")), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~even & (F.col("value") <= F.col("t")), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = ev.agg(
+        F.sum(F.when(even, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~even, 1).otherwise(0)).alias("n_cand"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("n_base")
+        - F.col("cb").cast("double") / F.col("n_cand")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.any_value("n_base").cast("bigint").alias("n_base"),
+            F.any_value("n_cand").cast("bigint").alias("n_cand"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# key-skew diagnostic (Gini coefficient of the key distribution)
+# --------------------------------------------------------------------------
+
+@register(
+    "dq_key_skew_gini",
+    category="quality",
+    oracle="""
+WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, o_custkey) AS i FROM c),
+s AS (SELECT sum(i * cnt) AS s_ic, sum(cnt) AS st, count(*) AS n FROM r)
+SELECT round(CAST(2 * s_ic AS DOUBLE) / (n * st) - CAST(n + 1 AS DOUBLE) / n, 6)
+         AS gini,
+       CAST(n AS BIGINT) AS n_keys,
+       CAST(st AS BIGINT) AS n_rows
+FROM s
+""",
+)
+def dq_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew early warning: the Gini coefficient of the join/group
+    key distribution (0 = perfectly uniform keys, → 1 = one hot key owns
+    the table). This is the diagnostic you run BEFORE a big join to decide
+    whether salting / AQE skew handling is needed.
+
+    The rank-weighted identity G = 2·Σ(i·cᵢ)/(n·Σcᵢ) − (n+1)/n needs a
+    GLOBAL rank of per-key counts — computed with the two-phase bucketed
+    ranking operator (partitioned windows + broadcast offsets), never a
+    single-partition window; everything up to the final two divisions is
+    exact integer arithmetic."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    r = global_row_number(c, order_key="cnt", tiebreaks=["o_custkey"], out_col="i")
+    s = r.agg(
+        F.sum(F.col("i") * F.col("cnt")).alias("s_ic"),
+        F.sum("cnt").alias("st"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return s.select(
+        F.round(
+            (F.lit(2) * F.col("s_ic")).cast("double") / (F.col("n") * F.col("st"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.col("st").cast("bigint").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped linear regression (trend per event type)
+# --------------------------------------------------------------------------
+
+_REGR_EPOCH0 = 1704067200  # 2024-01-01 UTC — centers x to keep moments small
+
+
+@register(
+    "agg_regression",
+    category="aggregation",
+    oracle=f"""
+SELECT event_type,
+       CAST(regr_count(value, epoch(ts) - {_REGR_EPOCH0}) AS BIGINT) AS n,
+       round(regr_slope(value, epoch(ts) - {_REGR_EPOCH0}) * 86400, 6) AS slope_per_day,
+       round(regr_intercept(value, epoch(ts) - {_REGR_EPOCH0}), 6) AS intercept,
+       round(regr_r2(value, epoch(ts) - {_REGR_EPOCH0}), 6) AS r2
+FROM events GROUP BY event_type
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope/intercept/R² of event
+    value over time via the SQL-standard REGR_* aggregates (one map-side-
+    combinable pass — the moments are mergeable, no per-group sort).
+
+    The x axis is epoch seconds CENTERED on a fixed origin: raw epochs
+    (~1.7e9) square to ~3e18 and eat the double mantissa, making the tiny
+    slope numerically unstable across summation orders; centered x keeps
+    every moment small enough that 6-dp rounding absorbs order drift.
+    Slope is rescaled to per-day units for legibility."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") - F.lit(_REGR_EPOCH0)
+    return ev.groupBy("event_type").agg(
+        F.regr_count(F.col("value"), x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x) * 86400, 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )

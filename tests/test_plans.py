@@ -103,6 +103,7 @@ SCALAR_BROADCASTS = {
     "agg_histogram_equidepth",  # broadcast 1-row decile boundary array
     "sample_mixture_weighted",  # broadcast 1-row corpus-size target
     "graph_triangle_count",  # three 1-row census aggregates cross-joined
+    "dq_distribution_drift",  # broadcast 9-row decile grid + 1-row totals
 }
 
 
