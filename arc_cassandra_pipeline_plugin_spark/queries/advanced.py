@@ -237,3 +237,81 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_attrs"),
         m.getItem("type").alias("type_via_map"),
     )
+
+
+@register(
+    "array_higher_order",
+    category="scalar",
+    oracle="""
+WITH q AS (
+  SELECT l_orderkey,
+         list(CAST(l_quantity AS INT) ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS qs
+  FROM lineitem WHERE l_orderkey < 5000 GROUP BY l_orderkey)
+SELECT l_orderkey,
+       CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+       len(list_filter(qs, x -> x = 50)) > 0 AS any_max,
+       len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_pos,
+       CAST(list_sum(qs) AS BIGINT) AS total_qty,
+       to_json(list_transform(qs, x -> x * 2)) AS doubled_json
+FROM q
+""",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery — transform / filter / exists /
+    forall / aggregate (reduce) over per-order quantity arrays, the lambda
+    surface Catalyst compiles to codegen'd loops (never Python).
+
+    Arrays are assembled in (l_linenumber, quantity) order — the fixture
+    reuses line numbers within an order, so the quantity tiebreak makes the
+    element order a total one on both engines; quantities are exact ints,
+    the reduce is an integer fold, and the transformed array is serialized
+    via to_json for a scalar, hashable certification."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    grouped = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("l_linenumber"), F.col("l_quantity").cast("int").alias("q"))
+                )
+            ),
+            lambda p: p.q,
+        ).alias("qs")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size(F.filter("qs", lambda x: x > 25)).alias("n_big"),
+        F.exists("qs", lambda x: x == 50).alias("any_max"),
+        F.forall("qs", lambda x: x > 0).alias("all_pos"),
+        F.aggregate("qs", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_qty"
+        ),
+        F.to_json(F.transform("qs", lambda x: x * 2)).alias("doubled_json"),
+    )
+
+
+@register(
+    "agg_bitwise_bool",
+    category="aggregation",
+    oracle="""
+SELECT event_type,
+       bit_and(user_id) AS uid_and,
+       bit_or(user_id) AS uid_or,
+       bit_xor(user_id) AS uid_xor,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 100) AS any_large
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (BIT_AND/OR/XOR) and boolean (BOOL_AND/OR, i.e. EVERY/ANY)
+    aggregates per group — both families are commutative-associative, so
+    they map-side combine and are partition-order-free by algebra (no
+    rounding needed, unlike float sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("uid_and"),
+        F.bit_or("user_id").alias("uid_or"),
+        F.bit_xor("user_id").alias("uid_xor"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 100).alias("any_large"),
+    )
