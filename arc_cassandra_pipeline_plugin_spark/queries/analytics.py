@@ -1946,3 +1946,147 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation lift (log-free PMI surrogate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_collocation_lift",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+vocab AS (
+  SELECT token FROM tok2 GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {_COOC_VOCAB}
+),
+dt AS (SELECT DISTINCT doc_id, token FROM tok2 JOIN vocab USING (token)),
+n_tot AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+df AS (SELECT token, count(*) AS n_t FROM dt GROUP BY token),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2)
+SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(CAST(nd * n_ab AS DOUBLE) / (fa.n_t * fb.n_t), 6) AS lift
+FROM pairs
+JOIN df fa ON fa.token = pairs.token_a
+JOIN df fb ON fb.token = pairs.token_b
+CROSS JOIN n_tot
+ORDER BY lift DESC, token_a, token_b
+LIMIT 20
+""",
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength by LIFT — n·df(a,b) / (df(a)·df(b)), the
+    rank-equivalent, log-free surrogate for PMI (no engine ever evaluates
+    a transcendental, so there is no libm to disagree with). Top-20 pairs
+    under a total order.
+
+    Same vocab-bounded shape as text_cooccurrence_pairs: the pair join
+    runs on the 30-token vocabulary projection, document frequencies are
+    one tiny aggregate, the corpus size is a broadcast scalar, and
+    everything until the single lift division is exact integer counting."""
+    from arc_cassandra_pipeline_plugin_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(docs)
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_COOC_VOCAB)
+        .select("token")
+    )
+    dt = tok.join(F.broadcast(vocab), "token").select("doc_id", "token").distinct()
+    n_tot = dt.agg(F.countDistinct("doc_id").alias("nd"))
+    df_t = dt.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    a = dt.select("doc_id", F.col("token").alias("token_a"))
+    b = dt.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = df_t.select(F.col("token").alias("token_a"), F.col("n_t").alias("na"))
+    fb = df_t.select(F.col("token").alias("token_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(fa), "token_a")
+        .join(F.broadcast(fb), "token_b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                (F.col("nd") * F.col("n_ab")).cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "token_a", "token_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# inter-event burstiness (coefficient of variation of gaps)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_burstiness",
+    category="timeseries",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           AS g
+  FROM events),
+s AS (
+  SELECT user_id, count(*) AS n, sum(g) AS sg, sum(g * g) AS sg2
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       round(CAST(sg AS DOUBLE) / n, 6) AS mean_gap_s,
+       CASE WHEN sg = 0 THEN NULL
+            ELSE round(sqrt(CAST(n * sg2 - sg * sg AS DOUBLE)) / sg, 6)
+       END AS gap_cv
+FROM s
+""",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile per user: mean inter-event gap and its
+    coefficient of variation (CV ≈ 1 → Poisson-like, ≫ 1 → bursty, ≪ 1 →
+    periodic) — the timing fingerprint used for bot detection and
+    traffic modeling.
+
+    Gaps are exact integer seconds; CV uses the one-pass identity
+    sqrt(n·Σg² − (Σg)²)/Σg where every term is exact int64 before one
+    fixed-order cast/sqrt/divide chain — so no float summation ever
+    happens, only the same IEEE scalar ops on both engines. One
+    user-keyed window pass plus one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.floor(F.col("ts").cast("double")).cast("bigint")
+    gaps = ev.select(
+        "user_id", (ep - F.floor(F.lag(F.col("ts")).over(w).cast("double")).cast("bigint")).alias("g")
+    ).filter(F.col("g").isNotNull())
+    s = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(F.col("sg").cast("double") / F.col("n"), 6).alias("mean_gap_s"),
+        F.when(F.col("sg") == 0, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.sqrt((F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double"))
+                / F.col("sg"),
+                6,
+            )
+        ).alias("gap_cv"),
+    )

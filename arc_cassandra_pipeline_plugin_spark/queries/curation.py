@@ -606,3 +606,92 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters")
     )
+
+
+# ---------------------------------------------------------------------------
+# upsample plan (epoch-repetition planning for rare strata)
+# ---------------------------------------------------------------------------
+
+_UP_SALT = "upsample"
+
+
+def _upsample_oracle() -> str:
+    weight_case = " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS target FROM counts),
+rates AS (
+  SELECT lang, n,
+         (CASE {weight_case} ELSE 0.0 END) * target / n AS rate
+  FROM counts, tot),
+plan AS (
+  SELECT lang, n,
+         CAST(floor(rate) AS BIGINT) AS repeat_factor,
+         CAST(floor((rate - floor(rate)) * {_MIX_BUCKETS}) AS BIGINT) AS frac_units
+  FROM rates),
+extras AS (
+  SELECT d.lang,
+         sum(CASE WHEN ('0x' || substr(md5('{_UP_SALT}:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % {_MIX_BUCKETS} < p.frac_units
+                  THEN 1 ELSE 0 END) AS n_extra
+  FROM documents d JOIN plan p ON d.lang = p.lang GROUP BY d.lang)
+SELECT p.lang, CAST(p.n AS BIGINT) AS n_docs, CAST(p.repeat_factor AS INT) AS repeat_factor,
+       CAST(e.n_extra AS BIGINT) AS n_extra,
+       CAST(p.n * p.repeat_factor + e.n_extra AS BIGINT) AS total_emitted
+FROM plan p JOIN extras e ON e.lang = p.lang
+"""
+
+
+@register("sample_upsample_plan", category="sampling", oracle=_upsample_oracle())
+def sample_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition plan for rebalancing toward the target mixture by
+    UPSAMPLING: each language's documents repeat floor(rate) times, plus a
+    deterministic hash-selected extra pass for the fractional remainder —
+    how a training pipeline oversamples rare strata without replacement
+    randomness (the emitted multiset is identical on any layout and
+    auditable from this plan alone).
+
+    rate = weight · corpus_size / n_lang is a fixed-order two-op float;
+    the integer floor/remainder split and the md5-bucket extra selection
+    are exact, so the plan certifies end-to-end. The actual emission is a
+    join-free sequence-explode by repeat_factor — linear output volume,
+    no shuffle."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.sum("n").cast("bigint").alias("target"))
+    weight = None
+    for lang, w in sorted(_MIX_WEIGHTS.items()):
+        term = F.when(F.col("lang") == lang, F.lit(w))
+        weight = term if weight is None else weight.when(F.col("lang") == lang, F.lit(w))
+    weight = weight.otherwise(F.lit(0.0))
+    rate = weight * F.col("target") / F.col("n")
+    plan = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n",
+        F.floor(rate).cast("bigint").alias("repeat_factor"),
+        F.floor((rate - F.floor(rate)) * _MIX_BUCKETS).cast("bigint").alias("frac_units"),
+    )
+    extras = (
+        docs.join(F.broadcast(plan), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(
+                    _bucket(F.col("doc_id"), _UP_SALT) < F.col("frac_units"), 1
+                ).otherwise(0)
+            ).alias("n_extra")
+        )
+    )
+    return plan.join(extras, "lang").select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("repeat_factor").cast("int").alias("repeat_factor"),
+        F.col("n_extra").cast("bigint").alias("n_extra"),
+        (F.col("n") * F.col("repeat_factor") + F.col("n_extra"))
+        .cast("bigint")
+        .alias("total_emitted"),
+    )

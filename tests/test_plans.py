@@ -104,6 +104,8 @@ SCALAR_BROADCASTS = {
     "sample_mixture_weighted",  # broadcast 1-row corpus-size target
     "graph_triangle_count",  # three 1-row census aggregates cross-joined
     "dq_distribution_drift",  # broadcast 9-row decile grid + 1-row totals
+    "sample_upsample_plan",  # broadcast 1-row corpus-size target
+    "text_collocation_lift",  # broadcast 1-row corpus doc count
 }
 
 
