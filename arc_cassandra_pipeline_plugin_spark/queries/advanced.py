@@ -315,3 +315,84 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("value") > 100).alias("any_large"),
     )
+
+
+@register(
+    "udf_scalar_arrow",
+    category="udf",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(lower(text), '[aeiou]', '', 'g') AS devoweled,
+       CAST(length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS INT) AS n_left
+FROM documents
+""",
+)
+def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR vectorized Python UDF (pandas_udf, Series → Series over the
+    Arrow transport) — completes the Python-surface triad next to the
+    grouped-agg pandas UDF and the applyInPandas grouped map. The kernel
+    is a deterministic string rewrite so the certification is exact; the
+    oracle is the same rewrite in SQL.
+
+    Arrow batching amortizes the Python boundary to per-batch cost — the
+    only acceptable shape for scalar Python at scale (a row-at-a-time
+    Python UDF would be 10-100x slower and is deliberately absent from
+    this library)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def devowel(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace(r"[aeiou]", "", regex=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", devowel(F.col("text")).alias("devoweled"))
+    return out.select("doc_id", "devoweled", F.length("devoweled").alias("n_left"))
+
+
+@register(
+    "join_null_semantics",
+    category="join",
+    oracle="""
+WITH a AS (
+  SELECT event_id, CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_id < 200),
+b AS (
+  SELECT event_id, CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_id >= 200 AND event_id < 400)
+SELECT
+  CAST((SELECT count(*) FROM a JOIN b ON a.k = b.k) AS BIGINT) AS n_inner,
+  CAST((SELECT count(*) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k) AS BIGINT)
+    AS n_nullsafe,
+  CAST((SELECT count(*) FROM a WHERE k IS NULL) AS BIGINT) AS n_left_nullkeys
+""",
+)
+def join_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key join semantics, certified: a plain equi-join DROPS null
+    keys (SQL three-valued logic), the null-safe operator (<=> / IS NOT
+    DISTINCT FROM) matches them — the difference between the two counts is
+    exactly the null×null cross term, a silent row-loss (or row-explosion)
+    bug class in ETL merges. Null-safe joins still hash-partition (null is
+    one key), so the plan stays an equi-join, not a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    a = ev.filter(F.col("event_id") < 200).select(F.col("event_id").alias("ea"), key.alias("ka"))
+    b = ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 400)).select(
+        F.col("event_id").alias("eb"), key.alias("kb")
+    )
+    n_inner = a.join(b, a["ka"] == b["kb"]).agg(F.count(F.lit(1)).alias("n_inner"))
+    n_nullsafe = a.join(b, a["ka"].eqNullSafe(b["kb"])).agg(
+        F.count(F.lit(1)).alias("n_nullsafe")
+    )
+    n_nullkeys = a.filter(F.col("ka").isNull()).agg(
+        F.count(F.lit(1)).alias("n_left_nullkeys")
+    )
+    return (
+        n_inner.crossJoin(n_nullsafe)
+        .crossJoin(n_nullkeys)
+        .select(
+            F.col("n_inner").cast("bigint").alias("n_inner"),
+            F.col("n_nullsafe").cast("bigint").alias("n_nullsafe"),
+            F.col("n_left_nullkeys").cast("bigint").alias("n_left_nullkeys"),
+        )
+    )

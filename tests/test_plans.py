@@ -106,6 +106,7 @@ SCALAR_BROADCASTS = {
     "dq_distribution_drift",  # broadcast 9-row decile grid + 1-row totals
     "sample_upsample_plan",  # broadcast 1-row corpus-size target
     "text_collocation_lift",  # broadcast 1-row corpus doc count
+    "join_null_semantics",  # three 1-row count aggregates cross-joined
 }
 
 
