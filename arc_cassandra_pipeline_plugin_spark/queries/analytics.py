@@ -2090,3 +2090,174 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gap_cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel latency percentiles (time-to-convert)
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_time_to_convert",
+    category="timeseries",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.t_view)) AS BIGINT)) AS latency_s
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(latency_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(latency_s, 0.9) AS BIGINT) AS p90_s,
+       CAST(max(latency_s) AS BIGINT) AS max_s
+FROM p
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per converting user, seconds from
+    first view to first subsequent purchase; reported as exact discrete
+    p50/p90/max — the funnel-latency SLA readout.
+
+    Latencies are exact integer seconds; the percentiles use the lossless
+    approx_percentile ≡ quantile_disc equivalence (stored values, never
+    interpolated). Two user-keyed aggregates and one user join — all
+    linear, final stats a 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ep = lambda c: F.floor(c.cast("double")).cast("bigint")  # noqa: E731
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(ep(F.col("ts")) - ep(F.col("t_view"))).alias("latency_s"))
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("approx_percentile(latency_s, 0.5, 1000000)").cast("bigint").alias("p50_s"),
+        F.expr("approx_percentile(latency_s, 0.9, 1000000)").cast("bigint").alias("p90_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# share-of-total window (ratio_to_report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_share_of_total",
+    category="window",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2)
+SELECT nation, region,
+       round(CAST(revenue AS DOUBLE), 2) AS revenue,
+       round(CAST(revenue AS DOUBLE)
+             / CAST(sum(revenue) OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS region_share
+FROM rev
+""",
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): each nation's fraction of its
+    region's revenue via a window sum over the aggregate — the BI staple
+    that avoids a self-join against the totals.
+
+    Revenue aggregates in exact DECIMAL (associative), the region window
+    runs over the 25-row nation aggregate (dimension-sized, partitioned by
+    region), and the share is one double division of two decimal-exact
+    operands."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "nation",
+        "region",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"),
+            6,
+        ).alias("region_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence audit (rational arithmetic only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_chisq_independence",
+    category="quality",
+    oracle="""
+WITH o AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, sum(obs) AS r FROM o GROUP BY lang),
+ct AS (SELECT source, sum(obs) AS c FROM o GROUP BY source),
+n AS (SELECT sum(obs) AS nn FROM o),
+terms AS (
+  SELECT CAST(round(
+           (obs - CAST(r * c AS DOUBLE) / nn) * (obs - CAST(r * c AS DOUBLE) / nn)
+             / (CAST(r * c AS DOUBLE) / nn), 9) AS DECIMAL(20,9)) AS t
+  FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
+SELECT round(CAST(sum(t) AS DOUBLE), 6) AS chi_sq,
+       CAST((SELECT (count(DISTINCT lang) - 1) FROM o)
+            * (SELECT (count(DISTINCT source) - 1) FROM o) AS BIGINT) AS dof
+FROM terms
+""",
+)
+def dq_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between two categorical columns
+    (language × source): is the language mix the same across sources, or
+    is some source skewing the corpus? The statistic is entirely RATIONAL
+    — observed counts are ints, each expected count is one division, each
+    cell term a fixed-order scalar chain — so unlike a p-value (which
+    needs the incomplete gamma), it certifies exactly: terms round to 9 dp
+    and sum in DECIMAL, immune to float summation order. Degrees of
+    freedom ship alongside for the caller's significance lookup.
+
+    Scale: contingency cells = |langs|x|sources| (dimension-sized); the
+    only corpus-wide work is the first count aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("nn"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("nn")
+    term = F.round((F.col("obs") - e) * (F.col("obs") - e) / e, 9).cast(
+        "decimal(20,9)"
+    )
+    terms = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("t"))
+    )
+    dof = o.agg(
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("bigint")
+        .alias("dof")
+    )
+    return (
+        terms.agg(F.round(F.sum("t").cast("double"), 6).alias("chi_sq"))
+        .crossJoin(F.broadcast(dof))
+    )

@@ -107,6 +107,7 @@ SCALAR_BROADCASTS = {
     "sample_upsample_plan",  # broadcast 1-row corpus-size target
     "text_collocation_lift",  # broadcast 1-row corpus doc count
     "join_null_semantics",  # three 1-row count aggregates cross-joined
+    "dq_chisq_independence",  # broadcast 1-row corpus total + 1-row dof
 }
 
 
