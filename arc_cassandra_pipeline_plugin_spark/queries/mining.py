@@ -533,3 +533,142 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto) revenue classification — scalable cumulative share
+# --------------------------------------------------------------------------
+
+_ABC_BUCKET = 512
+
+
+@register(
+    "orders_abc_analysis",
+    category="mining",
+    oracle="""
+WITH rev AS (SELECT o_custkey AS c, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+             FROM orders GROUP BY 1),
+rk AS (SELECT c, rv, row_number() OVER (ORDER BY CAST(rv AS DOUBLE) DESC, c) AS rn
+       FROM rev),
+cum AS (SELECT c, rv, sum(rv) OVER (ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM rk),
+tot AS (SELECT sum(rv) AS t FROM rev)
+SELECT CASE WHEN 10 * cm <= 8 * t THEN 'A'
+            WHEN 100 * cm <= 95 * t THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(rv) AS DOUBLE), 2) AS class_revenue
+FROM cum CROSS JOIN tot GROUP BY 1
+""",
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B to 95%, C the tail —
+    the inventory-management classic, here as the scalable shape.
+
+    The global revenue rank uses the two-phase bucketed ranking operator;
+    the CUMULATIVE sum then reuses the same decomposition — prefix sums
+    within rank-buckets (partitioned windows) plus a broadcast per-bucket
+    carry-in offset — so no single-partition running sum exists. Revenue
+    stays in exact DECIMAL end-to-end and the 80/95 boundaries are
+    integer-multiplied decimal comparisons — no float can move a customer
+    across a class edge."""
+    from pyspark.sql.window import Window
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rv")
+    )
+    ranked = global_row_number(
+        rev.withColumn("rev_ord", -F.col("rv").cast("double")),
+        order_key="rev_ord",
+        tiebreaks=["c"],
+        out_col="rn",
+    ).withColumn("bkt", ((F.col("rn") - 1) / _ABC_BUCKET).cast("bigint"))
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ranked.withColumn("prefix", F.sum("rv").over(wb))
+    btot = ranked.groupBy("bkt").agg(F.sum("rv").alias("bt"))
+    a = btot.select(F.col("bkt").alias("bi"))
+    b = btot.select(F.col("bkt").alias("bj"), "bt")
+    offs = (
+        a.join(F.broadcast(b), F.col("bj") < F.col("bi"), "left")
+        .groupBy("bi")
+        .agg(F.coalesce(F.sum("bt"), F.lit(0).cast("decimal(18,2)")).alias("off"))
+    )
+    cum = within.join(F.broadcast(offs), within["bkt"] == offs["bi"]).withColumn(
+        "cm", F.col("prefix") + F.col("off")
+    )
+    tot = rev.agg(F.sum("rv").alias("t"))
+    cls = (
+        F.when(F.lit(10) * F.col("cm") <= F.lit(8) * F.col("t"), "A")
+        .when(F.lit(100) * F.col("cm") <= F.lit(95) * F.col("t"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("rv").cast("double"), 2).alias("class_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MAD-based robust outlier screen
+# --------------------------------------------------------------------------
+
+@register(
+    "dq_outliers_mad",
+    category="quality",
+    oracle="""
+WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON m.event_type = e.event_type),
+mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(d.med) AS median_value,
+       any_value(m.mad) AS mad,
+       CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+""",
+)
+def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per group: |x − median| > 3·MAD — immune to
+    the outliers themselves (unlike the z-score screen, whose mean and
+    σ the outliers inflate). Companion to dq_outliers_zscore.
+
+    Median and MAD are exact discrete quantiles (stored values); the
+    deviation and the 3·MAD threshold are single IEEE ops on identical
+    operands, so the flag set is engine-exact with no rounding step at
+    all. Two group aggregates and two broadcast-sized joins on the group
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000000)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("approx_percentile(ad, 0.5, 1000000)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.sum(F.when(F.col("ad") > F.lit(3) * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -85,6 +85,7 @@ DIMENSION_BOUNDED = {
     "sessions_concurrency_sweep",  # day×day carry-offset join + 1-row span
     "users_cumulative_distinct",  # day×day running-sum join
     "centroid_pairwise_cosine",  # label×label centroid self-join
+    "orders_abc_analysis",  # rank-bucket × rank-bucket carry-offset join + 1-row total
 }
 
 #: queries whose plan contains a broadcast nested-loop join against a
