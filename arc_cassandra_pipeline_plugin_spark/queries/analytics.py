@@ -2261,3 +2261,54 @@ def dq_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.agg(F.round(F.sum("t").cast("double"), 6).alias("chi_sq"))
         .crossJoin(F.broadcast(dof))
     )
+
+
+# ---------------------------------------------------------------------------
+# hourly/weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_seasonality",
+    category="timeseries",
+    oracle="""
+WITH g AS (
+  SELECT CAST(extract(dow FROM ts) AS INT) AS dow,
+         CAST(extract(hour FROM ts) AS INT) AS hod,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS t FROM g)
+SELECT dow, hod, CAST(n AS BIGINT) AS n_events,
+       round(CAST(sv AS DOUBLE), 2) AS sum_value,
+       round(CAST(n * 1000000 AS DOUBLE) / t, 6) AS per_million
+FROM g CROSS JOIN tot
+""",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: event density by (day-of-week,
+    hour-of-day) with each cell's share per million events — the load-
+    shaping matrix behind capacity planning and anomaly baselines.
+
+    Calendar extraction is integer (UTC-pinned); value sums are exact
+    DECIMAL; the share is one division of integers. The result is a
+    fixed 7x24 grid — constant output at any corpus size, all shuffles
+    map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.dayofweek("ts").alias("dow_spark"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB extract(dow): 0=Sunday..6
+    g = g.withColumn("dow", (F.col("dow_spark") - 1).cast("int")).drop("dow_spark")
+    tot = g.agg(F.sum("n").alias("t"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        F.col("hod").cast("int").alias("hod"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("sv").cast("double"), 2).alias("sum_value"),
+        F.round((F.col("n") * 1000000).cast("double") / F.col("t"), 6).alias(
+            "per_million"
+        ),
+    )

@@ -695,3 +695,151 @@ def sample_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_emitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-dedup survivors (the applied dedup step)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_survivors",
+    category="dedup",
+    oracle=r"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+  FROM documents),
+keep AS (
+  SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM h GROUP BY content_hash)
+SELECT h.doc_id, h.lang, h.source, CAST(k.n_copies AS BIGINT) AS n_copies
+FROM h JOIN keep k ON k.content_hash = h.content_hash AND k.keep_id = h.doc_id
+""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED exact-dedup step: the surviving document rows (smallest
+    id per normalized-content hash) carrying their duplicate multiplicity
+    — what actually flows downstream after dedup_exact decides the groups.
+
+    Shuffle carries (16-byte hash, id) twice (group + survivor rejoin),
+    never text; the rejoin is an equi-join on the hash so survivors pull
+    their own full rows without a second content pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(D.normalize_text(F.col("text"))).alias("content_hash"),
+    )
+    keep = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        h.join(keep, "content_hash")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "source", F.col("n_copies").cast("bigint").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_BUCKET_DOCS = 100
+
+
+@register(
+    "text_vocab_growth",
+    category="text",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+  FROM documents),
+first_seen AS (
+  SELECT token, min(doc_id) // {_VOCAB_BUCKET_DOCS} AS first_bucket FROM tok GROUP BY token),
+per AS (SELECT first_bucket, count(*) AS new_tokens FROM first_seen GROUP BY 1)
+SELECT CAST(first_bucket AS BIGINT) AS bucket,
+       CAST(new_tokens AS BIGINT) AS new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY first_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+FROM per
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct tokens seen after each
+    100-document prefix of the corpus — the curve that sizes tokenizer
+    vocabularies and predicts how much new data still adds new words.
+
+    Same first-seen decomposition as users_cumulative_distinct (each
+    token counted once, at its first bucket), so the cumulative curve is
+    a running sum over the BUCKET-sized aggregate — never a distinct-count
+    per expanding prefix. The running sum here joins bucket×bucket
+    (dimension-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = D.word_token_sets(docs)
+    first_seen = tok.groupBy("token").agg(
+        (F.min("doc_id") / _VOCAB_BUCKET_DOCS).cast("bigint").alias("first_bucket")
+    )
+    per = first_seen.groupBy("first_bucket").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    a = per.select(F.col("first_bucket").alias("bi"))
+    b = per.select(F.col("first_bucket").alias("bj"), "new_tokens")
+    cum = (
+        a.join(F.broadcast(b), F.col("bj") <= F.col("bi"))
+        .groupBy("bi")
+        .agg(F.sum("new_tokens").cast("bigint").alias("vocab_size"))
+    )
+    return per.join(F.broadcast(cum), per["first_bucket"] == cum["bi"]).select(
+        F.col("first_bucket").cast("bigint").alias("bucket"),
+        F.col("new_tokens").cast("bigint").alias("new_tokens"),
+        "vocab_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding norm audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_embedding_norms",
+    category="quality",
+    oracle="""
+WITH n AS (
+  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(CAST(sum(CAST(round(nrm, 9) AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6)
+         AS mean_norm
+FROM n GROUP BY label
+""",
+)
+def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health audit: L2 norm min/max/mean per label —
+    catches the classic upstream failures (zero vectors, un-normalized
+    batches, fp16 overflow spikes) before they poison similarity search.
+
+    The norm is the sequential fold both engines share (certified by the
+    near-dup queries); min/max are exact selections, and the mean rounds
+    each norm to 9 dp then sums in DECIMAL so no float summation order
+    exists. Pure projection + one group aggregate."""
+    from arc_cassandra_pipeline_plugin_spark.functions import vec_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = emb.select("label", F.sqrt(dot).alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.round(F.col("nrm"), 9).cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+    )

@@ -86,6 +86,7 @@ DIMENSION_BOUNDED = {
     "users_cumulative_distinct",  # day×day running-sum join
     "centroid_pairwise_cosine",  # label×label centroid self-join
     "orders_abc_analysis",  # rank-bucket × rank-bucket carry-offset join + 1-row total
+    "text_vocab_growth",  # bucket×bucket cumulative join (corpus-prefix buckets)
 }
 
 #: queries whose plan contains a broadcast nested-loop join against a
@@ -109,6 +110,7 @@ SCALAR_BROADCASTS = {
     "text_collocation_lift",  # broadcast 1-row corpus doc count
     "join_null_semantics",  # three 1-row count aggregates cross-joined
     "dq_chisq_independence",  # broadcast 1-row corpus total + 1-row dof
+    "events_hourly_seasonality",  # broadcast 1-row grand total onto the 7x24 grid
 }
 
 
