@@ -61,6 +61,39 @@ class SyntheticDocsReader(DataSourceReader):
             yield synthetic_doc(d)
 
 
+class SyntheticDocsStreamReader:
+    """Streaming counterpart (``SimpleDataSourceStreamReader``): emits the
+    same deterministic corpus as the batch reader, ``batch_rows`` ids per
+    micro-batch, with the offset = next unemitted id. ``read`` advances the
+    offset; ``readBetweenOffsets`` replays any committed range exactly
+    (deterministic content makes replay trivially exactly-once) — the two
+    halves of the streaming-source contract the Cassandra connector's CDC
+    readers implement natively."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.rows)
+        # list ITERATORS, not generators: Spark's prefetch cache copies the
+        # returned iterator for replay; list iterators are copyable,
+        # generators are not
+        return iter([synthetic_doc(d) for d in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [synthetic_doc(d) for d in range(int(start["next"]), int(end["next"]))]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticDocsSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -71,6 +104,9 @@ class SyntheticDocsSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
 
 
 @dataclass

@@ -50,3 +50,37 @@ def test_register_is_idempotent(spark):
     register_python_datasources(spark)
     register_python_datasources(spark)
     assert _read(spark, 10, 2).count() == 10
+
+
+def test_stream_reader_matches_batch(spark, tmp_path):
+    """The streaming reader must deliver exactly the batch corpus across
+    micro-batches (no loss, no duplication), with the offset advancing
+    batch_rows ids per micro-batch."""
+    import time
+
+    register_python_datasources(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 350)
+        .option("batch_rows", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pyds"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if spark.table("pyds_stream_out").count() >= 350:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {tuple(r) for r in spark.table("pyds_stream_out").collect()}
+    assert got == {synthetic_doc(i) for i in range(350)}
