@@ -396,3 +396,54 @@ def join_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_left_nullkeys").cast("bigint").alias("n_left_nullkeys"),
         )
     )
+
+
+@register(
+    "json_malformed_audit",
+    category="scalar",
+    oracle="""
+WITH j AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0
+              THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS s
+  FROM events),
+parsed AS (
+  SELECT event_id,
+         CASE WHEN json_valid(s) THEN CAST(json_extract(s, '$.k') AS INT) END AS k,
+         NOT json_valid(s) AS is_corrupt
+  FROM j)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN NOT is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM parsed
+""",
+)
+def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record handling for schema-on-read JSON: 10% of the payloads
+    are truncated (simulating upstream corruption), and the audit counts
+    parse failures vs successes plus an aggregate over the surviving field
+    — the PERMISSIVE-mode contract (from_json returns NULL on malformed
+    input instead of failing the job) that every landing-zone pipeline
+    relies on.
+
+    The corruption is deterministic (id-keyed), parsing is the JVM JSON
+    reader (never Python), and all outputs are integer counts — exact on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        F.from_json(s, "k INT").alias("p"),
+    )
+    k = F.col("p.k")
+    is_corrupt = F.col("p").isNull() | k.isNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(is_corrupt, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~is_corrupt, 1).otherwise(0)).cast("bigint").alias("n_valid"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+    )
