@@ -2312,3 +2312,59 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_million"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort lifetime value (revenue-weighted retention)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_cohort_ltv",
+    category="timeseries",
+    oracle="""
+WITH fy AS (SELECT o_custkey, min(CAST(extract(year FROM o_orderdate) AS INT)) AS cohort
+            FROM orders GROUP BY 1),
+rev AS (
+  SELECT fy.cohort,
+         CAST(extract(year FROM o.o_orderdate) AS INT) - fy.cohort AS age,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+         count(DISTINCT o.o_custkey) AS active_customers
+  FROM orders o JOIN fy ON fy.o_custkey = o.o_custkey
+  GROUP BY 1, 2)
+SELECT CAST(cohort AS INT) AS cohort_year, CAST(age AS INT) AS cohort_age,
+       CAST(active_customers AS BIGINT) AS active_customers,
+       round(CAST(revenue AS DOUBLE), 2) AS revenue
+FROM rev
+""",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: revenue and active-customer counts by
+    (first-order-year cohort, years since first order) — the
+    revenue-weighted sibling of the retention triangle that answers "how
+    much does a cohort spend as it ages".
+
+    Cohort assignment is a user-keyed min; the matrix aggregate groups on
+    (cohort, age) — both linear shuffles on the customer key, with
+    revenue in exact DECIMAL. The output is a years×years triangle —
+    dimension-sized at any corpus scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    fy = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("cohort")
+    )
+    rev = (
+        orders.join(fy, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate").cast("int") - F.col("cohort")).alias("age"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    return rev.select(
+        F.col("cohort").cast("int").alias("cohort_year"),
+        F.col("age").cast("int").alias("cohort_age"),
+        F.col("active_customers").cast("bigint").alias("active_customers"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+    )

@@ -1681,3 +1681,88 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_csv"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance pairs (banded, pigeonhole-complete)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BANDS = 4  # 15 bits each over the 60-bit code
+_SIMHASH_MAX_HAM = 3  # bands-1 guarantees completeness by pigeonhole
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+WITH sim AS ({_simhash_oracle()}),
+banded AS (
+  SELECT doc_id, simhash, b.b AS band_id,
+         (simhash >> (15 * b.b)) & 32767 AS band_val
+  FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM banded a JOIN banded c
+    ON a.band_id = c.band_id AND a.band_val = c.band_val AND a.doc_id < c.doc_id),
+sa AS (SELECT doc_id, simhash FROM sim)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM cand
+JOIN sa x ON x.doc_id = cand.doc_a
+JOIN sa y ON y.doc_id = cand.doc_b
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SIMHASH_MAX_HAM}
+"""
+
+
+@register("dedup_simhash_pairs", category="dedup", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED SimHash near-dup step: document pairs within Hamming
+    distance 3 of each other's 60-bit codes, found by banding the code
+    into 4×15-bit sub-codes — by pigeonhole, ≤3 differing bits leave at
+    least one band identical, so the banded equi-join is COMPLETE (the
+    same guarantee structure as MinHash-LSH, here deterministic rather
+    than probabilistic).
+
+    Candidates join on (band_id, band_val); the Hamming verify is one
+    XOR + popcount per candidate — all integer ops. Scale: the quadratic
+    term is the largest single band bucket; boilerplate-heavy corpora cap
+    band-bucket sizes upstream the same way LSH does."""
+    sims = D.simhash64(load_table(spark, sf_dir, "documents"))
+    sims = sims.localCheckpoint()
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        (
+                            F.shiftright(F.col("simhash"), 15 * b)
+                            .bitwiseAND(F.lit(32767))
+                        ).alias("band_val"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band_id", "bv.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_val"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_val"
+    )
+    cand = (
+        a.join(c, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    y = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAM)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
