@@ -1766,3 +1766,68 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAM)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+@register(
+    "streaming_pyds_source",
+    category="streaming",
+    oracle="""
+WITH rows AS (
+  SELECT i AS doc_id, md5(CAST(i AS VARCHAR)) AS text,
+         'src_' || CAST(i % 5 AS VARCHAR) AS source
+  FROM range(400) t(i))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(('0x' || substr(text, 1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM rows GROUP BY source
+""",
+)
+def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming FROM the custom Python DataSource: the
+    synthetic-docs stream reader feeds a complete-mode grouped aggregation
+    into a memory sink, micro-batch offsets advancing until the bounded
+    source drains — certifying the full custom-source streaming path
+    (offsets, replay contract, stateful agg) against the oracle that
+    regenerates the identical corpus from pure SQL.
+
+    The additive md5-prefix checksum makes the certification content-
+    sensitive, not just count-sensitive. Deterministic: the source is
+    id-keyed, the aggregation commutative."""
+    import tempfile
+    import time
+
+    from arc_cassandra_pipeline_plugin_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 400)
+        .option("batch_rows", 150)
+        .load()
+    )
+    agg = stream.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.conv(F.substring(F.col("text"), 1, 8), 16, 10).cast("bigint")
+        ).cast("bigint").alias("checksum"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyds_stream_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pyds_q_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            rows = spark.table("pyds_stream_agg").collect()
+            if sum(r["n_docs"] for r in rows) >= 400:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table("pyds_stream_agg")
