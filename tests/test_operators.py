@@ -512,3 +512,33 @@ def test_unigram_lm_rare_tokens_score_lower(spark):
     )
     scores = {r.doc_id: r.avg_logprob for r in TX.unigram_lm_score(docs).collect()}
     assert scores[2] < scores[1]
+
+
+def test_simhash_banding_is_complete_vs_brute_force(spark):
+    """The 4x15-bit banding in dedup_simhash_pairs must find EXACTLY the
+    pairs a brute-force Hamming scan finds at distance <= 3 (the oracle
+    shares the banding, so this is the independent check of the
+    pigeonhole completeness argument)."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
+        dedup_simhash_pairs,
+    )
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from arc_cassandra_pipeline_plugin_spark.testing import dataset_equality
+    from tests.conftest import SF_SMALL
+
+    banded = dedup_simhash_pairs(spark, SF_SMALL).select("doc_a", "doc_b", "hamming")
+
+    sims = D.simhash64(load_table(spark, SF_SMALL, "documents")).localCheckpoint()
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+    assert dataset_equality(banded, brute)
