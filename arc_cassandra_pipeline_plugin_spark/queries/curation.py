@@ -843,3 +843,103 @@ def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality audit: precision/recall against exact shingle Jaccard
+# ---------------------------------------------------------------------------
+
+_LSH_TRUTH_PCT = 50  # exact-Jaccard truth threshold (percent)
+
+
+def _lsh_quality_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+sizes AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.doc_a
+  JOIN sizes sb ON sb.doc_id = inter.doc_b
+  WHERE 100 * c >= {_LSH_TRUTH_PCT} * (sa.m + sb.m - c)),
+hit AS (SELECT count(*) AS n_hit FROM pairs JOIN truth USING (doc_a, doc_b)),
+cnts AS (
+  SELECT (SELECT count(*) FROM pairs) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT n_hit FROM hit) AS n_hit)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_candidates, 6) AS precision_at_t,
+       round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall_at_t
+FROM cnts
+"""
+
+
+@register("dedup_lsh_quality_audit", category="dedup", oracle=_lsh_quality_oracle())
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit for the MinHash-LSH pipeline: precision
+    and recall of the banded candidate pairs against the EXACT shingle-
+    Jaccard truth at 0.5 — the metric that tells an operator whether the
+    band layout (16 perms × 4 bands) matches their dedup threshold before
+    they spend a 100 TB pass on it.
+
+    Truth comes from the brute-force shingle equi-join (feasible at audit
+    scale — production audits run it on a deterministic sample via
+    sample_deterministic); candidates are the certified LSH pairs; both
+    threshold tests are integer cross-multiplications, and the two
+    ratios are single IEEE divisions. The audit shares the band/shingle
+    constants with every other dedup certification."""
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import _clusters_cte as _  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    sh = D.shingle_rows(
+        docs, text_col="text", id_col="doc_id", k=_SHINGLE_K, distinct=True
+    ).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "m": "ma"}), "doc_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "m": "mb"}), "doc_b")
+        .filter(
+            F.lit(100) * F.col("c")
+            >= F.lit(_LSH_TRUTH_PCT) * (F.col("ma") + F.col("mb") - F.col("c"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_cand = pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = pairs.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_cand.crossJoin(n_true)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision_at_t"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
+                "recall_at_t"
+            ),
+        )
+    )

@@ -672,3 +672,94 @@ def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (exact-quartile bucketing)
+# --------------------------------------------------------------------------
+
+_RFM_FRACS = [0.25, 0.5, 0.75]
+
+
+def _rfm_oracle() -> str:
+    fracs = ", ".join(repr(f) for f in _RFM_FRACS)
+
+    def bucket(val: str, qs: str) -> str:
+        return "1 + " + " + ".join(
+            f"(CASE WHEN {val} > {qs}[{i + 1}] THEN 1 ELSE 0 END)"
+            for i in range(len(_RFM_FRACS))
+        )
+
+    return f"""
+WITH ref AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate), any_value(mx)) AS BIGINT) AS recency_d,
+         count(*) AS freq,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders CROSS JOIN ref GROUP BY o_custkey),
+qs AS (
+  SELECT quantile_disc(recency_d, [{fracs}]) AS qr,
+         quantile_disc(freq, [{fracs}]) AS qf,
+         quantile_disc(monetary, [{fracs}]) AS qm
+  FROM base),
+scored AS (
+  SELECT ({bucket('recency_d', 'qr')}) AS r_score,
+         ({bucket('freq', 'qf')}) AS f_score,
+         ({bucket('monetary', 'qm')}) AS m_score
+  FROM base CROSS JOIN qs)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score, CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("orders_rfm_segmentation", category="mining", oracle=_rfm_oracle())
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-4 on Recency (days since
+    last order), Frequency (order count) and Monetary (exact-decimal
+    revenue) by exact-quartile bucketing — the classic marketing segment
+    cube, certified as per-segment counts.
+
+    Quartile boundaries come from the lossless percentile sketch (stored
+    values ≡ quantile_disc) broadcast as one row; bucket assignment is
+    raw-value > stored-boundary comparisons — no interpolation, no
+    rounding anywhere. Two linear aggregates plus a 64-cell group-by."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.any_value("mx"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    fracs = ", ".join(repr(f) for f in _RFM_FRACS)
+    qs = base.agg(
+        F.expr(f"approx_percentile(recency_d, array({fracs}), 1000000)").alias("qr"),
+        F.expr(f"approx_percentile(freq, array({fracs}), 1000000)").alias("qf"),
+        F.expr(f"approx_percentile(monetary, array({fracs}), 1000000)").alias("qm"),
+    )
+
+    def bucket(val: str, qcol: str):
+        e = F.lit(1)
+        for i in range(len(_RFM_FRACS)):
+            e = e + F.when(
+                F.col(val) > F.element_at(F.col(qcol), i + 1), 1
+            ).otherwise(0)
+        return e
+
+    scored = base.crossJoin(F.broadcast(qs)).select(
+        bucket("recency_d", "qr").cast("int").alias("r_score"),
+        bucket("freq", "qf").cast("int").alias("f_score"),
+        bucket("monetary", "qm").cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

@@ -111,6 +111,8 @@ SCALAR_BROADCASTS = {
     "join_null_semantics",  # three 1-row count aggregates cross-joined
     "dq_chisq_independence",  # broadcast 1-row corpus total + 1-row dof
     "events_hourly_seasonality",  # broadcast 1-row grand total onto the 7x24 grid
+    "orders_rfm_segmentation",  # broadcast 1-row quartile boundaries + 1-row ref date
+    "dedup_lsh_quality_audit",  # three 1-row audit counts cross-joined
 }
 
 
