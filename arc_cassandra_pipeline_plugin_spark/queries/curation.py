@@ -893,8 +893,6 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold tests are integer cross-multiplications, and the two
     ratios are single IEEE divisions. The audit shares the band/shingle
     constants with every other dedup certification."""
-    from arc_cassandra_pipeline_plugin_spark.queries.extensions import _clusters_cte as _  # noqa: F401
-
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
     pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS).select(
