@@ -2368,3 +2368,58 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("active_customers").cast("bigint").alias("active_customers"),
         F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# open-order backlog aging
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_backlog_aging",
+    category="quality",
+    oracle="""
+WITH ref AS (SELECT max(o_orderdate) AS mx FROM orders),
+open_orders AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(date_diff('day', o_orderdate, mx) AS BIGINT) AS age_d
+  FROM orders CROSS JOIN ref WHERE o_orderstatus = 'O'),
+bucketed AS (
+  SELECT o_orderpriority,
+         CASE WHEN age_d < 30 THEN '0-29d' WHEN age_d < 90 THEN '30-89d'
+              WHEN age_d < 365 THEN '90-364d' ELSE '365d+' END AS age_bucket,
+         age_d
+  FROM open_orders)
+SELECT o_orderpriority, age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(age_d) AS BIGINT) AS oldest_d
+FROM bucketed GROUP BY 1, 2
+""",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational backlog aging: open orders bucketed by age (days since
+    order date, relative to the dataset's latest date) per priority — the
+    ops dashboard behind SLA escalation.
+
+    Ages are exact integer day differences against a broadcast 1-row
+    reference date; buckets are integer range tests. One scan, one
+    dimension-sized aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("mx"))
+    open_orders = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_orderpriority",
+            F.datediff("mx", "o_orderdate").cast("bigint").alias("age_d"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") < 30, "0-29d")
+        .when(F.col("age_d") < 90, "30-89d")
+        .when(F.col("age_d") < 365, "90-364d")
+        .otherwise("365d+")
+    )
+    return open_orders.groupBy("o_orderpriority", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("age_d").cast("bigint").alias("oldest_d"),
+    )

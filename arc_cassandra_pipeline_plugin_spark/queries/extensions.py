@@ -1831,3 +1831,27 @@ def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.table("pyds_stream_agg")
+
+
+@register(
+    "text_lang_confusion",
+    category="text",
+    oracle=f"""
+WITH pred AS ({_lang_id_oracle()})
+SELECT lang AS actual_lang, lang_pred AS predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation primitive: the confusion matrix of the
+    language-ID heuristic against the labeled lang column — per
+    (actual, predicted) counts, from which accuracy/precision/recall all
+    derive. The matrix is |langs|² cells at any corpus size; one group
+    aggregate over the prediction projection (no shuffle beyond it).
+    Reuses the certified lang-ID generators on both engines."""
+    pred = TX.lang_id(load_table(spark, sf_dir, "documents"))
+    return pred.groupBy(
+        F.col("lang").alias("actual_lang"),
+        F.col("lang_pred").alias("predicted_lang"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

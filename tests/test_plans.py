@@ -113,6 +113,7 @@ SCALAR_BROADCASTS = {
     "events_hourly_seasonality",  # broadcast 1-row grand total onto the 7x24 grid
     "orders_rfm_segmentation",  # broadcast 1-row quartile boundaries + 1-row ref date
     "dedup_lsh_quality_audit",  # three 1-row audit counts cross-joined
+    "orders_backlog_aging",  # broadcast 1-row reference date
 }
 
 
