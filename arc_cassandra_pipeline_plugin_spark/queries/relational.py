@@ -1144,3 +1144,43 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
     )
+
+
+@register(
+    "join_lateral_correlated",
+    category="join",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 100
+""",
+)
+def join_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two most expensive
+    orders via a per-row dependent subquery — the SQL-standard LATERAL
+    surface (Spark >= 3.2), distinct from the generator-lateral
+    (explode) already certified.
+
+    Catalyst decorrelates the lateral into a ranked join (no per-row
+    re-execution); the ORDER/LIMIT inside the lateral carries a unique
+    tiebreak so both engines pick identical rows."""
+    from arc_cassandra_pipeline_plugin_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+        """
+    )
