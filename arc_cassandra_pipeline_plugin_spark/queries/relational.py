@@ -1184,3 +1184,46 @@ def join_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 100
         """
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT event_type, next_type FROM (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM events)
+  WHERE next_type IS NOT NULL AND event_type <> next_type
+),
+reach(event_type, hops) AS (
+  SELECT CAST('view' AS {string_t}), 0
+  UNION ALL
+  SELECT e.next_type, r.hops + 1
+  FROM reach r JOIN edges e ON e.event_type = r.event_type
+  WHERE r.hops < 6
+)
+SELECT event_type, CAST(min(hops) AS INT) AS min_hops
+FROM reach GROUP BY event_type
+"""
+
+
+@register(
+    "recursive_cte_reachability",
+    category="relational",
+    oracle=_RECURSIVE_SQL.format(string_t="VARCHAR"),
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4): minimum-hop reachability from the
+    'view' event over the observed event-transition graph — the iterative
+    computation the engine's dedicated operators (connected components,
+    PageRank) hand-roll, here expressed declaratively and executed by
+    Spark's own recursion operator.
+
+    The recursion is depth-bounded (hops < 6 — the transition graph has 5
+    node types), so UNION ALL termination is structural even on cycles;
+    the min-hop aggregate collapses the path multiset deterministically.
+    Identical SQL text runs on both engines."""
+    from arc_cassandra_pipeline_plugin_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, "events")
+    return spark.sql(_RECURSIVE_SQL.format(string_t="STRING"))
