@@ -1227,3 +1227,36 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, "events")
     return spark.sql(_RECURSIVE_SQL.format(string_t="STRING"))
+
+
+@register(
+    "pipe_syntax_pricing",
+    category="relational",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity < 30
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (|>): the linear FROM → WHERE → AGGREGATE
+    dataflow form of a pricing summary — same Catalyst plan as the nested
+    SQL, certified against the plain-SQL oracle (the pipe form is
+    Spark-side surface; result semantics are engine-neutral)."""
+    from arc_cassandra_pipeline_plugin_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 30
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                     round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
