@@ -1260,3 +1260,63 @@ def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "scalar_collation",
+    category="scalar",
+    oracle="""
+SELECT p_brand,
+       CAST(count(DISTINCT lower(p_type)) AS BIGINT) AS n_types_ci,
+       CAST(count(DISTINCT p_type) AS BIGINT) AS n_types_cs,
+       min(lower(p_name)) AS first_name_ci
+FROM part GROUP BY p_brand
+""",
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: case-insensitive distinct counts and
+    min under UTF8_LCASE — the collation-aware comparison/grouping
+    surface. The oracle expresses the same semantics via lower() (for
+    ASCII fixture data the two are equivalent; collation keys live
+    JVM-side, so the certified output is lowercased for portability)."""
+    from arc_cassandra_pipeline_plugin_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(count(DISTINCT p_type COLLATE UTF8_LCASE) AS BIGINT) AS n_types_ci,
+               CAST(count(DISTINCT p_type) AS BIGINT) AS n_types_cs,
+               lower(CAST(min(p_name COLLATE UTF8_LCASE) AS STRING)) AS first_name_ci
+        FROM part GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "scalar_try_functions",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_orderkey % 7), 6) END AS safe_ratio,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar functions (try_divide / try_cast): NULL instead of
+    a job-killing exception on divide-by-zero and unparsable casts — the
+    landing-zone arithmetic contract (ANSI mode without the failures).
+    One projection; the division is a single IEEE op rounded identically
+    on both engines."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7), 6
+        ).alias("safe_ratio"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+    )
