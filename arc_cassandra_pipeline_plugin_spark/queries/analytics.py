@@ -2423,3 +2423,122 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.max("age_d").cast("bigint").alias("oldest_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: merged active intervals per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_active_intervals",
+    category="timeseries",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+  FROM events),
+ord AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv),
+flag AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island,
+         row_number() OVER (PARTITION BY user_id ORDER BY s, e) AS rn
+  FROM ord),
+isl AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flag),
+agg AS (SELECT user_id, island_id, min(s) AS i_start, max(e) AS i_end
+        FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS active_s
+FROM agg GROUP BY user_id
+""",
+)
+def events_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each event opens a 10-minute
+    activity interval; overlapping intervals merge into islands via the
+    cumulative-max technique (prev_max < start ⇒ new island), yielding
+    per-user active-time totals that never double-count overlap — the
+    union-of-intervals primitive behind usage billing and uptime math.
+
+    All endpoints are exact integer epoch seconds under a unique total
+    order, so island boundaries are engine-exact. One user-partitioned
+    window pass plus two keyed aggregates — the same linear shape as
+    sessionize."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.floor(F.col("ts").cast("double")).cast("bigint")
+    iv = ev.select("user_id", "event_id", s.alias("s"), (s + 600).alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ord_ = iv.select(
+        "user_id", "s", "e", F.max("e").over(w_prev).alias("prev_max")
+    )
+    flag = ord_.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+        ).otherwise(0).alias("new_island"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("s", "e"))
+        .alias("rn"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = flag.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    agg = isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return agg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("active_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational division (FOR ALL)
+# ---------------------------------------------------------------------------
+
+@register(
+    "division_users_all_types",
+    category="relational",
+    oracle="""
+WITH types AS (SELECT count(DISTINCT event_type) AS nt FROM events),
+per_user AS (
+  SELECT user_id, count(DISTINCT event_type) AS ut FROM events GROUP BY user_id)
+SELECT user_id, CAST(ut AS BIGINT) AS n_types
+FROM per_user CROSS JOIN types
+WHERE ut = nt
+""",
+)
+def division_users_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the FOR-ALL quantifier): users who performed
+    EVERY event type in the catalog — the textbook division shape,
+    implemented as distinct-count equality against a broadcast 1-row
+    universe count (two linear aggregates, no double-negation
+    NOT-EXISTS-NOT-EXISTS join tree)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.agg(F.countDistinct("event_type").alias("nt"))
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("ut")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(types))
+        .filter(F.col("ut") == F.col("nt"))
+        .select("user_id", F.col("ut").cast("bigint").alias("n_types"))
+    )
