@@ -447,3 +447,30 @@ def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_corrupt, 1).otherwise(0)).cast("bigint").alias("n_valid"),
         F.sum(k).cast("bigint").alias("sum_k"),
     )
+
+
+@register(
+    "agg_percentile_cont",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) percentiles — the exact PERCENTILE_CONT
+    semantics, complementing the discrete-quantile family: both engines
+    interpolate linearly between the two adjacent order statistics, and
+    6-dp rounding absorbs the one-ulp difference between the two
+    algebraically-equal interpolation forms. Exact percentile() is a
+    full-sort-per-group aggregate — the scale default remains the
+    approx_percentile sketch (certified separately)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+    )

@@ -1320,3 +1320,39 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
     )
+
+
+@register(
+    "window_topk_with_ties",
+    category="window",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(round(o_totalprice, 2) AS DOUBLE) DESC) AS rnk
+  FROM orders)
+WHERE rnk <= 2
+""",
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES: rank() <= k keeps every row tied at the boundary
+    (row_number() would arbitrarily drop all but one) — the semantic pin
+    between the two ranking flavors that silently changes result
+    cardinality. Ranking is on the 2-dp-rounded price so tie groups are
+    identical on both engines; the rank filter still compiles through the
+    WindowGroupLimit pushdown."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round(F.col("o_totalprice"), 2).cast("double").desc()
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
