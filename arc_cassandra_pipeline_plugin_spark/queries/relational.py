@@ -1356,3 +1356,91 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@register(
+    "agg_filter_clause",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2) AS finished_revenue
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard FILTER clause on aggregates — per-aggregate
+    predicates without CASE pyramids or self-joins; one pass, map-side
+    combinable, decimal-exact revenue. Identical SQL text runs on both
+    engines."""
+    from arc_cassandra_pipeline_plugin_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2) AS finished_revenue
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "lateral_posexplode_ordinality",
+    category="relational",
+    oracle="""
+SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents WHERE doc_id < 20) d
+""",
+)
+def lateral_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator WITH ORDINALITY: token rows carrying their 1-based
+    position (posexplode ≡ unnest + generate_subscripts) — position-aware
+    fan-out, the piece plain explode drops and sequence models need."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    return docs.select("doc_id", F.posexplode(toks).alias("pos0", "token")).select(
+        "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token"
+    )
+
+
+@register(
+    "agg_grouping_id",
+    category="aggregation",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() disambiguation for multi-level aggregates: the bit that
+    tells a real NULL group key from a superaggregate row — without it,
+    ROLLUP/GROUPING SETS outputs are ambiguous. gid is the standard
+    bitmask (here over two columns), certified alongside the coalesced
+    display keys."""
+    from arc_cassandra_pipeline_plugin_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
