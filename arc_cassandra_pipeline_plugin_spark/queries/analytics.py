@@ -2542,3 +2542,101 @@ def division_users_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ut") == F.col("nt"))
         .select("user_id", F.col("ut").cast("bigint").alias("n_types"))
     )
+
+
+# ---------------------------------------------------------------------------
+# monthly seasonal index
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_seasonal_index",
+    category="timeseries",
+    oracle="""
+WITH m AS (
+  SELECT CAST(extract(month FROM o_orderdate) AS INT) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+tot AS (SELECT sum(rev) AS t, count(*) AS nm FROM m)
+SELECT month, round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(rev AS DOUBLE) / (CAST(t AS DOUBLE) / nm), 6) AS seasonal_index
+FROM m CROSS JOIN tot
+""",
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index: each calendar month's revenue relative to
+    the average month (index 1.0 = typical) — the deseasonalization
+    factor behind demand forecasting. Revenue is exact DECIMAL; the index
+    is two fixed-order divisions of decimal-exact operands against a
+    broadcast 1-row total. Twelve output rows at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").cast("int").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = m.agg(F.sum("rev").alias("t"), F.count(F.lit(1)).alias("nm"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "month",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / (F.col("t").cast("double") / F.col("nm")),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# market concentration (Herfindahl-Hirschman index)
+# ---------------------------------------------------------------------------
+
+@register(
+    "market_concentration_hhi",
+    category="mining",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1),
+tot AS (SELECT sum(r) AS t FROM rev),
+shares AS (
+  SELECT nation,
+         CAST(round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 9) AS DECIMAL(12,9)) AS share
+  FROM rev CROSS JOIN tot)
+SELECT CAST(count(*) AS BIGINT) AS n_participants,
+       round(CAST(sum(share * share) AS DOUBLE) * 10000, 4) AS hhi,
+       round(CAST(max(share) AS DOUBLE), 6) AS top_share
+FROM shares
+""",
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index over nation revenue shares
+    (0 → fragmented, 10000 → monopoly) — the standard concentration
+    screen, also the right metric for corpus-source dominance audits.
+
+    Shares are rounded to 9 dp then squared and summed in exact DECIMAL,
+    so the quadratic sum has no float order; the participant dimension
+    (25 nations) bounds everything after the one revenue aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    shares = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.round(F.col("r").cast("double") / F.col("t").cast("double"), 9)
+        .cast("decimal(12,9)")
+        .alias("share"),
+    )
+    return shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_participants"),
+        F.round(
+            F.sum(F.col("share") * F.col("share")).cast("double") * 10000, 4
+        ).alias("hhi"),
+        F.round(F.max("share").cast("double"), 6).alias("top_share"),
+    )

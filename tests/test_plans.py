@@ -114,6 +114,8 @@ SCALAR_BROADCASTS = {
     "orders_rfm_segmentation",  # broadcast 1-row quartile boundaries + 1-row ref date
     "dedup_lsh_quality_audit",  # three 1-row audit counts cross-joined
     "orders_backlog_aging",  # broadcast 1-row reference date
+    "orders_seasonal_index",  # broadcast 1-row total onto 12 month rows
+    "market_concentration_hhi",  # broadcast 1-row total onto 25 nation rows
 }
 
 
