@@ -941,3 +941,68 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 8
+_BOILER_MIN_DOCS = 2
+
+
+@register(
+    "text_boilerplate_ngrams",
+    category="text",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - {_BOILER_N - 1}, 0)),
+                               i -> array_to_string(tk[i:i+{_BOILER_N - 1}], ' '))) AS gram
+  FROM toks)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+FROM grams GROUP BY gram
+HAVING count(*) >= {_BOILER_MIN_DOCS}
+ORDER BY n_docs DESC, gram LIMIT 20
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase detection: the 20 exact 8-token phrases repeated
+    across the most documents — headers, disclaimers and template text
+    that document-level dedup never catches because the surrounding page
+    differs (the CCNet-style repeated-segment signal, here at n-gram
+    granularity since the corpus has no line structure).
+
+    Per-document phrase dedup happens before the corpus count; the
+    frequency shuffle is keyed on the phrase text; top-20 compiles to
+    TakeOrderedAndProject under a total order. Production removes the
+    survivors with a broadcast anti-join of this output. At 100 TB the
+    phrase key would be hashed (16 bytes) rather than carried verbatim —
+    verbatim here keeps the certified output human-auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("tk"),
+    )
+    grams = (
+        toks.filter(F.size("tk") >= _BOILER_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (_BOILER_N - 1)),
+                    lambda i: F.array_join(F.slice("tk", i, _BOILER_N), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(20)
+    )
