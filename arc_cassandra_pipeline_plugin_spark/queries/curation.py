@@ -1006,3 +1006,72 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "gram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source language-mixture drift (total-variation distance)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_source_lang_tvd",
+    category="quality",
+    oracle="""
+WITH cell AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+src AS (SELECT source, sum(n) AS ns FROM cell GROUP BY source),
+corpus AS (SELECT lang, sum(n) AS nl FROM cell GROUP BY lang),
+tot AS (SELECT sum(n) AS t FROM cell),
+langs AS (SELECT DISTINCT lang FROM cell),
+grid AS (SELECT s.source, l.lang, s.ns FROM src s CROSS JOIN langs l),
+terms AS (
+  SELECT g.source,
+         CAST(round(abs(CAST(coalesce(c.n, 0) AS DOUBLE) / g.ns
+                        - CAST(co.nl AS DOUBLE) / tot.t), 9) AS DECIMAL(12,9)) AS d
+  FROM grid g
+  LEFT JOIN cell c ON c.source = g.source AND c.lang = g.lang
+  JOIN corpus co ON co.lang = g.lang
+  CROSS JOIN tot)
+SELECT source,
+       round(CAST(sum(d) AS DOUBLE) / 2, 6) AS tv_distance
+FROM terms GROUP BY source
+""",
+)
+def dq_source_lang_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing audit: each source's language mixture compared to the
+    corpus-wide mixture by total-variation distance (½·Σ|p−q|, in [0,1])
+    — the log-free drift metric (unlike KL/JS divergence there is no
+    transcendental, so it certifies exactly). A source with high TVD is
+    skewing the blend and gets reweighted by the mixture sampler.
+
+    Per-cell probability gaps are two fixed-order divisions, rounded to
+    9 dp and summed in exact DECIMAL over the |sources|x|langs| grid —
+    dimension-sized work after one corpus-wide count aggregate. The grid
+    is built explicitly so languages ABSENT from a source still
+    contribute their corpus mass (the classic TVD-underestimate bug when
+    missing cells are silently dropped)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    src = cell.groupBy("source").agg(F.sum("n").alias("ns"))
+    corpus = cell.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = cell.agg(F.sum("n").alias("t"))
+    langs = cell.select("lang").distinct()
+    grid = src.crossJoin(F.broadcast(langs))
+    terms = (
+        grid.join(cell, ["source", "lang"], "left")
+        .join(F.broadcast(corpus), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("ns")
+                    - F.col("nl").cast("double") / F.col("t")
+                ),
+                9,
+            )
+            .cast("decimal(12,9)")
+            .alias("d"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("d").cast("double") / 2, 6).alias("tv_distance")
+    )

@@ -116,6 +116,7 @@ SCALAR_BROADCASTS = {
     "orders_backlog_aging",  # broadcast 1-row reference date
     "orders_seasonal_index",  # broadcast 1-row total onto 12 month rows
     "market_concentration_hhi",  # broadcast 1-row total onto 25 nation rows
+    "dq_source_lang_tvd",  # broadcast lang list + 1-row total onto the source grid
 }
 
 
