@@ -1075,3 +1075,116 @@ def dq_source_lang_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         F.round(F.sum("d").cast("double") / 2, 6).alias("tv_distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration
+# ---------------------------------------------------------------------------
+
+def _minhash_calibration_oracle() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN x.mh_{p} = y.mh_{p} THEN 1 ELSE 0 END" for p in range(_NUM_PERM)
+    )
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+sizes AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS c
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+est AS (
+  SELECT p.doc_a, p.doc_b, ({match_sum}) AS est_matches
+  FROM pairs p JOIN sig x ON x.doc_id = p.doc_a JOIN sig y ON y.doc_id = p.doc_b),
+scored AS (
+  SELECT e.est_matches,
+         CAST(round(coalesce(i.c, 0)
+                    / CAST(sa.m + sb.m - coalesce(i.c, 0) AS DOUBLE), 6)
+              AS DECIMAL(10,6)) AS j
+  FROM est e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes sa ON sa.doc_id = e.doc_a
+  JOIN sizes sb ON sb.doc_id = e.doc_b)
+SELECT CAST(est_matches AS INT) AS est_matches,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(j) AS DOUBLE) / count(*), 6) AS avg_exact_jaccard
+FROM scored GROUP BY 1
+"""
+
+
+@register(
+    "dedup_minhash_calibration", category="dedup", oracle=_minhash_calibration_oracle()
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for MinHash: over the LSH candidate pairs,
+    bucket by the signature-agreement count (the Jaccard ESTIMATE is
+    matches/num_perm) and report the mean EXACT shingle Jaccard per
+    bucket — the curve that tells an operator how trustworthy the
+    16-permutation estimate is before sizing num_perm for a 100 TB run
+    (E[matches/k] = J; the per-bucket means expose the variance).
+
+    Zero-overlap candidates (band hash collisions) are kept via the left
+    join — dropping them is the classic calibration-inflation bug. Exact
+    Jaccards round to 6 dp and average through a DECIMAL sum; the
+    signature agreement count is pure integer equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    sigs = sigs.localCheckpoint()
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{p}").alias(f"xa_{p}") for p in range(_NUM_PERM)],
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{p}").alias(f"yb_{p}") for p in range(_NUM_PERM)],
+    )
+    match_sum = None
+    for p in range(_NUM_PERM):
+        term = F.when(F.col(f"xa_{p}") == F.col(f"yb_{p}"), 1).otherwise(0)
+        match_sum = term if match_sum is None else match_sum + term
+    est = pairs.join(x, "doc_a").join(y, "doc_b").select(
+        "doc_a", "doc_b", match_sum.alias("est_matches")
+    )
+    sh = D.shingle_rows(
+        docs, text_col="text", id_col="doc_id", k=_SHINGLE_K, distinct=True
+    ).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "m": "ma"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "m": "mb"}), "doc_b")
+        .select(
+            "est_matches",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0))
+                / (F.col("ma") + F.col("mb") - F.coalesce(F.col("c"), F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            )
+            .cast("decimal(10,6)")
+            .alias("j"),
+        )
+    )
+    return scored.groupBy("est_matches").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum("j").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_exact_jaccard"
+        ),
+    ).select(
+        F.col("est_matches").cast("int").alias("est_matches"),
+        "n_pairs",
+        "avg_exact_jaccard",
+    )
