@@ -2640,3 +2640,63 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         F.round(F.max("share").cast("double"), 6).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# engagement stickiness (DAU / trailing-7-day AU)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_stickiness_dau_wau",
+    category="timeseries",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+contrib AS (
+  SELECT DISTINCT user_id, unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS wday
+  FROM ud),
+wau AS (
+  SELECT wday AS day, count(DISTINCT user_id) AS wau7
+  FROM contrib, span WHERE wday BETWEEN d0 AND d1 GROUP BY wday),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau7 AS BIGINT) AS wau7,
+       round(CAST(d.dau AS DOUBLE) / w.wau7, 6) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+""",
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: DAU / trailing-7-day active users per day —
+    the product-health ratio. The trailing-window DISTINCT is computed by
+    the scalable CONTRIBUTION EXPLODE: each (user, active-day) row serves
+    exactly the 7 window-end days it can influence, so the "distinct over
+    a sliding window" (non-decomposable as an aggregate) becomes a plain
+    distinct-count after a 7x linear fan-out — no day-range self-join of
+    the corpus, no re-scan per window.
+
+    All counts are integers; stickiness is one division. Output is
+    calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    span = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("wday"),
+        )
+        .distinct()
+    )
+    wau = (
+        contrib.crossJoin(F.broadcast(span))
+        .filter(F.col("wday").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau7"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau7").cast("bigint").alias("wau7"),
+        F.round(F.col("dau").cast("double") / F.col("wau7"), 6).alias("stickiness"),
+    )

@@ -1188,3 +1188,37 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "avg_exact_jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# power-of-two length histogram (integer-exact log2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_length_histogram",
+    category="text",
+    oracle="""
+SELECT CAST(length(bin(length(text))) - 1 AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents WHERE length(text) > 0
+GROUP BY 1
+""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the standard corpus shape
+    summary (lengths are log-distributed, so linear buckets waste the
+    range). floor(log2(n)) is computed EXACTLY as the binary-string
+    length minus one (length(bin(n)) - 1) — integer string machinery on
+    both engines, no floating log whose last-ulp could flip a boundary
+    doc between buckets. One projection, bucket-count output."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text")
+    return docs.groupBy(
+        (F.length(F.bin(n)) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min(n).cast("bigint").alias("min_chars"),
+        F.max(n).cast("bigint").alias("max_chars"),
+    )

@@ -117,6 +117,7 @@ SCALAR_BROADCASTS = {
     "orders_seasonal_index",  # broadcast 1-row total onto 12 month rows
     "market_concentration_hhi",  # broadcast 1-row total onto 25 nation rows
     "dq_source_lang_tvd",  # broadcast lang list + 1-row total onto the source grid
+    "events_stickiness_dau_wau",  # broadcast 1-row calendar span filter
 }
 
 
