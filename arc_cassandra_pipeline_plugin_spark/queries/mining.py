@@ -763,3 +763,59 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# decile gains curve (marketing lift chart)
+# --------------------------------------------------------------------------
+
+@register(
+    "orders_decile_gains",
+    category="mining",
+    oracle="""
+WITH rev AS (SELECT o_custkey AS c, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+             FROM orders GROUP BY 1),
+rk AS (SELECT c, rv, ntile(10) OVER (ORDER BY CAST(rv AS DOUBLE) DESC, c) AS decile
+       FROM rev),
+tot AS (SELECT sum(rv) AS t FROM rev)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(rv) AS DOUBLE), 2) AS decile_revenue,
+       round(CAST(sum(rv) AS DOUBLE) / CAST(any_value(t) AS DOUBLE), 6) AS revenue_share
+FROM rk CROSS JOIN tot GROUP BY decile
+""",
+)
+def orders_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains (lift) curve: customers ranked by revenue, the revenue
+    share captured by each decile — the targeting chart behind "the top
+    10% drive X% of revenue".
+
+    The global decile assignment uses the two-phase bucketed ntile
+    operator (partitioned windows + broadcast offsets — no
+    single-partition sort); revenue stays exact DECIMAL and each share is
+    one division against the broadcast total."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rv")
+    )
+    ranked = global_ntile(
+        rev.withColumn("rev_ord", -F.col("rv").cast("double")),
+        order_key="rev_ord",
+        tiebreaks=["c"],
+        n=10,
+        out_col="decile",
+    )
+    tot = rev.agg(F.sum("rv").alias("t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("rv").cast("double"), 2).alias("decile_revenue"),
+            F.round(
+                F.sum("rv").cast("double") / F.any_value(F.col("t").cast("double")), 6
+            ).alias("revenue_share"),
+        )
+    )

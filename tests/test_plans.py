@@ -86,6 +86,7 @@ DIMENSION_BOUNDED = {
     "users_cumulative_distinct",  # day×day running-sum join
     "centroid_pairwise_cosine",  # label×label centroid self-join
     "orders_abc_analysis",  # rank-bucket × rank-bucket carry-offset join + 1-row total
+    "orders_decile_gains",  # bucketed-ntile offsets + broadcast 1-row total
     "text_vocab_growth",  # bucket×bucket cumulative join (corpus-prefix buckets)
 }
 
