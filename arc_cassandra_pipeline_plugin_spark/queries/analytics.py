@@ -2700,3 +2700,48 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau7").cast("bigint").alias("wau7"),
         F.round(F.col("dau").cast("double") / F.col("wau7"), 6).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session depth histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_session_depth",
+    category="timeseries",
+    oracle="""
+WITH labeled AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                     > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events)),
+depth AS (SELECT user_id, session_id, count(*) AS n_events
+          FROM labeled GROUP BY 1, 2)
+SELECT CAST(n_events AS BIGINT) AS session_depth,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM depth GROUP BY 1
+""",
+)
+def events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session depth distribution: how many sessions contain exactly N
+    events — the engagement-shape histogram (a spike at depth 1 is the
+    bounce-rate signal). Reuses the certified sessionizer; two keyed
+    aggregates after the one user-partitioned window pass, output bounded
+    by the maximum session length."""
+    from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = TS.sessionize(ev, gap_minutes=30)
+    depth = labeled.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return depth.groupBy(
+        F.col("n_events").cast("bigint").alias("session_depth")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
