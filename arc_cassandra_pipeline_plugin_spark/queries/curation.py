@@ -1222,3 +1222,76 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(n).cast("bigint").alias("min_chars"),
         F.max(n).cast("bigint").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_K = 5
+_CDC_MOD = 64
+
+
+@register(
+    "text_content_defined_chunks",
+    category="text",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents),
+pos AS (
+  SELECT doc_id, length(t) AS n,
+         unnest(generate_series(1, greatest(length(t) - {_CDC_K - 1}, 1))) AS i, t
+  FROM norm),
+marks AS (
+  SELECT doc_id, n,
+         CASE WHEN ('0x' || substr(md5(substr(t, i, {_CDC_K})), 1, 8))::BIGINT
+                   % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS is_boundary
+  FROM pos)
+SELECT doc_id,
+       CAST(1 + sum(is_boundary) AS BIGINT) AS n_chunks,
+       round(CAST(any_value(n) AS DOUBLE) / (1 + sum(is_boundary)), 6) AS avg_chunk_len
+FROM marks GROUP BY doc_id
+""",
+)
+def text_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/dedup-storage primitive):
+    chunk boundaries fall where the rolling k-gram hash ≡ 0 mod 64, so
+    INSERTING text shifts only the chunks it touches — byte-offset
+    chunking would re-chunk everything downstream. Expected chunk size is
+    the modulus (~64 chars); the certified output is per-doc chunk count
+    and mean chunk length.
+
+    Same md5-prefix rolling hash as the winnowing scheme (portable to the
+    oracle); one shingle explode + one doc-keyed aggregate — linear, and
+    the fan-out rides the pre-amplification parallelism guard upstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+
+    normed = ensure_parallelism(
+        docs.select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+        )
+    )
+    pos = normed.select(
+        "doc_id",
+        F.length("t").alias("n"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (_CDC_K - 1), F.lit(1)))
+        ).alias("i"),
+        "t",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.expr(f"substring(t, i, {_CDC_K})")), 1, 8), 16, 10
+    ).cast("bigint")
+    marks = pos.select(
+        "doc_id",
+        "n",
+        F.when(h % _CDC_MOD == 0, 1).otherwise(0).alias("is_boundary"),
+    )
+    return marks.groupBy("doc_id").agg(
+        (F.lit(1) + F.sum("is_boundary")).cast("bigint").alias("n_chunks"),
+        F.round(
+            F.any_value("n").cast("double") / (F.lit(1) + F.sum("is_boundary")), 6
+        ).alias("avg_chunk_len"),
+    )
