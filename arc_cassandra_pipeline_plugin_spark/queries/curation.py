@@ -1295,3 +1295,63 @@ def text_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n").cast("double") / (F.lit(1) + F.sum("is_boundary")), 6
         ).alias("avg_chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# moving-average type-token ratio (MATTR lexical diversity)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 50
+
+
+@register(
+    "text_mattr_diversity",
+    category="text",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - {_MATTR_W - 1}),
+                i -> CAST(round(len(list_distinct(tk[i:i+{_MATTR_W - 1}]))
+                                / CAST({_MATTR_W} AS DOUBLE), 6) AS DECIMAL(8,6)))) AS r
+  FROM toks WHERE len(tk) >= {_MATTR_W})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS mattr
+FROM wins GROUP BY doc_id
+""",
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity: the mean type-token ratio over sliding
+    50-token windows — the length-unbiased richness metric (raw TTR
+    shrinks with document length, so it cannot compare docs; MATTR can).
+    Low MATTR flags templated/repetitive text for the quality cascade.
+
+    Window work is width-bounded (each window counts distinct over a
+    CONSTANT 50 tokens), so the total cost is tokens × 50 — linear, not
+    quadratic. Per-window ratios round to 6 dp and average through a
+    DECIMAL sum; docs shorter than one window are excluded identically on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("tk"),
+    ).filter(F.size("tk") >= _MATTR_W)
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (_MATTR_W - 1)),
+                lambda i: F.round(
+                    F.size(F.array_distinct(F.slice("tk", i, _MATTR_W)))
+                    / F.lit(float(_MATTR_W)),
+                    6,
+                ).cast("decimal(8,6)"),
+            )
+        ).alias("r"),
+    )
+    return wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias("mattr"),
+    )

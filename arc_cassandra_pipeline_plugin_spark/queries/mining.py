@@ -819,3 +819,86 @@ def orders_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# one-way ANOVA (rational-arithmetic F statistic)
+# --------------------------------------------------------------------------
+
+@register(
+    "dq_anova_value_by_type",
+    category="quality",
+    oracle="""
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY event_type),
+tot AS (SELECT sum(n) AS nt, sum(s) AS st, count(*) AS k FROM g),
+terms AS (
+  SELECT e.event_type,
+         CAST(round((e.value - CAST(g.s AS DOUBLE) / g.n)
+                    * (e.value - CAST(g.s AS DOUBLE) / g.n), 9) AS DECIMAL(24,9)) AS w
+  FROM events e JOIN g ON g.event_type = e.event_type),
+ssw AS (SELECT sum(w) AS ssw FROM terms),
+ssb AS (
+  SELECT sum(CAST(round(g.n * (CAST(g.s AS DOUBLE) / g.n - CAST(t.st AS DOUBLE) / t.nt)
+                        * (CAST(g.s AS DOUBLE) / g.n - CAST(t.st AS DOUBLE) / t.nt), 9)
+                  AS DECIMAL(24,9))) AS ssb
+  FROM g CROSS JOIN tot t)
+SELECT round(CAST(ssb.ssb AS DOUBLE), 4) AS ss_between,
+       round(CAST(ssw.ssw AS DOUBLE), 4) AS ss_within,
+       CAST(t.k - 1 AS BIGINT) AS df_between,
+       CAST(t.nt - t.k AS BIGINT) AS df_within,
+       round((CAST(ssb.ssb AS DOUBLE) / (t.k - 1))
+             / (CAST(ssw.ssw AS DOUBLE) / (t.nt - t.k)), 6) AS f_stat
+FROM ssb, ssw, tot t
+""",
+)
+def dq_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: does the mean
+    value genuinely differ by type, or is the spread within-group noise?
+    Like the chi-square audit, the F statistic is entirely RATIONAL —
+    group means are single divisions of DECIMAL-exact sums, each squared
+    deviation rounds to 9 dp and sums in DECIMAL (no float order), and F
+    is a fixed 4-op scalar chain — so it certifies exactly; the p-value
+    lookup (incomplete beta) belongs to the caller.
+
+    Scale: one corpus aggregate for the group moments, one corpus pass
+    for within-group terms against broadcast means, dimension-sized
+    everything else."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st"), F.count(F.lit(1)).alias("k")
+    )
+    mean_g = F.col("s").cast("double") / F.col("n")
+    dev = F.col("value") - mean_g
+    terms = ev.join(F.broadcast(g), "event_type").select(
+        F.round(dev * dev, 9).cast("decimal(24,9)").alias("w")
+    )
+    ssw = terms.agg(F.sum("w").alias("ssw"))
+    mean_t = F.col("st").cast("double") / F.col("nt")
+    bdev = mean_g - mean_t
+    ssb = (
+        g.crossJoin(F.broadcast(tot))
+        .select(F.round(F.col("n") * bdev * bdev, 9).cast("decimal(24,9)").alias("b"))
+        .agg(F.sum("b").alias("ssb"))
+    )
+    return (
+        ssb.crossJoin(ssw)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("ssb").cast("double"), 4).alias("ss_between"),
+            F.round(F.col("ssw").cast("double"), 4).alias("ss_within"),
+            (F.col("k") - 1).cast("bigint").alias("df_between"),
+            (F.col("nt") - F.col("k")).cast("bigint").alias("df_within"),
+            F.round(
+                (F.col("ssb").cast("double") / (F.col("k") - 1))
+                / (F.col("ssw").cast("double") / (F.col("nt") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+        )
+    )

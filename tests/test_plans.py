@@ -119,6 +119,7 @@ SCALAR_BROADCASTS = {
     "market_concentration_hhi",  # broadcast 1-row total onto 25 nation rows
     "dq_source_lang_tvd",  # broadcast lang list + 1-row total onto the source grid
     "events_stickiness_dau_wau",  # broadcast 1-row calendar span filter
+    "dq_anova_value_by_type",  # 1-row moment aggregates cross-joined
 }
 
 
