@@ -2745,3 +2745,55 @@ def events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth.groupBy(
         F.col("n_events").cast("bigint").alias("session_depth")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# degree distribution of the candidate graph
+# ---------------------------------------------------------------------------
+
+def _degree_dist_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import _clusters_cte
+
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY node)
+SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY d
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    category="graph",
+    oracle=_degree_dist_oracle(),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate candidate graph — the
+    companion readout to the triangle census (a heavy tail here means a
+    few template hubs touch everything; dedup policy and skew planning
+    both read this first). Two tiny aggregates over the certified edge
+    set."""
+    from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
+        _BANDS,
+        _NUM_PERM,
+        _SHINGLE_K,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -1355,3 +1355,75 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias("mattr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (excerpt / subset detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_PCT = 90
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+sizes AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS c
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(i.c / CAST(sa.m AS DOUBLE), 6) AS contain_a_in_b,
+       round(i.c / CAST(sb.m AS DOUBLE), 6) AS contain_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 100 * i.c >= {_CONTAIN_PCT} * sa.m OR 100 * i.c >= {_CONTAIN_PCT} * sb.m
+"""
+
+
+@register("dedup_containment_pairs", category="dedup", oracle=_containment_oracle())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment |A∩B|/|A| over LSH candidates: finds
+    documents mostly CONTAINED in another (quotes, excerpts, page-plus-
+    boilerplate wrappers) — pairs symmetric Jaccard scores low precisely
+    because the containing document is much larger. The curation action
+    differs too: containment drops the fragment, Jaccard dedup picks a
+    canonical.
+
+    Shares the band/shingle constants with the whole dedup family;
+    thresholds are integer cross-multiplications per side, the two ratios
+    single IEEE divisions. Verification work is candidate-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    sh = D.shingle_rows(
+        docs, text_col="text", id_col="doc_id", k=_SHINGLE_K, distinct=True
+    ).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "m": "ma"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "m": "mb"}), "doc_b")
+        .filter(
+            (F.lit(100) * F.col("c") >= F.lit(_CONTAIN_PCT) * F.col("ma"))
+            | (F.lit(100) * F.col("c") >= F.lit(_CONTAIN_PCT) * F.col("mb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("c") / F.col("ma").cast("double"), 6).alias("contain_a_in_b"),
+            F.round(F.col("c") / F.col("mb").cast("double"), 6).alias("contain_b_in_a"),
+        )
+    )
