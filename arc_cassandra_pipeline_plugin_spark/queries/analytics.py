@@ -2797,3 +2797,48 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# business-key duplicate suspects
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_duplicate_suspects",
+    category="quality",
+    oracle="""
+SELECT o_custkey, o_orderdate,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS first_key,
+       round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_amount,
+       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_amount
+FROM orders GROUP BY o_custkey, o_orderdate HAVING count(*) > 1
+""",
+)
+def dq_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-key duplicate detection: customers with MULTIPLE orders on
+    the same day — the double-submission/replay audit surrogate-key dedup
+    misses entirely. Suspects ship with their amount spread (identical
+    min/max amounts being the strongest replay signal); amounts compare
+    in exact DECIMAL, never float money equality. One grouped aggregate,
+    suspects-only output."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("first_key"),
+            F.round(F.min(p).cast("double"), 2).alias("min_amount"),
+            F.round(F.max(p).cast("double"), 2).alias("max_amount"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("n").cast("bigint").alias("n_orders"),
+            "first_key",
+            "min_amount",
+            "max_amount",
+        )
+    )

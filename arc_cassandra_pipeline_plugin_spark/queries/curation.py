@@ -1427,3 +1427,56 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c") / F.col("mb").cast("double"), 6).alias("contain_b_in_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding variance profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_embedding_dim_variance",
+    category="quality",
+    oracle="""
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) AS dim_idx,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+m AS (
+  SELECT dim_idx, count(*) AS n,
+         sum(CAST(round(x, 9) AS DECIMAL(20,9))) AS sx,
+         sum(CAST(round(x * x, 9) AS DECIMAL(24,9))) AS sx2
+  FROM e GROUP BY dim_idx)
+SELECT CAST(dim_idx AS INT) AS dim_idx,
+       round(CAST(sx AS DOUBLE) / n, 6) AS dim_mean,
+       round(CAST(sx2 AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 6) AS dim_variance
+FROM m
+""",
+)
+def dq_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding variance profile: dead dimensions
+    (variance ≈ 0) waste index space and dominant ones distort distances
+    — the feature-health scan run before building an ANN index or
+    quantizer. Values and their squares round to 9 dp and sum in DECIMAL
+    (no float order), the two moments divide once each, and the shuffle
+    carries (dim, partial-sum) pairs — never vectors. 64 output rows at
+    any corpus size."""
+    from arc_cassandra_pipeline_plugin_spark.functions import vec_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(vec_double("embedding")).alias("dim_idx0", "x")
+    ).select((F.col("dim_idx0") + 1).alias("dim_idx"), "x")
+    m = e.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(24,9)")).alias("sx2"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    return m.select(
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round(mean, 6).alias("dim_mean"),
+        F.round(F.col("sx2").cast("double") / F.col("n") - mean * mean, 6).alias(
+            "dim_variance"
+        ),
+    )
