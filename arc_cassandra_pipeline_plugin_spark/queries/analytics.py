@@ -2842,3 +2842,58 @@ def dq_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_amount",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# first-touch attribution (completes the attribution trio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "attribution_first_touch",
+    category="timeseries",
+    oracle="""
+WITH p AS (SELECT user_id, min(ts) AS first_purchase FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+candidates AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN p ON p.user_id = e.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts < p.first_purchase),
+first_touch AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM candidates) WHERE rn = 1)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_conversions
+FROM first_touch GROUP BY event_type
+""",
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: the earliest pre-purchase touch per
+    converting user gets full credit — completing the attribution trio
+    (first / last / linear), which bound each channel's credit from the
+    acquisition and conversion ends respectively.
+
+    One user-keyed min, one filtered join, one rank-1 window (compiling
+    through the WindowGroupLimit heap) — all linear on the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    cand = (
+        ev.join(p, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("ts") < F.col("first_purchase"))
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    return first.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    )

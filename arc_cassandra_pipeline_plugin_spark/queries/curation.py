@@ -1480,3 +1480,59 @@ def dq_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_variance"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_zipf_profile",
+    category="text",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM freq),
+top1 AS (SELECT n AS n1 FROM ranked WHERE rnk = 1)
+SELECT CAST(rnk AS INT) AS rnk, token, CAST(n AS BIGINT) AS n_occurrences,
+       round(CAST(n AS DOUBLE) / n1, 6) AS freq_ratio,
+       round(CAST(n * rnk AS DOUBLE) / n1, 6) AS zipf_product
+FROM ranked CROSS JOIN top1
+WHERE rnk <= 50
+""",
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile for the top-50 tokens: frequency ratio
+    to the rank-1 token and the rank×ratio product — for Zipfian text the
+    product hovers near constant, and large deviations flag synthetic or
+    templated corpora (a log-free goodness check; fitting the exponent
+    needs logs and belongs offline).
+
+    The top-50 rank is a TakeOrderedAndProject-style selection over the
+    token aggregate (the full ranking never materializes past the heap);
+    the rank-1 count broadcasts as one row. All counts integer, two
+    rounded divisions."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.col("n").desc(), "token").limit(50)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    top1 = ranked.filter(F.col("rnk") == 1).select(F.col("n").alias("n1"))
+    return ranked.crossJoin(F.broadcast(top1)).select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "token",
+        F.col("n").cast("bigint").alias("n_occurrences"),
+        F.round(F.col("n").cast("double") / F.col("n1"), 6).alias("freq_ratio"),
+        F.round((F.col("n") * F.col("rnk")).cast("double") / F.col("n1"), 6).alias(
+            "zipf_product"
+        ),
+    )

@@ -120,6 +120,7 @@ SCALAR_BROADCASTS = {
     "dq_source_lang_tvd",  # broadcast lang list + 1-row total onto the source grid
     "events_stickiness_dau_wau",  # broadcast 1-row calendar span filter
     "dq_anova_value_by_type",  # 1-row moment aggregates cross-joined
+    "text_zipf_profile",  # broadcast 1-row rank-1 count onto 50 rows
 }
 
 
