@@ -2897,3 +2897,53 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_conversions")
     )
+
+
+# ---------------------------------------------------------------------------
+# consecutive-day streaks (islands on a discrete sequence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_longest_streaks",
+    category="timeseries",
+    oracle="""
+WITH days AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+anch AS (
+  SELECT o_custkey, d,
+         d - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS INT) AS anchor
+  FROM days),
+streaks AS (
+  SELECT o_custkey, anchor, count(*) AS len FROM anch GROUP BY 1, 2)
+SELECT o_custkey,
+       CAST(max(len) AS BIGINT) AS longest_streak_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY o_custkey
+HAVING max(len) >= 2
+""",
+)
+def orders_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day ordering streak per customer via the
+    date-minus-row-number anchor trick: consecutive days share one anchor
+    value, so streaks fall out of a plain GROUP BY — islands on a
+    DISCRETE sequence, the counterpart to the interval-union islands of
+    events_active_intervals (engagement-streak features, habit metrics).
+
+    One user-partitioned window over distinct order days, two keyed
+    aggregates; customers with only singleton days are filtered to keep
+    the output signal-bearing."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select("o_custkey", F.to_date("o_orderdate").alias("d")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    anch = days.select(
+        "o_custkey",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = anch.groupBy("o_custkey", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("o_custkey")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+        .filter(F.col("longest_streak_days") >= 2)
+    )
