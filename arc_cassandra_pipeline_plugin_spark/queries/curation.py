@@ -1536,3 +1536,61 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_product"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HOCON-driven curation pipeline, certified end-to-end
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_hocon_curation",
+    category="pipeline",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents
+WHERE length(text) >= 200 GROUP BY lang
+""",
+)
+def pipeline_hocon_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full composition path under the correctness gate:
+    HOCON text (comments, unquoted keys — Typesafe Config parity) →
+    error-accumulating parse → Extract stage → SQLTransform with Arc-style
+    ${} sqlParams injection → result view, certified against the plain-SQL
+    oracle. The sibling
+    pipeline_declarative certifies the dict-config path; this one
+    certifies the CONFIG SYNTAX the reference's users actually write."""
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+
+    conf_text = f"""
+    // corpus curation: length gate + per-language stats (HOCON syntax)
+    stages = [
+      {{
+        type = ParquetExtract
+        name = "extract documents"
+        environments = [production, test]
+        inputURI = "{sf_dir}/documents.parquet"
+        outputView = docs_v
+      }}
+      {{
+        type = SQLTransform
+        name = "per-language stats over the length gate"
+        environments = [production, test]
+        sql = \"\"\"
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars
+          FROM docs_v WHERE length(text) >= ${{min_chars}} GROUP BY lang
+        \"\"\"
+        sqlParams = {{ min_chars = "200" }}
+        outputView = lang_stats
+      }}
+    ]
+    """
+    ctx = PipelineContext(environment="test")
+    pipeline = parse_config(conf_text, ctx)
+    result = pipeline.run(spark, ctx)
+    assert result is not None
+    return result
