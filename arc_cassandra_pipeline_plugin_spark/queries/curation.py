@@ -1594,3 +1594,79 @@ def pipeline_hocon_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = pipeline.run(spark, ctx)
     assert result is not None
     return result
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring (pairless near-dup signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ngram_novelty",
+    category="text",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 7),
+                               i -> array_to_string(tk[i:i+7], ' '))) AS gram
+  FROM toks WHERE len(tk) >= 8),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN firsts f ON f.gram = g.gram
+  GROUP BY g.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty_ratio
+FROM per
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRLESS near-duplicate signal: each document's fraction of 8-gram
+    phrases not seen in any earlier document (by ingestion order) — the
+    streaming-corpus novelty score. A near-copy of an earlier doc scores
+    ≈0 without ever materializing a candidate pair, which makes this the
+    cheap pre-filter BEFORE pairwise dedup at 100 TB.
+
+    First-seen decomposition again: one distinct-gram explode, one
+    min-per-gram aggregate, one rejoin keyed on the gram — all linear; no
+    pair join exists anywhere. Counts integer, one rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("tk"),
+    ).filter(F.size("tk") >= 8)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 7),
+                    lambda i: F.array_join(F.slice("tk", i, 8), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias(
+            "novelty_ratio"
+        ),
+    )

@@ -902,3 +902,75 @@ def dq_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau over aggregated levels (scalable rank correlation)
+# --------------------------------------------------------------------------
+
+@register(
+    "corr_kendall_size_price",
+    category="mining",
+    oracle="""
+WITH lvl AS (
+  SELECT p_size, sum(CAST(p_retailprice AS DECIMAL(18,2))) AS s, count(*) AS n
+  FROM part GROUP BY p_size),
+pairs AS (
+  SELECT CASE WHEN (a.s * b.n) < (b.s * a.n) THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.s * b.n) > (b.s * a.n) THEN 1 ELSE 0 END AS disc
+  FROM lvl a JOIN lvl b ON a.p_size < b.p_size)
+SELECT CAST((SELECT count(*) FROM lvl) AS BIGINT) AS n_levels,
+       CAST(sum(conc) AS BIGINT) AS concordant,
+       CAST(sum(disc) AS BIGINT) AS discordant,
+       round(CAST(sum(conc) - sum(disc) AS DOUBLE) / (sum(conc) + sum(disc)), 6)
+         AS kendall_tau
+FROM pairs
+""",
+)
+def corr_kendall_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (Kendall) correlation between part size and mean retail price,
+    computed over the AGGREGATED size levels — the scalable form of a
+    rank correlation: raw Kendall is O(n²) in rows, but monotonicity of a
+    size→price relation lives entirely in the ~50-level means, so the
+    pair stage is level², a dimension constant.
+
+    The mean comparison is the cross-multiplication a.s·b.n vs b.s·a.n in
+    exact DECIMAL — no division before comparing, so concordance is
+    engine-exact; tau is one final rounded division. Complements the
+    Pearson corr/covar battery with the outlier-robust rank view."""
+    part = load_table(spark, sf_dir, "part")
+    lvl = part.groupBy("p_size").agg(
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = lvl.select(
+        F.col("p_size").alias("sa"), F.col("s").alias("xa"), F.col("n").alias("na")
+    )
+    b = lvl.select(
+        F.col("p_size").alias("sb"), F.col("s").alias("xb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("sa") < F.col("sb")).select(
+        F.when(F.col("xa") * F.col("nb") < F.col("xb") * F.col("na"), 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when(F.col("xa") * F.col("nb") > F.col("xb") * F.col("na"), 1)
+        .otherwise(0)
+        .alias("disc"),
+    )
+    n_levels = lvl.agg(F.count(F.lit(1)).alias("n_levels"))
+    return (
+        pairs.agg(
+            F.sum("conc").alias("concordant"), F.sum("disc").alias("discordant")
+        )
+        .crossJoin(F.broadcast(n_levels))
+        .select(
+            F.col("n_levels").cast("bigint").alias("n_levels"),
+            F.col("concordant").cast("bigint").alias("concordant"),
+            F.col("discordant").cast("bigint").alias("discordant"),
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / (F.col("concordant") + F.col("discordant")),
+                6,
+            ).alias("kendall_tau"),
+        )
+    )

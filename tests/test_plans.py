@@ -88,6 +88,7 @@ DIMENSION_BOUNDED = {
     "orders_abc_analysis",  # rank-bucket × rank-bucket carry-offset join + 1-row total
     "orders_decile_gains",  # bucketed-ntile offsets + broadcast 1-row total
     "text_vocab_growth",  # bucket×bucket cumulative join (corpus-prefix buckets)
+    "corr_kendall_size_price",  # size-level × size-level pair stage (~50² constant)
 }
 
 #: queries whose plan contains a broadcast nested-loop join against a
