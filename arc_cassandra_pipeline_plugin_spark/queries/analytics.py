@@ -2947,3 +2947,64 @@ def orders_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak_days") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# purchase value by preceding touch depth
+# ---------------------------------------------------------------------------
+
+@register(
+    "purchase_value_by_touch_depth",
+    category="timeseries",
+    oracle="""
+WITH seqd AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+         coalesce(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS eb
+  FROM events),
+purch AS (
+  SELECT value, least(eb - pb, 10) AS depth
+  FROM seqd WHERE event_type = 'purchase')
+SELECT CAST(depth AS INT) AS touch_depth,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_value
+FROM purch GROUP BY depth
+""",
+)
+def purchase_value_by_touch_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does engagement depth buy bigger purchases? Average purchase value
+    bucketed by the number of NON-purchase touches preceding each
+    purchase (capped at 10+) — the marketing-depth ROI curve, and the
+    causal-analysis starting point before any uplift model.
+
+    Depth comes from two running counts in the same user-keyed window
+    pass (events-before minus purchases-before); averages are DECIMAL
+    sums over one division. Output bounded by the depth cap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isp = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seqd = ev.select(
+        "event_type",
+        "value",
+        F.coalesce(F.sum(isp).over(w), F.lit(0)).alias("pb"),
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("eb"),
+    )
+    purch = seqd.filter(F.col("event_type") == "purchase").select(
+        "value", F.least(F.col("eb") - F.col("pb"), F.lit(10)).alias("depth")
+    )
+    return purch.groupBy(F.col("depth").cast("int").alias("touch_depth")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+    )

@@ -1670,3 +1670,39 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# normalization gain audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_normalization_gain",
+    category="dedup",
+    oracle=r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+       CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+            AS BIGINT) AS distinct_normalized,
+       CAST(count(DISTINCT md5(text))
+            - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+            AS BIGINT) AS extra_dups_found
+FROM documents
+""",
+)
+def dedup_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization payoff audit: how many duplicate groups exist only
+    AFTER case/whitespace canonicalization — the number that justifies
+    (or kills) a normalization pass before exact dedup. Two fingerprint
+    distinct-counts in one aggregate; hashes shuffle, text never does."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.md5(F.col("text"))
+    norm = F.md5(D.normalize_text(F.col("text")))
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(raw).cast("bigint").alias("distinct_raw"),
+        F.countDistinct(norm).cast("bigint").alias("distinct_normalized"),
+        (F.countDistinct(raw) - F.countDistinct(norm))
+        .cast("bigint")
+        .alias("extra_dups_found"),
+    )
