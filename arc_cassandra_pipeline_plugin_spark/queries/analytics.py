@@ -3008,3 +3008,66 @@ def purchase_value_by_touch_depth(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint screen on the daily value series
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_cusum_changepoint",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS n
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(s) AS st, sum(n) AS nt FROM daily),
+dev AS (
+  SELECT day,
+         CAST(round(CAST(s AS DOUBLE) / n - CAST(st AS DOUBLE) / nt, 9)
+              AS DECIMAL(20,9)) AS d
+  FROM daily CROSS JOIN tot),
+cusum AS (
+  SELECT day, sum(d) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM dev)
+SELECT day, round(CAST(c AS DOUBLE), 6) AS cusum,
+       CAST(row_number() OVER (ORDER BY abs(c) DESC, day) = 1 AS BOOLEAN)
+         AS is_changepoint_candidate
+FROM cusum
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen: the running sum of (daily mean − overall
+    mean); the |CUSUM| peak marks the most likely mean-shift day — the
+    classic sequential drift detector, flagged in-line per day.
+
+    Daily deviations round to 9 dp and accumulate in DECIMAL over the
+    CALENDAR-sized daily aggregate (a bounded-domain running sum, same
+    class as the sweep-line); the peak flag is a deterministic
+    rank-1 under (|c| desc, day). Output: one row per day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = daily.agg(F.sum("s").alias("st"), F.sum("n").alias("nt"))
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.round(
+            F.col("s").cast("double") / F.col("n")
+            - F.col("st").cast("double") / F.col("nt"),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusum = dev.select("day", F.sum("d").over(w).alias("c"))
+    wr = Window.orderBy(F.abs(F.col("c")).desc(), "day")
+    return cusum.select(
+        "day",
+        F.round(F.col("c").cast("double"), 6).alias("cusum"),
+        (F.row_number().over(wr) == 1).alias("is_changepoint_candidate"),
+    )

@@ -1706,3 +1706,45 @@ def dedup_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("extra_dups_found"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hapax legomena ratio
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_hapax_ratio",
+    category="text",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS hapax_ratio
+FROM freq
+""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio: the fraction of vocabulary occurring exactly
+    once — healthy natural text sits near 0.4-0.6; far above flags OCR
+    noise or random identifiers, far below flags templated text. The
+    one-number vocabulary-health gate next to the Zipf profile. One token
+    aggregate, integer counts, one division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

@@ -122,6 +122,7 @@ SCALAR_BROADCASTS = {
     "events_stickiness_dau_wau",  # broadcast 1-row calendar span filter
     "dq_anova_value_by_type",  # 1-row moment aggregates cross-joined
     "text_zipf_profile",  # broadcast 1-row rank-1 count onto 50 rows
+    "events_cusum_changepoint",  # broadcast 1-row overall mean onto the daily series
 }
 
 
