@@ -3071,3 +3071,57 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c").cast("double"), 6).alias("cusum"),
         (F.row_number().over(wr) == 1).alias("is_changepoint_candidate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# customer survival curve (cohort retention by age)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_survival_curve",
+    category="timeseries",
+    oracle="""
+WITH fy AS (SELECT o_custkey, min(CAST(extract(year FROM o_orderdate) AS INT)) AS cohort
+            FROM orders GROUP BY 1),
+cs AS (SELECT cohort, count(*) AS cohort_n FROM fy GROUP BY cohort),
+act AS (
+  SELECT fy.cohort,
+         CAST(extract(year FROM o.o_orderdate) AS INT) - fy.cohort AS age,
+         count(DISTINCT o.o_custkey) AS active_n
+  FROM orders o JOIN fy ON fy.o_custkey = o.o_custkey
+  GROUP BY 1, 2)
+SELECT a.cohort AS cohort_year, CAST(a.age AS INT) AS cohort_age,
+       CAST(a.active_n AS BIGINT) AS active_customers,
+       CAST(c.cohort_n AS BIGINT) AS cohort_size,
+       round(CAST(a.active_n AS DOUBLE) / c.cohort_n, 6) AS survival_rate
+FROM act a JOIN cs c ON c.cohort = a.cohort
+""",
+)
+def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer survival curve: the fraction of each first-order-year
+    cohort still ordering k years later — the retention denominator the
+    LTV triangle needs to separate "cohort shrank" from "survivors spend
+    less". Two user-keyed aggregates and a cohort-sized join; the rate is
+    one division of exact counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    fy = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("cohort")
+    )
+    cs = fy.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    act = (
+        orders.join(fy, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate").cast("int") - F.col("cohort")).alias("age"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_n"))
+    )
+    return act.join(F.broadcast(cs), "cohort").select(
+        F.col("cohort").alias("cohort_year"),
+        F.col("age").cast("int").alias("cohort_age"),
+        F.col("active_n").cast("bigint").alias("active_customers"),
+        F.col("cohort_n").cast("bigint").alias("cohort_size"),
+        F.round(F.col("active_n").cast("double") / F.col("cohort_n"), 6).alias(
+            "survival_rate"
+        ),
+    )

@@ -1748,3 +1748,69 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source-pair vocabulary overlap (redundancy map)
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_source_vocab_overlap",
+    category="text",
+    oracle="""
+WITH st AS (
+  SELECT DISTINCT source, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+  FROM documents),
+sizes AS (SELECT source, count(*) AS m FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b,
+       round(c / CAST(sa.m + sb.m - c AS DOUBLE), 6) AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+""",
+)
+def corpus_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-redundancy map: vocabulary Jaccard between every source
+    pair — near-identical vocabularies flag mirrored or re-crawled
+    sources BEFORE document-level dedup spends a pass on them.
+
+    The pair stage is the inverted-index join keyed on token (sources
+    meet only where vocabularies intersect); output and the size join are
+    sources² — dimension-bounded. Exact integer set math, one rounded
+    division per pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("token"),
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("m"))
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"source": "source_a", "m": "ma"}), "source_a"
+        )
+        .join(sizes.withColumnsRenamed({"source": "source_b", "m": "mb"}), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
