@@ -3125,3 +3125,53 @@ def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# repurchase cycle (median inter-order interval)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_repurchase_cycle",
+    category="timeseries",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_d
+  FROM orders),
+g AS (SELECT o_custkey, CAST(gap_d AS BIGINT) AS gap_d FROM gaps WHERE gap_d IS NOT NULL)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap_d, 0.5) AS BIGINT) AS median_gap_d,
+       CAST(min(gap_d) AS BIGINT) AS min_gap_d
+FROM g GROUP BY o_custkey HAVING count(*) >= 3
+""",
+)
+def orders_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase cycle per customer: the median days between consecutive
+    orders (for customers with enough history) — the replenishment-
+    cadence feature behind churn prediction ("customer is N× past their
+    own median gap"). Gaps are exact integer day diffs from one
+    user-keyed window pass; the median is the exact discrete quantile."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("bigint").alias(
+            "gap_d"
+        ),
+    ).filter(F.col("gap_d").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.expr("approx_percentile(gap_d, 0.5, 1000000)")
+            .cast("bigint")
+            .alias("median_gap_d"),
+            F.min("gap_d").cast("bigint").alias("min_gap_d"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )

@@ -974,3 +974,83 @@ def corr_kendall_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kendall_tau"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# market-basket affinity (support / confidence / lift)
+# --------------------------------------------------------------------------
+
+@register(
+    "basket_category_affinity",
+    category="mining",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, split_part(p.p_name, ' ', 1) AS cat
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS no FROM items),
+cat_n AS (SELECT cat, count(*) AS nc FROM items GROUP BY cat),
+pair_n AS (
+  SELECT a.cat AS cat_a, b.cat AS cat_b, count(*) AS nab
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.cat < b.cat
+  GROUP BY 1, 2)
+SELECT cat_a, cat_b, CAST(nab AS BIGINT) AS n_together,
+       round(CAST(nab AS DOUBLE) / no, 6) AS support,
+       round(CAST(nab AS DOUBLE) / ca.nc, 6) AS confidence_a_to_b,
+       round(CAST(no * nab AS DOUBLE) / (ca.nc * cb.nc), 6) AS lift
+FROM pair_n
+JOIN cat_n ca ON ca.cat = pair_n.cat_a
+JOIN cat_n cb ON cb.cat = pair_n.cat_b
+CROSS JOIN n_orders
+""",
+)
+def basket_category_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis over part categories (first name token):
+    support, confidence and lift for every category pair co-occurring in
+    an order — the association-rule core (the full Apriori lattice
+    reduces to this pair pass when the itemset cap is 2).
+
+    The pair join runs on the per-order DISTINCT category projection
+    (categories², dimension-bounded output); counts stay integer and the
+    three ratios are single divisions — lift in particular is the
+    cross-multiplied form with no intermediate probability rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            "l_orderkey",
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("cat"),
+        )
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("no"))
+    cat_n = items.groupBy("cat").agg(F.count(F.lit(1)).alias("nc"))
+    a = items.select("l_orderkey", F.col("cat").alias("cat_a"))
+    b = items.select("l_orderkey", F.col("cat").alias("cat_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("cat_a") < F.col("cat_b"))
+        .groupBy("cat_a", "cat_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    ca = cat_n.select(F.col("cat").alias("cat_a"), F.col("nc").alias("nca"))
+    cb = cat_n.select(F.col("cat").alias("cat_b"), F.col("nc").alias("ncb"))
+    return (
+        pair_n.join(F.broadcast(ca), "cat_a")
+        .join(F.broadcast(cb), "cat_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "cat_a",
+            "cat_b",
+            F.col("nab").cast("bigint").alias("n_together"),
+            F.round(F.col("nab").cast("double") / F.col("no"), 6).alias("support"),
+            F.round(F.col("nab").cast("double") / F.col("nca"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                (F.col("no") * F.col("nab")).cast("double")
+                / (F.col("nca") * F.col("ncb")),
+                6,
+            ).alias("lift"),
+        )
+    )

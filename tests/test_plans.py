@@ -87,6 +87,7 @@ DIMENSION_BOUNDED = {
     "centroid_pairwise_cosine",  # label×label centroid self-join
     "orders_abc_analysis",  # rank-bucket × rank-bucket carry-offset join + 1-row total
     "orders_decile_gains",  # bucketed-ntile offsets + broadcast 1-row total
+    "basket_category_affinity",  # broadcast 1-row order count + 8-row category dims
     "text_vocab_growth",  # bucket×bucket cumulative join (corpus-prefix buckets)
     "corr_kendall_size_price",  # size-level × size-level pair stage (~50² constant)
 }
