@@ -542,3 +542,40 @@ def test_simhash_banding_is_complete_vs_brute_force(spark):
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
     assert dataset_equality(banded, brute)
+
+
+def test_active_intervals_matches_python_union(spark):
+    """events_active_intervals (cumulative-max islands) must equal a
+    literal per-user union of [t, t+600) computed in plain Python — an
+    independent check of the sweep technique (the SQL oracle shares the
+    windowing formulation, this does not)."""
+    from arc_cassandra_pipeline_plugin_spark.queries.analytics import (
+        events_active_intervals,
+    )
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["user_id"]: (r["n_islands"], r["active_s"])
+        for r in events_active_intervals(spark, SF_SMALL).collect()
+    }
+
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr("user_id", "CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) AS s")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append((r["s"], r["s"] + 600))
+    expect = {}
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], e))
+            else:
+                islands.append((s, e))
+        expect[uid] = (len(islands), sum(e - s for s, e in islands))
+    assert got == expect
