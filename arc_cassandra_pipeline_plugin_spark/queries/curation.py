@@ -1814,3 +1814,53 @@ def corpus_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate vectors
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_vectors",
+    category="dedup",
+    oracle="""
+WITH h AS (
+  SELECT vec_id, label,
+         md5(array_to_string(list_transform(embedding, x -> printf('%.6f', CAST(x AS DOUBLE))), ',')) AS vh
+  FROM embeddings),
+g AS (SELECT vh, min(vec_id) AS keep_id, count(*) AS n_copies FROM h GROUP BY vh)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_copies) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant
+FROM g
+""",
+)
+def dedup_exact_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate VECTOR detection: embeddings fingerprinted by the
+    md5 of their fixed-precision rendering — repeated vectors mean
+    repeated inputs upstream (or a collapsed encoder), and they bias
+    nearest-neighbor training if left in. The %.6f rendering makes the
+    fingerprint engine-portable (raw float-to-string is not); shuffles
+    carry 16-byte hashes, never vectors. One aggregate, 1-row audit."""
+    from arc_cassandra_pipeline_plugin_spark.functions import vec_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vh = F.md5(
+        F.array_join(
+            F.transform(vec_double("embedding"), lambda x: F.format_string("%.6f", x)),
+            ",",
+        )
+    )
+    g = emb.select(vh.alias("vh")).groupBy("vh").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_copies").cast("bigint").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_redundant"),
+    )
