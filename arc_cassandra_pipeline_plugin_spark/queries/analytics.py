@@ -3175,3 +3175,48 @@ def orders_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier account-balance profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_supplier_balance_profile",
+    category="quality",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       round(CAST(min(s.s_acctbal) AS DOUBLE), 2) AS min_bal,
+       round(CAST(max(s.s_acctbal) AS DOUBLE), 2) AS max_bal,
+       round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS mean_bal
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+""",
+)
+def dq_supplier_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance profile per nation: counts, negative-
+    balance flags (credit-risk screen), extremes, and the DECIMAL-exact
+    mean — the standing financial-health audit over the supplier
+    dimension. One broadcast dim join, one nation-sized aggregate."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.round(F.min("s_acctbal").cast("double"), 2).alias("min_bal"),
+            F.round(F.max("s_acctbal").cast("double"), 2).alias("max_bal"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_bal"),
+        )
+    )

@@ -1864,3 +1864,46 @@ def dedup_exact_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_redundant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# numeric-token density
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_numeric_density",
+    category="text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\\b[0-9]+\\b')) AS n_numeric
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_numeric AS INT) AS n_numeric,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(CAST(n_numeric AS DOUBLE) / n_tokens, 6) END AS numeric_density,
+       5 * n_numeric > n_tokens AS numeric_heavy
+FROM t
+""",
+)
+def text_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token density per document: tables, logs and scraped
+    numeric noise read as prose to length filters but train poorly — the
+    >20% flag (integer cross-multiplied) is the cheap screen. One
+    codegen'd projection; the density is a single guarded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    )
+    n_numeric = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b[0-9]+\b"), 0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_numeric.alias("n_numeric"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(F.round(n_numeric.cast("double") / n_tokens, 6))
+        .alias("numeric_density"),
+        (F.lit(5) * n_numeric > n_tokens).alias("numeric_heavy"),
+    )
