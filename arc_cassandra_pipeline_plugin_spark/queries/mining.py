@@ -1054,3 +1054,57 @@ def basket_category_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# return-rate by brand (product quality analytics)
+# --------------------------------------------------------------------------
+
+@register(
+    "lineitem_return_rate_by_brand",
+    category="mining",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       round(CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS return_rate,
+       round(CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS returned_value
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table per brand: line counts, returned share and
+    DECIMAL-exact returned value — the product-quality readout that feeds
+    supplier scorecards. The part dimension broadcasts (fixed
+    cardinality), the fact aggregates map-side, and the rate is one
+    division of exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    is_r = F.col("l_returnflag") == "R"
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(is_r, 1).otherwise(0)).cast("bigint").alias("n_returned"),
+            F.round(
+                F.sum(F.when(is_r, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("return_rate"),
+            F.round(
+                F.sum(
+                    F.when(
+                        is_r, F.col("l_extendedprice").cast("decimal(18,2)")
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double"),
+                2,
+            ).alias("returned_value"),
+        )
+    )
