@@ -3220,3 +3220,78 @@ def dq_supplier_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# market-segment customer profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_segment_profile",
+    category="mining",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_revenue,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(o.o_orderkey), 6) AS avg_order_value
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def customer_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment profile: customers, orders, DECIMAL-exact revenue
+    and average order value per segment — the one-glance segmentation
+    table sales planning starts from. One customer-keyed join, one
+    segment-sized aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.round(F.sum(p).cast("double"), 2).alias("total_revenue"),
+            F.round(F.sum(p).cast("double") / F.count("o_orderkey"), 6).alias(
+                "avg_order_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_prop_distribution",
+    category="scalar",
+    oracle="""
+WITH k AS (SELECT CAST(json_extract(props, '$.k') AS INT) AS kv FROM events)
+SELECT CAST(kv // 10 AS INT) AS k_decade,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(kv) AS INT) AS min_k, CAST(max(kv) AS INT) AS max_k
+FROM k WHERE kv IS NOT NULL GROUP BY kv // 10
+""",
+)
+def events_prop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read property distribution: the JSON payload's `k` field
+    extracted and bucketed by decade — the exploratory profile a landing-
+    zone pipeline runs before promoting a semi-structured field to a real
+    column. JVM JSON path extraction, integer bucket arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(kv.alias("kv"))
+        .filter(F.col("kv").isNotNull())
+        .groupBy((F.col("kv") / 10).cast("int").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("kv").cast("int").alias("min_k"),
+            F.max("kv").cast("int").alias("max_k"),
+        )
+    )
