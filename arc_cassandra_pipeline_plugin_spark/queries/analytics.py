@@ -3295,3 +3295,39 @@ def events_prop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("kv").cast("int").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# monthly active customers with month-over-month delta
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_monthly_active",
+    category="timeseries",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(DISTINCT o_custkey) AS mac
+  FROM orders GROUP BY 1)
+SELECT a.month, CAST(a.mac AS BIGINT) AS active_customers,
+       CAST(a.mac - b.mac AS BIGINT) AS mom_change
+FROM m a LEFT JOIN m b ON b.month = CAST(a.month - INTERVAL 1 MONTH AS DATE)
+""",
+)
+def orders_monthly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly active customers with the month-over-month delta — the
+    top-line growth series. The previous-month lookup is a self-join of
+    the MONTH aggregate on a shifted key (calendar-sized both sides), not
+    a window over the fact table; missing prior months yield NULL deltas
+    rather than silently zero. Integer counts end-to-end."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.countDistinct("o_custkey").alias("mac"))
+    a = m.select("month", F.col("mac").alias("mac_a"))
+    b = m.select(F.add_months(F.col("month"), 1).alias("month"), F.col("mac").alias("mac_b"))
+    return a.join(F.broadcast(b), "month", "left").select(
+        "month",
+        F.col("mac_a").cast("bigint").alias("active_customers"),
+        (F.col("mac_a") - F.col("mac_b")).cast("bigint").alias("mom_change"),
+    )
