@@ -120,6 +120,8 @@ def lsh_candidate_pairs(
     num_perm: int = 16,
     bands: int = 4,
     materialize: bool = True,
+    salt_buckets: int = 16,
+    skew_threshold: int = 5000,
 ) -> DataFrame:
     """Band the signature (``bands`` bands × ``num_perm/bands`` rows) and
     emit candidate pairs sharing any band. The self-join key is
@@ -131,7 +133,19 @@ def lsh_candidate_pairs(
     a self-join here, so without it the entire upstream signature pipeline
     (shingle explode + md5) runs twice — measured 2 FileScans of the
     corpus. At 100 TB that is the difference between one and two passes
-    over the most expensive stage."""
+    over the most expensive stage.
+
+    **Degenerate-bucket salting** (``salt_buckets`` > 0): a near-clique
+    corpus (thousands of near-identical docs — boilerplate, mirrored
+    pages) puts every doc into ONE (band_id, band_hash) bucket, and the
+    equi-join degrades to a single-reducer quadratic task. Buckets whose
+    row count reaches ``skew_threshold`` are split: the left side gets a
+    deterministic salt ``xxhash64(id) % salt_buckets`` and the right side
+    is replicated once per salt value — so each (l, r) pair still meets
+    exactly once (on the left row's salt), but the hot bucket's work
+    spreads across ``salt_buckets`` reducers. Cold buckets join with
+    salt 0 on both sides and are not replicated. The candidate set is
+    identical to the unsalted join; set ``salt_buckets=0`` to disable."""
     if num_perm % bands != 0:
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
@@ -156,17 +170,51 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_id", "band.band_hash")
     if materialize:
         stacked = stacked.localCheckpoint(eager=True)
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+    if salt_buckets > 1:
+        # hot-bucket detection is one cheap agg over the checkpointed
+        # banded rows; the hot set is bounded by n_rows/skew_threshold
+        # buckets, so it broadcasts
+        hot = (
+            stacked.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") >= skew_threshold)
+            .select("band_id", "band_hash", F.lit(True).alias("_hot"))
         )
+        tagged = stacked.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left"
+        ).withColumn("_hot", F.coalesce(F.col("_hot"), F.lit(False)))
+        left = tagged.withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot"),
+                ((F.xxhash64(F.col(id_col)) % salt_buckets + salt_buckets) % salt_buckets).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("_hot")
+        right = tagged.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot"),
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("_hot")
+        l, r = left.alias("l"), right.alias("r")
+        join_cond = [
+            F.col("l.band_id") == F.col("r.band_id"),
+            F.col("l.band_hash") == F.col("r.band_hash"),
+            F.col("l._salt") == F.col("r._salt"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ]
+    else:
+        l, r = stacked.alias("l"), stacked.alias("r")
+        join_cond = [
+            F.col("l.band_id") == F.col("r.band_id"),
+            F.col("l.band_hash") == F.col("r.band_hash"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ]
+    return (
+        l.join(r, on=join_cond)
         .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
         .distinct()
     )
@@ -502,9 +550,11 @@ def setsim_join_prefix(
     sizes = ranked.groupBy(id_col).agg(F.max("pos").alias("m"))
     # prefix length p = m - ceil(t*m) + 1, with ceil done in exact integer
     # arithmetic: ceil(t_pct*m/100) = (t_pct*m + 99) div 100
-    pref_len = F.col("m") - ((F.lit(threshold_pct) * F.col("m") + 99) / 100).cast(
-        "bigint"
-    ) + 1
+    pref_len = (
+        F.col("m")
+        - F.expr(f"({threshold_pct} * m + 99) div 100")
+        + 1
+    )
     prefix = ranked.join(sizes, id_col).filter(F.col("pos") <= pref_len)
     a = prefix.select(F.col(id_col).alias("doc_a"), "token")
     b = prefix.select(F.col(id_col).alias("doc_b"), "token")

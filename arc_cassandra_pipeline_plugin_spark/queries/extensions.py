@@ -1821,15 +1821,24 @@ def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     deadline = time.time() + 120
+    drained = 0
     try:
         while time.time() < deadline:
             rows = spark.table("pyds_stream_agg").collect()
-            if sum(r["n_docs"] for r in rows) >= 400:
+            drained = sum(r["n_docs"] for r in rows)
+            if drained >= 400:
                 break
             time.sleep(0.5)
     finally:
         q.stop()
         q.awaitTermination(30)
+    if drained < 400:
+        # fail loudly: a partial complete-mode aggregate would otherwise
+        # surface downstream as a confusing oracle hash mismatch (ADVICE r2)
+        raise RuntimeError(
+            f"streaming_pyds_source drained only {drained}/400 rows before "
+            "the 120 s deadline"
+        )
     return spark.table("pyds_stream_agg")
 
 

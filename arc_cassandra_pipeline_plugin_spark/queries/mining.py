@@ -384,7 +384,7 @@ def _drift_oracle() -> str:
     fracs = ", ".join(repr(f) for f in _KS_FRACS)
     return f"""
 WITH b AS (SELECT quantile_disc(value, [{fracs}]) AS qs FROM events),
-th AS (SELECT unnest(qs) AS t FROM b),
+th AS (SELECT DISTINCT unnest(qs) AS t FROM b),
 per AS (
   SELECT t,
          sum(CASE WHEN event_id % 2 = 0 AND value <= t THEN 1 ELSE 0 END) AS ca,
@@ -418,7 +418,10 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     fracs = ", ".join(repr(f) for f in _KS_FRACS)
     b = ev.agg(F.expr(f"approx_percentile(value, array({fracs}), 1000000)").alias("qs"))
-    th = b.select(F.explode("qs").alias("t"))
+    # distinct: concentrated distributions can repeat decile values; a
+    # duplicated threshold would double-count its CDF rows after the
+    # cross join while n_base/n_cand do not scale (ADVICE r2)
+    th = b.select(F.explode("qs").alias("t")).distinct()
     even = F.col("event_id") % 2 == 0
     per = (
         ev.crossJoin(F.broadcast(th))

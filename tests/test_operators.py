@@ -242,6 +242,59 @@ def test_lsh_rejects_indivisible_band_layout(spark):
         D.lsh_candidate_pairs(sigs, num_perm=16, bands=5)
 
 
+def test_lsh_salted_candidates_identical_to_unsalted(spark):
+    """Degenerate-bucket salting must not change the candidate set: a mixed
+    corpus (two duplicate cliques + unique docs) produces byte-identical
+    pairs with salting forced on (low skew_threshold) and fully off."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "the first duplicated boilerplate body of text"))
+    for i in range(30, 50):
+        rows.append((i, "a second distinct duplicated boilerplate body"))
+    for i in range(50, 70):
+        rows.append((i, f"unique document number {i} with its own words {i * 7}"))
+    df = _docs(spark, rows)
+    sigs = D.minhash_signature(df, num_perm=16).localCheckpoint(eager=True)
+    salted = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(
+            sigs, salt_buckets=8, skew_threshold=5
+        ).collect()
+    }
+    unsalted = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sigs, salt_buckets=0).collect()
+    }
+    assert salted == unsalted
+    for a in range(30):
+        for b in range(a + 1, 30):
+            assert (a, b) in salted
+
+
+def test_lsh_degenerate_bucket_salts_and_completes(spark):
+    """Adversarial near-clique: 2000 identical docs collapse into ONE
+    (band, hash) bucket per band. The salted join must (a) actually engage
+    (salt in the join keys of the physical plan), (b) emit exactly
+    C(2000,2) oriented pairs, (c) finish within a sane wall-clock bound
+    rather than serializing a quadratic single task."""
+    import time
+
+    n = 2000
+    df = _docs(
+        spark,
+        [(i, "an adversarial corpus where every doc is the same text") for i in range(n)],
+    )
+    sigs = D.minhash_signature(df, num_perm=16).localCheckpoint(eager=True)
+    pairs = D.lsh_candidate_pairs(sigs, salt_buckets=8, skew_threshold=100)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "hot-bucket salt never reached the join keys"
+    t0 = time.time()
+    got = pairs.count()
+    elapsed = time.time() - t0
+    assert got == n * (n - 1) // 2
+    assert elapsed < 120, f"degenerate bucket took {elapsed:.1f}s"
+
+
 def test_global_row_number_matches_single_partition_window(spark):
     """Two-phase bucketed rank ≡ the naive global window, including ties on
     the leading key (strict-boundary bucketing keeps equal keys together)."""
