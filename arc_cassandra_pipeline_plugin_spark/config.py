@@ -137,6 +137,14 @@ def instantiate_stage(index: int, spec: dict[str, Any]) -> tuple[PipelineStage |
     errors: list[StageError] = []
     name = str(spec.get("name", f"stage-{index}"))
     stage_type = spec.get("type")
+    if isinstance(stage_type, str) and stage_type not in STAGE_REGISTRY:
+        # ServiceLoader parity: before rejecting, discover stages contributed
+        # by installed packages via entry points (stages.ENTRY_POINT_GROUP)
+        from arc_cassandra_pipeline_plugin_spark.stages import (
+            load_entry_point_stages,
+        )
+
+        load_entry_point_stages(refresh=True)
     if not isinstance(stage_type, str) or stage_type not in STAGE_REGISTRY:
         errors.append(
             StageError(index, name, "type", f"unknown stage type {stage_type!r}; "

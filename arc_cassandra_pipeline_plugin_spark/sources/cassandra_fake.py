@@ -1,0 +1,163 @@
+"""In-process contract-test double for the spark-cassandra-connector.
+
+The sandbox has neither a Cassandra cluster nor the connector jar, so the
+``CassandraExtract`` / ``CassandraLoad`` stages (format string
+``org.apache.spark.sql.cassandra``, keyspace/table options, connector conf
+passthrough — ``CassandraExtract.scala:95-98``, ``CassandraLoad.scala:110-153``)
+could previously only be validated, never executed. This module closes that
+gap: a PySpark Python Data Source registered under the connector's EXACT
+format name, so the stages' ``_read``/``_write`` code paths run end-to-end
+**unmodified** — same format string, same option surface.
+
+Storage model: ``spark.cassandra.connection.host`` is interpreted as a local
+root directory (the "cluster"); each keyspace/table is
+``<root>/<keyspace>/<table>/`` holding
+
+- ``part-*.jsonl`` — one JSON object per row, written by executor tasks,
+- ``_schema.json``  — the table schema (StructType JSON), the analogue of
+  connector schema inference from cluster metadata,
+- ``_write_options.json`` / ``_read_options.json`` — the verbatim option
+  map the stage handed the connector, recorded for contract assertions
+  (params passthrough, keyspace/table injection, ``confirm.truncate``
+  stripping).
+
+This is explicitly a test double — deterministic, filesystem-backed, honest
+about what it is — not a Cassandra client. It exists so the contract the
+stages must honor (CassandraLoadSuite.scala:58-141 round-trip) is executed,
+not merely config-checked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+FORMAT_NAME = "org.apache.spark.sql.cassandra"
+HOST_OPTION = "spark.cassandra.connection.host"
+
+
+def _table_dir(options) -> str:
+    root = options.get(HOST_OPTION)
+    if not root:
+        raise ValueError(
+            f"fake cassandra source requires the '{HOST_OPTION}' option "
+            "(interpreted as the storage root directory)"
+        )
+    keyspace = options.get("keyspace")
+    table = options.get("table")
+    if not keyspace or not table:
+        raise ValueError("fake cassandra source requires keyspace and table options")
+    return os.path.join(root, keyspace, table)
+
+
+def _json_default(v):
+    return str(v)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class FakeCassandraReader(DataSourceReader):
+    def __init__(self, dir_: str, schema: T.StructType):
+        self.dir = dir_
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        # one partition per part file — scan parallelism mirrors the
+        # connector's token-range splits
+        files = sorted(
+            f for f in os.listdir(self.dir) if f.startswith("part-")
+        )
+        return [_FilePartition(os.path.join(self.dir, f)) for f in files]
+
+    def read(self, partition):
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    obj = json.loads(line)
+                    yield tuple(obj.get(name) for name in self.fields)
+
+
+class _Commit(WriterCommitMessage):
+    pass
+
+
+class FakeCassandraWriter(DataSourceWriter):
+    def __init__(self, dir_: str):
+        self.dir = dir_
+
+    def write(self, iterator):
+        path = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=_json_default) + "\n")
+        return _Commit()
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None
+
+
+class FakeCassandraDataSource(DataSource):
+    """Registered under the real connector's format name so the Cassandra
+    stages execute verbatim against it."""
+
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        dir_ = _table_dir(self.options)
+        schema_path = os.path.join(dir_, "_schema.json")
+        if not os.path.exists(schema_path):
+            raise ValueError(
+                f"table {self.options.get('keyspace')}.{self.options.get('table')} "
+                "does not exist in the fake cluster"
+            )
+        with open(schema_path, encoding="utf-8") as fh:
+            schema = T.StructType.fromJson(json.load(fh))
+        # driver-side: record the verbatim read options for contract asserts
+        with open(os.path.join(dir_, "_read_options.json"), "w", encoding="utf-8") as fh:
+            json.dump(dict(self.options), fh)
+        return schema
+
+    def reader(self, schema):
+        return FakeCassandraReader(_table_dir(self.options), schema)
+
+    def writer(self, schema, overwrite):
+        dir_ = _table_dir(self.options)
+        os.makedirs(dir_, exist_ok=True)
+        if overwrite:
+            # Cassandra truncates on Overwrite — which is exactly why the
+            # stage gates this mode behind confirm.truncate
+            for f in os.listdir(dir_):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(dir_, f))
+        with open(os.path.join(dir_, "_schema.json"), "w", encoding="utf-8") as fh:
+            json.dump(schema.jsonValue(), fh)
+        with open(
+            os.path.join(dir_, "_write_options.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump({**dict(self.options), "__overwrite": overwrite}, fh)
+        return FakeCassandraWriter(dir_)
+
+
+def register_fake_cassandra(spark) -> None:
+    """Idempotently register the double on the session. Only for tests /
+    clusters without the real connector — registering on a cluster that HAS
+    the connector jar would shadow nothing (JVM sources win the lookup)."""
+    spark.dataSource.register(FakeCassandraDataSource)

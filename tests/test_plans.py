@@ -246,6 +246,41 @@ def test_new_window_queries_all_partitioned(spark):
             assert m.group("part").strip(), f"{name}: unpartitioned Window:\n{plan}"
 
 
+def test_unpartitioned_windows_sit_above_bounded_inputs(spark):
+    """Guard for the four queries that INTENTIONALLY use a global (un-
+    partitioned) window: each is safe only because a bounded-cardinality
+    operator sits below the Window in the plan — a selective key filter,
+    a LIMIT, or a calendar-bounded aggregate. Assert that structure in the
+    optimized plan so a future edit can't silently unbound them into a
+    shuffle-everything-to-one-task plan at scale."""
+    bounded_markers = {
+        # window over orders filtered to o_orderkey < 2000 (~0.04% of keys)
+        "window_ntile": ["< 2000"],
+        # same shape, o_orderkey < 1000
+        "window_rank_stats": ["< 1000"],
+        # CUSUM over a per-day aggregate: input cardinality = calendar days
+        # (the groupBy-day Aggregate emits "... AS day#" below the Window)
+        "events_cusum_changepoint": ["AS day#"],
+        # Zipf profile over the top-50 tokens: LIMIT 50 below the window
+        "text_zipf_profile": ["GlobalLimit 50"],
+    }
+    for name, markers in bounded_markers.items():
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+        win_idx = next(
+            (i for i, ln in enumerate(lines) if "Window [" in ln or "Window(" in ln),
+            None,
+        )
+        assert win_idx is not None, f"{name}: expected a Window node:\n{plan}"
+        below = "\n".join(lines[win_idx + 1 :])
+        for marker in markers:
+            assert marker in below, (
+                f"{name}: bounded-input marker {marker!r} no longer sits below "
+                f"the global Window — the query is now unbounded at scale:\n{plan}"
+            )
+
+
 def test_zorder_audit_is_single_aggregation_no_join(spark):
     """The Z-order layout audit is pure projection + one aggregate: no join
     operator of any kind in the plan (the Morton key is codegen'd bit

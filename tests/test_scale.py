@@ -170,6 +170,50 @@ def test_partitioned_output_enables_partition_pruning(spark, ctx, tmp_path):
     ).count()
 
 
+def test_ensure_parallelism_is_noop_on_multi_file_scan(spark, tmp_path):
+    """The documented contract of functions.ensure_parallelism: it exists
+    ONLY for the single-file single-row-group fixture pathology — when the
+    scan itself yields >= defaultParallelism partitions (any real-scale
+    table; locally a split multi-file fixture per tools/gen_split_fixtures
+    with maxPartitionBytes sized down), it must return the input DataFrame
+    UNCHANGED (no extra shuffle injected)."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "documents_split.parquet")
+    load_table(spark, SF_SMALL, "documents").repartition(64).write.parquet(out)
+
+    confs = {
+        "spark.sql.files.maxPartitionBytes": "16KB",
+        "spark.sql.files.openCostInBytes": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(out)
+        n = df.rdd.getNumPartitions()
+        assert n >= spark.sparkContext.defaultParallelism, (
+            f"split scan yielded only {n} partitions; test setup is wrong"
+        )
+        assert ensure_parallelism(df) is df, (
+            "ensure_parallelism must be a no-op when the scan is already parallel"
+        )
+        # and the single-file pathology still triggers the repartition
+        single = load_table(spark, SF_SMALL, "documents")
+        if single.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+            assert ensure_parallelism(single) is not single
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling: with one hot key dominating, the adaptive
     final plan marks the sort-merge join as skew-handled. This is the
