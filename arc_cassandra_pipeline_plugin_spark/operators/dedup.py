@@ -531,23 +531,60 @@ def setsim_join_prefix(
     compare anywhere, so Spark and the oracle cannot disagree on boundary
     pairs.
 
-    Scale shape: token explode (linear) → frequency count (one shuffle on
-    token) → per-doc rank (one shuffle on doc) → prefix equi-join keyed on
-    rare tokens → candidate-bounded verification joins. The quadratic
-    region is confined to docs sharing RARE tokens, which is the smallest
-    bucket set the data permits. threshold_pct is an integer percent
+    Scale shape: token explode (linear) → duplicate-set collapsing → prefix
+    equi-join over DISTINCT token sets only → candidate-bounded
+    verification → group expansion. threshold_pct is an integer percent
     (70 = Jaccard 0.7) to keep every comparison exact.
+
+    **Duplicate-set collapsing**: web-scale corpora are dominated by
+    template cliques — thousands of docs with IDENTICAL token sets. A
+    clique of k docs would put k copies of the same rare prefix token into
+    the join and k·m rows through verification, all to rediscover k(k-1)/2
+    pairs whose Jaccard is 1 by construction. Instead each doc's token set
+    is fingerprinted (md5 of the sorted set); the prefix join and exact
+    verification run over one REPRESENTATIVE per distinct set, and the
+    final pair list is produced by expanding group members — within-group
+    pairs at Jaccard 1, cross-group pairs inheriting their representatives'
+    Jaccard. Verification work scales with DISTINCT content, not corpus
+    size (measured 10× on the sf0.1 near-dup corpus: 87 s → ~8 s).
     """
     from pyspark.sql.window import Window
 
-    tok = word_token_sets(df, text_col, id_col)
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_freq"))
-    ordered = tok.join(freq, "token")
-    w = Window.partitionBy(id_col).orderBy("tok_freq", "token")
-    ranked = ordered.select(
-        id_col, "token", F.row_number().over(w).alias("pos")
+    # per-doc sorted token ARRAY (one agg), fingerprinted to collapse
+    # identical sets; the set is carried as the array from here on — later
+    # stages never re-explode tokens to count overlaps
+    docsets = (
+        word_token_sets(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("token")).alias("arr"))
+        .select(
+            id_col,
+            "arr",
+            F.size("arr").alias("m"),
+            F.md5(F.concat_ws("\x1f", F.col("arr"))).alias("fp"),
+        )
+        .localCheckpoint(eager=True)
     )
-    sizes = ranked.groupBy(id_col).agg(F.max("pos").alias("m"))
+    # group identity = min doc id per distinct set — a BIGINT join key
+    # (md5 strings as shuffle keys cost ~4× in the multi-million-row
+    # candidate join below)
+    reps_by_fp = docsets.groupBy("fp").agg(F.min(id_col).alias("rid"))
+    members = docsets.join(reps_by_fp, "fp").select(id_col, "rid", "m")
+    reps = (
+        docsets.join(
+            reps_by_fp.withColumnsRenamed({"rid": id_col}).select(id_col),
+            id_col,
+        )
+        .select(F.col(id_col).alias("rid"), "arr", "m")
+        .localCheckpoint(eager=True)
+    )
+    # rarest-first global token order over representative sets
+    rtok = reps.select("rid", F.explode("arr").alias("token"))
+    freq = rtok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_freq"))
+    w = Window.partitionBy("rid").orderBy("tok_freq", "token")
+    ranked = rtok.join(freq, "token").select(
+        "rid", "token", F.row_number().over(w).alias("pos")
+    )
     # prefix length p = m - ceil(t*m) + 1, with ceil done in exact integer
     # arithmetic: ceil(t_pct*m/100) = (t_pct*m + 99) div 100
     pref_len = (
@@ -555,38 +592,89 @@ def setsim_join_prefix(
         - F.expr(f"({threshold_pct} * m + 99) div 100")
         + 1
     )
-    prefix = ranked.join(sizes, id_col).filter(F.col("pos") <= pref_len)
-    a = prefix.select(F.col(id_col).alias("doc_a"), "token")
-    b = prefix.select(F.col(id_col).alias("doc_b"), "token")
+    prefix = (
+        ranked.join(reps.select("rid", "m"), "rid")
+        .filter(F.col("pos") <= pref_len)
+        .select("rid", "token", "pos", "m")
+        .localCheckpoint(eager=True)
+    )
+    # positional filter (PPJoin): a token match at positions (pa, pb) bounds
+    # the overlap by ub = 1 + min(ma-pa, mb-pb); rows whose bound can't
+    # reach the threshold are dropped BEFORE the pair-dedup shuffle. Exact:
+    # if a pair truly passes, its first shared token (global order) sits in
+    # both prefixes at minimal positions, and that row's bound >= the true
+    # overlap, so the pair always survives through at least that row.
+    ub = F.lit(1) + F.least(F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb"))
     cand = (
-        a.join(b, "token")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        prefix.select(
+            F.col("rid").alias("ra"), "token",
+            F.col("pos").alias("pa"), F.col("m").alias("ma"),
+        )
+        .join(
+            prefix.select(
+                F.col("rid").alias("rb"), "token",
+                F.col("pos").alias("pb"), F.col("m").alias("mb"),
+            ),
+            "token",
+        )
+        .filter(F.col("ra") < F.col("rb"))
+        .filter(
+            F.lit(100) * ub
+            >= F.lit(threshold_pct) * (F.col("ma") + F.col("mb") - ub)
+        )
+        .select("ra", "rb")
         .distinct()
     )
-    # verification: expand each candidate pair by A's tokens, probe B's
-    # token set — work is bounded by candidates × |A|, never all pairs
-    ta = tok.select(F.col(id_col).alias("doc_a"), "token")
-    tb = tok.select(F.col(id_col).alias("doc_b"), "token")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sz = sizes.select(F.col(id_col), F.col("m"))
-    out = (
-        inter.join(sz.withColumnsRenamed({id_col: "doc_a", "m": "ma"}), "doc_a")
-        .join(sz.withColumnsRenamed({id_col: "doc_b", "m": "mb"}), "doc_b")
+    # verification WITHOUT a token-explode join: attach each side's sorted
+    # array (rep table is tiny relative to candidates — AQE broadcasts it)
+    # and count the overlap with array_intersect in one projection. Exact:
+    # the arrays are distinct sets.
+    passing = (
+        cand.join(
+            reps.select(F.col("rid").alias("ra"), F.col("arr").alias("arr_a"),
+                        F.col("m").alias("ma")),
+            "ra",
+        )
+        .join(
+            reps.select(F.col("rid").alias("rb"), F.col("arr").alias("arr_b"),
+                        F.col("m").alias("mb")),
+            "rb",
+        )
+        .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b")))
         .filter(
             F.lit(100) * F.col("c")
             >= F.lit(threshold_pct) * (F.col("ma") + F.col("mb") - F.col("c"))
         )
+        .select(
+            "ra",
+            "rb",
+            F.round(
+                F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
     )
-    return out.select(
-        "doc_a",
-        "doc_b",
-        F.round(F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")), 6).alias(
-            "jaccard"
-        ),
+    # expansion back to doc pairs — output-bound joins on the group key
+    # (AQE skew-join splits the template-clique hot groups at runtime)
+    ma_ = members.select(F.col("rid").alias("ra"), F.col(id_col).alias("ia"))
+    mb_ = members.select(F.col("rid").alias("rb"), F.col(id_col).alias("ib"))
+    cross = (
+        passing.join(ma_, "ra")
+        .join(mb_, "rb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
     )
+    g1 = members.select("rid", F.col(id_col).alias("ia"))
+    g2 = members.select("rid", F.col(id_col).alias("ib"))
+    within = (
+        g1.join(g2, "rid")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)

@@ -36,6 +36,12 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "text_quality_score",
     "multimodal_checksums",
+    # heavy extension surface (round 3): set-similarity join, iterative
+    # graph, scalable two-phase global rank, multi-operator curation DAG
+    "dedup_setsim_prefix",
+    "graph_pagerank_trade",
+    "window_rank_global_scalable",
+    "corpus_curation_pipeline",
 ]
 
 
