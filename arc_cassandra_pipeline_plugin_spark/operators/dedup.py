@@ -180,6 +180,12 @@ def lsh_candidate_pairs(
             .filter(F.col("_bsz") >= skew_threshold)
             .select("band_id", "band_hash", F.lit(True).alias("_hot"))
         )
+        # healthy corpora have NO hot bucket — probe once (map-side-combined
+        # agg over the checkpoint) and keep the plain 2-key join, instead of
+        # dragging salt columns and a replication explode through every run
+        if materialize and hot.isEmpty():
+            salt_buckets = 0
+    if salt_buckets > 1:
         tagged = stacked.join(
             F.broadcast(hot), ["band_id", "band_hash"], "left"
         ).withColumn("_hot", F.coalesce(F.col("_hot"), F.lit(False)))

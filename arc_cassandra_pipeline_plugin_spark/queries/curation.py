@@ -1907,3 +1907,171 @@ def text_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("numeric_density"),
         (F.lit(5) * n_numeric > n_tokens).alias("numeric_heavy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style repetition quality signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition_ratio",
+    category="text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1]) AS bg
+  FROM t WHERE len(tk) >= 2)
+SELECT doc_id,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+       round(1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+         AS dup_bigram_ratio
+FROM b
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of word bigrams that are
+    duplicates of an earlier bigram in the SAME document — the classic
+    'repetition' quality signal (boilerplate loops, keyword stuffing, and
+    decoding loops all spike it) used to gate training corpora.
+
+    Pure projection: tokens → adjacent-bigram array (higher-order
+    ``transform`` over an index ``sequence``) → two array sizes and one
+    exactly-rounded division. No shuffle at all — the plan is scan +
+    project, embarrassingly parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    bg = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    return (
+        docs.select("doc_id", tk.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", bg.alias("bg"))
+        .select(
+            "doc_id",
+            F.size("bg").cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct("bg")).cast("bigint").alias("n_distinct"),
+            F.round(
+                F.lit(1)
+                - F.size(F.array_distinct("bg"))
+                / F.size("bg").cast("double"),
+                6,
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated spans (exact substring-dedup family)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+def _span_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - {_SPAN_K - 1}),
+                               i -> array_to_string(list_slice(tk, i, i + {_SPAN_K - 1}), ' ')))
+           AS span
+  FROM t WHERE len(tk) >= {_SPAN_K})
+SELECT md5(span) AS span_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@register("dedup_repeated_spans", category="dedup", oracle=_span_oracle())
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated token spans: every {k}-token window that
+    occurs in two or more documents, with its document and occurrence
+    counts — the detection half of exact substring deduplication (the
+    'dedupe repeated 50-grams' treatment applied to web-scale training
+    sets; k shrunk to the fixture's doc lengths).
+
+    Scale shape: one explode (docs × spans, linear in corpus tokens), one
+    groupBy on the span with map-side partial aggregation; the span text
+    never leaves the executor — the output carries its md5. Count-distinct
+    over doc_id is exact (per-span doc lists are tiny); the >= 2 filter
+    makes the result the duplicated-span inventory, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    spans = F.expr(
+        f"transform(sequence(1, size(t) - {_SPAN_K - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {_SPAN_K})))"
+    )
+    return (
+        docs.select("doc_id", tk.alias("t"))
+        .filter(F.size("t") >= _SPAN_K)
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("span").alias("span_hash"), "n_docs", "n_occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source n-gram novelty (dataset-mixing signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_source_novelty",
+    category="text",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents),
+sp AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(tk) - {_SPAN_K - 1}),
+                               i -> array_to_string(list_slice(tk, i, i + {_SPAN_K - 1}), ' ')))
+           AS span
+  FROM t WHERE len(tk) >= {_SPAN_K})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT span) AS BIGINT) AS n_distinct_spans,
+       round(count(DISTINCT span) / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sp GROUP BY source
+""",
+)
+def text_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: distinct {k}-token spans over total spans
+    per source — the dataset-mixing diagnostic for 'how much of this
+    source is template re-emission vs new text' (a source whose novelty
+    collapses is mostly duplicating itself and should be downweighted).
+
+    One explode + one two-level aggregate; the exact distinct count
+    shuffles (source, span-hash)-grouped partials, never raw text twice.
+    Sources are few, so the final agg is trivially small."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    spans = F.expr(
+        f"transform(sequence(1, size(t) - {_SPAN_K - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {_SPAN_K})))"
+    )
+    return (
+        docs.select("source", tk.alias("t"))
+        .filter(F.size("t") >= _SPAN_K)
+        .select("source", F.explode(spans).alias("span"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.countDistinct("span").cast("bigint").alias("n_distinct_spans"),
+            F.round(
+                F.countDistinct("span") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

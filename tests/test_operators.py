@@ -632,3 +632,4 @@ def test_active_intervals_matches_python_union(spark):
                 islands.append((s, e))
         expect[uid] = (len(islands), sum(e - s for s, e in islands))
     assert got == expect
+
