@@ -500,6 +500,85 @@ def connected_components_star(
     )
 
 
+#: all-pairs bitmask verification is gated on the vocabulary fitting a
+#: fixed number of 64-bit words (16 longs = 1024 distinct tokens); beyond
+#: that the prefix path is used regardless of rep count.
+_SETSIM_BITMASK_VOCAB_MAX = 1024
+
+
+def _setsim_allpairs_bitmask(
+    reps: DataFrame,
+    members: DataFrame,
+    vocab: DataFrame,
+    n_vocab: int,
+    threshold_pct: int,
+    verify_ok: F.Column,
+    jaccard_of_c: F.Column,
+    id_col: str,
+) -> DataFrame:
+    """All-pairs verification for the dense-template regime (small distinct
+    rep count AND small vocabulary): each rep's token set becomes a fixed
+    bitmask of ``ceil(V/64)`` longs under a dense token dictionary, and the
+    overlap of a pair is ``sum(bit_count(a & b))`` — branch-free codegen'd
+    long arithmetic, no per-pair allocation, no shuffle. A broadcast
+    nested-loop join sweeps every ``ra < rb`` pair surviving the exact size
+    gate ``100*min(ma,mb) >= t_pct*max(ma,mb)`` (max possible Jaccard is
+    min/max)."""
+    from pyspark.sql.window import Window
+
+    # max(1, ..): an all-empty-document corpus has an empty vocabulary, and
+    # groupBy().agg() requires at least one aggregate expression
+    n_words = max(1, (n_vocab + 63) // 64)
+    # dense ids 0..V-1: the single-partition window is bounded by the
+    # _SETSIM_BITMASK_VOCAB_MAX gate (<=1024 rows), never data-sized
+    dic = vocab.select(
+        "token", (F.row_number().over(Window.orderBy("token")) - 1).alias("tid")
+    )
+    word_aggs = [
+        F.expr(
+            f"bit_or(if(tid div 64 = {w}, shiftleft(1L, cast(tid % 64 as int)), 0L))"
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    masks = (
+        reps.select("rid", "m", F.explode("arr").alias("token"))
+        .join(F.broadcast(dic), "token")
+        .groupBy("rid", "m")
+        .agg(*word_aggs)
+        # spread the nested-loop sweep across every core: upstream AQE
+        # typically coalesces this tiny table to ONE partition, which would
+        # serialize the R^2/2 scan
+        .repartition(reps.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    left = masks.select(
+        F.col("rid").alias("ra"),
+        F.col("m").alias("ma"),
+        *[F.col(f"w{w}").alias(f"aw{w}") for w in range(n_words)],
+    )
+    right = F.broadcast(
+        masks.select(
+            F.col("rid").alias("rb"),
+            F.col("m").alias("mb"),
+            *[F.col(f"w{w}").alias(f"bw{w}") for w in range(n_words)],
+        )
+    )
+    size_ok = F.lit(100) * F.least("ma", "mb") >= F.lit(threshold_pct) * F.greatest(
+        "ma", "mb"
+    )
+    c = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"aw{w}").bitwiseAND(F.col(f"bw{w}")))
+        c = term if c is None else c + term
+    passing = (
+        left.join(right, (F.col("ra") < F.col("rb")) & size_ok)
+        .withColumn("c", c)
+        .filter(verify_ok)
+        .select("ra", "rb", jaccard_of_c)
+    )
+    return _setsim_expand(passing, members, id_col)
+
+
 def word_token_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -520,6 +599,7 @@ def setsim_join_prefix(
     threshold_pct: int = 70,
     text_col: str = "text",
     id_col: str = "doc_id",
+    allpairs_rep_limit: int = 8000,
 ) -> DataFrame:
     """All document pairs with word-token Jaccard ≥ threshold, found by a
     PREFIX-FILTERING set-similarity join (the PPJoin family) instead of an
@@ -553,6 +633,24 @@ def setsim_join_prefix(
     pairs at Jaccard 1, cross-group pairs inheriting their representatives'
     Jaccard. Verification work scales with DISTINCT content, not corpus
     size (measured 10× on the sf0.1 near-dup corpus: 87 s → ~8 s).
+
+    **Adaptive strategy** (AQE-style, picked from observed statistics at
+    runtime): when the number of distinct representative sets R is at most
+    ``allpairs_rep_limit`` AND the vocabulary fits a fixed bitmask
+    (``_SETSIM_BITMASK_VOCAB_MAX`` = 1024 tokens -> 16 longs), candidate
+    generation is skipped entirely and every size-compatible rep pair is
+    verified under a broadcast nested-loop sweep with popcount overlap
+    counting (:func:`_setsim_allpairs_bitmask`) -- one codegen pass, zero
+    shuffles. Prefix filtering is the scale path (R in the millions), but
+    it cannot beat the output bound when a large fraction of pairs truly
+    pass, and hot-token blowup is precisely the small-vocabulary regime:
+    on the sf0.1 near-dup corpus (R=3935, V=31 distinct tokens, 26% of ALL
+    rep pairs passing at t=0.7) the prefix join materializes 35M raw
+    candidate rows plus a 12M-row dedup shuffle only to rediscover the 2M
+    passing pairs the direct sweep finds with branch-free long arithmetic.
+    Small R with a LARGE vocabulary keeps the prefix path (rare tokens
+    exist, so the filter is effective); both paths produce identical
+    output.
     """
     from pyspark.sql.window import Window
 
@@ -584,6 +682,23 @@ def setsim_join_prefix(
         .select(F.col(id_col).alias("rid"), "arr", "m")
         .localCheckpoint(eager=True)
     )
+    jaccard_of_c = F.round(
+        F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")), 6
+    ).alias("jaccard")
+    verify_ok = F.lit(100) * F.col("c") >= F.lit(threshold_pct) * (
+        F.col("ma") + F.col("mb") - F.col("c")
+    )
+    n_reps = reps.count()  # reps is checkpointed; this reads the snapshot
+    if n_reps <= allpairs_rep_limit:
+        vocab = reps.select(F.explode("arr").alias("token")).distinct()
+        n_vocab = vocab.count()
+        if n_vocab <= _SETSIM_BITMASK_VOCAB_MAX:
+            return _setsim_allpairs_bitmask(
+                reps, members, vocab, n_vocab, threshold_pct,
+                verify_ok, jaccard_of_c, id_col,
+            )
+        # small R but large vocabulary: prefix filtering stays effective
+        # (hot-token blowup needs a small/skewed vocabulary), fall through
     # rarest-first global token order over representative sets
     rtok = reps.select("rid", F.explode("arr").alias("token"))
     freq = rtok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_freq"))
@@ -647,20 +762,16 @@ def setsim_join_prefix(
             "rb",
         )
         .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b")))
-        .filter(
-            F.lit(100) * F.col("c")
-            >= F.lit(threshold_pct) * (F.col("ma") + F.col("mb") - F.col("c"))
-        )
-        .select(
-            "ra",
-            "rb",
-            F.round(
-                F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")), 6
-            ).alias("jaccard"),
-        )
+        .filter(verify_ok)
+        .select("ra", "rb", jaccard_of_c)
     )
-    # expansion back to doc pairs — output-bound joins on the group key
-    # (AQE skew-join splits the template-clique hot groups at runtime)
+    return _setsim_expand(passing, members, id_col)
+
+
+def _setsim_expand(passing: DataFrame, members: DataFrame, id_col: str) -> DataFrame:
+    """Expand passing representative pairs back to doc pairs — output-bound
+    joins on the group key (AQE skew-join splits the template-clique hot
+    groups at runtime); within-group pairs are Jaccard 1 by construction."""
     ma_ = members.select(F.col("rid").alias("ra"), F.col(id_col).alias("ia"))
     mb_ = members.select(F.col("rid").alias("rb"), F.col(id_col).alias("ib"))
     cross = (

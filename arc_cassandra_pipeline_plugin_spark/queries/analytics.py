@@ -684,6 +684,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        # snapshot the rolled-up edge list (<= |nations|^2 rows) BEFORE
+        # iterating: each synchronous round references the edges again, so
+        # without this the full fact join sits in the lineage once per
+        # round and the corpus is scanned three times
+        .localCheckpoint(eager=True)
     )
     pr = pagerank(edges, iters=3, damping=0.85)
     return pr.select(

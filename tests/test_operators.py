@@ -633,3 +633,62 @@ def test_active_intervals_matches_python_union(spark):
         expect[uid] = (len(islands), sum(e - s for s, e in islands))
     assert got == expect
 
+
+
+def test_setsim_adaptive_paths_agree_and_pick_bitmask(spark):
+    """Adaptive strategy selection: a small-vocab corpus must take the
+    bitmask all-pairs sweep (plan shows a BroadcastNestedLoopJoin, no token
+    self-join), a >1024-token vocabulary must fall through to the prefix
+    path even when R is small, and every path must emit identical pairs."""
+    # small vocab (<= 1024 distinct tokens): bitmask path engages
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(30) if (i + j) % 3 != 0))
+        for i in range(40)
+    ]
+    df = _docs(spark, rows)
+    fast = D.setsim_join_prefix(df, threshold_pct=60)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, "bitmask sweep not selected"
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in fast.collect()}
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.setsim_join_prefix(
+            df, threshold_pct=60, allpairs_rep_limit=0
+        ).collect()
+    }
+    assert got == want and got
+
+    # huge vocab, tiny R: must NOT take the bitmask path (vocab gate)
+    big_rows = [
+        (i, " ".join(f"word{i}x{j}" for j in range(600)) + " shared common anchor")
+        for i in range(4)
+    ]
+    big = _docs(spark, big_rows)
+    out = D.setsim_join_prefix(big, threshold_pct=50)
+    plan_big = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_big, (
+        "vocab gate failed: bitmask path on a 2400-token vocabulary"
+    )
+    # docs share only 3 of ~603 tokens -> no pair reaches Jaccard 0.5
+    assert out.count() == 0
+
+
+def test_setsim_multiword_bitmask_overlap_exact(spark):
+    """Vocabulary between 65 and 128 tokens exercises the multi-long
+    bitmask (2 words): popcount overlap must equal the true intersection
+    for pairs whose shared tokens straddle both words."""
+    vocab = [f"w{j:03d}" for j in range(100)]
+    rows = [
+        (1, " ".join(vocab[:80])),          # tokens 0..79
+        (2, " ".join(vocab[10:90])),        # tokens 10..89 -> overlap 70
+        (3, " ".join(vocab[50:100])),       # tokens 50..99
+    ]
+    df = _docs(spark, rows)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.setsim_join_prefix(df, threshold_pct=70).collect()
+    }
+    # pair (1,2): c=70, union=90 -> 0.777778 ; pair (2,3): c=40, union=90
+    # -> 0.444 (below); pair (1,3): c=30, union=100 -> 0.3 (below)
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - round(70 / 90, 6)) < 1e-9

@@ -178,7 +178,12 @@ def test_setsim_prefix_filter_is_complete(spark, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
     )
+    # default = adaptive (bitmask all-pairs on this tiny vocab); limit=0
+    # forces the prefix-join path — BOTH must match brute force exactly
     fast = setsim_join_prefix(df, threshold_pct=60).select("doc_a", "doc_b")
+    fast_prefix = setsim_join_prefix(
+        df, threshold_pct=60, allpairs_rep_limit=0
+    ).select("doc_a", "doc_b")
 
     tok = word_token_sets(df)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
@@ -197,3 +202,4 @@ def test_setsim_prefix_filter_is_complete(spark, texts):
         .select("doc_a", "doc_b")
     )
     assert dataset_equality(fast, brute)
+    assert dataset_equality(fast_prefix, brute)
