@@ -51,6 +51,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     registry = load_all()
+    unknown = only - set(registry)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
