@@ -215,25 +215,31 @@ def _centroids_kmeans(
     return centroids
 
 
-def _centroid_scores(centroids: list[tuple[int, list[float]]]) -> F.Column:
-    """array of per-centroid scores (dot(v,c) - ||c||²/2) for column ``v``,
-    rounded to 6 dp so argmax ties resolve identically across engines."""
+def _centroid_scores(
+    centroids: list[tuple[int, list[float]]], vec: F.Column | None = None
+) -> F.Column:
+    """array of per-centroid scores (dot(v,c) - ||c||²/2) for column ``v``
+    (or ``vec`` when given), rounded to 6 dp so argmax ties resolve
+    identically across engines."""
+    v = F.col("v") if vec is None else vec
     scores = []
-    for _, vec in centroids:
-        arr = F.array(*[F.lit(x) for x in vec])
+    for _, c_vec in centroids:
+        arr = F.array(*[F.lit(x) for x in c_vec])
         dot = F.aggregate(
-            F.zip_with(F.col("v"), arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )
-        scores.append(F.round(dot - F.lit(sum(x * x for x in vec) / 2.0), 6))
+        scores.append(F.round(dot - F.lit(sum(x * x for x in c_vec) / 2.0), 6))
     return F.array(*scores)
 
 
-def _nearest_centroid_expr(centroids: list[tuple[int, list[float]]]) -> F.Column:
+def _nearest_centroid_expr(
+    centroids: list[tuple[int, list[float]]], vec: F.Column | None = None
+) -> F.Column:
     """argmin_{c} ||v - c||² (≡ argmax of dot - ||c||²/2) as ONE column
     expression. Array-based argmax keeps the expression tree O(k·dim);
     a nested when-chain would be O(k²·dim) and blow up codegen."""
     ids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    scores = _centroid_scores(centroids)
+    scores = _centroid_scores(centroids, vec)
     return F.element_at(ids, F.array_position(scores, F.array_max(scores)).cast("int"))
 
 
@@ -281,6 +287,166 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: split the vector into ``n_sub``
+    contiguous subspaces and train an independent deterministic k-means
+    (lowest-id seeds, ``iterations`` Lloyd rounds, 6-dp-rounded centroids —
+    same discipline as :func:`_centroids_kmeans`) of ``n_codes`` centroids
+    per subspace. Driver state is O(n_sub · n_codes · d_sub) floats — the
+    codebook, never data."""
+    dim = len(
+        corpus.orderBy(id_col).limit(1).select(vec_double(vec_col).alias("v")).collect()[0]["v"]
+    )
+    if dim % n_sub != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by n_sub ({n_sub})")
+    d_sub = dim // n_sub
+    books = []
+    for s in range(n_sub):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(vec_double(vec_col), s * d_sub + 1, d_sub).alias("sub"),
+        )
+        books.append(_centroids_kmeans(sub, "sub", id_col, n_codes, iterations))
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Compress each vector to ``n_sub`` small-int codes (nearest centroid
+    per subspace, L2, deterministic 6-dp tiebreak) — one codegen'd
+    projection. A 64-float vector becomes 4 ints: the compressed corpus is
+    what a 100 TB ANN system scans, sized RAM-resident where the raw
+    vectors never could be."""
+    d_sub = len(books[0][0][1])
+    v = vec_double(vec_col)
+    return _parallel_corpus(corpus).select(
+        F.col(id_col),
+        *[
+            _nearest_centroid_expr(cents, F.slice(v, s * d_sub + 1, d_sub)).alias(f"code_{s}")
+            for s, cents in enumerate(books)
+        ],
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 4,
+    n_codes: int = 8,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization approximate top-k by inner product, using
+    asymmetric distance computation (ADC): the corpus is scanned in
+    compressed form (``n_sub`` int codes per vector), while each query
+    carries a precomputed lookup table — per subspace, the 6-dp-rounded
+    inner product of the query subvector with each centroid. A
+    corpus-vs-query pair then costs ``n_sub`` array lookups + adds instead
+    of a ``dim``-wide dot product.
+
+    Scale shape: codebooks are trained distributively (driver holds only
+    O(n_sub·n_codes·d_sub) floats), encoding is one projection, and the
+    search is a broadcast of the query set (with tables) against one scan
+    of the compressed corpus — no corpus shuffle, no index build beyond
+    the codebook. Deterministic throughout ⇒ certified against an oracle
+    that unrolls the same per-subspace quantizers into SQL (see
+    queries.extensions._pq_oracle).
+
+    ``rerank`` > 0 adds the standard second stage: take the top-``rerank``
+    ADC shortlist per query, fetch those candidates' EXACT vectors, and
+    re-rank by true inner product. Quantization collapses same-cell
+    candidates to one tied score, so within-cell order is unrecoverable
+    from codes alone — the shortlist re-rank restores it while still
+    scanning the corpus in compressed form (the exact fetch touches only
+    ``rerank`` rows per query)."""
+    books = pq_codebooks(corpus, vec_col, id_col, n_sub, n_codes)
+    d_sub = len(books[0][0][1])
+    codes = pq_encode(corpus, books, vec_col, id_col).withColumnRenamed(id_col, "match_id")
+
+    qv = vec_double(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(qv, s * d_sub + 1, d_sub),
+                                F.array(*[F.lit(x) for x in c_vec]),
+                                lambda a, b: a * b,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        6,
+                    )
+                    for _, c_vec in cents
+                ]
+            ).alias(f"qtab_{s}")
+            for s, cents in enumerate(books)
+        ],
+    )
+    # ADC score: fixed left-assoc sum of per-subspace table lookups keeps
+    # the float addition order identical in both engines
+    score = None
+    for s in range(n_sub):
+        term = F.element_at(F.col(f"qtab_{s}"), F.col(f"code_{s}") + 1)
+        score = term if score is None else score + term
+    scored = (
+        codes.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("approx_ip", F.round(score, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_ip").desc(), F.col("match_id"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "match_id", "approx_ip", "rank")
+        )
+    shortlist = (
+        scored.withColumn("rank0", F.row_number().over(w))
+        .filter(F.col("rank0") <= rerank)
+        .select("query_id", "match_id")
+    )
+    qvec = queries.select(F.col(id_col).alias("query_id"), qv.alias("q_exact"))
+    cvec = corpus.select(F.col(id_col).alias("match_id"), vec_double(vec_col).alias("c_exact"))
+    exact = (
+        cvec.join(F.broadcast(shortlist), "match_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "ip",
+            F.round(
+                F.aggregate(
+                    F.zip_with("q_exact", "c_exact", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("match_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "ip", "rank")
     )
 
 

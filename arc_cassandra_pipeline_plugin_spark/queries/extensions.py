@@ -838,6 +838,105 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SUB = 4
+_PQ_CODES = 8
+_PQ_RERANK = 16
+
+
+def _pq_oracle(dim: int = 64) -> str:
+    """Unrolls the product quantizer (per-subspace deterministic k-means:
+    lowest-id seeds + 2 Lloyd rounds, 6-dp rounding at every boundary — see
+    ``similarity.pq_codebooks``) and the ADC scoring into SQL CTEs. Each
+    subspace gets its own seed/assign/mean chain over the sliced
+    subvectors; the final score is the left-assoc sum of the four
+    6-dp-rounded subspace inner products, mirroring the Spark expression
+    order exactly."""
+    d_sub = dim // _PQ_SUB
+
+    def assign(sub: int, cents: str) -> str:
+        # argmax of round(dot(sub_v, c) - ||c||²/2, 6); ties → lowest
+        # cluster id (Spark's array_position takes the FIRST max)
+        return (
+            "SELECT vec_id, sv, cluster FROM ("
+            "SELECT e.vec_id, e.sv, c.cluster, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "round(list_dot_product(e.sv, c.cv) - list_dot_product(c.cv, c.cv) / 2, 6) DESC, "
+            "c.cluster ASC) AS rn "
+            f"FROM s{sub}_e e CROSS JOIN {cents} c"
+            ") WHERE rn = 1"
+        )
+
+    def means(assigned: str) -> str:
+        return (
+            "SELECT cluster, list(m ORDER BY i) AS cv FROM ("
+            f"SELECT cluster, i, round(avg(sv[i]), 6) AS m FROM {assigned} "
+            f"CROSS JOIN range(1, {d_sub + 1}) AS t(i) GROUP BY cluster, i"
+            ") GROUP BY cluster"
+        )
+
+    chains = []
+    for s in range(_PQ_SUB):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        chains.append(
+            f"s{s}_e AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e),\n"
+            f"s{s}_c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, sv AS cv\n"
+            f"  FROM (SELECT vec_id, sv FROM s{s}_e ORDER BY vec_id LIMIT {_PQ_CODES})),\n"
+            f"s{s}_a1 AS ({assign(s, f's{s}_c0')}),\n"
+            f"s{s}_c1 AS ({means(f's{s}_a1')}),\n"
+            f"s{s}_a2 AS ({assign(s, f's{s}_c1')}),\n"
+            f"s{s}_c2 AS ({means(f's{s}_a2')}),\n"
+            f"s{s}_enc AS ({assign(s, f's{s}_c2')})"
+        )
+    enc_joins = " ".join(f"JOIN s{s}_enc USING (vec_id)" for s in range(1, _PQ_SUB))
+    enc_cols = ", ".join(f"s{s}_enc.cluster AS code{s}" for s in range(_PQ_SUB))
+    terms = " + ".join(
+        f"round(list_dot_product(q.v[{s * d_sub + 1}:{(s + 1) * d_sub}], b{s}.cv), 6)"
+        for s in range(_PQ_SUB)
+    )
+    book_joins = " ".join(
+        f"JOIN s{s}_c2 b{s} ON enc.code{s} = b{s}.cluster" for s in range(_PQ_SUB)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{",".join(chains)},
+enc AS (SELECT s0_enc.vec_id, {enc_cols} FROM s0_enc {enc_joins}),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+scored AS (SELECT q.query_id, enc.vec_id AS match_id, round({terms}, 6) AS approx_ip
+           FROM enc {book_joins} CROSS JOIN q
+           WHERE enc.vec_id <> q.query_id),
+short AS (SELECT query_id, match_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_ip DESC, match_id) AS rn0
+                FROM scored)
+          WHERE rn0 <= {_PQ_RERANK}),
+rer AS (SELECT s.query_id, s.match_id, round(list_dot_product(q.v, e.v), 6) AS ip
+        FROM short s JOIN e ON e.vec_id = s.match_id JOIN q ON q.query_id = s.query_id)
+SELECT query_id, match_id, ip, rn AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, match_id) AS rn
+      FROM rer)
+WHERE rn <= {_ANN_K}
+"""
+
+
+@register("similarity_ann_pq", category="similarity", oracle=_pq_oracle())
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation): 4
+    subspaces × 8 codes compress each 64-float vector to 4 ints (64×),
+    queries broadcast with per-subspace lookup tables, pair scoring is 4
+    table lookups instead of a 64-wide dot product. The compressed-corpus
+    scan is the RAM-resident scale path a 100 TB ANN deployment uses.
+    Same-cell candidates tie under ADC (within-cell order is not in the
+    codes), so the top-16 shortlist is re-ranked by exact inner product —
+    the textbook two-stage PQ pipeline; the exact fetch touches only 16
+    rows per query. Deterministic quantizer ⇒ exact SQL oracle (unrolled
+    per-subspace Lloyd rounds + shortlist re-rank); recall vs exact search
+    asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=_ANN_K,
+        n_sub=_PQ_SUB, n_codes=_PQ_CODES, rerank=_PQ_RERANK,
+    )
+
+
 @register(
     "sample_deterministic",
     category="sampling",

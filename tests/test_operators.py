@@ -692,3 +692,55 @@ def test_setsim_multiword_bitmask_overlap_exact(spark):
     # -> 0.444 (below); pair (1,3): c=30, union=100 -> 0.3 (below)
     assert set(out) == {(1, 2)}
     assert abs(out[(1, 2)] - round(70 / 90, 6)) < 1e-9
+
+
+def test_pq_topk_rerank_recall(spark):
+    """ADC alone cannot order same-cell candidates (their codes are equal),
+    so on a clustered corpus plain PQ top-k only identifies the right cell;
+    with exact re-ranking of the shortlist the true neighbors come back.
+    Also: codes must use at most n_codes values per subspace."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from arc_cassandra_pipeline_plugin_spark.functions import vec_double
+
+    random.seed(7)
+    centers = [[random.uniform(-5, 5) for _ in range(16)] for _ in range(8)]
+    rows = [
+        (i, [x + random.gauss(0, 0.05) for x in centers[i % 8]]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    c = emb.select(F.col("vec_id").alias("match_id"), vec_double("embedding").alias("cv"))
+    q = queries.select(F.col("vec_id").alias("query_id"), vec_double("embedding").alias("qv"))
+    ip = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), "match_id")
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("ip", ip)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+
+    plain = S.pq_topk(emb, queries, k=5, n_sub=4, n_codes=8).collect()
+    # cell identification is perfect: every ADC hit is in the query's cluster
+    assert all(r["match_id"] % 8 == r["query_id"] % 8 for r in plain)
+
+    reranked = {
+        (r["query_id"], r["match_id"])
+        for r in S.pq_topk(emb, queries, k=5, n_sub=4, n_codes=8, rerank=25).collect()
+    }
+    recall = len(reranked & exact) / len(exact)
+    assert recall >= 0.9, f"PQ+rerank recall too low: {recall}"
+
+    books = S.pq_codebooks(emb, n_sub=4, n_codes=8)
+    codes = S.pq_encode(emb, books)
+    for s in range(4):
+        n_distinct = codes.select(f"code_{s}").distinct().count()
+        assert n_distinct <= 8
