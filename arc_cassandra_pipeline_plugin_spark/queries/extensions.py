@@ -1142,6 +1142,46 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_TOPK = 15
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    category="text",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+pairs AS (
+  SELECT token, r,
+         ('0x' || substr(md5('cms' || r || ':' || token), 1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM tok2 CROSS JOIN range(0, {_CMS_DEPTH}) t(r)),
+sketch AS (SELECT r, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+cbuck AS (
+  SELECT token, r,
+         ('0x' || substr(md5('cms' || r || ':' || token), 1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM (SELECT DISTINCT token FROM tok2) CROSS JOIN range(0, {_CMS_DEPTH}) t(r)),
+est AS (SELECT token, min(cnt) AS est_count FROM cbuck JOIN sketch USING (r, bucket) GROUP BY token)
+SELECT token, est_count FROM est
+ORDER BY est_count DESC, token
+LIMIT {_CMS_TOPK}
+""",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters: the corpus token stream folds into a
+    fixed {_CMS_DEPTH}×{_CMS_WIDTH}-counter sketch (one map-side-combined
+    shuffle whose volume is the sketch size per task, mergeable across
+    partitions/days/streams by addition), then the top tokens are ranked by
+    their min-over-rows bucket estimates. est >= true always; deterministic
+    md5 bucketing replays verbatim in the oracle."""
+    from arc_cassandra_pipeline_plugin_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"),
+        k=_CMS_TOPK, depth=_CMS_DEPTH, width=_CMS_WIDTH,
+    )
+
+
 _TFIDF_TOP = 5
 
 

@@ -744,3 +744,42 @@ def test_pq_topk_rerank_recall(spark):
     for s in range(4):
         n_distinct = codes.select(f"code_{s}").distinct().count()
         assert n_distinct <= 8
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-Min invariants: (a) est >= true count for every token (
+    collisions only add); (b) sketches of two corpus halves merged by
+    counter addition equal the sketch of the whole corpus; (c) the sketch
+    never exceeds depth*width rows."""
+    from arc_cassandra_pipeline_plugin_spark.operators import sketches as K
+    from arc_cassandra_pipeline_plugin_spark.operators.text import tokens
+
+    rows = [
+        (i, "alpha beta gamma " * (i % 4 + 1) + f"rare{i}") for i in range(60)
+    ]
+    df = _docs(spark, rows)
+    tok = tokens(df)
+    sketch = K.cms_build(tok, depth=3, width=16)
+    assert sketch.count() <= 3 * 16
+
+    est = {
+        r["token"]: r["est_count"]
+        for r in K.cms_estimate(tok.select("token"), sketch, depth=3, width=16).collect()
+    }
+    true = {
+        r["token"]: r["n"]
+        for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[t] >= n for t, n in true.items())
+
+    half_a = K.cms_build(tokens(df.filter(F.col("doc_id") < 30)), depth=3, width=16)
+    half_b = K.cms_build(tokens(df.filter(F.col("doc_id") >= 30)), depth=3, width=16)
+    merged = {
+        (r["sketch_row"], r["bucket"]): r["cnt"]
+        for r in K.cms_merge(half_a, half_b).collect()
+    }
+    whole = {
+        (r["sketch_row"], r["bucket"]): r["cnt"] for r in sketch.collect()
+    }
+    assert merged == whole
