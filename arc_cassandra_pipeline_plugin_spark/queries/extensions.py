@@ -19,7 +19,7 @@ from arc_cassandra_pipeline_plugin_spark.operators import similarity as S
 from arc_cassandra_pipeline_plugin_spark.operators import text as TX
 from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
 from arc_cassandra_pipeline_plugin_spark.queries import register
-from arc_cassandra_pipeline_plugin_spark.sources import load_table
+from arc_cassandra_pipeline_plugin_spark.sources import load_table, table_path
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
@@ -1180,6 +1180,75 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         k=_CMS_TOPK, depth=_CMS_DEPTH, width=_CMS_WIDTH,
     )
+
+
+@register(
+    "streaming_cms_sketch",
+    category="streaming",
+    oracle=f"""
+WITH {_TOKENS_CTE},
+pairs AS (
+  SELECT token, r,
+         ('0x' || substr(md5('cms' || r || ':' || token), 1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM tok2 CROSS JOIN range(0, {_CMS_DEPTH}) t(r)),
+sketch AS (SELECT r, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+cbuck AS (
+  SELECT token, r,
+         ('0x' || substr(md5('cms' || r || ':' || token), 1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM (SELECT DISTINCT token FROM tok2) CROSS JOIN range(0, {_CMS_DEPTH}) t(r)),
+est AS (SELECT token, min(cnt) AS est_count FROM cbuck JOIN sketch USING (r, bucket) GROUP BY token)
+SELECT token, est_count FROM est
+ORDER BY est_count DESC, token
+LIMIT {_CMS_TOPK}
+""",
+)
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch built BY a real Structured Streaming
+    aggregation: the document stream folds into the fixed depth×width
+    counter table under complete-mode state (the sketch IS the streaming
+    state — bounded by construction, no watermark needed), then the
+    materialized sketch is queried batch-side for the top-15 estimates.
+    Certifies stream≡batch for the sketch: the oracle is the identical
+    batch formulation."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+    from arc_cassandra_pipeline_plugin_spark.operators.sketches import (
+        cms_bucket,
+        cms_estimate,
+    )
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = stream.select(F.explode(F.split(norm, " ")).alias("token")).filter(
+        F.length("token") > 0
+    )
+    pairs = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("sketch_row"),
+                        cms_bucket(F.col("token"), r, _CMS_WIDTH).alias("bucket"),
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("p")
+    ).select("p.sketch_row", "p.bucket")
+    sketch_stream = pairs.groupBy("sketch_row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sketch = ST.run_stream_to_memory(sketch_stream, "streaming_cms_sketch_result")
+    cand = TX.tokens(load_table(spark, sf_dir, "documents")).select("token")
+    est = cms_estimate(cand, sketch, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return est.orderBy(F.col("est_count").desc(), F.col("token")).limit(_CMS_TOPK)
 
 
 _TFIDF_TOP = 5
