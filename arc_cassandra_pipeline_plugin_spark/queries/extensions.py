@@ -1251,6 +1251,96 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy(F.col("est_count").desc(), F.col("token")).limit(_CMS_TOPK)
 
 
+_BF_WORDS = 8
+_BF_HASHES = 2
+
+
+def _bf_idx_sql(col: str, h: int) -> str:
+    return (
+        f"('0x' || substr(md5('bf{h}:' || CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_BF_WORDS * 63}"
+    )
+
+
+def _bf_hit_sql(col: str) -> str:
+    tests = []
+    for h in range(_BF_HASHES):
+        idx = _bf_idx_sql(col, h)
+        tests.append(
+            f"(ws[CAST(({idx}) % {_BF_WORDS} AS INT) + 1]"
+            f" & (1::BIGINT << CAST(({idx}) // {_BF_WORDS} AS INT))) <> 0"
+        )
+    return " AND ".join(tests)
+
+
+@register(
+    "bloom_semi_join_prune",
+    category="relational",
+    oracle=f"""
+WITH keys AS (
+  SELECT s_suppkey AS k
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+bits AS (
+  SELECT {_bf_idx_sql('k', 0)} AS idx FROM keys
+  UNION ALL
+  SELECT {_bf_idx_sql('k', 1)} AS idx FROM keys),
+words AS (
+  SELECT idx % {_BF_WORDS} AS w,
+         bit_or(1::BIGINT << CAST(idx // {_BF_WORDS} AS INT)) AS word
+  FROM bits GROUP BY 1),
+warr AS (
+  SELECT list(coalesce(word, 0) ORDER BY t.w) AS ws
+  FROM range(0, {_BF_WORDS}) t(w) LEFT JOIN words ON words.w = t.w),
+pruned AS (
+  SELECT l_suppkey FROM lineitem CROSS JOIN warr
+  WHERE {_bf_hit_sql('l_suppkey')}),
+exact AS (
+  SELECT l_suppkey FROM lineitem WHERE l_suppkey IN (SELECT k FROM keys))
+SELECT (SELECT count(*) FROM pruned) AS n_bloom_kept,
+       (SELECT count(*) FROM exact) AS n_exact_rows,
+       (SELECT count(*) FROM pruned) - (SELECT count(*) FROM exact)
+         AS n_false_positive_rows
+""",
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter semi-join reduction: the ASIA supplier keys
+    fold into {_BF_WORDS} longs with one distributed bit_or aggregate, and
+    the fact scan drops non-matching rows IN the scan stage (the filter
+    rides the expression as literals — no join, no shuffle of pruned rows).
+    The certified output counts bloom-kept vs exact-semi-join rows, so the
+    deterministic false-positive overhead is itself pinned by the oracle —
+    false negatives are impossible by construction. This is the manual,
+    engine-portable form of Spark's runtime bloom-filter join pruning, for
+    when the key side is a computed set the optimizer can't see through."""
+    from arc_cassandra_pipeline_plugin_spark.operators.bloom import bloom_semi_filter
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    keys = (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    pruned = bloom_semi_filter(
+        fact, "l_suppkey", keys, "s_suppkey", n_words=_BF_WORDS, n_hashes=_BF_HASHES
+    )
+    exact = fact.join(
+        F.broadcast(keys.withColumnRenamed("s_suppkey", "l_suppkey")), "l_suppkey", "semi"
+    )
+    n_b = pruned.agg(F.count(F.lit(1)).alias("n_bloom_kept"))
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact_rows"))
+    return n_b.crossJoin(n_e).select(
+        "n_bloom_kept",
+        "n_exact_rows",
+        (F.col("n_bloom_kept") - F.col("n_exact_rows")).alias("n_false_positive_rows"),
+    )
+
+
 _TFIDF_TOP = 5
 
 

@@ -783,3 +783,20 @@ def test_cms_overestimates_and_merges(spark):
         (r["sketch_row"], r["bucket"]): r["cnt"] for r in sketch.collect()
     }
     assert merged == whole
+
+
+def test_bloom_semi_filter_no_false_negatives(spark):
+    """Bloom semi-join reduction: every true key survives the filter (no
+    false negatives, ever); false positives exist but are a strict subset
+    of the non-members; the built filter is n_words longs."""
+    from arc_cassandra_pipeline_plugin_spark.operators import bloom as B
+
+    keys = spark.createDataFrame([(i * 3,) for i in range(40)], "k long")
+    df = spark.createDataFrame([(i,) for i in range(400)], "x long")
+    words = B.bloom_build(keys, "k", n_words=4, n_hashes=2)
+    assert len(words) == 4 and all(isinstance(w, int) for w in words)
+    kept = {r["x"] for r in df.filter(B.bloom_hit(F.col("x"), words, 4, 2)).collect()}
+    true = {i * 3 for i in range(40)}
+    assert true <= kept, f"false negatives: {sorted(true - kept)[:5]}"
+    # the filter prunes: with 4*63 bits over 40 keys most non-members drop
+    assert len(kept) < 400
