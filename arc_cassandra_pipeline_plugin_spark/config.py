@@ -69,6 +69,7 @@ _KEY_TO_FIELD = {
     "metadata": "metadata",
     "leftView": "left_view",
     "rightView": "right_view",
+    "operator": "operator",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 

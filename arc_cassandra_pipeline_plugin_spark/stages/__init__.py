@@ -44,6 +44,7 @@ from arc_cassandra_pipeline_plugin_spark.stages.load import (
 )
 from arc_cassandra_pipeline_plugin_spark.stages.transform import (
     MetadataTransform,
+    OperatorTransform,
     PythonTransform,
     SQLTransform,
     TypingTransform,
@@ -117,6 +118,7 @@ for _cls in (
     TableExtract,
     SQLTransform,
     PythonTransform,
+    OperatorTransform,
     TypingTransform,
     MetadataTransform,
     ParquetLoad,
@@ -141,6 +143,7 @@ __all__ = [
     "RateStreamExtract",
     "SQLTransform",
     "PythonTransform",
+    "OperatorTransform",
     "TypingTransform",
     "MetadataTransform",
     "ParquetLoad",

@@ -88,6 +88,95 @@ class PythonTransform(PipelineStage):
         return df
 
 
+#: modules of :mod:`..operators` reachable from declarative config — a
+#: whitelist, so a config file can never import or execute arbitrary code
+_OPERATOR_MODULES = frozenset(
+    {
+        "bloom",
+        "dedup",
+        "graph",
+        "layout",
+        "quality",
+        "ranking",
+        "sampling",
+        "similarity",
+        "sketches",
+        "skew",
+        "text",
+        "timeseries",
+    }
+)
+
+
+@dataclass
+class OperatorTransform(PipelineStage):
+    """Declarative access to the operator library: a config-file pipeline
+    (JSON/HOCON) invokes any public ``operators.<module>.<function>`` whose
+    first argument is a DataFrame, without writing Python —
+
+    .. code-block:: json
+
+        {"type": "OperatorTransform", "name": "dedup",
+         "operator": "dedup.exact_dedup",
+         "inputView": "docs", "outputView": "dedup_groups",
+         "params": {"text_col": "text"}}
+
+    ``rightView`` supplies a second DataFrame positional argument for
+    two-input operators (e.g. ``similarity.brute_force_topk``); ``params``
+    pass through as keyword arguments. Resolution is restricted to the
+    :data:`_OPERATOR_MODULES` whitelist and public names — config cannot
+    reach arbitrary importables."""
+
+    stage_type: str = "OperatorTransform"
+    operator: str = ""
+    input_view: str = ""
+    output_view: str = ""
+    right_view: str | None = None
+    num_partitions: int | None = None
+    partition_by: list[str] = field(default_factory=list)
+    persist: bool = False
+
+    def _resolve(self) -> Callable[..., DataFrame]:
+        mod_name, dot, fn_name = self.operator.partition(".")
+        if not dot or mod_name not in _OPERATOR_MODULES or fn_name.startswith("_"):
+            raise ValueError(
+                f"OperatorTransform: invalid operator {self.operator!r} — expected "
+                f"'<module>.<public_function>' with module in "
+                f"{sorted(_OPERATOR_MODULES)}"
+            )
+        import importlib
+
+        mod = importlib.import_module(
+            f"arc_cassandra_pipeline_plugin_spark.operators.{mod_name}"
+        )
+        fn = getattr(mod, fn_name, None)
+        if fn is None or not callable(fn):
+            raise ValueError(
+                f"OperatorTransform: no operator {fn_name!r} in operators.{mod_name}"
+            )
+        return fn
+
+    def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
+        fn = self._resolve()
+        self.stage_detail.set("operator", self.operator)
+        args = [spark.table(self.input_view)]
+        if self.right_view:
+            args.append(spark.table(self.right_view))
+        out = fn(*args, **self.params)
+        if not isinstance(out, DataFrame):
+            raise ValueError(
+                f"OperatorTransform: {self.operator} returned {type(out).__name__}, "
+                "not a DataFrame — only frame-to-frame operators are usable here"
+            )
+        df = repartition(out, self.num_partitions, self.partition_by or None)
+        register_view(df, self.output_view, ctx)
+        if self.persist and not df.isStreaming:
+            # persist before the forced count (see SQLTransform)
+            df.persist(ctx.storage_level)
+        record_frame_metrics(self.stage_detail, df, count=self.persist)
+        return df
+
+
 @dataclass
 class TypingTransform(PipelineStage):
     """Type an all-string frame against a target schema — the Arc-ecosystem

@@ -76,6 +76,9 @@ DELIBERATE_ALL_PAIRS = {
     "similarity_topk_bruteforce",
     "dedup_embedding_neardup",
     "knn_label_predict",  # broadcast probe set × corpus scan (brute-force top-k kernel)
+    "similarity_ann_pq",  # ADC: broadcast(query tables) × compressed-corpus scan
+    "dedup_setsim_prefix",  # adaptive bitmask sweep engages at test scale (R and
+    # vocab both under the gates); the prefix equi-join is the large-R/V path
 }
 
 #: queries with a non-equi join whose BOTH sides are bounded by a dimension
@@ -124,6 +127,7 @@ SCALAR_BROADCASTS = {
     "dq_anova_value_by_type",  # 1-row moment aggregates cross-joined
     "text_zipf_profile",  # broadcast 1-row rank-1 count onto 50 rows
     "events_cusum_changepoint",  # broadcast 1-row overall mean onto the daily series
+    "bloom_semi_join_prune",  # two 1-row audit counts cross-joined
 }
 
 

@@ -470,3 +470,97 @@ def test_equality_validate_pass_fail_and_config(spark, ctx):
         ctx,
     )
     p.run(spark, ctx)
+
+
+def test_operator_transform_runs_whitelisted_operator(spark, ctx):
+    """A pure-config pipeline reaches the operator library: ParquetExtract →
+    OperatorTransform(dedup.exact_dedup) must equal the direct operator
+    call; rightView feeds two-input operators."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import exact_dedup
+    from tests.conftest import SF_SMALL
+
+    p = parse_config(
+        {
+            "stages": [
+                {
+                    "type": "ParquetExtract",
+                    "name": "docs",
+                    "inputURI": f"{SF_SMALL}/documents.parquet",
+                    "outputView": "docs",
+                },
+                {
+                    "type": "OperatorTransform",
+                    "name": "dedup",
+                    "operator": "dedup.exact_dedup",
+                    "inputView": "docs",
+                    "outputView": "groups",
+                    "params": {"text_col": "text", "id_col": "doc_id"},
+                },
+            ]
+        }
+    )
+    p.run(spark, ctx)
+    got = {tuple(r) for r in spark.table("groups").collect()}
+    want = {
+        tuple(r)
+        for r in exact_dedup(
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        ).collect()
+    }
+    assert got == want and got
+
+    p2 = parse_config(
+        {
+            "stages": [
+                {
+                    "type": "ParquetExtract",
+                    "name": "emb",
+                    "inputURI": f"{SF_SMALL}/embeddings.parquet",
+                    "outputView": "emb",
+                },
+                {
+                    "type": "SQLTransform",
+                    "name": "queries",
+                    "sql": "SELECT * FROM emb WHERE vec_id < 2",
+                    "outputView": "q",
+                },
+                {
+                    "type": "OperatorTransform",
+                    "name": "topk",
+                    "operator": "similarity.brute_force_topk",
+                    "inputView": "emb",
+                    "rightView": "q",
+                    "outputView": "nn",
+                    "params": {"k": 3},
+                },
+            ]
+        }
+    )
+    p2.run(spark, ctx)
+    nn = spark.table("nn")
+    assert nn.count() == 6  # 2 queries x top-3
+    assert set(nn.columns) == {"query_id", "match_id", "cosine", "rank"}
+
+
+def test_operator_transform_rejects_non_whitelisted(spark, ctx):
+    """Config cannot escape the operator whitelist: wrong module, private
+    name, missing dot, and non-frame results all fail loudly."""
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.stages.transform import OperatorTransform
+
+    spark.range(3).createOrReplaceTempView("v3")
+    for bad in ["os.system", "dedup._setsim_expand", "exact_dedup", "sampling..x"]:
+        st = OperatorTransform(name="x", operator=bad, input_view="v3", output_view="o")
+        with _pytest.raises(Exception, match="OperatorTransform"):
+            st.execute(spark, ctx)
+    # frame-to-scalar operator (bloom_build returns a list) is rejected
+    st = OperatorTransform(
+        name="x", operator="bloom.bloom_build", input_view="v3", output_view="o",
+        params={"key_col": "id"},
+    )
+    with _pytest.raises(Exception, match="not a DataFrame"):
+        st.execute(spark, ctx)
