@@ -337,8 +337,9 @@ def test_example_configs_parse_and_run(spark, monkeypatch, tmp_path):
 
 def test_curation_example_pipeline_runs(spark, monkeypatch):
     """The shipped examples/curation.conf (HOCON) parses and runs end-to-end
-    in the test environment: extract → SQL scoring → SQLValidate gate →
-    EqualityValidate determinism audit (ParquetLoad is production-only)."""
+    in the test environment: extract → SQL scoring → operator-library dedup
+    → SQLValidate gates → EqualityValidate determinism audit (ParquetLoad is
+    production-only)."""
     import os
 
     from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
@@ -351,7 +352,9 @@ def test_curation_example_pipeline_runs(spark, monkeypatch):
     ctx = PipelineContext(environment="test")
     p = parse_config(text, ctx)
     assert [s.stage_type for s in p.stages] == [
-        "ParquetExtract", "SQLTransform", "SQLValidate", "EqualityValidate",
+        "ParquetExtract", "SQLTransform", "OperatorTransform", "SQLValidate",
+        "SQLValidate", "EqualityValidate",
     ]
     p.run(spark, ctx)
     assert spark.table("scored_docs").count() > 0
+    assert spark.table("dedup_groups").count() > 0
