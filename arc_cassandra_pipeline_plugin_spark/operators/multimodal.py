@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the *decode* kernels are
-deterministic fakes / clearly-marked stubs — but the Spark-side plumbing is
-real and tested: schema contracts, Arrow-batched ``mapInPandas`` transforms,
-batch shapes, and partition sizing. Swapping the stub body for PIL/ffmpeg is
-a one-function change; nothing in the plan changes.
+The container has no image/audio codec libraries, so *compressed* decode
+kernels (JPEG/MP3/H.264) are deterministic fakes / clearly-marked stubs —
+but the Spark-side plumbing is real and tested (schema contracts,
+Arrow-batched ``mapInPandas`` transforms, batch shapes, partition sizing),
+and uncompressed audio decode is REAL: :func:`decode_wav_pcm16` is a
+genuine RIFF/WAVE chunk parser built on the standard library alone,
+certified end-to-end through the encode→decode→feature loop
+(``multimodal_wav_roundtrip``). Swapping a stub body for PIL/ffmpeg is a
+one-function change; nothing in the plan changes.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` governs task sizing, and all
@@ -160,3 +164,126 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, frame_bytes: int = 64
             )
 
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec: uncompressed WAV / PCM16 (RIFF), pure struct — no external
+# library. Compressed formats (JPEG/MP3/H.264) stay gated on codec libs;
+# this is the genuine decode path for the one media family the standard
+# library can handle, and it exercises everything a real decoder must do:
+# magic validation, chunk walking, format gating, frame unpacking.
+# ---------------------------------------------------------------------------
+
+WAV_FEATURE_SCHEMA = (
+    "asset_id bigint, sample_rate int, n_samples int, duration_ms int, "
+    "peak_abs int, rms double"
+)
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: mono PCM16LE. Inverse of
+    :func:`decode_wav_pcm16` (roundtrip pinned by pytest)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
+    """REAL RIFF/WAVE parser (not a fake): validates magics, walks chunks
+    (word-aligned, unknown chunks skipped), gates on mono PCM16, unpacks
+    frames. Returns (sample_rate, samples). Raises ``ValueError`` on
+    malformed or unsupported payloads — corrupt assets surface as data
+    errors, not silent garbage."""
+    import struct
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a RIFF file: too short")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} channels={channels} bits={bits} "
+            "(only mono PCM16)"
+        )
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return rate, samples
+
+
+def wav_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction via the REAL decoder:
+    sample_rate, sample count, exact integer duration, peak amplitude, and
+    6-dp RMS per asset. Any payload :func:`decode_wav_pcm16` rejects fails
+    the task loudly (data error, not a skip)."""
+    import math
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("asset_id", "sample_rate", "n_samples", "duration_ms", "peak_abs", "rms")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, samples = decode_wav_pcm16(payload)
+                n = len(samples)
+                ss = sum(s * s for s in samples)
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak_abs"].append(max((abs(s) for s in samples), default=0))
+                out["rms"].append(round(math.sqrt(ss / n), 6) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
+
+
+def synthesize_wav_assets(
+    ids: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic WAV corpus for the encode→decode certification loop:
+    asset ``i`` carries ``100 + i % 50`` samples with
+    ``sample[j] = ((i*31 + j*17) % 2048) - 1024`` — integer math an SQL
+    oracle reproduces exactly, serialized through the REAL encoder so the
+    decoder is tested against genuine RIFF bytes."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_ = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids_,
+                    "payload": [
+                        encode_wav_pcm16(
+                            [
+                                ((i * 31 + j * 17) % 2048) - 1024
+                                for j in range(100 + i % 50)
+                            ],
+                            sample_rate,
+                        )
+                        for i in ids_
+                    ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")

@@ -560,6 +560,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_wav_roundtrip",
+    category="multimodal",
+    oracle="""
+WITH d AS (SELECT doc_id AS asset_id, 100 + doc_id % 50 AS n FROM documents),
+s AS (SELECT asset_id, n, unnest(range(0, n)) AS j FROM d),
+v AS (SELECT asset_id, n, ((asset_id * 31 + j * 17) % 2048) - 1024 AS smp FROM s),
+agg AS (
+  SELECT asset_id, max(n) AS n, max(abs(smp)) AS peak_abs, sum(smp * smp) AS ss
+  FROM v GROUP BY asset_id)
+SELECT asset_id,
+       8000 AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(n * 1000 // 8000 AS INT) AS duration_ms,
+       CAST(peak_abs AS INT) AS peak_abs,
+       round(sqrt(ss * 1.0 / n), 6) AS rms
+FROM agg
+""",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no codec library needed for uncompressed media):
+    a deterministic PCM16 corpus is serialized through the RIFF/WAVE
+    encoder and parsed back by the genuine chunk-walking decoder
+    (operators/multimodal.py decode_wav_pcm16 — magic validation, fmt
+    gating, frame unpacking), with per-asset duration/peak/RMS certified
+    against the oracle's direct re-derivation of the sample formula. A
+    header or offset bug anywhere in the codec path breaks the value hash.
+    Compressed formats (JPEG/MP3) remain gated on codec libs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = M.synthesize_wav_assets(docs)
+    return M.wav_features(assets)
+
+
 # ---------------------------------------------------------------------------
 # declarative pipeline end-to-end (the reference's own composition pattern)
 # ---------------------------------------------------------------------------

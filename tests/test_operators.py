@@ -800,3 +800,64 @@ def test_bloom_semi_filter_no_false_negatives(spark):
     assert true <= kept, f"false negatives: {sorted(true - kept)[:5]}"
     # the filter prunes: with 4*63 bits over 40 keys most non-members drop
     assert len(kept) < 400
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    """The WAV codec is a real parser: roundtrip is exact, unknown chunks
+    are skipped (word-aligned walking), and malformed / unsupported
+    payloads raise instead of returning garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = encode_wav_pcm16(samples, sample_rate=44100)
+    rate, got = decode_wav_pcm16(payload)
+    assert rate == 44100 and got == samples
+
+    # inject an unknown odd-sized chunk between fmt and data: the walker
+    # must skip it (with padding) and still find the data chunk
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = payload[:fmt_end] + junk + payload[fmt_end:]
+    rate2, got2 = decode_wav_pcm16(patched)
+    assert rate2 == 44100 and got2 == samples
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"NOTAWAVEFILE0000")
+    with _pytest.raises(ValueError, match="too short"):
+        decode_wav_pcm16(b"RIFF")
+    # stereo payloads are unsupported, not misread
+    stereo = bytearray(payload)
+    stereo[22] = 2  # channels field
+    with _pytest.raises(ValueError, match="only mono PCM16"):
+        decode_wav_pcm16(bytes(stereo))
+
+
+def test_wav_features_match_python(spark):
+    """wav_features over synthesized assets equals a plain-Python
+    computation of the same formula."""
+    import math
+
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    feats = {
+        r["asset_id"]: (r["n_samples"], r["duration_ms"], r["peak_abs"], r["rms"])
+        for r in M.wav_features(M.synthesize_wav_assets(ids)).collect()
+    }
+    for i in range(7):
+        smp = [((i * 31 + j * 17) % 2048) - 1024 for j in range(100 + i % 50)]
+        n = len(smp)
+        want = (
+            n,
+            n * 1000 // 8000,
+            max(abs(s) for s in smp),
+            round(math.sqrt(sum(s * s for s in smp) / n), 6),
+        )
+        assert feats[i] == want
