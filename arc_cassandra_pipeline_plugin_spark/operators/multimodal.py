@@ -287,3 +287,120 @@ def synthesize_wav_assets(
             )
 
     return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Real codec: uncompressed 24-bit BMP — the image twin of the WAV path.
+# Exercises the quirks a real image decoder must get right: bottom-up row
+# order, 4-byte row padding, pixel-array offset indirection, BGR ordering.
+# ---------------------------------------------------------------------------
+
+BMP_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, n_pixels int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def encode_bmp24(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Minimal BMP writer: 24bpp uncompressed, BITMAPINFOHEADER. ``pixels``
+    is top-down row-major (r, g, b); the file stores bottom-up BGR rows
+    padded to 4 bytes, as the format requires."""
+    import struct
+
+    row_size = (3 * width + 3) // 4 * 4
+    img = bytearray()
+    for y in reversed(range(height)):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        img += row
+    off = 14 + 40
+    data_size = row_size * height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + data_size, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+        + bytes(img)
+    )
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """REAL BMP parser: validates the magic, follows the pixel-array offset,
+    gates on 24bpp uncompressed, un-pads and re-orders bottom-up BGR rows
+    (top-down negative-height images handled too). Returns (width, height,
+    top-down row-major (r, g, b) pixels); raises ``ValueError`` on
+    malformed or unsupported payloads."""
+    import struct
+
+    if payload is None or len(payload) < 54:
+        raise ValueError("not a BMP file: too short")
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height_raw = struct.unpack("<Iii", payload[14:26])
+    planes, bits, compression = struct.unpack("<HHI", payload[26:34])
+    if hdr_size < 40 or planes != 1 or bits != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP: header={hdr_size} planes={planes} bits={bits} "
+            f"compression={compression} (only 24bpp uncompressed)"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    row_size = (3 * width + 3) // 4 * 4
+    if data_off + row_size * height > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    pixels: list[tuple[int, int, int]] = []
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        base = data_off + src_y * row_size
+        row = payload[base : base + 3 * width]
+        pixels.extend((row[3 * x + 2], row[3 * x + 1], row[3 * x]) for x in range(width))
+    return width, height, pixels
+
+
+def bmp_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched image feature extraction via the REAL BMP decoder:
+    dimensions and exact per-channel means (6 dp)."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("asset_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_bmp24(payload)
+                n = w * h
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                for idx, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[key].append(round(sum(p[idx] for p in px) / n, 6) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
+
+
+def synthesize_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP corpus for the encode→decode certification loop:
+    asset ``i`` is ``(4 + i%5) × (3 + i%4)`` with pixel ``p = y*W + x``
+    colored ``((i + 13p) % 256, (2i + 7p) % 256, (3i + 11p) % 256)`` —
+    integer math an SQL oracle reproduces exactly, serialized through the
+    REAL encoder (bottom-up rows, padding) so the decoder faces genuine
+    BMP bytes."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_ = pdf[id_col].tolist()
+            payloads = []
+            for i in ids_:
+                w, h = 4 + i % 5, 3 + i % 4
+                px = [
+                    ((i + 13 * p) % 256, (2 * i + 7 * p) % 256, (3 * i + 11 * p) % 256)
+                    for p in range(w * h)
+                ]
+                payloads.append(encode_bmp24(w, h, px))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")

@@ -593,6 +593,47 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_features(assets)
 
 
+@register(
+    "multimodal_bmp_roundtrip",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+v AS (
+  SELECT asset_id, w, h,
+         (asset_id + 13 * p) % 256 AS r,
+         (2 * asset_id + 7 * p) % 256 AS g,
+         (3 * asset_id + 11 * p) % 256 AS b
+  FROM px),
+agg AS (
+  SELECT asset_id, max(w) AS w, max(h) AS h,
+         sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, count(*) AS n
+  FROM v GROUP BY asset_id)
+SELECT asset_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_pixels,
+       round(sr * 1.0 / n, 6) AS mean_r,
+       round(sg * 1.0 / n, 6) AS mean_g,
+       round(sb * 1.0 / n, 6) AS mean_b
+FROM agg
+""",
+)
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode for the uncompressed family: a deterministic RGB
+    corpus is serialized through the 24-bit BMP encoder (bottom-up rows,
+    4-byte padding, BGR) and parsed back by the genuine decoder
+    (operators/multimodal.py decode_bmp24 — magic/offset/format gating,
+    row un-padding and re-ordering), with per-asset dimensions and channel
+    means certified against the oracle's direct re-derivation of the pixel
+    formula. Compressed formats (JPEG/PNG) remain gated on codec libs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = M.synthesize_bmp_assets(docs)
+    return M.bmp_features(assets)
+
+
 # ---------------------------------------------------------------------------
 # declarative pipeline end-to-end (the reference's own composition pattern)
 # ---------------------------------------------------------------------------

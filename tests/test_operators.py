@@ -861,3 +861,43 @@ def test_wav_features_match_python(spark):
             round(math.sqrt(sum(s * s for s in smp) / n), 6),
         )
         assert feats[i] == want
+
+
+def test_bmp_codec_roundtrip_and_rejection():
+    """The BMP codec is a real parser: roundtrip is exact through the
+    bottom-up padded representation, top-down (negative height) images
+    decode too, and malformed/unsupported payloads raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    w, h = 5, 3  # odd row width exercises the 4-byte padding path
+    px = [((x * 40) % 256, (y * 90) % 256, (x + y) % 256) for y in range(h) for x in range(w)]
+    payload = encode_bmp24(w, h, px)
+    gw, gh, got = decode_bmp24(payload)
+    assert (gw, gh) == (w, h) and got == px
+
+    # top-down variant: flip the height sign and re-order rows accordingly
+    data_off = 54
+    row_size = (3 * w + 3) // 4 * 4
+    body = payload[data_off:]
+    rows = [body[i * row_size : (i + 1) * row_size] for i in range(h)]
+    top_down = payload[:22] + struct.pack("<i", -h)[:4] + payload[26:data_off] + b"".join(reversed(rows))
+    gw2, gh2, got2 = decode_bmp24(top_down)
+    assert (gw2, gh2) == (w, h) and got2 == px
+
+    with _pytest.raises(ValueError, match="BMP"):
+        decode_bmp24(b"PNG" + b"\x00" * 60)
+    with _pytest.raises(ValueError, match="too short"):
+        decode_bmp24(b"BM")
+    bad_bits = bytearray(payload)
+    bad_bits[28] = 8  # 8bpp unsupported
+    with _pytest.raises(ValueError, match="only 24bpp"):
+        decode_bmp24(bytes(bad_bits))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp24(payload[:-5])
