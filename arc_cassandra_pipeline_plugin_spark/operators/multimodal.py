@@ -404,3 +404,28 @@ def synthesize_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
 
     return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")
+
+
+def resize_bmp(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize for the uncompressed family: decode each BMP,
+    nearest-neighbor resample to ``out_w × out_h`` (source pixel of output
+    ``(x, y)`` is ``(x*W div out_w, y*H div out_h)`` — integer math, so an
+    SQL oracle replays the exact sampling grid), re-encode. One Arrow batch
+    in, one out; the codec quirks (padding, row order) are exercised twice
+    per asset."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_bmp24(payload)
+                out = [
+                    px[(y * h // out_h) * w + (x * w // out_w)]
+                    for y in range(out_h)
+                    for x in range(out_w)
+                ]
+                ids_.append(aid)
+                payloads.append(encode_bmp24(out_w, out_h, out))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    return assets.mapInPandas(batches, schema="asset_id bigint, payload binary")

@@ -634,6 +634,45 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.bmp_features(assets)
 
 
+@register(
+    "multimodal_bmp_resize",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents),
+grid AS (
+  SELECT asset_id, w, h, xo, yo
+  FROM d CROSS JOIN range(0, 3) tx(xo) CROSS JOIN range(0, 2) ty(yo)),
+src AS (
+  SELECT asset_id,
+         ((yo * h // 2) * w + (xo * w // 3)) AS p
+  FROM grid),
+v AS (
+  SELECT asset_id,
+         (asset_id + 13 * p) % 256 AS r,
+         (2 * asset_id + 7 * p) % 256 AS g,
+         (3 * asset_id + 11 * p) % 256 AS b
+  FROM src)
+SELECT asset_id, 3 AS width, 2 AS height, 6 AS n_pixels,
+       round(sum(r) * 1.0 / 6, 6) AS mean_r,
+       round(sum(g) * 1.0 / 6, 6) AS mean_g,
+       round(sum(b) * 1.0 / 6, 6) AS mean_b
+FROM v GROUP BY asset_id
+""",
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: every synthesized BMP decodes, nearest-neighbor
+    resamples to 3×2 (source pixel (x·W div 3, y·H div 2) — exact integer
+    grid), re-encodes through the real writer, and decodes AGAIN for
+    features — the codec runs twice per asset and the oracle re-derives the
+    sampled pixels directly from the formula. Replaces the former
+    pass-through resize stub for the uncompressed image family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resized = M.resize_bmp(M.synthesize_bmp_assets(docs), out_w=3, out_h=2)
+    return M.bmp_features(resized)
+
+
 # ---------------------------------------------------------------------------
 # declarative pipeline end-to-end (the reference's own composition pattern)
 # ---------------------------------------------------------------------------
