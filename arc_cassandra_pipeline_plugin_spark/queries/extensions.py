@@ -594,6 +594,33 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_frames",
+    category="multimodal",
+    oracle="""
+WITH d AS (SELECT doc_id AS asset_id, 100 + doc_id % 50 AS n FROM documents),
+s AS (SELECT asset_id, n, unnest(range(0, n)) AS j FROM d),
+v AS (SELECT asset_id, j // 32 AS frame_idx,
+             ((asset_id * 31 + j * 17) % 2048) - 1024 AS smp
+      FROM s)
+SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(max(abs(smp)) AS INT) AS peak_abs,
+       round(sqrt(sum(smp * smp) * 1.0 / count(*)), 6) AS rms
+FROM v GROUP BY asset_id, frame_idx
+""",
+)
+def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-granular audio features through the REAL decoder: each WAV's
+    PCM stream splits into 32-sample windows (last window ragged) with
+    per-frame peak/RMS — one asset fans out to its frames inside a single
+    Arrow batch, producing the distributed (asset_id, frame_idx) feature
+    table a speech pipeline consumes. The oracle re-derives every window
+    from the sample formula."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.wav_frame_features(M.synthesize_wav_assets(docs), frame_len=32)
+
+
+@register(
     "multimodal_bmp_roundtrip",
     category="multimodal",
     oracle="""
