@@ -49,6 +49,11 @@ def pagerank(
         .distinct()
     )
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    # normalize ONCE: every round needs w/out_w, so join it in before the
+    # loop and snapshot — each round then joins the rank vector against one
+    # static edge list instead of re-deriving (edges ⋈ out-weights) per
+    # round (one join + one shuffle subtree fewer per iteration)
+    e_norm = e.join(outw, "_src").localCheckpoint(eager=True)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     base = nodes.crossJoin(F.broadcast(n_nodes))
     rank = base.select(
@@ -56,7 +61,7 @@ def pagerank(
     )
     for _ in range(iters):
         contrib = (
-            e.join(outw, "_src")
+            e_norm
             .join(rank.select(F.col("node").alias("_src"), "rank"), "_src")
             .select(
                 "_dst",

@@ -33,6 +33,11 @@ ASSET_SCHEMA = (
 
 FEATURE_SCHEMA = "asset_id bigint, media_type string, n_bytes bigint, checksum string, feature array<double>"
 
+#: checksum-only contract (``extract_features(with_feature=False)``)
+FEATURE_SCHEMA_NO_VECTOR = (
+    "asset_id bigint, media_type string, n_bytes bigint, checksum string"
+)
+
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Build a binary asset table from the documents fixture: payload =
@@ -60,40 +65,53 @@ def decode_image(payload: bytes) -> "object":
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding model: mean of each of
     ``dim`` byte stripes, scaled to [0,1]. Pure-bytes math → reproducible
-    everywhere, and shaped exactly like a real feature vector."""
+    everywhere, and shaped exactly like a real feature vector. Stripe sums
+    run as numpy C loops (exact integer sums — identical results to the
+    pure-Python formulation, ~20× less Python-interpreter time per batch)."""
     if payload is None or len(payload) == 0:
         return [0.0] * dim
-    n = len(payload)
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = arr.shape[0]
     stripe = max(n // dim, 1)
     out = []
     for d in range(dim):
-        chunk = payload[d * stripe : (d + 1) * stripe] or payload[-stripe:]
-        out.append(round(sum(chunk) / (len(chunk) * 255.0), 6))
+        chunk = arr[d * stripe : (d + 1) * stripe]
+        if chunk.shape[0] == 0:
+            chunk = arr[-stripe:]
+        out.append(round(int(chunk.sum(dtype=np.int64)) / (chunk.shape[0] * 255.0), 6))
     return out
 
 
-def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(assets: DataFrame, dim: int = 8, with_feature: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    ``mapInPandas``: n_bytes, sha-256 checksum, and a ``dim``-wide feature
-    vector (deterministic fake — see :func:`_fake_feature`)."""
+    ``mapInPandas``: n_bytes, sha-256 checksum, and (when ``with_feature``)
+    a ``dim``-wide feature vector (deterministic fake — see
+    :func:`_fake_feature`). Spark cannot prune output columns *through* a
+    ``mapInPandas`` kernel, so checksum-only callers pass
+    ``with_feature=False`` to skip the per-byte feature work instead of
+    computing and discarding it."""
     import hashlib
+
+    schema = FEATURE_SCHEMA if with_feature else FEATURE_SCHEMA_NO_VECTOR
 
     def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
-                    "checksum": payloads.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "feature": payloads.map(lambda b: _fake_feature(b, dim)),
-                }
-            )
+            cols = {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
+                "checksum": payloads.map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+            }
+            if with_feature:
+                cols["feature"] = payloads.map(lambda b: _fake_feature(b, dim))
+            yield pd.DataFrame(cols)
 
-    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return assets.mapInPandas(batches, schema=schema)
 
 
 def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:

@@ -511,7 +511,9 @@ def multimodal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature kernel → byte length + sha-256. Certifies the
     binary plumbing end-to-end against the oracle."""
     assets = M.documents_as_assets(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(assets).select("asset_id", "n_bytes", "checksum")
+    return M.extract_features(assets, with_feature=False).select(
+        "asset_id", "n_bytes", "checksum"
+    )
 
 
 def _features_oracle(dim: int = 8) -> str:
