@@ -72,6 +72,33 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All corpus rows with cosine ≥ ``threshold`` of each query row — the
+    radius-query twin of :func:`brute_force_topk` (top-k bounds the output
+    count, range search bounds the similarity; retrieval pipelines need
+    both). Same scale shape: broadcast query set, one corpus scan, no
+    corpus shuffle. The threshold compares against the 6-dp-rounded score,
+    so the boundary set is deterministic across engines and summation
+    orders. Self-matches are excluded."""
+    q = _unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
+    c = _unit(_parallel_corpus(corpus), vec_col, "cv").select(
+        F.col(id_col).alias("match_id"), "cv"
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "match_id", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes from md5(seed, plane, i)
     — reproducible across runs/machines with no RNG state."""

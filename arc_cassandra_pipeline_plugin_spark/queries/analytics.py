@@ -380,6 +380,65 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned (by event_type) twin of the events table, written
+    once per distinct fixture generation into a content-keyed temp dir
+    (path+size+mtime key, so a regenerated fixture invalidates the cache).
+    The write itself is the partitioned-sink half of the exercise; the
+    certified query reads it back through partition discovery."""
+    import hashlib
+    import os
+    import tempfile
+
+    from arc_cassandra_pipeline_plugin_spark.sources import table_path
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "acpps_part_events", key)
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(base)
+    return base
+
+
+def partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned scan under ``scan_partition_pruning`` — split out so the
+    plan test can assert PartitionFilters on the exact DataFrame the
+    certified query aggregates."""
+    part = spark.read.parquet(_partitioned_events_dir(spark, sf_dir))
+    return part.filter(F.col("event_type").isin("click", "purchase"))
+
+
+@register(
+    "scan_partition_pruning",
+    category="scan",
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+""",
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a hive-partitioned table: events are
+    written out partitioned by event_type (directory-per-value layout — the
+    standard 100 TB table organization), then read back with a filter on
+    the partition column. The filter never touches row data: Spark's
+    partition discovery prunes 3 of 5 directories at planning time
+    (PartitionFilters in the scan node, asserted in test_plans), which at
+    scale is the difference between scanning 40% and 100% of a table.
+    Certified against the unpartitioned source table."""
+    return (
+        partitioned_events_scan(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 from arc_cassandra_pipeline_plugin_spark.operators.layout import zorder_key_sql
 
 _Z_SQL = zorder_key_sql("user_id", "(day(ts) - 1)", bits=8)

@@ -325,6 +325,31 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
+@register(
+    "similarity_range_search",
+    category="similarity",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+     c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings)
+SELECT query_id, match_id, cosine FROM (
+  SELECT query_id, match_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q CROSS JOIN c WHERE match_id <> query_id
+) WHERE cosine >= 0.2
+""",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query: every corpus vector with cosine ≥ 0.2 of each of 3
+    query vectors — the bounded-similarity twin of top-k retrieval
+    (deduplication and contamination screens want "everything this close",
+    not "the k closest"). Broadcast queries over one corpus scan; the
+    threshold tests the 6-dp-rounded score so the boundary set is engine-
+    deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.range_search(emb, emb.filter(F.col("vec_id") < 3), threshold=0.2)
+
+
 _ANN_DIM = 64
 _ANN_PLANES = 8
 _ANN_K = 5

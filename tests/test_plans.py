@@ -74,6 +74,7 @@ def test_semi_anti_use_join_not_full_materialization(spark):
 DELIBERATE_ALL_PAIRS = {
     "join_cross",
     "similarity_topk_bruteforce",
+    "similarity_range_search",  # broadcast 3-query probe set × corpus scan
     "dedup_embedding_neardup",
     "knn_label_predict",  # broadcast probe set × corpus scan (brute-force top-k kernel)
     "similarity_ann_pq",  # ADC: broadcast(query tables) × compressed-corpus scan
@@ -321,3 +322,20 @@ def test_merge_upsert_is_single_key_join(spark):
     plan = explain_str(df, "simple")
     assert "FullOuter" in plan
     assert_no_cartesian(df)
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """The hive-partitioned events read under scan_partition_pruning prunes
+    partition directories at planning time: the scan node carries a
+    PartitionFilters entry on event_type and the row-data filter list does
+    NOT re-check the partition column (it never touches row data)."""
+    from arc_cassandra_pipeline_plugin_spark.queries.analytics import (
+        partitioned_events_scan,
+    )
+
+    df = partitioned_events_scan(spark, SF_SMALL)
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # partition column is not part of the parquet row groups, so nothing
+    # about event_type can appear in PushedFilters
+    assert not any("event_type" in f for f in pushed_filters(df))
