@@ -1981,6 +1981,95 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_static_join",
+    category="streaming",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+       CAST(c.c_nationkey AS BIGINT) AS nation
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run as a REAL streaming query: the
+    event stream joined per micro-batch to a broadcast customer dimension
+    (streaming.enrich_stream), append mode — the standard pattern for
+    attaching slowly-changing attributes to an event stream without any
+    stateful join machinery. Inner matches are deterministic, so the
+    availableNow run equals the batch join and certifies under the SQL
+    oracle. At 100 TB the static side is a periodically re-read broadcast;
+    the stream side never shuffles."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir).select("event_id", "user_id")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    enriched = ST.enrich_stream(ev, dim, on="user_id", how="inner")
+    out = enriched.select("event_id", "user_id", "segment", "nation")
+    return ST.run_stream_to_memory(out, "stream_static_join_result", output_mode="append")
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "text_feature_hashing",
+    category="text",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_FH_BUCKETS} AS bucket,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks WHERE tok <> ''
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CAST(sum(s) AS BIGINT) AS feature, count(*) AS tf
+FROM h GROUP BY 1, 2
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectors (Weinberger et al.): token → md5
+    bucket in a fixed {_FH_BUCKETS}-dim space, second-hash sign for
+    unbiasedness, signed-sum feature value + raw term frequency, long
+    format (doc_id, bucket). No vocabulary pass, no driver state — one
+    explode + one map-side-combinable groupBy whose shuffle carries at
+    most {_FH_BUCKETS} rows per document regardless of corpus size. The
+    fixed dimensionality is what makes downstream ML joins/aggregations
+    bounded at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    h = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _FH_BUCKETS
+        ).cast("int").alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("bigint") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("s"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.sum("s").cast("bigint").alias("feature"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+
+
+@register(
     "json_variant_extract",
     category="json",
     oracle="""
