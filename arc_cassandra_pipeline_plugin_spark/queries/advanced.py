@@ -351,6 +351,92 @@ def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_map_in_arrow",
+    category="udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS net_c4,
+       CAST(l_quantity AS BIGINT) AS qty_int
+FROM lineitem WHERE l_orderkey < 1000
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy Arrow-native Python surface (RecordBatch
+    in, RecordBatch out; no pandas materialization, no object boxing).
+    Completes the Python execution matrix next to pandas_udf scalar /
+    grouped-agg / applyInPandas / mapInPandas / UDTF. The kernel runs
+    pyarrow.compute (C++ vectorized) on each batch, so per-row Python cost
+    is zero — the cheapest possible Python escape hatch for kernels that
+    are already Arrow-expressible. Net price is computed in exact integer
+    hundredths-of-cents (prices/discounts are 2-decimal values, so
+    price*100 and discount*100 are within an ulp of integers — never near
+    a rounding boundary), the repo's standard cross-engine float
+    discipline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            price_c = pc.cast(
+                pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            disc_c = pc.cast(
+                pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            net = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+            qty = pc.cast(b.column("l_quantity"), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net, qty],
+                names=["l_orderkey", "l_linenumber", "net_c4", "qty_int"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity")
+    )
+    return li.mapInArrow(
+        kernel,
+        "l_orderkey bigint, l_linenumber int, net_c4 bigint, qty_int bigint",
+    )
+
+
+@register(
+    "xml_funcs",
+    category="scalar",
+    oracle="""
+SELECT event_id, event_id AS k_back, event_type AS t_back,
+       CAST(NULL AS BIGINT) AS absent_is_null
+FROM events WHERE event_id < 3000
+""",
+)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML: build a well-formed XML string per row, parse it
+    back with from_xml under an explicit schema, and extract typed fields —
+    a missing element yields NULL, mirroring the JSON/variant contract.
+    Certified as a round-trip: the oracle states the expected fields
+    directly, so a parser that mis-handles nesting, types, or absent
+    elements cannot pass. XML lands as a first-class format next to
+    CSV/JSON/parquet (per-row functions here; spark-xml file source is the
+    same parser)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    xml = F.concat(
+        F.lit("<r><k>"), F.col("event_id").cast("string"),
+        F.lit("</k><t>"), F.col("event_type"), F.lit("</t></r>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, t STRING, missing BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_back"),
+        parsed.getField("t").alias("t_back"),
+        parsed.getField("missing").alias("absent_is_null"),
+    )
+
+
+@register(
     "join_null_semantics",
     category="join",
     oracle="""
