@@ -437,6 +437,36 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_funcs",
+    category="scalar",
+    oracle="""
+SELECT event_id, event_type AS type_back, props AS props_back,
+       value AS value_back
+FROM events WHERE event_id < 3000
+""",
+)
+def csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row CSV functions: to_csv serializes a struct (the props column
+    is JSON text containing commas and double quotes, forcing the writer
+    through quoting + quote-doubling), from_csv parses it back under an
+    explicit schema. Certified as a full round-trip against the identity
+    oracle — any quoting/escaping/type-coercion defect breaks the match.
+    Doubles survive because Java's shortest-repr toString parses back to
+    the identical bits."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    line = F.to_csv(F.struct("event_id", "event_type", "props", "value"))
+    parsed = F.from_csv(
+        line, F.lit("event_id bigint, event_type string, props string, value double")
+    )
+    return ev.select(
+        "event_id",
+        parsed.getField("event_type").alias("type_back"),
+        parsed.getField("props").alias("props_back"),
+        parsed.getField("value").alias("value_back"),
+    )
+
+
+@register(
     "join_null_semantics",
     category="join",
     oracle="""
