@@ -87,14 +87,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup: run every headline plan once at the smallest SF so
-    # the timed pass measures the queries, not JIT/classloading of their
-    # generated code (standard JVM benchmarking practice).
+    # JVM/codegen warmup: one untimed pass of every headline query on the
+    # TARGET fixture (standard JVM benchmarking practice — JMH warms up on
+    # the real workload). Warming at a smaller SF is not enough: adaptive
+    # operators pick statistics-dependent plan shapes (e.g. the setsim
+    # bitmask width follows vocabulary size), so the small-SF pass compiles
+    # different generated code and the first timed trial would still pay
+    # JIT/classloading.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            registry[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    for name in HEADLINE:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # two trials per query, report the min (standard practice: the min is
     # the least-noise estimate of the query's actual cost on a shared box)
@@ -119,7 +121,8 @@ def main() -> None:
                 "sf": sf,
                 "sf_dir": sf_dir,
                 "trials": 2,
-                "protocol": "min of 2 trials per query after sf0.001 plan warmup; "
+                "protocol": "min of 2 trials per query after one untimed "
+                "warmup pass of each query on the target fixture; "
                 "multi-file split fixtures (same rows as the raw sf dir) unless "
                 "SPARK_GRAFT_SF_DIR overrides",
             }
