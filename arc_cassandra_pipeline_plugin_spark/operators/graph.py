@@ -29,17 +29,26 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    broadcast_rank: bool = False,
 ) -> DataFrame:
     """Weighted PageRank with ``iters`` synchronous rounds over an edge
     DataFrame (src, dst, w). Returns (node, rank).
 
     Scale shape: the rank vector is a DataFrame keyed by node — each round
     shuffles |E| contributions on dst and |V| ranks on node; out-weights are
-    computed once. The node count arrives as a broadcast 1-row aggregate
-    (never a driver collect). Dangling mass is dropped (simplified PageRank),
-    matching the oracle formulation. For long chains of rounds, callers
-    should `localCheckpoint` the iterate every few rounds (the certified
-    query uses 3 rounds — lineage stays shallow)."""
+    computed once. Dangling mass is dropped (simplified PageRank), matching
+    the oracle formulation. For long chains of rounds, callers should
+    `localCheckpoint` the iterate every few rounds (the certified query
+    uses 3 rounds — lineage stays shallow).
+
+    ``broadcast_rank`` (opt-in — only the caller knows its graph is
+    dimension-bounded; auto-detection would cost a full distinct count)
+    carries the rank vector through BROADCAST joins instead of shuffled
+    ones — for dimension-sized vertex sets (nation graphs, label graphs,
+    cluster summaries) each round then costs one shuffle (the dst
+    aggregation) instead of three. Web-scale graphs keep the shuffled
+    path: a rank vector with millions of entries must never transit the
+    driver."""
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
     )
@@ -54,15 +63,18 @@ def pagerank(
     # static edge list instead of re-deriving (edges ⋈ out-weights) per
     # round (one join + one shuffle subtree fewer per iteration)
     e_norm = e.join(outw, "_src").localCheckpoint(eager=True)
+    maybe_b = F.broadcast if broadcast_rank else (lambda df: df)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     base = nodes.crossJoin(F.broadcast(n_nodes))
+    if broadcast_rank:
+        base = base.localCheckpoint(eager=True)
     rank = base.select(
         "node", "_n", F.round(F.lit(1.0) / F.col("_n"), _SCALE).alias("rank")
     )
     for _ in range(iters):
         contrib = (
             e_norm
-            .join(rank.select(F.col("node").alias("_src"), "rank"), "_src")
+            .join(maybe_b(rank.select(F.col("node").alias("_src"), "rank")), "_src")
             .select(
                 "_dst",
                 F.round(F.col("rank") * F.col("_w") / F.col("_out_w"), _SCALE)
@@ -72,7 +84,7 @@ def pagerank(
         )
         summed = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
         rank = (
-            base.join(summed, base.node == summed._dst, "left")
+            base.join(maybe_b(summed), base.node == summed._dst, "left")
             .select(
                 "node",
                 "_n",

@@ -749,7 +749,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round and the corpus is scanned three times
         .localCheckpoint(eager=True)
     )
-    pr = pagerank(edges, iters=3, damping=0.85)
+    # the vertex set is the 25-nation dimension — declare it so the rank
+    # vector rides broadcast joins (1 shuffle/round) without an auto-count
+    pr = pagerank(edges, iters=3, damping=0.85, broadcast_rank=True)
     return pr.select(
         F.col("node").alias("nation"), F.round("rank", 8).alias("pagerank")
     )
