@@ -770,6 +770,70 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union_by_name",
+    category="setop",
+    oracle="""
+SELECT o_custkey AS custkey, o_totalprice AS amount, NULL AS segment
+FROM orders WHERE o_totalprice > 400000.0
+UNION ALL
+SELECT c_custkey AS custkey, NULL AS amount, c_mktsegment AS segment
+FROM customer WHERE c_acctbal > 9900.0
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): positional UNION would
+    mis-align these two frames (different column order, different column
+    sets) — by-name resolution matches columns by identifier and fills
+    each side's missing columns with NULL. The schema-evolution-safe way
+    to stack heterogeneous extracts."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_custkey").alias("custkey"),
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900.0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return orders.unionByName(cust, allowMissingColumns=True).select(
+        "custkey", "amount", "segment"
+    )
+
+
+@register(
+    "sort_limit_offset",
+    category="sort",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+""",
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: total order (price desc, key asc as the
+    tiebreak) + OFFSET + LIMIT. Spark compiles the pair into a single
+    global top-(offset+limit) pass (CollectLimit with offset) — it never
+    materializes or skips 'the first 100 rows' per partition, so page N
+    costs the same as page 1 plus O(offset) discarded rows, not a full
+    sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
