@@ -2075,3 +2075,51 @@ def text_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_EPOCH_SEED = "epoch1:"
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "sample_epoch_shuffle",
+    category="sampling",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{_EPOCH_SEED}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+  FROM documents)
+SELECT doc_id,
+       row_number() OVER (ORDER BY key, doc_id) AS pos,
+       CAST((row_number() OVER (ORDER BY key, doc_id) - 1) % {_EPOCH_SHARDS} AS INT) AS shard
+FROM k
+""",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every document gets an exact
+    global position in a pseudo-random permutation (order by
+    md5(seed || doc_id) — reproducible across runs, re-keyable per epoch
+    by changing the seed) plus a round-robin shard id, so each emitted
+    shard is a uniform sample of the corpus. The permutation rank comes
+    from the two-phase bucketed global row_number
+    (operators/ranking.global_row_number) — no single-partition window
+    anywhere, so the shuffle holds at 100 TB where a plain
+    Window.orderBy would serialize the corpus through one task."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint").alias("key"),
+    )
+    ranked = global_row_number(docs, "key", ["doc_id"], out_col="pos")
+    return ranked.select(
+        "doc_id",
+        "pos",
+        ((F.col("pos") - 1) % _EPOCH_SHARDS).cast("int").alias("shard"),
+    )
