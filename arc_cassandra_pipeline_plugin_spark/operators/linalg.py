@@ -1,0 +1,133 @@
+"""Distributed linear algebra over embedding columns: power iteration for
+the top principal component.
+
+The iteration never materializes the d×d Gram matrix: each round is two
+matrix-vector products expressed as joins + aggregations over the long-form
+(vec_id, j, x) view of the embedding column —
+
+    s_i = x_i · v        (row scores:   join v on component, agg by vec_id)
+    u   = Σ_i s_i x_i    (new direction: join s on vec_id, agg by component)
+    v'  = u / ||u||      (normalize:    one O(d) aggregate, broadcast back)
+
+so the shuffles carry (vec_id)- and (j)-keyed partial sums — map-side
+combinable, d groups on the component side — and the only small state is
+the d-vector itself. This is the 100 TB shape: no driver collect of data,
+no O(d²) anything.
+
+Cross-engine determinism follows the pagerank discipline
+(operators/graph.py): every per-row product is rounded to a fixed scale
+(row-deterministic double arithmetic), summed as exact DECIMAL
+(order-free), and each round's direction vector is re-rounded after the
+normalize — so the iterate is bit-identical regardless of partitioning, on
+Spark and DuckDB alike. The oracle is generated from the SAME constants by
+:func:`power_iteration_oracle_sql`, unrolling the rounds as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for per-row products (dot-product and outer terms)
+_SCALE = 12
+#: scale of each round's normalized direction vector
+_VSCALE = 9
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal direction (un-centered: the top right-singular vector
+    of the data matrix) after ``iters`` fixed power-iteration rounds from
+    the deterministic start ``v0 = e_1``. Returns (j, loading) with
+    1-based component index — d rows.
+
+    Fixed rounds rather than convergence detection keep the plan static
+    and the oracle unrollable; callers wanting convergence can compare
+    successive outputs. Sign follows the e_1 start (flip externally if a
+    convention is needed). For the covariance/PCA direction proper,
+    mean-center the vectors first (a broadcast of the d-dim column means).
+    """
+    spark = df.sparkSession
+    # long form (id, j, x): one explode, reused by both products per round
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_p", "_xf"),
+    ).select(
+        "_id", (F.col("_p") + 1).alias("j"), F.col("_xf").cast("double").alias("x")
+    ).localCheckpoint(eager=True)
+
+    v = spark.createDataFrame([(1, 1.0)], "j INT, val DOUBLE")
+    dec = f"decimal(30,{_SCALE})"
+    for _ in range(iters):
+        s = (
+            e.join(F.broadcast(v), "j")
+            .groupBy("_id")
+            .agg(
+                F.sum(F.round(F.col("x") * F.col("val"), _SCALE).cast(dec))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        u = (
+            e.join(s, "_id")
+            .groupBy("j")
+            .agg(
+                F.sum(F.round(F.col("x") * F.col("s"), _SCALE).cast(dec))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        norm = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), _SCALE).cast(dec)).cast("double")
+            ).alias("_norm")
+        )
+        v = u.crossJoin(F.broadcast(norm)).select(
+            "j", F.round(F.col("u") / F.col("_norm"), _VSCALE).alias("val")
+        )
+    return v.select("j", F.col("val").alias("loading"))
+
+
+def power_iteration_oracle_sql(
+    iters: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for :func:`power_iteration_top_component`: the same
+    rounds unrolled as CTEs from the same rounding constants."""
+    dec = f"DECIMAL(30,{_SCALE})"
+    ctes = [
+        f"""e AS (
+  SELECT {id_col} AS id,
+         unnest(range(1, len({vec_col}) + 1)) AS j,
+         unnest({vec_col})::DOUBLE AS x
+  FROM {table})""",
+        "v0 AS (SELECT 1 AS j, 1.0 AS val)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT id, CAST(SUM(CAST(round(e.x * v.val, {_SCALE}) AS {dec})) AS DOUBLE) AS s
+  FROM e JOIN v{t - 1} v USING (j) GROUP BY id)"""
+        )
+        ctes.append(
+            f"""u{t} AS (
+  SELECT j, CAST(SUM(CAST(round(e.x * s{t}.s, {_SCALE}) AS {dec})) AS DOUBLE) AS u
+  FROM e JOIN s{t} USING (id) GROUP BY j)"""
+        )
+        ctes.append(
+            f"""n{t} AS (
+  SELECT sqrt(CAST(SUM(CAST(round(u * u, {_SCALE}) AS {dec})) AS DOUBLE)) AS nrm
+  FROM u{t})"""
+        )
+        ctes.append(
+            f"""v{t} AS (
+  SELECT j, round(u / nrm, {_VSCALE}) AS val FROM u{t}, n{t})"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT CAST(j AS INT) AS j, val AS loading FROM v{iters}"

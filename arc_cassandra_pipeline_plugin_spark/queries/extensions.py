@@ -2187,6 +2187,31 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+def _pca_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import (
+        power_iteration_oracle_sql,
+    )
+
+    return power_iteration_oracle_sql(iters=3)
+
+
+@register("embeddings_pca_power", category="similarity", oracle=_pca_oracle())
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by distributed
+    power iteration (operators/linalg.py): three matrix-vector rounds as
+    joins + decimal-summed aggregations over the long-form vector view —
+    no Gram matrix, no driver-side data, shuffles keyed by (vec_id) and
+    (component). Certified against the identical rounds unrolled as CTEs
+    generated from the same rounding constants."""
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import (
+        power_iteration_top_component,
+    )
+
+    return power_iteration_top_component(
+        load_table(spark, sf_dir, "embeddings"), iters=3
+    )
+
+
 @register(
     "embeddings_group_centroids",
     category="similarity",
