@@ -247,6 +247,41 @@ def test_cassandra_execute_ddl_roundtrip(spark, stub_cassandra_driver):
     ]
 
 
+def test_cassandra_execute_failure_statement(spark, monkeypatch):
+    """The reference's 'server failure statement' case
+    (CassandraExecuteSuite.scala:72-97): an invalid statement ('HELP SHOW')
+    surfaces the server's parse error wrapped as a DetailException carrying
+    the stage detail — not a bare driver exception."""
+    class _Session:
+        def execute(self, text):
+            raise RuntimeError("no viable alternative at input 'HELP'")
+
+    class _Cluster:
+        def __init__(self, hosts, port=9042):
+            pass
+
+        def connect(self):
+            return _Session()
+
+        def shutdown(self):
+            pass
+
+    pkg = types.ModuleType("cassandra")
+    mod = types.ModuleType("cassandra.cluster")
+    mod.Cluster = _Cluster
+    pkg.cluster = mod
+    monkeypatch.setitem(sys.modules, "cassandra", pkg)
+    monkeypatch.setitem(sys.modules, "cassandra.cluster", mod)
+
+    with pytest.raises(DetailException, match="no viable alternative at input 'HELP'") as ei:
+        CassandraExecute(
+            name="bad-statement",
+            sql="HELP SHOW;",
+            params={"spark.cassandra.connection.host": "h1"},
+        ).execute(spark, PipelineContext())
+    assert ei.value.stage_detail.get("name") == "bad-statement"
+
+
 def test_cassandra_execute_conf_overlay(spark, stub_cassandra_driver):
     """Connection settings: stage params override session conf, session conf
     overrides defaults (CassandraConnectorConf.fromSparkConf overlay,
