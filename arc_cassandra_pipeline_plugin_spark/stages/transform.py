@@ -96,6 +96,7 @@ _OPERATOR_MODULES = frozenset(
         "dedup",
         "graph",
         "layout",
+        "linalg",
         "quality",
         "ranking",
         "sampling",
