@@ -339,3 +339,44 @@ def test_partitioned_scan_prunes_directories(spark):
     # partition column is not part of the parquet row groups, so nothing
     # about event_type can appear in PushedFilters
     assert not any("event_type" in f for f in pushed_filters(df))
+
+
+def test_offset_pagination_folds_into_take_ordered(spark):
+    """ORDER BY + OFFSET + LIMIT must compile to a single
+    TakeOrderedAndProject(limit=offset+k, offset=...) — per-partition heaps
+    + driver-side skip, never a global sort or a materialized 'first 100
+    rows' stage."""
+    df = REGISTRY["sort_limit_offset"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan and "offset=100" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_feature_hashing_partial_aggregates_and_prunes(spark):
+    """The hashing-trick groupBy must map-side combine (partial_sum before
+    the exchange) and the scan must read exactly (doc_id, text)."""
+    df = REGISTRY["text_feature_hashing"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "partial_sum" in plan
+    (schema,) = read_schemas(df)
+    assert set(schema) == {"doc_id", "text"}
+
+
+def test_stream_static_join_broadcasts_the_dim(spark):
+    """The stream-static enrichment join must broadcast the static
+    dimension — the stream side never shuffles."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    ev = ST.events_stream(spark, SF_SMALL).select("event_id", "user_id")
+    dim = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ST.enrich_stream(ev, dim, on="user_id", how="inner")
+    # streaming frames can't produce a physical plan until a query starts;
+    # the analyzed logical plan must carry the broadcast hint on the
+    # static side
+    logical = joined._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in logical.lower(), logical
