@@ -97,6 +97,59 @@ def range_join(
     return left.join(right, on=on)
 
 
+def proximity_pairs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tolerance_s: int = 300,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All (earlier, later) row pairs within ``tolerance_s`` seconds of
+    each other — across the WHOLE table, no equi-key — without a cartesian
+    product.
+
+    A naive theta join on ``|tb - ta| <= tol`` has no equi-key, so Catalyst
+    can only plan BroadcastNestedLoop/cartesian — a scale killer. The
+    binned trick: bucket time at the tolerance width; for any qualifying
+    pair ordered so ``tb >= ta``, the later row's bucket is the earlier
+    row's bucket or the one after it. The earlier side therefore duplicates
+    into (bucket, bucket+1), the join becomes a plain EQUI-join on the
+    bucket, and the exact predicate is a residual filter. Each qualifying
+    pair matches exactly once (the later bucket equals exactly one of the
+    two probes), so no dedup pass is needed.
+
+    Scale shape: shuffles 2|T| + |T| rows on the bucket key; the quadratic
+    term is confined to rows sharing a bucket — and when a single
+    tolerance window truly holds k rows, the OUTPUT is itself O(k²), so
+    the work is output-bound, not an artifact. Pair ordering ties on equal
+    timestamps break by id, keeping the pair list deterministic."""
+    e = F.col(ts_col).cast("double")
+    probe = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(ts_col).alias("a_ts"),
+        *[F.col(c).alias(f"a_{c}") for c in payload_cols],
+        F.explode(
+            F.array(
+                F.floor(e / tolerance_s).cast("long"),
+                (F.floor(e / tolerance_s) + 1).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    build = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(ts_col).alias("b_ts"),
+        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+        F.floor(e / tolerance_s).cast("long").alias("__bucket"),
+    )
+    later = (F.col("b_ts") > F.col("a_ts")) | (
+        (F.col("b_ts") == F.col("a_ts")) & (F.col("b_id") > F.col("a_id"))
+    )
+    within = (
+        F.col("b_ts").cast("double") - F.col("a_ts").cast("double")
+    ) <= F.lit(float(tolerance_s))
+    return probe.join(build, "__bucket").filter(later & within).drop("__bucket")
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1275,6 +1275,46 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROX_TOL_S = 300
+
+
+@register(
+    "events_proximity_pairs",
+    category="timeseries",
+    oracle=f"""
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       a.user_id AS a_user, b.user_id AS b_user,
+       round(epoch(b.ts) - epoch(a.ts), 6) AS gap_s
+FROM events a JOIN events b
+  ON a.event_type = 'error' AND b.event_type = 'error'
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL {_PROX_TOL_S} SECOND
+""",
+)
+def events_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident correlation with NO equi-key: every pair of error events
+    (any users) within {_PROX_TOL_S} s of each other, via the binned
+    proximity join (operators/timeseries.proximity_pairs) — time bucketed
+    at the tolerance width turns the keyless range predicate into a plain
+    equi-join on the bucket, so no cartesian/nested-loop exists at any
+    scale. The oracle is the naive theta join, feasible at oracle scale,
+    which the binning provably reproduces."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    pairs = TS.proximity_pairs(
+        ev.select("event_id", "ts", "user_id"),
+        tolerance_s=_PROX_TOL_S,
+        payload_cols=("user_id",),
+    )
+    return pairs.select(
+        "a_id", "b_id",
+        F.col("a_user_id").alias("a_user"),
+        F.col("b_user_id").alias("b_user"),
+        F.round(
+            F.col("b_ts").cast("double") - F.col("a_ts").cast("double"), 6
+        ).alias("gap_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-corpus analysis: token frequencies, TF-IDF, decontamination
 # ---------------------------------------------------------------------------

@@ -380,3 +380,13 @@ def test_stream_static_join_broadcasts_the_dim(spark):
     # static side
     logical = joined._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in logical.lower(), logical
+
+
+def test_proximity_join_has_no_cartesian(spark):
+    """The keyless time-proximity join must plan as an equi-join on the
+    tolerance bucket — never BroadcastNestedLoop/cartesian."""
+    df = REGISTRY["events_proximity_pairs"].fn(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
