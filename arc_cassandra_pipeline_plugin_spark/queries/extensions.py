@@ -1275,6 +1275,38 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_upsert_latest",
+    category="streaming",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+""",
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert via foreachBatch: each micro-batch is reduced
+    to its latest row per key and MERGED into a keyed state table (keep the
+    later (ts, event_id) per user) — the 'stream into a mutable store'
+    pattern, as opposed to StreamingLoad's append-per-batch. The merge is
+    associative and commutative on (ts, event_id), so the final state is
+    independent of micro-batch boundaries — which is exactly what makes it
+    certifiable against the batch latest-row-per-key oracle."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    final = ST.run_stream_upsert(ev, key_cols=("user_id",), order_cols=("ts", "event_id"))
+    return final.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
 _PROX_TOL_S = 300
 
 

@@ -232,6 +232,57 @@ def run_stream_to_memory(
     return df.sparkSession.table(name)
 
 
+def run_stream_upsert(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming CDC upsert via ``foreachBatch``: each micro-batch is
+    reduced to its winning row per key (max over ``order_cols``, descending)
+    and merged into a keyed state snapshot — the 'stream into a mutable
+    store' pattern. The merge is associative and commutative on the order
+    key, so the final state is independent of micro-batch boundaries.
+    Drains with availableNow and returns the final state DataFrame; raises
+    loudly on a drain timeout instead of returning partial state."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    state: dict[str, Optional[DataFrame]] = {"df": None}
+
+    def winners(frame: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        upserts = winners(batch_df)
+        prev = state["df"]
+        merged = upserts if prev is None else winners(prev.unionByName(upserts))
+        # snapshot per batch: the state must not re-read source lineage
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"run_stream_upsert: drain did not finish in {timeout_s} s")
+    if state["df"] is None:
+        raise RuntimeError("run_stream_upsert: no micro-batches arrived")
+    return state["df"]
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

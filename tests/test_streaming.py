@@ -295,3 +295,41 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path, ctx):
     # max event time 02:30, delay 10 min → watermark 02:20: hours 0 and 1
     # closed (ends 01:00/02:00 <= 02:20); hour 2 (end 03:00) still open
     assert emitted == {(base, 2), (base + dt.timedelta(hours=1), 2)}
+
+
+def test_stream_upsert_merges_across_micro_batches(spark, tmp_path):
+    """run_stream_upsert with maxFilesPerTrigger=1 over a multi-file source:
+    several micro-batches MUST occur, and the merged state must equal the
+    batch latest-row-per-key answer (batch-boundary independence)."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from arc_cassandra_pipeline_plugin_spark.streaming import run_stream_upsert
+
+    src = str(tmp_path / "events_multi")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    n_files = len([f for f in __import__("os").listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 4
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    final = run_stream_upsert(
+        stream, key_cols=("user_id",), order_cols=("ts", "event_id")
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
