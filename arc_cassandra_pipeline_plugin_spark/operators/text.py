@@ -406,3 +406,129 @@ def unigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             ),
         )
     )
+
+
+#: BPE symbol separator — a control char absent from the tokenized corpus
+#: (tokens are [a-z0-9]+, so \x1f can never appear inside a symbol)
+BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding merge training as distributed rounds: learn the
+    top ``rounds`` merges over the corpus word-frequency table. Returns
+    (round, p1, p2, cnt) — the merged symbol pair per round with its
+    weighted frequency.
+
+    The classic tokenizer-training loop, Spark-first: words aggregate once
+    to (word, freq) — pair statistics then scale with DISTINCT words, not
+    corpus size. Each round is (a) adjacent-pair counting over the symbol
+    sequences weighted by word frequency — one explode + one
+    map-side-combined groupBy; (b) a global argmax (ordered limit 1 — a
+    driver scalar, like the IVF centroid collect, O(1) per round); (c) the
+    merge applied as one literal string replace per word. Greedy
+    left-to-right non-overlap is exactly replace-all semantics, verified
+    identical on Spark/DuckDB/Python ("a a a" + merge(a,a) -> "aa a").
+    Ties break lexicographically so the learned merge table is fully
+    deterministic.
+
+    The sequence representation is a separator-delimited string
+    (SEP c1 SEP c2 SEP ...), so a merge is replace(SEP p1 SEP p2 SEP ->
+    SEP p1p2 SEP) — consecutive matches share the middle separator and
+    replace-all's restart-after-replacement gives the standard BPE greedy
+    scan."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select(
+        "freq",
+        F.concat(
+            F.lit(BPE_SEP), F.regexp_replace("w", "(.)", "$1" + BPE_SEP)
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        toks = F.expr(f"filter(split(seq, '{BPE_SEP}'), x -> x <> '')")
+        pairs = (
+            seqs.select("freq", toks.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> struct(element_at(t, i) AS p1, element_at(t, i + 1) AS p2))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "p1", "p2").limit(1).collect()
+        if not top:
+            break
+        p1, p2, cnt = top[0]["p1"], top[0]["p2"], top[0]["cnt"]
+        merges.append((r, p1, p2, int(cnt)))
+        seqs = seqs.select(
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.lit(BPE_SEP + p1 + BPE_SEP + p2 + BPE_SEP),
+                F.lit(BPE_SEP + p1 + p2 + BPE_SEP),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round INT, p1 STRING, p2 STRING, cnt BIGINT"
+    )
+
+
+def bpe_oracle_sql(rounds: int = 3, table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`bpe_train`: the same rounds unrolled as
+    CTEs from the same constants — pair counting, lexicographic-tiebreak
+    argmax, and the identical literal replace per round."""
+    sep = "chr(31)"
+    ctes = [
+        f"""words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS w
+    FROM {table}) GROUP BY w)""",
+        f"""s0 AS (
+  SELECT freq, {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS seq
+  FROM words)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""pairs{r} AS (
+  SELECT pr[1] AS p1, pr[2] AS p2, sum(freq) AS cnt FROM (
+    SELECT freq, unnest(list_zip(a[:-1], a[2:])) AS pr FROM (
+      SELECT freq, list_filter(string_split(seq, {sep}), x -> x <> '') AS a
+      FROM {prev}))
+  WHERE pr[2] IS NOT NULL GROUP BY 1, 2)""",
+        )
+        ctes.append(
+            f"""top{r} AS (
+  SELECT p1, p2, CAST(cnt AS BIGINT) AS cnt FROM pairs{r}
+  ORDER BY cnt DESC, p1, p2 LIMIT 1)""",
+        )
+        ctes.append(
+            f"""s{r} AS (
+  SELECT freq,
+         replace(seq,
+                 (SELECT {sep} || p1 || {sep} || p2 || {sep} FROM top{r}),
+                 (SELECT {sep} || p1 || p2 || {sep} FROM top{r})) AS seq
+  FROM {prev})""",
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, p1, p2, cnt FROM top{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions

@@ -1275,6 +1275,21 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    return TX.bpe_oracle_sql(rounds=3)
+
+
+@register("text_bpe_train", category="text", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge training (operators/text.bpe_train): the top-3
+    merge rules learned over the corpus word-frequency table — adjacent
+    pair counting, deterministic argmax, greedy merge — each round a
+    distributed explode+groupBy whose cost scales with DISTINCT words.
+    Certified against the identical rounds unrolled as CTEs generated from
+    the same constants."""
+    return TX.bpe_train(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
 @register(
     "streaming_upsert_latest",
     category="streaming",

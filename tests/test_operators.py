@@ -901,3 +901,52 @@ def test_bmp_codec_roundtrip_and_rejection():
         decode_bmp24(bytes(bad_bits))
     with _pytest.raises(ValueError, match="truncated"):
         decode_bmp24(payload[:-5])
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """bpe_train vs an independent in-memory BPE implementation on a tiny
+    corpus: same word counting, same greedy merge semantics, same
+    lexicographic tiebreak — the merge tables must be identical."""
+    from collections import Counter
+    import re
+
+    from arc_cassandra_pipeline_plugin_spark.operators.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "a mat and a cat",
+        "banana bandana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING")
+    got = [
+        (r["round"], r["p1"], r["p2"], r["cnt"])
+        for r in bpe_train(df, rounds=4).collect()
+    ]
+
+    # independent reference
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-z0-9]+", t.lower()))
+    seqs = {w: list(w) for w in words}
+    want = []
+    for rnd in range(1, 5):
+        pairs = Counter()
+        for w, toks in seqs.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += words[w]
+        if not pairs:
+            break
+        (p1, p2), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, p1, p2, cnt))
+        for w, toks in seqs.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == p1 and toks[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want, f"got {got}, want {want}"
