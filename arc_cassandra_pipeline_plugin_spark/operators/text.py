@@ -414,7 +414,10 @@ BPE_SEP = "\x1f"
 
 
 def bpe_train(
-    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    return_seqs: bool = False,
 ) -> DataFrame:
     """Byte-pair-encoding merge training as distributed rounds: learn the
     top ``rounds`` merges over the corpus word-frequency table. Returns
@@ -449,6 +452,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     seqs = words.select(
+        "w",
         "freq",
         F.concat(
             F.lit(BPE_SEP), F.regexp_replace("w", "(.)", "$1" + BPE_SEP)
@@ -479,6 +483,7 @@ def bpe_train(
         p1, p2, cnt = top[0]["p1"], top[0]["p2"], top[0]["cnt"]
         merges.append((r, p1, p2, int(cnt)))
         seqs = seqs.select(
+            "w",
             "freq",
             F.replace(
                 F.col("seq"),
@@ -486,9 +491,10 @@ def bpe_train(
                 F.lit(BPE_SEP + p1 + p2 + BPE_SEP),
             ).alias("seq"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merge_df = spark.createDataFrame(
         merges, "round INT, p1 STRING, p2 STRING, cnt BIGINT"
     )
+    return (merge_df, seqs) if return_seqs else merge_df
 
 
 def bpe_oracle_sql(rounds: int = 3, table: str = "documents", text_col: str = "text") -> str:
@@ -502,7 +508,7 @@ def bpe_oracle_sql(rounds: int = 3, table: str = "documents", text_col: str = "t
     SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS w
     FROM {table}) GROUP BY w)""",
         f"""s0 AS (
-  SELECT freq, {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS seq
+  SELECT w, freq, {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS seq
   FROM words)""",
     ]
     for r in range(1, rounds + 1):
@@ -522,7 +528,7 @@ def bpe_oracle_sql(rounds: int = 3, table: str = "documents", text_col: str = "t
         )
         ctes.append(
             f"""s{r} AS (
-  SELECT freq,
+  SELECT w, freq,
          replace(seq,
                  (SELECT {sep} || p1 || {sep} || p2 || {sep} FROM top{r}),
                  (SELECT {sep} || p1 || p2 || {sep} FROM top{r})) AS seq
@@ -532,3 +538,51 @@ def bpe_oracle_sql(rounds: int = 3, table: str = "documents", text_col: str = "t
         f"SELECT {r} AS round, p1, p2, cnt FROM top{r}" for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def bpe_token_counts(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE ENCODE: apply the merges learned by :func:`bpe_train` back to
+    the corpus and report per-document tokenizer fertility —
+    (id, n_words, n_bpe_tokens). Encoding never re-walks documents: the
+    trained word→subtoken-count map (distinct words only) equi-joins the
+    document token stream, then one map-side-combined groupBy per doc. The
+    standard pre-training question "how many tokens is this corpus under
+    MY tokenizer" as one job."""
+    _, seqs = bpe_train(docs, rounds=rounds, text_col=text_col, return_seqs=True)
+    n_sub = F.size(F.expr(f"filter(split(seq, '{BPE_SEP}'), x -> x <> '')"))
+    wmap = seqs.select("w", n_sub.alias("n_sub"))
+    dtok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    return (
+        dtok.join(wmap, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(
+    rounds: int = 3, table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`bpe_token_counts`: the training CTEs plus
+    the word-map join and per-document aggregation."""
+    sep = "chr(31)"
+    base = bpe_oracle_sql(rounds=rounds, table=table, text_col=text_col)
+    ctes = base.split("\nSELECT 1 AS round", 1)[0]  # keep the WITH chain only
+    return f"""{ctes},
+wmap AS (
+  SELECT w, len(list_filter(string_split(seq, {sep}), x -> x <> '')) AS n_sub
+  FROM s{rounds}),
+dtok AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS w
+  FROM {table})
+SELECT {id_col}, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+FROM dtok JOIN wmap USING (w) GROUP BY {id_col}"""

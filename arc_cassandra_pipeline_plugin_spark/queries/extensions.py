@@ -1290,6 +1290,20 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_train(load_table(spark, sf_dir, "documents"), rounds=3)
 
 
+def _bpe_encode_oracle() -> str:
+    return TX.bpe_encode_oracle_sql(rounds=3)
+
+
+@register("text_bpe_encode", category="text", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode / tokenizer fertility (operators/text.bpe_token_counts):
+    apply the 3 learned merges back to the corpus and report per-document
+    word and BPE-token counts. Encoding is a word-map equi-join (distinct
+    words only) + one per-doc aggregate — no per-document re-walk.
+    Certified against the training CTEs extended with the same join."""
+    return TX.bpe_token_counts(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
 @register(
     "streaming_upsert_latest",
     category="streaming",
