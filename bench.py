@@ -98,13 +98,13 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two trials per query, report the min (standard practice: the min is
+    # three trials per query, report the min (standard practice: the min is
     # the least-noise estimate of the query's actual cost on a shared box)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
         trials = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.time() - t0)
@@ -120,8 +120,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "sf_dir": sf_dir,
-                "trials": 2,
-                "protocol": "min of 2 trials per query after one untimed "
+                "trials": 3,
+                "protocol": "min of 3 trials per query after one untimed "
                 "warmup pass of each query on the target fixture; "
                 "multi-file split fixtures (same rows as the raw sf dir) unless "
                 "SPARK_GRAFT_SF_DIR overrides",
