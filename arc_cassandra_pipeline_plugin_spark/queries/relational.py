@@ -770,6 +770,33 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_scripting_threshold",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+""",
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/END compound with DECLARE + SET): a
+    session variable is assigned from a scalar subquery over the data,
+    then drives the final SELECT — procedural control flow entirely inside
+    the SQL surface, no driver round-trip between the aggregate and the
+    filter. The oracle is the equivalent single statement with the scalar
+    subquery inlined."""
+    register_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+    BEGIN
+      DECLARE thr DOUBLE;
+      SET thr = (SELECT max(o_totalprice) * 0.9 FROM orders);
+      SELECT o_orderkey, round(o_totalprice, 2) AS total
+      FROM orders WHERE o_totalprice > thr;
+    END
+    """)
+
+
+@register(
     "set_union_by_name",
     category="setop",
     oracle="""
