@@ -797,6 +797,29 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_execute_immediate_params",
+    category="scalar",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders
+FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+""",
+)
+def sql_execute_immediate_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with positional USING parameters — server-side
+    parameterized SQL (the injection-safe alternative to string splicing;
+    the stage layer's ${param} substitution is the Arc-parity text path,
+    this is the engine-native binding path). The oracle inlines the bound
+    literal."""
+    register_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_custkey, count(*) AS n_orders "
+        "FROM orders WHERE o_custkey < ? GROUP BY o_custkey' "
+        "USING 100"
+    )
+
+
+@register(
     "set_union_by_name",
     category="setop",
     oracle="""
