@@ -129,6 +129,7 @@ SCALAR_BROADCASTS = {
     "text_zipf_profile",  # broadcast 1-row rank-1 count onto 50 rows
     "events_cusum_changepoint",  # broadcast 1-row overall mean onto the daily series
     "bloom_semi_join_prune",  # two 1-row audit counts cross-joined
+    "embeddings_pca_power",  # broadcast 1-row norm joined into each round's d-vector
 }
 
 
