@@ -125,6 +125,10 @@ def main() -> None:
                 "warmup pass of each query on the target fixture; "
                 "multi-file split fixtures (same rows as the raw sf dir) unless "
                 "SPARK_GRAFT_SF_DIR overrides",
+                "note": "r3+ measures on multi-file split fixtures (VERDICT r2 "
+                "item 5) — absolute times are NOT comparable to BENCH_r1/r2, "
+                "which scanned single-row-group files (1-task scans, no "
+                "scheduling overhead at toy scale, pathological at real scale)",
             }
         )
     )
