@@ -297,6 +297,43 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic_clusters",
+    category="dedup",
+    oracle="""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+prs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3),
+edges AS (SELECT va AS a, vb AS b FROM prs UNION SELECT vb, va FROM prs),
+walk(id, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e2.a, w.label FROM edges e2 JOIN walk w ON e2.b = w.id),
+comp AS (SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT cluster_id, count(*) AS n_members
+FROM comp GROUP BY cluster_id
+""",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs →
+    connected components → cluster size profile. The transitive closure is
+    what turns pairwise similarity into dedup groups ("A≈B, B≈C ⇒ one
+    cluster"), and the cluster-size histogram is the triage view (a giant
+    semantic cluster = boilerplate/template content). Exact all-pairs path
+    at test scale; the SRP-blocked pair generator and the
+    large-star/small-star components are the 100 TB path (same output
+    contract). Certified against the closure as a recursive CTE."""
+    pairs = S.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, blocked=False
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comps = D.connected_components(pairs)
+    return comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
