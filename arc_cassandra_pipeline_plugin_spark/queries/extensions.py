@@ -307,7 +307,7 @@ prs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM e a JOIN e b ON a.vec_id < b.vec_id
   WHERE round(list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3),
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
 edges AS (SELECT va AS a, vb AS b FROM prs UNION SELECT vb, va FROM prs),
 walk(id, label) AS (
   SELECT DISTINCT a, a FROM edges
@@ -328,7 +328,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star components are the 100 TB path (same output
     contract). Certified against the closure as a recursive CTE."""
     pairs = S.embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3, blocked=False
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, blocked=False
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comps = D.connected_components(pairs)
     return comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
