@@ -134,3 +134,84 @@ def pagerank_oracle_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, rank FROM r{iters}"
     )
+
+
+#: BFS infinity sentinel — any unreached node keeps this level; kept as a
+#: plain INT so both engines share exact arithmetic (no NULL-propagation
+#: divergence inside least/min)
+_BFS_INF = 99
+
+
+def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Breadth-first levels from the lexicographically-smallest vertex:
+    ``rounds`` synchronous frontier expansions over the edge list, the
+    single-source shortest-path shape for unweighted graphs. Returns
+    (node, level) for nodes reached within ``rounds`` hops.
+
+    Scale shape: each round is one join (edges ⋈ current levels on src) +
+    one aggregation (min candidate level by dst) + one left join back onto
+    the node set — all shuffles keyed by graph vertices, no adjacency on
+    the driver; the source vertex arrives as a broadcast 1-row aggregate.
+    Unreached nodes carry an INT infinity sentinel so the iterate is pure
+    integer arithmetic (no NULL semantics to diverge between engines)."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("_s").alias("node")).union(
+        e.select(F.col("_d").alias("node"))
+    ).distinct()
+    source = nodes.agg(F.min("node").alias("_src0"))
+    lvl = nodes.crossJoin(F.broadcast(source)).select(
+        "node",
+        F.when(F.col("node") == F.col("_src0"), F.lit(0))
+        .otherwise(F.lit(_BFS_INF))
+        .alias("lvl"),
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(
+                lvl.filter(F.col("lvl") < _BFS_INF).select(
+                    F.col("node").alias("_s"), "lvl"
+                ),
+                "_s",
+            )
+            .groupBy("_d")
+            .agg(F.min(F.col("lvl") + 1).alias("_m"))
+        )
+        lvl = lvl.join(cand, lvl.node == cand._d, "left").select(
+            "node",
+            F.least(F.col("lvl"), F.coalesce(F.col("_m"), F.lit(_BFS_INF))).alias("lvl"),
+        )
+    return lvl.filter(F.col("lvl") < _BFS_INF).select(
+        "node", F.col("lvl").cast("int").alias("level")
+    )
+
+
+def bfs_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB oracle for :func:`bfs_levels`: the same frontier rounds
+    unrolled as CTEs from the same INT-sentinel constants. ``edges_sql``
+    must yield (src, dst) columns (duplicates allowed — they are
+    DISTINCTed here exactly as the operator does)."""
+    inf = _BFS_INF
+    ctes = [
+        f"eb AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nb AS (SELECT src AS n FROM eb UNION SELECT dst FROM eb)",
+        "sb AS (SELECT min(n) AS s0 FROM nb)",
+        f"l0 AS (SELECT n, CASE WHEN n = (SELECT s0 FROM sb) THEN 0 ELSE {inf} END AS lvl FROM nb)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        ctes.append(
+            f"""l{r} AS (
+  SELECT p.n, least(p.lvl, coalesce(c.m, {inf})) AS lvl
+  FROM {prev} p LEFT JOIN (
+    SELECT e.dst AS n2, min(p2.lvl + 1) AS m
+    FROM eb e JOIN {prev} p2 ON p2.n = e.src
+    WHERE p2.lvl < {inf} GROUP BY e.dst) c ON c.n2 = p.n)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n AS node, CAST(lvl AS INT) AS level FROM l{rounds} WHERE lvl < {inf}"
+    )

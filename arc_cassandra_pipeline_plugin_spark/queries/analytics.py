@@ -757,6 +757,47 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bfs_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import bfs_oracle_sql
+
+    return (
+        "SELECT node AS nation, level FROM ("
+        + bfs_oracle_sql(_TRADE_EDGES_SQL, rounds=3)
+        + ")"
+    )
+
+
+@register("graph_bfs_levels", category="dedup", oracle=_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first trade distance (operators/graph.bfs_levels): hop
+    counts from the lexicographically-first nation over the directed trade
+    graph — the single-source shortest-path frontier shape, three
+    synchronous rounds, certified against the identical rounds unrolled as
+    CTEs. Completes the iterative-graph family next to PageRank
+    (value propagation) and the two connected-components variants (label
+    propagation)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import bfs_levels
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    lv = bfs_levels(edges, rounds=3)
+    return lv.select(F.col("node").alias("nation"), "level")
+
+
 @register(
     "merge_upsert_customers",
     category="pipeline",
