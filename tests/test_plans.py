@@ -130,6 +130,7 @@ SCALAR_BROADCASTS = {
     "events_cusum_changepoint",  # broadcast 1-row overall mean onto the daily series
     "bloom_semi_join_prune",  # two 1-row audit counts cross-joined
     "embeddings_pca_power",  # broadcast 1-row norm joined into each round's d-vector
+    "graph_bfs_levels",  # broadcast 1-row source vertex onto the node set
 }
 
 
