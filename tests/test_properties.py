@@ -87,6 +87,33 @@ def test_sessionize_invariants(spark, offsets, gap):
         assert cur["session_id"] - prev["session_id"] == expected_bump
 
 
+
+
+@_settings
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=2000), min_size=2, max_size=25),
+    tol=st.integers(min_value=1, max_value=600),
+)
+def test_proximity_pairs_equals_bruteforce(spark, offsets, tol):
+    """The binned proximity join returns EXACTLY the brute-force pair set
+    for any timestamps and any tolerance — bucket boundaries, equal
+    timestamps, and pairs far beyond one bucket width included."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(seconds=off)) for i, off in enumerate(offsets)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in TS.proximity_pairs(df, tolerance_s=tol).collect()
+    }
+    want = set()
+    for i, ta in rows:
+        for j, tb in rows:
+            later = (tb > ta) or (tb == ta and j > i)
+            if later and (tb - ta).total_seconds() <= tol:
+                want.add((i, j))
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # HOCON: JSON-superset property — any JSON document round-trips
 # ---------------------------------------------------------------------------
