@@ -770,6 +770,82 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mode_exact",
+    category="aggregation",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY 1, 2) t
+WHERE rn = 1
+""",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a deterministic tiebreak (most frequent
+    o_orderpriority per order status; ties resolve to the smallest value).
+    Spark's native mode() is tie-nondeterministic, so the certified form
+    is the two-level count + partitioned rank — the distributed argmax
+    shape, map-side combinable on the first level."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@register(
+    "scalar_url_funcs",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       'shop.example.com' AS host,
+       '/orders/' || CAST(o_orderkey AS VARCHAR) AS path,
+       CAST(o_custkey AS VARCHAR) AS cust_param,
+       o_orderpriority AS decoded_priority
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL functions round-trip: build a URL per row, then parse_url
+    extracts HOST/PATH/QUERY parameters and url_decode inverts url_encode
+    on a value with spaces/specials ('1-URGENT' etc.). The oracle states
+    the expected components directly, so any parsing or percent-encoding
+    defect breaks the match."""
+    ev = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?cust="),
+        F.col("o_custkey").cast("string"),
+        F.lit("&prio="),
+        F.url_encode(F.col("o_orderpriority")),
+    )
+    return ev.select(
+        "o_orderkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("prio"))).alias(
+            "decoded_priority"
+        ),
+    )
+
+
+@register(
     "sql_scripting_threshold",
     category="scalar",
     oracle="""
