@@ -846,6 +846,37 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_mask_redaction",
+    category="scalar",
+    oracle=r"""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS name_masked,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', '#', 'g'), '[a-z]', '#', 'g'), '[0-9]', '*', 'g')
+         AS name_custom
+FROM customer
+""",
+)
+def scalar_mask_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving data masking via the native mask() function
+    (upper→X, lower→x, digit→n by default; custom mask characters on the
+    second projection) — the display-redaction primitive that keeps format
+    validators working on masked data. Oracle replays the identical
+    character-class substitution with regexp_replace."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("name_masked"),
+        F.mask(
+            F.col("c_name"),
+            F.lit("#"), F.lit("#"), F.lit("*"), F.lit(None),
+        ).alias("name_custom"),
+    )
+
+
+@register(
     "sql_scripting_threshold",
     category="scalar",
     oracle="""
