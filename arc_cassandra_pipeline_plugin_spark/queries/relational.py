@@ -877,6 +877,37 @@ def scalar_mask_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_bitwise_ops",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       CAST(bit_count(CAST(event_id AS BIGINT)) AS INT) AS popcount,
+       event_id << 3 AS shifted_left,
+       event_id >> 2 AS shifted_right,
+       xor(event_id, 255) AS xored,
+       event_id & 4095 AS masked_low,
+       event_id | 1 AS forced_odd
+FROM events WHERE event_id < 5000
+""",
+)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit-manipulation battery: popcount, shifts, xor, and/or
+    masking — the primitives under bitmap indexes, bloom filters, SimHash
+    banding, and Z-order keys, certified as row-level functions (their
+    aggregate forms are in agg_bitwise_bool)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    return ev.select(
+        "event_id",
+        F.bit_count("event_id").alias("popcount"),
+        F.shiftleft(F.col("event_id"), 3).alias("shifted_left"),
+        F.shiftright(F.col("event_id"), 2).alias("shifted_right"),
+        F.col("event_id").bitwiseXOR(F.lit(255)).alias("xored"),
+        F.col("event_id").bitwiseAND(F.lit(4095)).alias("masked_low"),
+        F.col("event_id").bitwiseOR(F.lit(1)).alias("forced_odd"),
+    )
+
+
+@register(
     "sql_scripting_threshold",
     category="scalar",
     oracle="""
