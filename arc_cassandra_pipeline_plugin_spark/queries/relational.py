@@ -577,6 +577,37 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_calendar_funcs",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INT)
+         AS days_to_cutoff,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sunday1,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+FROM orders WHERE o_orderkey < 1500
+""",
+)
+def scalar_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic battery: day difference to a cutoff, month-end
+    snapping, quarter, day-of-week (Spark's 1=Sunday convention — the
+    oracle shifts DuckDB's 0=Sunday to match), ISO week number. These are
+    the partitioning/bucketing helpers for time-organized 100 TB layouts."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_cutoff"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofweek("o_orderdate").alias("dow_sunday1"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
+
+
+@register(
     "scalar_math_funcs",
     category="scalar",
     oracle="""
