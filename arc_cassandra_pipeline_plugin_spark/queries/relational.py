@@ -1053,6 +1053,36 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_nulls_ordering",
+    category="sort",
+    oracle="""
+SELECT event_id, maybe_val
+FROM (
+  SELECT event_id,
+         CASE WHEN user_id % 5 = 0 THEN NULL ELSE value END AS maybe_val
+  FROM events)
+ORDER BY maybe_val DESC NULLS FIRST, event_id
+LIMIT 200
+""",
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in sorts: DESC NULLS FIRST (Spark's DESC
+    default is NULLS LAST, so the placement must be stated on both
+    engines), with an id tiebreak and a limit for a deterministic total
+    order. The missing-value ordering contract matters anywhere sorted
+    output feeds pagination or top-k."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("maybe_val"),
+    )
+    return ev.orderBy(
+        F.col("maybe_val").desc_nulls_first(), F.col("event_id")
+    ).limit(200)
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
