@@ -1083,6 +1083,58 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_bucketed_join",
+    category="ddl",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL under the correctness gate: both fact tables are
+    written as BUCKETED catalog tables (bucketBy + sortBy on the join
+    key), then joined table-to-table — at scale the bucketed layout
+    co-locates the join and removes both shuffle exchanges (asserted in
+    tests/test_scale.py); here the certified object is the full
+    DDL→write→catalog-read→join path producing exactly the plain join's
+    answer."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for df, name in ((orders, "acpps_cert_bko"), (li, "acpps_cert_bkl")):
+        # a fresh session's in-memory catalog does not know about a table
+        # whose LOCATION survived a previous process — drop both the
+        # catalog entry and any orphaned location before writing
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = urlparse(warehouse).path or warehouse
+        shutil.rmtree(f"{loc.rstrip('/')}/{name}", ignore_errors=True)
+        key = df.columns[0]
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("acpps_cert_bko")
+    l = spark.table("acpps_cert_bkl")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+    )
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
