@@ -1135,6 +1135,41 @@ def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_ctas_summary",
+    category="ddl",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def ddl_ctas_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT under the oracle gate: the aggregate
+    materializes as a managed parquet catalog table, and the certified
+    result is read back FROM THE TABLE — covering the DDL, the write, and
+    the catalog read as one path (the everyday lakehouse summary-table
+    op)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    register_tables(spark, sf_dir, "orders")
+    name = "acpps_cert_ctas"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{loc.rstrip('/')}/{name}", ignore_errors=True)
+    spark.sql(f"""
+        CREATE TABLE {name} USING parquet AS
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderpriority
+    """)
+    return spark.table(name)
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
