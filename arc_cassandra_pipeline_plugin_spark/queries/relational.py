@@ -1170,6 +1170,40 @@ def ddl_ctas_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_schema_evolution",
+    category="ddl",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS total,
+       CASE WHEN o_orderkey >= 1000 THEN o_orderpriority END AS priority
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the scan: a table directory whose older files
+    predate a column (two-column schema) and whose newer files carry it —
+    read back with mergeSchema, old rows surface NULL for the added
+    column. This is how a 100 TB table ACTUALLY evolves (new columns
+    appear in new files only; nobody rewrites history), so the reader
+    contract is the thing worth certifying."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    v1 = orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+    v2 = orders.filter(F.col("o_orderkey") >= 1000).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    path = tempfile.mkdtemp(prefix="acpps_schema_evo_")
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
