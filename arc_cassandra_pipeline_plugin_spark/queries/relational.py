@@ -1204,6 +1204,30 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jsonl_roundtrip",
+    category="ddl",
+    oracle="""
+SELECT doc_id, lang, n_chars, source
+FROM documents WHERE doc_id < 300
+""",
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a source format: rows written as JSONL, read back
+    through spark.read.json with schema INFERENCE (types must come back as
+    bigint/string without hints), certified against the original table —
+    the interchange format every corpus pipeline ingests at some point.
+    Inference costs one extra pass at scale; production readers pin an
+    explicit schema, but the inferred contract is what this certifies."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = tempfile.mkdtemp(prefix="acpps_jsonl_")
+    docs.select("doc_id", "lang", "n_chars", "source").write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.select("doc_id", "lang", "n_chars", "source")
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
