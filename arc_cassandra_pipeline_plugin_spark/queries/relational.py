@@ -1228,6 +1228,33 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_csv_roundtrip",
+    category="ddl",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       CAST(o_custkey AS VARCHAR) AS o_custkey,
+       o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey < 800
+""",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-aware CSV as a file source, under the reference's contract
+    (CassandraLoadSuite.scala:63 / DelimitedExtract defaults: header=true,
+    NO schema inference → every column lands as string). Written and read
+    back at query time; the oracle casts the originals to text. Integer
+    and categorical columns only — float-to-text formatting is
+    engine-specific and has no place in an exactness gate."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
+    path = tempfile.mkdtemp(prefix="acpps_csv_")
+    orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    ).write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.option("header", True).csv(path)
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
