@@ -1255,6 +1255,42 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_multi_agg",
+    category="relational",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F_n,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS F_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O_n,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS O_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P_n,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS P_total
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell (count + sum for each
+    order status): Spark names the output columns {value}_{agg alias}, so
+    the aliases are pinned on both sides. Explicit pivot values keep the
+    schema static — at scale an unvalued pivot costs an extra distinct
+    pass and produces a data-dependent schema, both wrong for a certified
+    contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        *[c for s in ("F", "O", "P") for c in (f"{s}_n", f"{s}_total")],
+    )
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
