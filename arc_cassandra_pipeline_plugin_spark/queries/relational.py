@@ -1291,6 +1291,36 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_text_parse_pipeline",
+    category="ddl",
+    oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < 300
+""",
+)
+def scan_text_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text ingestion + manual parse: records land as opaque LINES
+    through spark.read.text (no format assumption at the source — the
+    shape of scraped/dumped corpus input), then from_json under an
+    explicit schema lifts them to typed columns. Unlike scan_jsonl_roundtrip
+    (format-aware reader, inferred schema), this certifies the
+    read-raw-then-parse pipeline where the parse is an ordinary projection
+    the engine can fuse and the schema is pinned by the caller."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = tempfile.mkdtemp(prefix="acpps_text_")
+    docs.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.from_json(F.col("value"), "doc_id BIGINT, lang STRING, n_chars BIGINT").alias("r")
+    )
+    return parsed.select("r.doc_id", "r.lang", "r.n_chars")
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
