@@ -928,6 +928,52 @@ def udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_table_argument_stats",
+    category="udf",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_val, max(value) AS max_val
+FROM events GROUP BY event_type
+""",
+)
+def udtf_table_argument_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE argument and PARTITION BY: the engine
+    routes each partition's rows through one stateful instance (eval
+    accumulates, terminate emits) — the SQL-surface form of per-group
+    stateful Python, complementing the lateral-join UDTF
+    (udtf_char_trigrams) and applyInPandas. min/max/count only — pure
+    comparisons and integer adds, so no float-summation order dependence
+    exists and the oracle is the plain GROUP BY."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type: string, n: bigint, min_val: double, max_val: double")
+    class TypeStats:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.mn = None
+            self.mx = None
+
+        def eval(self, row):  # noqa: ANN001
+            self.key = row["event_type"]
+            self.n += 1
+            v = row["value"]
+            self.mn = v if self.mn is None else min(self.mn, v)
+            self.mx = v if self.mx is None else max(self.mx, v)
+
+        def terminate(self):
+            if self.key is not None:
+                yield (self.key, self.n, self.mn, self.mx)
+
+    spark.udtf.register("acpps_type_stats", TypeStats)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.createOrReplaceTempView("udtf_stats_in")
+    return spark.sql(
+        "SELECT * FROM acpps_type_stats(TABLE(udtf_stats_in) PARTITION BY event_type)"
+    )
+
+
 #: the winnowing scheme (k=5, w=4) as a reusable CTE chain ending in
 #: ``fps(doc_id, fingerprint_hash)`` — shared by the fingerprint query and
 #: the shared-passage pair query so the scheme cannot drift between them
