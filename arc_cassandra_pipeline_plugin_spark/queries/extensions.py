@@ -1358,6 +1358,61 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_stateful_counts",
+    category="streaming",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(event_id) AS BIGINT) AS last_event
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState: an
+    arbitrary Python per-key state machine (here: running count + max
+    event id) updated per micro-batch under the streaming engine's state
+    store — the escape hatch when built-in stateful operators can't
+    express the semantics. Arrow-batched (pandas per group), update
+    output mode; the availableNow drain leaves exactly the final per-key
+    state, certified against the batch GROUP BY. (transformWithState, the
+    successor API, stays import-gated: its state serialization needs
+    protobuf, absent from this environment.)"""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    def track(key, pdfs, state: GroupState):
+        n, last = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                last = max(last, int(pdf["event_id"].max()))
+        state.update((n, last))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "last_event": [last]})
+
+    ev = ST.events_stream(spark, sf_dir).select("user_id", "event_id")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        "user_id bigint, n bigint, last_event bigint",
+        "n bigint, last_event bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    res = ST.run_stream_to_memory(out, "stateful_counts_result", output_mode="update")
+    # update mode re-emits a key on every batch that touches it; the final
+    # state per key is the row with the largest running count
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("last_event").desc())
+    return (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _bpe_oracle() -> str:
     return TX.bpe_oracle_sql(rounds=3)
 

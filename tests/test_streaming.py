@@ -333,3 +333,62 @@ def test_stream_upsert_merges_across_micro_batches(spark, tmp_path):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in expected.collect()}
     assert got == want
+
+
+def test_apply_in_pandas_with_state_across_micro_batches(spark, tmp_path):
+    """applyInPandasWithState over a multi-file source with
+    maxFilesPerTrigger=1: per-key state must SURVIVE micro-batch
+    boundaries (the counts accumulate across batches), and the final
+    emitted state must equal the batch GROUP BY."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    src = str(tmp_path / "events_state")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def track(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        track, "user_id bigint, n bigint", "n bigint", "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("aipws_multibatch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("aipws_multibatch")
+    # several emissions per key (one per batch touching it) proves >1 batch
+    assert res.count() > res.select("user_id").distinct().count()
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = {
+        (r["user_id"], r["n"])
+        for r in res.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").drop("rn").collect()
+    }
+    want = {
+        (r["user_id"], r["n"])
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == want
