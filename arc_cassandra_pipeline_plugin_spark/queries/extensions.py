@@ -1474,6 +1474,49 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_lateness_profile",
+    category="streaming",
+    oracle="""
+WITH arr AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS high
+  FROM events),
+late AS (
+  SELECT (epoch(high) - epoch(ts)) / 60.0 AS late_min
+  FROM arr WHERE ts < high)
+SELECT CAST(floor(late_min / 30) AS INT) AS bucket_30min,
+       CAST(count(*) AS BIGINT) AS n_late
+FROM late GROUP BY 1
+""",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from data: treating event_id as arrival order,
+    how far behind each key's event-time high-water mark do events
+    actually arrive? The lateness histogram (30-minute buckets) is what
+    picks withWatermark's delay — too small drops these rows, too large
+    holds state hostage. Per-key partitioned running max (scale-safe);
+    epoch arithmetic is the boundary-exact double convention."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = ev.withColumn("high", F.max("ts").over(w))
+    late = arr.filter(F.col("ts") < F.col("high")).select(
+        ((F.col("high").cast("double") - F.col("ts").cast("double")) / 60.0).alias(
+            "late_min"
+        )
+    )
+    return late.groupBy(
+        F.floor(F.col("late_min") / 30).cast("int").alias("bucket_30min")
+    ).agg(F.count(F.lit(1)).alias("n_late"))
+
+
 _PROX_TOL_S = 300
 
 
