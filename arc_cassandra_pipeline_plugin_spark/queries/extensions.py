@@ -1517,6 +1517,55 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_late"))
 
 
+@register(
+    "dq_expectations_summary",
+    category="quality",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS null_keys,
+       CAST(count(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50) AS BIGINT)
+         AS qty_out_of_range,
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+         AS discount_out_of_range,
+       CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT) AS nonpos_price,
+       CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT)
+         AS bad_returnflag,
+       CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1992-01-01'
+                                OR l_shipdate > TIMESTAMP '1999-01-01') AS BIGINT)
+         AS shipdate_out_of_window
+FROM lineitem
+""",
+)
+def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectation suite in ONE scan (the dbt-test / Great
+    Expectations shape, Spark-first): every invariant is a FILTERed count
+    over the same pass, so adding expectations costs expression slots, not
+    table scans — the only formulation that survives a 100 TB fact table.
+    All-green on the fixtures by construction; the certified object is the
+    counting contract itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def n_where(cond):
+        return F.count_if(cond).cast("bigint")
+
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        n_where(F.col("l_orderkey").isNull()).alias("null_keys"),
+        n_where((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).alias(
+            "qty_out_of_range"
+        ),
+        n_where((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "discount_out_of_range"
+        ),
+        n_where(F.col("l_extendedprice") <= 0).alias("nonpos_price"),
+        n_where(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_returnflag"),
+        n_where(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+        ).alias("shipdate_out_of_window"),
+    )
+
+
 _PROX_TOL_S = 300
 
 
