@@ -1320,6 +1320,47 @@ def scan_text_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("r.doc_id", "r.lang", "r.n_chars")
 
 
+_PRICE_TIERS = [
+    (0.0, 100_000.0, "low"),
+    (100_000.0, 250_000.0, "mid"),
+    (250_000.0, 1e9, "high"),
+]
+
+
+@register(
+    "join_range_dim_lookup",
+    category="join",
+    oracle=f"""
+WITH tiers(lo, hi, tier) AS (VALUES
+  {", ".join(f"({lo!r}, {hi!r}, '{t}')" for lo, hi, t in _PRICE_TIERS)})
+SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+""",
+)
+def join_range_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval lookup against a BROADCAST range dimension (price
+    tiers): the fact side streams through a nested-loop probe of a 3-row
+    table — O(rows × tiers) with tiers constant, the correct plan for
+    tier/bracket/banding dimensions at any fact size (contrast
+    events_proximity_pairs, where BOTH sides scale and binning is
+    required). Generated VALUES keep the tier constants single-sourced."""
+    tiers = spark.createDataFrame(_PRICE_TIERS, "lo double, hi double, tier string")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 @register(
     "distinct_rows",
     category="setop",

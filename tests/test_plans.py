@@ -94,6 +94,7 @@ DIMENSION_BOUNDED = {
     "basket_category_affinity",  # broadcast 1-row order count + 8-row category dims
     "text_vocab_growth",  # bucket×bucket cumulative join (corpus-prefix buckets)
     "corr_kendall_size_price",  # size-level × size-level pair stage (~50² constant)
+    "join_range_dim_lookup",  # broadcast 3-row tier dimension × fact probe
 }
 
 #: queries whose plan contains a broadcast nested-loop join against a
