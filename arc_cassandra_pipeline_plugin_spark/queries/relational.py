@@ -1362,6 +1362,59 @@ def join_range_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_median",
+    category="aggregation",
+    oracle="""
+WITH lvl AS (
+  SELECT l_returnflag, CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, disc_pct, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY disc_pct
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lvl)
+SELECT l_returnflag, CAST(min(disc_pct) AS INT) AS median_disc_pct
+FROM cum WHERE 2 * cw >= tw GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median discount per return flag: aggregate
+    to the bounded level domain first (11 discount levels — integer
+    percent), then the cumulative-weight crossing picks the median. The
+    windows run over ≤11 rows per flag regardless of fact size, and every
+    comparison is exact integer arithmetic (2·cum ≥ total — no halves, no
+    floats). The level-collapse-then-rank shape is how ANY weighted
+    quantile stays exact at 100 TB when the value domain is bounded."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    lvl = li.groupBy("l_returnflag", "disc_pct").agg(F.sum("qty").alias("w"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("disc_pct")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = lvl.select(
+        "l_returnflag",
+        "disc_pct",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("disc_pct").cast("int").alias("median_disc_pct"))
+    )
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
