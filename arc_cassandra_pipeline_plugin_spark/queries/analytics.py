@@ -799,6 +799,60 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_reciprocity",
+    category="dedup",
+    oracle=f"""
+WITH eg AS (SELECT DISTINCT src, dst FROM ({_TRADE_EDGES_SQL})),
+recip AS (
+  SELECT count(*) AS n_recip
+  FROM eg a JOIN eg b ON a.src = b.dst AND a.dst = b.src)
+SELECT CAST((SELECT count(*) FROM eg) AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_reciprocated,
+       round(n_recip / CAST((SELECT count(*) FROM eg) AS DOUBLE), 6) AS reciprocity
+FROM recip
+""",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity of the trade graph: the fraction of
+    edges whose reverse edge also exists (does country A buy from everyone
+    it sells to?). One self-join on the swapped key pair — edge-keyed
+    shuffle, a 1-row answer; the census sibling of the triangle count."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    eg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = eg.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_reciprocated")
+    )
+    n_edges = eg.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_recip))
+        .select(
+            "n_edges",
+            "n_reciprocated",
+            F.round(
+                F.col("n_reciprocated") / F.col("n_edges").cast("double"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
+@register(
     "merge_upsert_customers",
     category="pipeline",
     oracle="""

@@ -132,6 +132,7 @@ SCALAR_BROADCASTS = {
     "bloom_semi_join_prune",  # two 1-row audit counts cross-joined
     "embeddings_pca_power",  # broadcast 1-row norm joined into each round's d-vector
     "graph_bfs_levels",  # broadcast 1-row source vertex onto the node set
+    "graph_reciprocity",  # two 1-row census aggregates cross-joined
 }
 
 
