@@ -564,3 +564,44 @@ def test_operator_transform_rejects_non_whitelisted(spark, ctx):
     )
     with _pytest.raises(Exception, match="not a DataFrame"):
         st.execute(spark, ctx)
+
+
+def test_operator_transform_reaches_linalg(spark, ctx):
+    """The linalg module is reachable from config: a declarative pipeline
+    computing the top principal component equals the direct operator
+    call."""
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import (
+        power_iteration_top_component,
+    )
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    p = parse_config(
+        {
+            "stages": [
+                {
+                    "type": "ParquetExtract",
+                    "name": "emb",
+                    "inputURI": f"{SF_SMALL}/embeddings.parquet",
+                    "outputView": "emb_pca_in",
+                },
+                {
+                    "type": "OperatorTransform",
+                    "name": "pca",
+                    "operator": "linalg.power_iteration_top_component",
+                    "inputView": "emb_pca_in",
+                    "outputView": "pca_out",
+                },
+            ]
+        }
+    )
+    p.run(spark, ctx)
+    got = {tuple(r) for r in spark.table("pca_out").collect()}
+    want = {
+        tuple(r)
+        for r in power_iteration_top_component(
+            load_table(spark, SF_SMALL, "embeddings")
+        ).collect()
+    }
+    assert got == want and len(got) == 64
