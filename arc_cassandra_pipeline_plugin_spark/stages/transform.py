@@ -157,13 +157,50 @@ class OperatorTransform(PipelineStage):
             )
         return fn
 
+    @staticmethod
+    def _coerce_params(fn: Callable[..., DataFrame], params: dict) -> dict:
+        """Typed binding for config params: config values arrive as strings
+        (Arc's Map[String,String] contract), but operators take int/float/
+        bool keyword arguments — coerce each string param to its annotated
+        scalar type so e.g. ``"iters": "5"`` reaches
+        ``power_iteration_top_component(iters=5)``. Non-string values and
+        unannotated/str parameters pass through untouched; a value that
+        cannot parse raises with the parameter name."""
+        import inspect
+
+        try:
+            sig = inspect.signature(fn)
+        except (TypeError, ValueError):
+            return dict(params)
+        out = {}
+        for k, v in params.items():
+            ann = sig.parameters[k].annotation if k in sig.parameters else None
+            ann_name = ann if isinstance(ann, str) else getattr(ann, "__name__", None)
+            if isinstance(v, str) and ann_name in ("int", "float", "bool"):
+                try:
+                    if ann_name == "int":
+                        v = int(v)
+                    elif ann_name == "float":
+                        v = float(v)
+                    else:
+                        if v.lower() not in ("true", "false", "1", "0"):
+                            raise ValueError(v)
+                        v = v.lower() in ("true", "1")
+                except ValueError as exc:
+                    raise ValueError(
+                        f"OperatorTransform: param {k!r}={v!r} is not a valid "
+                        f"{ann_name}"
+                    ) from exc
+            out[k] = v
+        return out
+
     def _run(self, spark: SparkSession, ctx: PipelineContext) -> Optional[DataFrame]:
         fn = self._resolve()
         self.stage_detail.set("operator", self.operator)
         args = [spark.table(self.input_view)]
         if self.right_view:
             args.append(spark.table(self.right_view))
-        out = fn(*args, **self.params)
+        out = fn(*args, **self._coerce_params(fn, self.params))
         if not isinstance(out, DataFrame):
             raise ValueError(
                 f"OperatorTransform: {self.operator} returned {type(out).__name__}, "

@@ -592,16 +592,18 @@ def test_operator_transform_reaches_linalg(spark, ctx):
                     "operator": "linalg.power_iteration_top_component",
                     "inputView": "emb_pca_in",
                     "outputView": "pca_out",
+                    "params": {"iters": "2"},
                 },
             ]
         }
     )
     p.run(spark, ctx)
     got = {tuple(r) for r in spark.table("pca_out").collect()}
+    # "2" (config string) must reach the operator as int 2 — typed binding
     want = {
         tuple(r)
         for r in power_iteration_top_component(
-            load_table(spark, SF_SMALL, "embeddings")
+            load_table(spark, SF_SMALL, "embeddings"), iters=2
         ).collect()
     }
     assert got == want and len(got) == 64
