@@ -1415,6 +1415,39 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_yoy_growth",
+    category="window",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1)
+SELECT yr, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY yr), 2) AS yoy_delta
+FROM yearly
+""",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue deltas: aggregate to the calendar-bounded
+    year domain FIRST, then lag over ≤7 rows — the unpartitioned window
+    runs on the aggregate, never the fact table (the level-collapse
+    discipline every period-over-period metric needs at scale)."""
+    from pyspark.sql.window import Window
+
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("yr")
+    return yearly.select(
+        "yr",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("yoy_delta"),
+    )
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
