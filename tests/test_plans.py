@@ -272,6 +272,9 @@ def test_unpartitioned_windows_sit_above_bounded_inputs(spark):
         "events_cusum_changepoint": ["AS day#"],
         # Zipf profile over the top-50 tokens: LIMIT 50 below the window
         "text_zipf_profile": ["GlobalLimit 50"],
+        # YoY lag over the per-year aggregate: input cardinality = calendar
+        # years (the groupBy-year Aggregate emits "... AS yr#" below)
+        "orders_yoy_growth": ["AS yr#"],
     }
     for name, markers in bounded_markers.items():
         df = REGISTRY[name].fn(spark, SF_SMALL)
