@@ -363,6 +363,34 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_knn_graph",
+    category="similarity",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id)
+SELECT query_id, match_id, cosine, rn AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH construction: every vector's exact top-3 neighbors (the
+    substrate for graph-ANN indexes, UMAP-style manifold methods, and
+    kNN-classifier joins). Exact all-pairs path at test scale — the
+    corpus broadcasts against its own scan; at 100 TB the same output
+    contract comes from the SRP-bucketed candidate join
+    (similarity_ann_lsh) or IVF cells, trading exactness for a bounded
+    candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb, k=3)
+
+
+@register(
     "similarity_range_search",
     category="similarity",
     oracle="""

@@ -80,6 +80,7 @@ DELIBERATE_ALL_PAIRS = {
     "similarity_ann_pq",  # ADC: broadcast(query tables) × compressed-corpus scan
     "dedup_setsim_prefix",  # adaptive bitmask sweep engages at test scale (R and
     # vocab both under the gates); the prefix equi-join is the large-R/V path
+    "similarity_knn_graph",  # exact kNN-graph path: corpus broadcast × corpus scan
 }
 
 #: queries with a non-equi join whose BOTH sides are bounded by a dimension
