@@ -391,6 +391,47 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_mutual_knn_pairs",
+    category="similarity",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+knn AS (
+  SELECT query_id, match_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+    FROM scored) WHERE rn <= 3)
+SELECT a.query_id AS vec_a, a.match_id AS vec_b, a.cosine
+FROM knn a JOIN knn b ON a.query_id = b.match_id AND a.match_id = b.query_id
+WHERE a.query_id < a.match_id
+""",
+)
+def similarity_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pairs: vectors that appear in EACH OTHER'S top-3 — the
+    high-precision near-duplicate criterion (one-sided kNN membership is
+    asymmetric in dense regions; mutuality filters hub effects). One
+    self-join of the kNN graph on the swapped key pair; canonical a<b
+    ordering emits each pair once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.brute_force_topk(emb, emb, k=3).select("query_id", "match_id", "cosine")
+    rev = knn.select(
+        F.col("match_id").alias("query_id"), F.col("query_id").alias("match_id")
+    )
+    return (
+        knn.join(rev, ["query_id", "match_id"])
+        .filter(F.col("query_id") < F.col("match_id"))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("match_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+@register(
     "similarity_range_search",
     category="similarity",
     oracle="""

@@ -81,6 +81,7 @@ DELIBERATE_ALL_PAIRS = {
     "dedup_setsim_prefix",  # adaptive bitmask sweep engages at test scale (R and
     # vocab both under the gates); the prefix equi-join is the large-R/V path
     "similarity_knn_graph",  # exact kNN-graph path: corpus broadcast × corpus scan
+    "similarity_mutual_knn_pairs",  # built on the same exact kNN-graph path
 }
 
 #: queries with a non-equi join whose BOTH sides are bounded by a dimension
