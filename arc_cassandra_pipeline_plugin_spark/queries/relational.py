@@ -1448,6 +1448,58 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_higher_moments",
+    category="aggregation",
+    oracle="""
+WITH sums AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(24,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(round(value * value * value, 6) AS DECIMAL(36,6))) AS DOUBLE) AS s3
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type, n,
+         s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3
+  FROM sums)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(mean, 6) AS mean,
+       round(m2, 6) AS variance_pop,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness_pop
+FROM m
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness from EXACT moment sums: per-row powers rounded
+    then decimal-summed (order-free), the moment composition done in
+    identical expression order on both engines, final round-6. Built-in
+    skewness()/kurtosis() differ between engines on sample-vs-population
+    conventions and summation order — composing from exact power sums is
+    the cross-engine-stable (and 100 TB map-side-combinable) form."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(v, 6).cast("decimal(24,6)")).cast("double").alias("s1"),
+        F.sum(F.round(v * v, 6).cast("decimal(30,6)")).cast("double").alias("s2"),
+        F.sum(F.round(v * v * v, 6).cast("decimal(36,6)")).cast("double").alias("s3"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - F.lit(3) * mean * (F.col("s2") / n) + F.lit(2) * mean * mean * mean
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(m2, 6).alias("variance_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness_pop"),
+    )
+
+
+@register(
     "distinct_rows",
     category="setop",
     oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
