@@ -1635,6 +1635,42 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_rate_by_source",
+    category="dedup",
+    oracle=f"""
+WITH fp AS (
+  SELECT source, substr(md5({_NORM}), 1, 16) AS f FROM documents),
+c AS (SELECT f, count(*) AS cnt FROM fp GROUP BY f)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE c.cnt > 1) AS BIGINT) AS n_in_dup_groups,
+       round(count(*) FILTER (WHERE c.cnt > 1) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM fp JOIN c USING (f)
+GROUP BY source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate: the fraction of each source's
+    documents whose content fingerprint appears more than once corpus-wide
+    — THE summary number a curation report leads with (a source above
+    ~30% duplication is mostly syndication/mirroring and gets
+    down-weighted before training). Fingerprint groupBy + count-rejoin:
+    two hash-keyed shuffles, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(docs).select("source", F.col("fingerprint").alias("f"))
+    counts = fp.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = fp.join(counts, "f")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("cnt") > 1).alias("n_in_dup_groups"),
+        F.round(
+            F.count_if(F.col("cnt") > 1) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
 _PROX_TOL_S = 300
 
 
