@@ -1499,6 +1499,68 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_CUTOVER = "1996-01-01"
+
+
+@register(
+    "join_scd2_point_in_time",
+    category="join",
+    oracle=f"""
+SELECT CASE WHEN o_orderdate < TIMESTAMP '{_SCD2_CUTOVER}'
+            THEN c_mktsegment || '_v1' ELSE c_mktsegment || '_v2' END AS segment_version,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) dimension join: each fact row matches the
+    dimension VERSION whose validity interval contains the fact's event
+    date — the temporal-correctness pattern every slowly-changing
+    dimension needs (joining "current" attributes onto historical facts
+    silently rewrites history). The dimension here carries two synthetic
+    versions cut over at {_SCD2_CUTOVER}; the join is equi-key on custkey
+    with the interval test as a residual (hash join, never a range scan),
+    and the oracle derives the expected version directly from the fact
+    date. Every row matches exactly one version (intervals partition
+    time)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cut = F.lit(_SCD2_CUTOVER).cast("timestamp")
+    far_past = F.lit("1900-01-01").cast("timestamp")
+    far_future = F.lit("9999-01-01").cast("timestamp")
+    dim = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.col("c_mktsegment"), F.lit("_v1")).alias("seg_v"),
+                    far_past.alias("valid_from"),
+                    cut.alias("valid_to"),
+                ),
+                F.struct(
+                    F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("seg_v"),
+                    cut.alias("valid_from"),
+                    far_future.alias("valid_to"),
+                ),
+            )
+        ).alias("v"),
+    ).select("c_custkey", "v.seg_v", "v.valid_from", "v.valid_to")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return joined.groupBy(F.col("seg_v").alias("segment_version")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 @register(
     "distinct_rows",
     category="setop",
