@@ -136,10 +136,13 @@ def pagerank_oracle_sql(
     )
 
 
-#: BFS infinity sentinel — any unreached node keeps this level; kept as a
-#: plain INT so both engines share exact arithmetic (no NULL-propagation
-#: divergence inside least/min)
-_BFS_INF = 99
+def _bfs_inf(rounds: int) -> int:
+    """BFS infinity sentinel, derived from ``rounds`` so no hop budget can
+    collide with it: after ``rounds`` frontier expansions the largest real
+    level is exactly ``rounds``, so ``rounds + 1`` is unreachable. Kept as a
+    plain INT so both engines share exact arithmetic (no NULL-propagation
+    divergence inside least/min)."""
+    return rounds + 1
 
 
 def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -154,6 +157,7 @@ def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "
     the driver; the source vertex arrives as a broadcast 1-row aggregate.
     Unreached nodes carry an INT infinity sentinel so the iterate is pure
     integer arithmetic (no NULL semantics to diverge between engines)."""
+    inf = _bfs_inf(rounds)
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .distinct()
@@ -166,13 +170,13 @@ def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "
     lvl = nodes.crossJoin(F.broadcast(source)).select(
         "node",
         F.when(F.col("node") == F.col("_src0"), F.lit(0))
-        .otherwise(F.lit(_BFS_INF))
+        .otherwise(F.lit(inf))
         .alias("lvl"),
     )
     for _ in range(rounds):
         cand = (
             e.join(
-                lvl.filter(F.col("lvl") < _BFS_INF).select(
+                lvl.filter(F.col("lvl") < inf).select(
                     F.col("node").alias("_s"), "lvl"
                 ),
                 "_s",
@@ -182,9 +186,9 @@ def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "
         )
         lvl = lvl.join(cand, lvl.node == cand._d, "left").select(
             "node",
-            F.least(F.col("lvl"), F.coalesce(F.col("_m"), F.lit(_BFS_INF))).alias("lvl"),
+            F.least(F.col("lvl"), F.coalesce(F.col("_m"), F.lit(inf))).alias("lvl"),
         )
-    return lvl.filter(F.col("lvl") < _BFS_INF).select(
+    return lvl.filter(F.col("lvl") < inf).select(
         "node", F.col("lvl").cast("int").alias("level")
     )
 
@@ -194,7 +198,7 @@ def bfs_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
     unrolled as CTEs from the same INT-sentinel constants. ``edges_sql``
     must yield (src, dst) columns (duplicates allowed — they are
     DISTINCTed here exactly as the operator does)."""
-    inf = _BFS_INF
+    inf = _bfs_inf(rounds)
     ctes = [
         f"eb AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nb AS (SELECT src AS n FROM eb UNION SELECT dst FROM eb)",

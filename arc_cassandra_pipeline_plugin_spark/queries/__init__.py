@@ -56,6 +56,36 @@ def register(
     return deco
 
 
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def scratch_dir(tag: str) -> str:
+    """Per-process scratch directory for queries that materialize files
+    (JSONL roundtrips, schema-evolution fixtures, ...). One directory per
+    tag, reused across invocations within the process — repeated sweeps and
+    bench trials overwrite instead of accumulating mkdtemp litter — and
+    removed at interpreter exit."""
+    d = _SCRATCH_DIRS.get(tag)
+    if d is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"acpps_{tag}_")
+        _SCRATCH_DIRS[tag] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def session_suffix() -> str:
+    """Short per-process suffix for catalog object names, so concurrent
+    sessions sharing a warehouse directory cannot clobber each other's
+    managed tables."""
+    import os
+
+    return f"p{os.getpid()}"
+
+
 def load_all() -> dict[str, Query]:
     """Import all query modules (side-effect: registration) and return the
     registry."""

@@ -714,7 +714,7 @@ def _pagerank_oracle() -> str:
     return f"SELECT node AS nation, round(rank, 8) AS pagerank FROM ({sql})"
 
 
-@register("graph_pagerank_trade", category="dedup", oracle=_pagerank_oracle())
+@register("graph_pagerank_trade", category="graph", oracle=_pagerank_oracle())
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the international trade graph (supplier
     nation → customer nation, edge weight = lineitem count): which nations
@@ -767,7 +767,7 @@ def _bfs_oracle() -> str:
     )
 
 
-@register("graph_bfs_levels", category="dedup", oracle=_bfs_oracle())
+@register("graph_bfs_levels", category="graph", oracle=_bfs_oracle())
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first trade distance (operators/graph.bfs_levels): hop
     counts from the lexicographically-first nation over the directed trade
@@ -800,7 +800,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_reciprocity",
-    category="dedup",
+    category="graph",
     oracle=f"""
 WITH eg AS (SELECT DISTINCT src, dst FROM ({_TRADE_EDGES_SQL})),
 recip AS (

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.queries import register, scratch_dir, session_suffix
 from arc_cassandra_pipeline_plugin_spark.sources import load_table, register_tables
 
 
@@ -1107,7 +1107,8 @@ def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    for df, name in ((orders, "acpps_cert_bko"), (li, "acpps_cert_bkl")):
+    sfx = session_suffix()
+    for df, name in ((orders, f"acpps_cert_bko_{sfx}"), (li, f"acpps_cert_bkl_{sfx}")):
         # a fresh session's in-memory catalog does not know about a table
         # whose LOCATION survived a previous process — drop both the
         # catalog entry and any orphaned location before writing
@@ -1122,8 +1123,8 @@ def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    o = spark.table("acpps_cert_bko")
-    l = spark.table("acpps_cert_bkl")
+    o = spark.table(f"acpps_cert_bko_{sfx}")
+    l = spark.table(f"acpps_cert_bkl_{sfx}")
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderstatus")
@@ -1154,7 +1155,7 @@ def ddl_ctas_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse
 
     register_tables(spark, sf_dir, "orders")
-    name = "acpps_cert_ctas"
+    name = f"acpps_cert_ctas_{session_suffix()}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     loc = urlparse(warehouse).path or warehouse
@@ -1186,8 +1187,6 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     column. This is how a 100 TB table ACTUALLY evolves (new columns
     appear in new files only; nobody rewrites history), so the reader
     contract is the thing worth certifying."""
-    import tempfile
-
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     v1 = orders.filter(F.col("o_orderkey") < 1000).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("total")
@@ -1197,8 +1196,10 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("total"),
         F.col("o_orderpriority").alias("priority"),
     )
-    path = tempfile.mkdtemp(prefix="acpps_schema_evo_")
-    v1.write.mode("append").parquet(path)
+    path = scratch_dir("schema_evo")
+    # the scratch dir is reused across invocations: overwrite on the first
+    # write so repeated sweeps don't accumulate duplicate file generations
+    v1.write.mode("overwrite").parquet(path)
     v2.write.mode("append").parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
 
@@ -1218,10 +1219,8 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interchange format every corpus pipeline ingests at some point.
     Inference costs one extra pass at scale; production readers pin an
     explicit schema, but the inferred contract is what this certifies."""
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    path = tempfile.mkdtemp(prefix="acpps_jsonl_")
+    path = scratch_dir("jsonl")
     docs.select("doc_id", "lang", "n_chars", "source").write.mode("overwrite").json(path)
     back = spark.read.json(path)
     return back.select("doc_id", "lang", "n_chars", "source")
@@ -1244,10 +1243,8 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back at query time; the oracle casts the originals to text. Integer
     and categorical columns only — float-to-text formatting is
     engine-specific and has no place in an exactness gate."""
-    import tempfile
-
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
-    path = tempfile.mkdtemp(prefix="acpps_csv_")
+    path = scratch_dir("csv")
     orders.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     ).write.mode("overwrite").option("header", True).csv(path)
@@ -1306,10 +1303,8 @@ def scan_text_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (format-aware reader, inferred schema), this certifies the
     read-raw-then-parse pipeline where the parse is an ordinary projection
     the engine can fuse and the schema is pinned by the caller."""
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    path = tempfile.mkdtemp(prefix="acpps_text_")
+    path = scratch_dir("text")
     docs.select(
         F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
     ).write.mode("overwrite").text(path)

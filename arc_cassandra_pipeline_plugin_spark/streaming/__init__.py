@@ -253,8 +253,18 @@ def run_stream_upsert(
     state: dict[str, Optional[DataFrame]] = {"df": None}
 
     def winners(frame: DataFrame) -> DataFrame:
+        # order by order_cols, then every remaining payload column as a
+        # deterministic tiebreak: rows tying on all order columns would
+        # otherwise make the kept row micro-batch-boundary-dependent,
+        # breaking the associativity the merge relies on
+        tiebreak = [
+            c
+            for c in frame.columns
+            if c not in key_cols and c not in order_cols
+        ]
         w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
+            *[F.col(c).desc() for c in order_cols],
+            *[F.col(c).desc_nulls_last() for c in tiebreak],
         )
         return (
             frame.withColumn("__rn", F.row_number().over(w))
