@@ -1,15 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codec libraries, so *compressed* decode
-kernels (JPEG/MP3/H.264) are deterministic fakes / clearly-marked stubs —
-but the Spark-side plumbing is real and tested (schema contracts,
-Arrow-batched ``mapInPandas`` transforms, batch shapes, partition sizing),
-and uncompressed audio decode is REAL: :func:`decode_wav_pcm16` is a
-genuine RIFF/WAVE chunk parser built on the standard library alone,
-certified end-to-end through the encode→decode→feature loop
-(``multimodal_wav_roundtrip``). Swapping a stub body for PIL/ffmpeg is a
-one-function change; nothing in the plan changes.
+The container has no image/audio codec libraries, so decode kernels for
+formats needing them (JPEG/MP3/H.264) are deterministic fakes /
+clearly-marked stubs — but the Spark-side plumbing is real and tested
+(schema contracts, Arrow-batched ``mapInPandas`` transforms, batch shapes,
+partition sizing), and three codecs are REAL, standard-library-only:
+:func:`decode_wav_pcm16` (RIFF/WAVE chunk parser), :func:`decode_bmp24`
+(24-bit BMP), and :func:`decode_png` (compressed PNG — zlib inflate, CRC
+validation, predictive scanline unfilter), each certified end-to-end
+through an encode→decode→feature loop (``multimodal_*_roundtrip``).
+Swapping a stub body for PIL/ffmpeg is a one-function change; nothing in
+the plan changes.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` governs task sizing, and all
@@ -54,11 +56,14 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB: real deployments decode with PIL/turbojpeg here. The container
-    has no codec libraries, so decoding is not implemented."""
+    """STUB for formats that need codec libraries (JPEG et al.): real
+    deployments decode with PIL/turbojpeg here; the container has none.
+    PNG and 24-bit BMP have REAL stdlib decoders in this module
+    (:func:`decode_png`, :func:`decode_bmp24`)."""
     raise NotImplementedError(
-        "image decode requires PIL/libjpeg, not present in this environment; "
-        "extract_features uses a deterministic byte-level fake instead"
+        "JPEG decode requires PIL/libjpeg, not present in this environment; "
+        "use decode_png/decode_bmp24 for the stdlib-decodable formats, or "
+        "extract_features' deterministic byte-level fake"
     )
 
 
@@ -444,6 +449,265 @@ def resize_bmp(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 ]
                 ids_.append(aid)
                 payloads.append(encode_bmp24(out_w, out_h, out))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    return assets.mapInPandas(batches, schema="asset_id bigint, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Real codec: PNG (RGB8) — the COMPRESSED image path, still pure stdlib:
+# zlib handles the DEFLATE stream, this module implements the container
+# (signature, chunk walk with CRC validation) and the predictive scanline
+# filters (None/Sub/Up/Average/Paeth) both directions. The encoder cycles
+# filter types across scanlines so every roundtrip exercises every unfilter
+# branch. JPEG/MP3/H.264 remain honestly gated on codec libraries.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward scanline filter (encoder side)."""
+    n = len(line)
+    if ftype == 0:
+        return bytes(line)
+    out = bytearray(n)
+    for i in range(n):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_line(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
+    """In-place scanline unfilter (decoder side) — exact inverse of
+    :func:`_png_filter_line`."""
+    if ftype == 0:
+        return
+    n = len(line)
+    for i in range(n):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        elif ftype == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        line[i] = (line[i] + pred) & 0xFF
+
+
+def encode_png(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Minimal PNG writer: 8-bit RGB (color type 2), non-interlaced.
+    ``pixels`` is top-down row-major (r, g, b). Scanline ``y`` uses filter
+    type ``(3*y + 1) % 5`` — a fixed cycle hitting Sub/Paeth/Up on even the
+    shortest images, so a decode roundtrip exercises every unfilter branch,
+    not just the trivial one."""
+    import struct
+    import zlib
+
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(bpp * width)
+    for y in range(height):
+        line = bytes(
+            v for x in range(width) for v in pixels[y * width + x]
+        )
+        ftype = (3 * y + 1) % 5
+        raw.append(ftype)
+        raw += _png_filter_line(ftype, line, prev, bpp)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """REAL PNG decoder on the standard library alone: validates the
+    signature, walks chunks verifying every CRC, gates on 8-bit RGB
+    non-interlaced, inflates the concatenated IDAT stream with zlib, and
+    reverses the predictive scanline filters (None/Sub/Up/Average/Paeth).
+    Returns (width, height, top-down row-major (r, g, b) pixels); raises
+    ``ValueError`` on malformed or unsupported payloads — corrupt assets
+    surface as data errors, not silent garbage."""
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < len(_PNG_SIG) + 12:
+        raise ValueError("not a PNG file: too short")
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file: bad signature")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_end:
+        raise ValueError("truncated PNG: missing IHDR/IEND chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} compression={comp} "
+            f"filter={filt} interlace={interlace} (only 8-bit RGB, non-interlaced)"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    bpp = 3
+    stride = bpp * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {height * (1 + stride)}"
+        )
+    pixels: list[tuple[int, int, int]] = []
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        _png_unfilter_line(raw[base], line, prev, bpp)
+        pixels.extend(
+            (line[3 * x], line[3 * x + 1], line[3 * x + 2]) for x in range(width)
+        )
+        prev = bytes(line)
+    return width, height, pixels
+
+
+PNG_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, n_pixels int, "
+    "mean_r double, mean_g double, mean_b double, compressed_bytes int"
+)
+
+
+def png_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched image feature extraction via the REAL PNG decoder:
+    dimensions, exact per-channel means (6 dp), and the compressed payload
+    size (the one column a compressed format adds over BMP)."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "compressed_bytes")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_png(payload)
+                n = w * h
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                for idx, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[key].append(round(sum(p[idx] for p in px) / n, 6) if n else 0.0)
+                out["compressed_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=PNG_FEATURE_SCHEMA)
+
+
+def synthesize_png_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG corpus for the encode→decode certification loop:
+    asset ``i`` is ``(4 + i%6) × (3 + i%5)`` with pixel ``p = y*W + x``
+    colored ``((5i + 19p) % 256, (7i + 23p) % 256, (11i + 29p) % 256)`` —
+    integer math an SQL oracle reproduces exactly, serialized through the
+    REAL encoder (DEFLATE + cycling scanline filters) so the decoder faces
+    genuine compressed PNG bytes and every unfilter branch runs."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_ = pdf[id_col].tolist()
+            payloads = []
+            for i in ids_:
+                w, h = 4 + i % 6, 3 + i % 5
+                px = [
+                    ((5 * i + 19 * p) % 256, (7 * i + 23 * p) % 256, (11 * i + 29 * p) % 256)
+                    for p in range(w * h)
+                ]
+                payloads.append(encode_png(w, h, px))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")
+
+
+def resize_png(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL resize through the compressed path: decode each PNG (inflate +
+    unfilter), nearest-neighbor resample with the same integer sampling grid
+    as :func:`resize_bmp`, re-encode (filter + deflate). One Arrow batch in,
+    one out; the full compress/decompress cycle runs twice per asset."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_png(payload)
+                out = [
+                    px[(y * h // out_h) * w + (x * w // out_w)]
+                    for y in range(out_h)
+                    for x in range(out_w)
+                ]
+                ids_.append(aid)
+                payloads.append(encode_png(out_w, out_h, out))
             yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
 
     return assets.mapInPandas(batches, schema="asset_id bigint, payload binary")

@@ -788,7 +788,8 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py decode_bmp24 — magic/offset/format gating,
     row un-padding and re-ordering), with per-asset dimensions and channel
     means certified against the oracle's direct re-derivation of the pixel
-    formula. Compressed formats (JPEG/PNG) remain gated on codec libs."""
+    formula. PNG has its own real decoder (multimodal_png_roundtrip);
+    JPEG remains gated on codec libs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     assets = M.synthesize_bmp_assets(docs)
     return M.bmp_features(assets)
@@ -831,6 +832,92 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     resized = M.resize_bmp(M.synthesize_bmp_assets(docs), out_w=3, out_h=2)
     return M.bmp_features(resized)
+
+
+@register(
+    "multimodal_png_roundtrip",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+  FROM documents),
+px AS (
+  SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+v AS (
+  SELECT asset_id, w, h,
+         (5 * asset_id + 19 * p) % 256 AS r,
+         (7 * asset_id + 23 * p) % 256 AS g,
+         (11 * asset_id + 29 * p) % 256 AS b
+  FROM px),
+agg AS (
+  SELECT asset_id, max(w) AS w, max(h) AS h,
+         sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, count(*) AS n
+  FROM v GROUP BY asset_id)
+SELECT asset_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_pixels,
+       round(sr * 1.0 / n, 6) AS mean_r,
+       round(sg * 1.0 / n, 6) AS mean_g,
+       round(sb * 1.0 / n, 6) AS mean_b
+FROM agg
+""",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a COMPRESSED image format on the standard library
+    alone: a deterministic RGB corpus is serialized through the PNG encoder
+    (predictive scanline filters cycling Sub/Paeth/Up/None/Average, then
+    DEFLATE) and parsed back by the genuine decoder
+    (operators/multimodal.py decode_png — signature + per-chunk CRC
+    validation, IHDR gating, zlib inflate, filter reversal incl. the Paeth
+    predictor), with per-asset dimensions and channel means certified
+    against the oracle's direct re-derivation of the pixel formula. Any
+    bug in the filter math, row stride, or chunk walk breaks the value
+    hash. JPEG stays gated on codec libs; PNG needs none."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = M.png_features(M.synthesize_png_assets(docs))
+    return feats.select(
+        "asset_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@register(
+    "multimodal_png_resize",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+  FROM documents),
+grid AS (
+  SELECT asset_id, w, h, xo, yo
+  FROM d CROSS JOIN range(0, 3) tx(xo) CROSS JOIN range(0, 2) ty(yo)),
+src AS (
+  SELECT asset_id,
+         ((yo * h // 2) * w + (xo * w // 3)) AS p
+  FROM grid),
+v AS (
+  SELECT asset_id,
+         (5 * asset_id + 19 * p) % 256 AS r,
+         (7 * asset_id + 23 * p) % 256 AS g,
+         (11 * asset_id + 29 * p) % 256 AS b
+  FROM src)
+SELECT asset_id, 3 AS width, 2 AS height, 6 AS n_pixels,
+       round(sum(r) * 1.0 / 6, 6) AS mean_r,
+       round(sum(g) * 1.0 / 6, 6) AS mean_g,
+       round(sum(b) * 1.0 / 6, 6) AS mean_b
+FROM v GROUP BY asset_id
+""",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the compressed image path: every synthesized PNG
+    decodes (inflate + unfilter), nearest-neighbor resamples to 3×2 on the
+    same integer grid as the BMP twin, re-encodes (filter + deflate), and
+    decodes AGAIN for features — the full compression cycle runs twice per
+    asset and the oracle re-derives the sampled pixels from the formula."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resized = M.resize_png(M.synthesize_png_assets(docs), out_w=3, out_h=2)
+    return M.png_features(resized).select(
+        "asset_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -950,3 +950,94 @@ def test_bpe_train_matches_pure_python_reference(spark):
                     i += 1
             seqs[w] = out
     assert got == want, f"got {got}, want {want}"
+
+
+def test_png_codec_roundtrip_filters_and_rejection():
+    """The PNG codec is a real compressed-format parser: exact roundtrip
+    through DEFLATE + cycling scanline filters (every unfilter branch runs
+    on any image with >=5 rows), and malformed payloads — bad signature,
+    chunk CRC corruption, truncation, unsupported color type, invalid
+    filter byte — all raise ValueError rather than yielding garbage."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # 6 rows: the (3y+1) % 5 filter cycle emits types 1,4,2,0,3,1 —
+    # Sub/Paeth/Up/None/Average all exercised in one roundtrip
+    w, h = 7, 6
+    px = [((x * 41 + y) % 256, (y * 73 + x) % 256, (x * y * 29) % 256)
+          for y in range(h) for x in range(w)]
+    payload = encode_png(w, h, px)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    gw, gh, got = decode_png(payload)
+    assert (gw, gh) == (w, h) and got == px
+    # degenerate shapes roundtrip too (1-wide exercises the i<bpp edges)
+    for dw, dh in ((1, 1), (1, 9), (9, 1)):
+        dpx = [((p * 37) % 256, (p * 91) % 256, (p * 53) % 256) for p in range(dw * dh)]
+        assert decode_png(encode_png(dw, dh, dpx)) == (dw, dh, dpx)
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOTAPNG!" + payload[8:])
+    with _pytest.raises(ValueError, match="too short"):
+        decode_png(payload[:12])
+    corrupt = bytearray(payload)
+    corrupt[payload.index(b"IDAT") + 8] ^= 0xFF  # flip a compressed byte
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupt))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(payload[:-6])
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    sig = payload[:8]
+    rgba_hdr = struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0)
+    rgba = (sig + chunk(b"IHDR", rgba_hdr)
+            + chunk(b"IDAT", zlib.compress(bytes(3 * 13))) + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="only 8-bit RGB"):
+        decode_png(rgba)
+    rgb_hdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    badfilter = (sig + chunk(b"IHDR", rgb_hdr)
+                 + chunk(b"IDAT", zlib.compress(bytes([5] + [0] * 9) * 3))
+                 + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="invalid PNG filter"):
+        decode_png(badfilter)
+    # IDAT inflating to the wrong length (extra scanline) is a data error
+    overlong = (sig + chunk(b"IHDR", rgb_hdr)
+                + chunk(b"IDAT", zlib.compress(bytes([0] + [0] * 9) * 4))
+                + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="length"):
+        decode_png(overlong)
+
+
+def test_png_features_match_python(spark):
+    """png_features over synthesized assets equals a plain-Python
+    re-derivation from the pixel formula — the distributed kernel and the
+    codec agree with first principles."""
+    ids = spark.range(0, 40).selectExpr("id AS doc_id")
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    feats = {
+        r["asset_id"]: r
+        for r in M.png_features(M.synthesize_png_assets(ids)).collect()
+    }
+    assert len(feats) == 40
+    for i in range(40):
+        w, h = 4 + i % 6, 3 + i % 5
+        n = w * h
+        chans = [[(m * i + k * p) % 256 for p in range(n)]
+                 for m, k in ((5, 19), (7, 23), (11, 29))]
+        r = feats[i]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, n)
+        assert r["mean_r"] == round(sum(chans[0]) / n, 6)
+        assert r["mean_g"] == round(sum(chans[1]) / n, 6)
+        assert r["mean_b"] == round(sum(chans[2]) / n, 6)
+        assert r["compressed_bytes"] > 0
