@@ -18,7 +18,7 @@ from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
 from arc_cassandra_pipeline_plugin_spark.operators import similarity as S
 from arc_cassandra_pipeline_plugin_spark.operators import text as TX
 from arc_cassandra_pipeline_plugin_spark.operators import timeseries as TS
-from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.queries import register, scratch_dir
 from arc_cassandra_pipeline_plugin_spark.sources import load_table, table_path
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -917,6 +917,74 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = M.resize_png(M.synthesize_png_assets(docs), out_w=3, out_h=2)
     return M.png_features(resized).select(
         "asset_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@register(
+    "cassandra_stage_roundtrip",
+    category="pipeline",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey < 2000 AND o_custkey > 10
+GROUP BY o_orderstatus
+""",
+)
+def cassandra_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core data path under the oracle gate: orders flow
+    through CassandraLoad into the connector format (the in-process DSv2
+    double registered under the EXACT connector format string — no cluster
+    in this environment), back out through CassandraExtract, and a
+    downstream aggregate with a connector-pushable predicate
+    (o_custkey > 10 lands in pushFilters, applied source-side) must equal
+    the plain SQL truth. Certifies the stage write path, the stage read
+    path, filter pushdown through the stage, and type fidelity across the
+    sink/source boundary in one query
+    (CassandraExtract.scala:95-98, CassandraLoad.scala:110-153)."""
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+    from arc_cassandra_pipeline_plugin_spark.sources.cassandra_fake import (
+        register_fake_cassandra,
+    )
+    from arc_cassandra_pipeline_plugin_spark.stages import (
+        CassandraExtract,
+        CassandraLoad,
+    )
+
+    register_fake_cassandra(spark)
+    root = scratch_dir("cass_cluster")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.createOrReplaceTempView("cass_q_src")
+    ctx = PipelineContext()
+    params = {
+        "spark.cassandra.connection.host": root,
+        "confirm.truncate": "true",
+    }
+    CassandraLoad(
+        name="load orders",
+        input_view="cass_q_src",
+        keyspace="certks",
+        table="orders_rt",
+        save_mode="Overwrite",
+        params=params,
+    ).execute(spark, ctx)
+    out = CassandraExtract(
+        name="extract orders",
+        output_view="cass_q_out",
+        keyspace="certks",
+        table="orders_rt",
+        params={"spark.cassandra.connection.host": root},
+    ).execute(spark, ctx)
+    return (
+        out.filter(F.col("o_custkey") > 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
     )
 
 

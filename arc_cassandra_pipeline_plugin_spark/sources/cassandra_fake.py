@@ -38,7 +38,14 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -69,10 +76,91 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+#: filter classes the fake connector accepts — mirrors the real
+#: connector's CQL-pushable predicate set (single-column comparisons and
+#: null checks on clustering/indexed columns)
+_PUSHABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    IsNotNull,
+    IsNull,
+)
+
+
+def _filter_json(f) -> dict:
+    out = {"type": type(f).__name__, "attribute": list(f.attribute)}
+    if hasattr(f, "value"):
+        out["value"] = f.value
+    return out
+
+
 class FakeCassandraReader(DataSourceReader):
     def __init__(self, dir_: str, schema: T.StructType):
         self.dir = dir_
         self.fields = [f.name for f in schema.fields]
+        self.pushed: list = []
+        # contract witness: the column set Spark hands the reader. The
+        # Python Data Source API (as of Spark 4.1) does NOT prune columns
+        # at the source — this recording makes the limitation assertable
+        # instead of assumed (projection folds into the Project atop the
+        # BatchScan; the real JVM connector receives a pruned schema).
+        self._record({"columns": self.fields, "pushed": [], "rejected": []})
+
+    def _record(self, payload: dict) -> None:
+        with open(
+            os.path.join(self.dir, "_read_pushdown.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(payload, fh, default=_json_default)
+
+    def pushFilters(self, filters):
+        """Accept the CQL-pushable predicate shapes and apply them source-
+        side in :meth:`read`; everything else is returned to Spark for
+        post-scan evaluation (exactly the split the real connector makes).
+        Only invoked when ``spark.sql.python.filterPushdown.enabled`` is
+        true — the recorded file lets tests assert the pushdown reached
+        the connector."""
+        rejected = []
+        for f in filters:
+            if isinstance(f, _PUSHABLE) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                rejected.append(f)
+        self._record(
+            {
+                "columns": self.fields,
+                "pushed": [_filter_json(f) for f in self.pushed],
+                "rejected": [_filter_json(f) for f in rejected],
+            }
+        )
+        yield from rejected
+
+    def _keep(self, obj: dict) -> bool:
+        for f in self.pushed:
+            v = obj.get(f.attribute[0])
+            if isinstance(f, IsNull):
+                if v is not None:
+                    return False
+            elif v is None:
+                return False  # comparisons and IsNotNull all reject NULL
+            elif isinstance(f, EqualTo):
+                if v != f.value:
+                    return False
+            elif isinstance(f, GreaterThan):
+                if not v > f.value:
+                    return False
+            elif isinstance(f, GreaterThanOrEqual):
+                if not v >= f.value:
+                    return False
+            elif isinstance(f, LessThan):
+                if not v < f.value:
+                    return False
+            elif isinstance(f, LessThanOrEqual):
+                if not v <= f.value:
+                    return False
+        return True
 
     def partitions(self):
         # one partition per part file — scan parallelism mirrors the
@@ -87,7 +175,8 @@ class FakeCassandraReader(DataSourceReader):
             for line in fh:
                 if line.strip():
                     obj = json.loads(line)
-                    yield tuple(obj.get(name) for name in self.fields)
+                    if self._keep(obj):
+                        yield tuple(obj.get(name) for name in self.fields)
 
 
 class _Commit(WriterCommitMessage):
@@ -159,5 +248,11 @@ class FakeCassandraDataSource(DataSource):
 def register_fake_cassandra(spark) -> None:
     """Idempotently register the double on the session. Only for tests /
     clusters without the real connector — registering on a cluster that HAS
-    the connector jar would shadow nothing (JVM sources win the lookup)."""
+    the connector jar would shadow nothing (JVM sources win the lookup).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled``: Spark refuses
+    to plan a Python source whose reader implements ``pushFilters`` while
+    the conf is off, and the pushdown contract is part of what this double
+    exists to witness."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FakeCassandraDataSource)

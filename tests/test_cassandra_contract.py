@@ -348,3 +348,88 @@ def test_full_reference_roundtrip_pipeline(spark, fake_cluster_root, stub_cassan
     out = spark.table("cass_e2e_out")
     assert out.count() == src.count()
     assert len(stub_cassandra_driver["cql"]) == 2
+
+
+def test_filter_pushdown_reaches_connector(spark, fake_cluster_root):
+    """Predicate pushdown THROUGH the stage path: a downstream filter over
+    the extracted view lands in the connector as pushed Filter objects
+    (pushFilters), is applied source-side, and non-pushable predicates are
+    returned to Spark for post-scan evaluation — the split the real
+    connector makes for CQL-able predicates. Also witnesses the Python DS
+    API's projection posture: the reader receives the FULL column set
+    (pruning folds into the Project above the BatchScan; the JVM connector
+    would receive a pruned schema), recorded rather than assumed."""
+    _seed_view(spark, "cass_pd_src")
+    ctx = PipelineContext()
+    CassandraLoad(
+        name="load",
+        input_view="cass_pd_src",
+        keyspace="ks1",
+        table="pd",
+        save_mode="Append",
+        params=_conn_params(fake_cluster_root),
+    ).execute(spark, ctx)
+
+    out = CassandraExtract(
+        name="extract",
+        output_view="cass_pd_out",
+        keyspace="ks1",
+        table="pd",
+        params=_conn_params(fake_cluster_root),
+    ).execute(spark, ctx)
+    # pushable comparison + non-pushable expression in one predicate
+    got = (
+        out.filter("score > 15.0 AND length(name) > 1")
+        .select("name")
+        .collect()
+    )
+
+    assert sorted(r["name"] for r in got) == ["beta", "gamma"]
+    tdir = os.path.join(fake_cluster_root, "ks1", "pd")
+    with open(os.path.join(tdir, "_read_pushdown.json")) as fh:
+        rec = json.load(fh)
+    pushed = {(p["type"], tuple(p["attribute"])) for p in rec["pushed"]}
+    assert ("GreaterThan", ("score",)) in pushed, rec
+    gt = next(p for p in rec["pushed"] if p["type"] == "GreaterThan")
+    assert gt["value"] == 15.0
+    # length(name) > 1 is not a CQL-able predicate shape — Spark keeps it
+    assert not any(p["type"] == "GreaterThan" and p["attribute"] == ["name"]
+                   for p in rec["pushed"])
+    # projection posture: full column set at the reader (API limitation,
+    # recorded so a future Spark that prunes flips this assertion loudly)
+    assert rec["columns"] == ["id", "name", "score"]
+
+
+def test_pushdown_filtering_is_source_side_and_correct(spark, fake_cluster_root):
+    """The fake connector APPLIES accepted filters in read() — claiming a
+    filter and not applying it would return rows Spark no longer
+    re-checks. Certify equality against the unfiltered truth for every
+    pushable shape."""
+    _seed_view(spark, "cass_pda_src")
+    ctx = PipelineContext()
+    CassandraLoad(
+        name="load",
+        input_view="cass_pda_src",
+        keyspace="ks1",
+        table="pda",
+        save_mode="Append",
+        params=_conn_params(fake_cluster_root),
+    ).execute(spark, ctx)
+    out = CassandraExtract(
+        name="extract",
+        output_view="cass_pda_out",
+        keyspace="ks1",
+        table="pda",
+        params=_conn_params(fake_cluster_root),
+    ).execute(spark, ctx)
+    cases = [
+        ("id = 2", {2}),
+        ("id > 1", {2, 3}),
+        ("id >= 2", {2, 3}),
+        ("id < 3", {1, 2}),
+        ("id <= 2", {1, 2}),
+        ("score IS NOT NULL", {1, 2, 3}),
+    ]
+    for pred, want in cases:
+        got = {r["id"] for r in out.filter(pred).select("id").collect()}
+        assert got == want, f"{pred}: got {got}, want {want}"
