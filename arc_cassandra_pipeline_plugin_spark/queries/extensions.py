@@ -2572,6 +2572,62 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_outer",
+    category="streaming",
+    oracle=f"""
+SELECT a.event_id AS click_id, a.user_id, b.event_id AS err_id
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.event_type = 'error'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_UPPER_MIN} MINUTE
+WHERE a.user_id < {_SSJ_MAX_USER} AND a.event_type = 'click'
+""",
+)
+def streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join as a REAL streaming query —
+    the state-eviction correctness trap: clicks with no error from the same
+    user in the next 10 minutes must surface as null-padded rows, and those
+    rows emit only when the watermark passes click_ts + 10min. A finite
+    replay therefore needs a watermark flush (events_stream_flushed's
+    far-future sentinel file) or the unmatched tail silently never emits —
+    exactly the bug class this query certifies against the batch LEFT JOIN
+    oracle, null rows included in the value hash.
+
+    The sentinel rows need NO output filter: they carry pairwise
+    non-joinable negative user_ids and, being the maximum event time, are
+    never finalized by the watermark, so they cannot reach the sink. Do
+    NOT add a defensive ``user_id >= 0`` output filter — Catalyst's
+    constraint propagation pushes it through the join into BOTH scans,
+    prunes the sentinel rows at the source, and silently freezes the
+    watermark at the real data's maximum (re-introducing the missing-tail
+    bug, 206/208 nulls). Found the hard way; pinned by
+    tests/test_streaming.py::test_stream_stream_outer_emission_timing."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    work = scratch_dir(f"ssouter_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = ST.events_stream_flushed(spark, sf_dir, work).filter(
+        F.col("user_id") < _SSJ_MAX_USER
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    joined = ST.stream_stream_outer_join(
+        clicks, errors, key="user_id", left_ts="click_ts", right_ts="err_ts",
+        upper=f"{_SSJ_UPPER_MIN} minutes", how="leftOuter",
+    )
+    out = joined.select("click_id", "user_id", "err_id")
+    return ST.run_stream_to_memory(
+        out, "stream_stream_outer_result", output_mode="append"
+    )
+
+
+@register(
     "streaming_stream_static_join",
     category="streaming",
     oracle="""

@@ -322,3 +322,107 @@ def stream_stream_interval_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def stream_stream_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    upper: str = "10 minutes",
+    how: str = "leftOuter",
+) -> DataFrame:
+    """Stream-stream OUTER join with an event-time interval bound — the
+    interval join plus null-padded rows for unmatched input.
+
+    The state-eviction trap this encodes: an unmatched left row emits its
+    null-padded result only when the watermark passes ``left_ts + upper``
+    (until then a matching right row could still arrive), so the emission
+    is *watermark-driven*, not arrival-driven. On a finite replay the
+    watermark stops at ``max(event time) - watermark``: rows near the end
+    of input are never finalized unless something later pushes the
+    watermark past them (see :func:`events_stream_flushed`). Spark runs a
+    final no-data micro-batch after an availableNow drain, so state whose
+    expiry the final watermark HAS passed does flush.
+
+    The right side's key is renamed internally before the join: when both
+    sides derive from the SAME stream (a self-join), ``l[key]``/``r[key]``
+    resolve to the same attribute lineage and column-object disambiguation
+    is unreliable — an outer null row can surface the RIGHT side's NULL
+    key instead of the left's value. Renaming makes the left key the only
+    column with that name, so the output key is unambiguous by name."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withColumnRenamed(key, "__rkey").withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how).drop("__rkey")
+
+
+def events_stream_flushed(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    sentinel_specs: tuple[tuple[int, str], ...] = ((-1, "click"), (-2, "error")),
+) -> DataFrame:
+    """The events fixture as a stream PLUS a far-future sentinel file that
+    drives the watermark past every real row once the replay drains.
+
+    Outer joins and other watermark-finalized operators need this on finite
+    input: without a late flush row, everything within ``watermark + upper``
+    of the end of input stays buffered forever and the availableNow result
+    silently misses its null-padded tail. The sentinel rows carry negative
+    ``user_id``/``event_id`` (one per (user_id, event_type) spec, pairwise
+    non-joinable) and a timestamp 30 days past the real maximum; callers
+    filter ``user_id >= 0`` from results. The work dir holds a symlink to
+    the fixture plus the sentinel parquet, built once per process."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_src = os.path.join(sf_dir, "events.parquet")
+    link = os.path.join(work_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(ev_src, link)
+    raw = spark.read.parquet(ev_src)
+    sent = os.path.join(work_dir, "sentinel")
+    if not os.path.exists(os.path.join(sent, "_SUCCESS")):
+        from pyspark.sql import types as T
+
+        mx = raw.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            future = int(mx) + 30 * 86400 * 1_000_000_000  # ns
+        else:
+            import datetime
+
+            future = mx + datetime.timedelta(days=30)
+        rows = []
+        for i, (uid, etype) in enumerate(sentinel_specs):
+            vals = {
+                "event_id": -1_000_000 - i,
+                "ts": future,
+                "user_id": uid,
+                "event_type": etype,
+                "value": 0.0,
+                "props": None,
+            }
+            rows.append(tuple(vals[f.name] for f in raw.schema.fields))
+        spark.createDataFrame(rows, raw.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sent)
+    df = (
+        spark.readStream.schema(raw.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(work_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

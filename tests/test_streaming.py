@@ -392,3 +392,146 @@ def test_apply_in_pandas_with_state_across_micro_batches(spark, tmp_path):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert final == want
+
+
+def test_stream_stream_outer_emission_timing(spark, tmp_path):
+    """Left-outer stream-stream join: null-padded rows emit on WATERMARK
+    passage, not row arrival. With one file per trigger: the matched pair
+    emits in the data batch where both rows have arrived; the unmatched
+    row's null result emits only in a LATER batch, after the sentinel file
+    has pushed the watermark past its eviction point."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    d = str(tmp_path / "src")
+    real = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click"),
+            (2, "2024-01-01 10:05:00", 7, "error"),  # matches click 1
+            (3, "2024-01-01 12:00:00", 8, "click"),  # unmatched -> null row
+        ],
+        "event_id int, ts string, user_id int, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sent = spark.createDataFrame(
+        [(-1, "2024-02-01 10:00:00", -1, "click"),
+         (-2, "2024-02-01 10:00:00", -2, "error")],
+        "event_id int, ts string, user_id int, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    real.coalesce(1).write.parquet(d + "/b1")
+    time.sleep(1.1)  # file source orders by mtime: sentinel strictly later
+    sent.coalesce(1).write.parquet(d + "/b2")
+
+    ev = (
+        spark.readStream.schema("event_id int, ts timestamp, user_id int, event_type string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    joined = ST.stream_stream_outer_join(
+        clicks, errors, key="user_id", left_ts="click_ts", right_ts="err_ts",
+        watermark="1 minute", upper="10 minutes",
+    ).select("click_id", "user_id", "err_id")
+
+    batches: list[tuple[int, list[tuple]]] = []
+
+    def rec(bdf, bid):
+        batches.append((bid, sorted(tuple(r) for r in bdf.collect())))
+
+    q = (
+        joined.writeStream.foreachBatch(rec)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(180), "drain timed out"
+
+    emitted = {bid: rows for bid, rows in batches if rows}
+    all_rows = [r for _, rows in batches for r in rows]
+    # final result: the match, the null row, and NOTHING from the sentinels
+    assert sorted(all_rows) == [(1, 7, 2), (3, 8, None)]
+    match_batch = next(b for b, rows in emitted.items() if (1, 7, 2) in rows)
+    null_batch = next(b for b, rows in emitted.items() if (3, 8, None) in rows)
+    # the null row CANNOT emit in the batch its data arrived in (batch 0) —
+    # it needs the sentinel batch to move the watermark, then the eviction
+    # pass emits it; the matched row needs no watermark at all
+    assert match_batch == 0
+    assert null_batch >= 2, f"null emitted too early (batch {null_batch})"
+
+    # the self-join key stays the LEFT side's value on null rows (the
+    # ambiguous-drop variant used to surface the right side's NULL here)
+    assert (3, 8, None) in all_rows
+
+
+def test_outer_join_output_filter_pushdown_trap(spark, tmp_path):
+    """Document the Catalyst trap the certified query must avoid: a
+    'defensive' output filter on the join key gets constraint-propagated
+    into BOTH source scans, prunes the watermark-flush sentinels, and the
+    unmatched tail silently never emits. If a future Spark stops pushing
+    the constraint, this test flips and the query can re-add the filter."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    d = str(tmp_path / "src")
+    real = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click"),
+            (2, "2024-01-01 10:05:00", 7, "error"),
+            (3, "2024-01-01 12:00:00", 8, "click"),
+        ],
+        "event_id int, ts string, user_id int, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sent = spark.createDataFrame(
+        [(-1, "2024-02-01 10:00:00", -1, "click"),
+         (-2, "2024-02-01 10:00:00", -2, "error")],
+        "event_id int, ts string, user_id int, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    real.coalesce(1).write.parquet(d + "/b1")
+    time.sleep(1.1)
+    sent.coalesce(1).write.parquet(d + "/b2")
+
+    def run(with_filter: bool, name: str):
+        ev = (
+            spark.readStream.schema(
+                "event_id int, ts timestamp, user_id int, event_type string"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        clicks = ev.filter("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        )
+        errors = ev.filter("event_type = 'error'").select(
+            F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+        )
+        j = ST.stream_stream_outer_join(
+            clicks, errors, key="user_id", left_ts="click_ts", right_ts="err_ts",
+            watermark="1 minute", upper="10 minutes",
+        )
+        if with_filter:
+            j = j.filter(F.col("user_id") >= 0)
+        out = j.select("click_id", "user_id", "err_id")
+        q = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return sorted(tuple(r) for r in spark.table(name).collect())
+
+    # without the filter: complete result, sentinels invisible by construction
+    assert run(False, "oj_nofilter") == [(1, 7, 2), (3, 8, None)]
+    # with the filter: the sentinel prune freezes the watermark — null row lost
+    assert run(True, "oj_filter") == [(1, 7, 2)]
