@@ -1041,3 +1041,35 @@ def test_png_features_match_python(spark):
         assert r["mean_g"] == round(sum(chans[1]) / n, 6)
         assert r["mean_b"] == round(sum(chans[2]) / n, 6)
         assert r["compressed_bytes"] > 0
+
+
+def test_bpe_batched_equals_serial_with_fewer_jobs(spark):
+    """The batched BPE trainer (provably order-equivalent merge batching)
+    learns the BIT-IDENTICAL merge table to the one-merge-per-job serial
+    loop (lookahead=1), at 12 rounds on the fixture corpus, with at most
+    half the Spark jobs and at most half the driver round-trips."""
+    from arc_cassandra_pipeline_plugin_spark.operators.text import bpe_train
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.count()  # warm the scan
+    sc = spark.sparkContext
+
+    def run(lookahead):
+        ids0 = set(sc.statusTracker().getJobIdsForGroup())
+        table = [
+            (r["round"], r["p1"], r["p2"], r["cnt"])
+            for r in bpe_train(docs, rounds=12, lookahead=lookahead)
+            .orderBy("round")
+            .collect()
+        ]
+        jobs = len(set(sc.statusTracker().getJobIdsForGroup()) - ids0)
+        return table, jobs, bpe_train.last_iterations
+
+    serial_table, serial_jobs, serial_iters = run(1)
+    batched_table, batched_jobs, batched_iters = run(16)
+    assert batched_table == serial_table, "batching changed the merge table"
+    assert len(serial_table) == 12
+    assert serial_iters == 12
+    assert batched_iters * 2 <= serial_iters, (batched_iters, serial_iters)
+    assert batched_jobs * 2 <= serial_jobs, (batched_jobs, serial_jobs)
