@@ -169,7 +169,12 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
     if materialize:
-        stacked = stacked.localCheckpoint(eager=True)
+        # lazy checkpoint: when the skew probe below runs, ITS job
+        # materializes the checkpoint blocks — the probe rides the
+        # materialization pass instead of paying a separate job
+        # (an eager checkpoint + probe was two jobs; measured as the
+        # r3 bench uptick on this operator)
+        stacked = stacked.localCheckpoint(eager=salt_buckets <= 1)
     if salt_buckets > 1:
         # hot-bucket detection is one cheap agg over the checkpointed
         # banded rows; the hot set is bounded by n_rows/skew_threshold
@@ -181,8 +186,9 @@ def lsh_candidate_pairs(
             .select("band_id", "band_hash", F.lit(True).alias("_hot"))
         )
         # healthy corpora have NO hot bucket — probe once (map-side-combined
-        # agg over the checkpoint) and keep the plain 2-key join, instead of
-        # dragging salt columns and a replication explode through every run
+        # agg that doubles as the checkpoint materialization) and keep the
+        # plain 2-key join, instead of dragging salt columns and a
+        # replication explode through every run
         if materialize and hot.isEmpty():
             salt_buckets = 0
     if salt_buckets > 1:
