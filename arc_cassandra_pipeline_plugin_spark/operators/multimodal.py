@@ -713,6 +713,28 @@ def resize_png(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return assets.mapInPandas(batches, schema="asset_id bigint, payload binary")
 
 
+def resample_wav(assets: DataFrame, out_rate: int) -> DataFrame:
+    """REAL audio resample through the codec: decode each WAV,
+    nearest-sample resample to ``out_rate`` (output sample ``j`` takes
+    input sample ``j*in_rate div out_rate`` — the audio twin of
+    nearest-neighbor image resize, integer math an SQL oracle replays
+    exactly), re-encode at the new rate. One Arrow batch in, one out; the
+    RIFF container is parsed and rebuilt per asset."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                in_rate, samples = decode_wav_pcm16(payload)
+                n_out = len(samples) * out_rate // in_rate
+                out = [samples[j * in_rate // out_rate] for j in range(n_out)]
+                ids_.append(aid)
+                payloads.append(encode_wav_pcm16(out, out_rate))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    return assets.mapInPandas(batches, schema="asset_id bigint, payload binary")
+
+
 WAV_FRAME_SCHEMA = "asset_id bigint, frame_idx int, n_samples int, peak_abs int, rms double"
 
 

@@ -835,6 +835,43 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_resample",
+    category="multimodal",
+    oracle="""
+WITH d AS (SELECT doc_id AS asset_id, 100 + doc_id % 50 AS n FROM documents),
+o AS (SELECT asset_id, n, n * 3000 // 8000 AS n_out FROM d),
+s AS (SELECT asset_id, n_out, unnest(range(0, n_out)) AS j FROM o),
+v AS (
+  SELECT asset_id, n_out,
+         ((asset_id * 31 + (j * 8000 // 3000) * 17) % 2048) - 1024 AS smp
+  FROM s),
+agg AS (
+  SELECT asset_id, max(n_out) AS n_out, max(abs(smp)) AS peak_abs,
+         sum(smp * smp) AS ss, count(*) AS cnt
+  FROM v GROUP BY asset_id)
+SELECT asset_id,
+       3000 AS sample_rate,
+       CAST(n_out AS INT) AS n_samples,
+       CAST(n_out * 1000 // 3000 AS INT) AS duration_ms,
+       CAST(peak_abs AS INT) AS peak_abs,
+       round(sqrt(ss * 1.0 / cnt), 6) AS rms
+FROM agg
+""",
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample through the codec (operators/multimodal.py
+    resample_wav): every synthesized 8 kHz WAV decodes, nearest-sample
+    resamples to 3 kHz (output j takes input j*8000 div 3000 — exact
+    integer grid, non-divisor ratio so the grid actually skips), re-encodes
+    through the RIFF writer, and decodes AGAIN for features — the container
+    is parsed and rebuilt per asset and the oracle re-derives every output
+    sample from the input formula."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resampled = M.resample_wav(M.synthesize_wav_assets(docs), out_rate=3000)
+    return M.wav_features(resampled)
+
+
+@register(
     "multimodal_png_roundtrip",
     category="multimodal",
     oracle="""
@@ -2627,6 +2664,57 @@ def streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     out = joined.select("click_id", "user_id", "err_id")
     return ST.run_stream_to_memory(
         out, "stream_stream_outer_result", output_mode="append"
+    )
+
+
+@register(
+    "streaming_stream_stream_full_outer",
+    category="streaming",
+    oracle=f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+  WHERE event_type = 'click' AND user_id < {_SSJ_MAX_USER}),
+e AS (
+  SELECT event_id AS err_id, user_id, ts AS ets FROM events
+  WHERE event_type = 'error' AND user_id < {_SSJ_MAX_USER})
+SELECT c.click_id, coalesce(c.user_id, e.user_id) AS user_id, e.err_id
+FROM c FULL JOIN e
+  ON c.user_id = e.user_id
+ AND e.ets > c.cts AND e.ets <= c.cts + INTERVAL {_SSJ_UPPER_MIN} MINUTE
+""",
+)
+def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — BOTH sides' unmatched rows
+    must surface null-padded on watermark expiry: clicks with no error in
+    the next 10 minutes AND errors with no click in the preceding 10
+    minutes. State eviction is two-sided (left rows finalize at
+    click_ts + upper, right rows at err_ts), both driven by the
+    sentinel-flushed watermark; the output key coalesces across sides.
+    Certified against the batch FULL JOIN, null rows on both sides in the
+    value hash."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    work = scratch_dir(f"ssouter_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = ST.events_stream_flushed(spark, sf_dir, work).filter(
+        F.col("user_id") < _SSJ_MAX_USER
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    joined = ST.stream_stream_outer_join(
+        clicks, errors, key="user_id", left_ts="click_ts", right_ts="err_ts",
+        upper=f"{_SSJ_UPPER_MIN} minutes", how="fullOuter",
+    )
+    out = joined.select("click_id", "user_id", "err_id")
+    return ST.run_stream_to_memory(
+        out, "stream_stream_full_outer_result", output_mode="append"
     )
 
 

@@ -360,7 +360,13 @@ def stream_stream_outer_join(
         & (F.col(right_ts) > F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, how).drop("__rkey")
+    joined = l.join(r, cond, how)
+    # surface ONE key column: the left's where present, the right's on
+    # right-outer/full-outer null-padded rows (coalesce is a no-op for
+    # inner/leftOuter, where the left key is always populated)
+    return joined.withColumn(key, F.coalesce(F.col(key), F.col("__rkey"))).drop(
+        "__rkey"
+    )
 
 
 def events_stream_flushed(

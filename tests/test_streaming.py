@@ -472,11 +472,14 @@ def test_stream_stream_outer_emission_timing(spark, tmp_path):
 
 
 def test_outer_join_output_filter_pushdown_trap(spark, tmp_path):
-    """Document the Catalyst trap the certified query must avoid: a
-    'defensive' output filter on the join key gets constraint-propagated
-    into BOTH source scans, prunes the watermark-flush sentinels, and the
-    unmatched tail silently never emits. If a future Spark stops pushing
-    the constraint, this test flips and the query can re-add the filter."""
+    """The Catalyst trap and its structural defusal: an output filter on a
+    single-side column gets constraint-propagated into that source scan,
+    prunes the watermark-flush sentinels, and the unmatched tail silently
+    never emits. The join's surfaced key is coalesce(left.key, right.key) —
+    a both-sides expression Catalyst CANNOT push below the join — so a
+    'defensive' filter on the KEY is safe by construction (second run).
+    A filter on a genuinely left-only column still exhibits the trap
+    (third run) — that is a Spark semantics fact this test documents."""
     import time
 
     from pyspark.sql import functions as F
@@ -501,7 +504,7 @@ def test_outer_join_output_filter_pushdown_trap(spark, tmp_path):
     time.sleep(1.1)
     sent.coalesce(1).write.parquet(d + "/b2")
 
-    def run(with_filter: bool, name: str):
+    def run(out_filter, name: str):
         ev = (
             spark.readStream.schema(
                 "event_id int, ts timestamp, user_id int, event_type string"
@@ -519,8 +522,8 @@ def test_outer_join_output_filter_pushdown_trap(spark, tmp_path):
             clicks, errors, key="user_id", left_ts="click_ts", right_ts="err_ts",
             watermark="1 minute", upper="10 minutes",
         )
-        if with_filter:
-            j = j.filter(F.col("user_id") >= 0)
+        if out_filter is not None:
+            j = j.filter(out_filter)
         out = j.select("click_id", "user_id", "err_id")
         q = (
             out.writeStream.format("memory").queryName(name).outputMode("append")
@@ -532,6 +535,10 @@ def test_outer_join_output_filter_pushdown_trap(spark, tmp_path):
         return sorted(tuple(r) for r in spark.table(name).collect())
 
     # without the filter: complete result, sentinels invisible by construction
-    assert run(False, "oj_nofilter") == [(1, 7, 2), (3, 8, None)]
-    # with the filter: the sentinel prune freezes the watermark — null row lost
-    assert run(True, "oj_filter") == [(1, 7, 2)]
+    assert run(None, "oj_nofilter") == [(1, 7, 2), (3, 8, None)]
+    # filter on the surfaced KEY (a coalesce over both sides): cannot push
+    # below the join, sentinels reach the watermark operator, null row kept
+    assert run(F.col("user_id") >= 0, "oj_keyfilter") == [(1, 7, 2), (3, 8, None)]
+    # filter on a left-only column: pushed into the left scan, left sentinel
+    # pruned, left watermark frozen short of click_ts+upper — null row lost
+    assert run(F.col("click_id") >= 0, "oj_leftfilter") == [(1, 7, 2)]
