@@ -511,6 +511,19 @@ def connected_components_star(
 #: that the prefix path is used regardless of rep count.
 _SETSIM_BITMASK_VOCAB_MAX = 1024
 
+#: a prefix-join candidate row costs at least this many times a branch-free
+#: popcount pair eval (shuffle write+read, distinct hash, verify join vs a
+#: few codegen'd long ops) — measured on the sf1 twin: 350M candidate rows
+#: ≈ 57 s vs 774M pair evals ≈ 4 s on the same 32 cores (>200×; 16 is a
+#: deliberately conservative floor so sparse corpora keep the prefix path)
+_SETSIM_ALLPAIRS_COST_FACTOR = 16
+
+#: the all-pairs sweep broadcasts the mask table to every executor; cap its
+#: payload (reps × (mask words + id/size) × 8 bytes) well under Spark's
+#: broadcast limits so the adaptive choice can never pick an un-shippable
+#: plan on a real cluster
+_SETSIM_BITMASK_BROADCAST_MAX = 64 << 20
+
 
 def _setsim_allpairs_bitmask(
     reps: DataFrame,
@@ -641,22 +654,37 @@ def setsim_join_prefix(
     size (measured 10× on the sf0.1 near-dup corpus: 87 s → ~8 s).
 
     **Adaptive strategy** (AQE-style, picked from observed statistics at
-    runtime): when the number of distinct representative sets R is at most
-    ``allpairs_rep_limit`` AND the vocabulary fits a fixed bitmask
-    (``_SETSIM_BITMASK_VOCAB_MAX`` = 1024 tokens -> 16 longs), candidate
-    generation is skipped entirely and every size-compatible rep pair is
-    verified under a broadcast nested-loop sweep with popcount overlap
-    counting (:func:`_setsim_allpairs_bitmask`) -- one codegen pass, zero
-    shuffles. Prefix filtering is the scale path (R in the millions), but
-    it cannot beat the output bound when a large fraction of pairs truly
-    pass, and hot-token blowup is precisely the small-vocabulary regime:
-    on the sf0.1 near-dup corpus (R=3935, V=31 distinct tokens, 26% of ALL
-    rep pairs passing at t=0.7) the prefix join materializes 35M raw
-    candidate rows plus a 12M-row dedup shuffle only to rediscover the 2M
-    passing pairs the direct sweep finds with branch-free long arithmetic.
-    Small R with a LARGE vocabulary keeps the prefix path (rare tokens
-    exist, so the filter is effective); both paths produce identical
-    output.
+    runtime, in two stages):
+
+    1. *Early gate*: when the number of distinct representative sets R is
+       at most ``allpairs_rep_limit`` AND the vocabulary fits a fixed
+       bitmask (``_SETSIM_BITMASK_VOCAB_MAX`` = 1024 tokens -> 16 longs),
+       candidate generation is skipped entirely and every size-compatible
+       rep pair is verified under a broadcast nested-loop sweep with
+       popcount overlap counting (:func:`_setsim_allpairs_bitmask`) -- one
+       codegen pass, zero shuffles.
+    2. *Late cost-based re-plan*: when R exceeds the early gate, the
+       materialized prefix table's per-token counts give the EXACT raw
+       candidate row count the prefix equi-join would emit
+       (``sum_t c_t*(c_t-1)/2``). If the all-pairs pair count
+       ``R*(R-1)/2`` is cheaper under a conservative exchange rate
+       (``_SETSIM_ALLPAIRS_COST_FACTOR`` pair evals per candidate row) and
+       the mask table passes the vocabulary + broadcast-byte gates, the
+       sweep is chosen anyway -- a dense template corpus does not escape
+       the fast path just by growing. Measured on the 10x sf0.1 twin
+       (R=39k, V=310): prefix path 57 s -> sweep ~4 s, identical output.
+
+    Prefix filtering is the scale path (R in the millions with a real
+    vocabulary), but it cannot beat the output bound when a large fraction
+    of pairs truly pass, and hot-token blowup is precisely the
+    small-vocabulary regime: on the sf0.1 near-dup corpus (R=3935, V=31
+    distinct tokens, 26% of ALL rep pairs passing at t=0.7) the prefix
+    join materializes 35M raw candidate rows plus a 12M-row dedup shuffle
+    only to rediscover the 2M passing pairs the direct sweep finds with
+    branch-free long arithmetic. Small R with a LARGE vocabulary keeps the
+    prefix path (rare tokens exist, so the filter is effective); both
+    paths produce identical output. ``allpairs_rep_limit <= 0`` disables
+    the sweep entirely (used by tests to force the prefix path).
     """
     from pyspark.sql.window import Window
 
@@ -695,7 +723,7 @@ def setsim_join_prefix(
         F.col("ma") + F.col("mb") - F.col("c")
     )
     n_reps = reps.count()  # reps is checkpointed; this reads the snapshot
-    if n_reps <= allpairs_rep_limit:
+    if 0 < n_reps <= allpairs_rep_limit:
         vocab = reps.select(F.explode("arr").alias("token")).distinct()
         n_vocab = vocab.count()
         if n_vocab <= _SETSIM_BITMASK_VOCAB_MAX:
@@ -725,6 +753,40 @@ def setsim_join_prefix(
         .select("rid", "token", "pos", "m")
         .localCheckpoint(eager=True)
     )
+    # LATE cost-based re-plan (AQE-style, from exact observed statistics):
+    # when R exceeded the fast-path gate, the prefix table is already
+    # materialized, and its per-token counts give the EXACT number of raw
+    # candidate rows the equi-join below would emit: sum_t c_t*(c_t-1)/2.
+    # The all-pairs sweep costs R*(R-1)/2 branch-free popcount evals with
+    # zero shuffle; a candidate row costs >= _SETSIM_ALLPAIRS_COST_FACTOR
+    # pair evals (shuffle + distinct + verify join). Pick the sweep when it
+    # is cheaper under that conservative exchange rate AND the mask table
+    # fits the vocabulary/broadcast gates. Dense template corpora (small
+    # skewed vocabulary, most pairs truly similar) land here no matter how
+    # large R grows; sparse corpora keep est_cand << R^2 and stay on the
+    # prefix path. allpairs_rep_limit <= 0 disables the sweep entirely.
+    if allpairs_rep_limit > 0 and n_reps > allpairs_rep_limit:
+        est_cand = (
+            prefix.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("s"))
+            .collect()[0][0]
+            or 0.0
+        )
+        pair_work = n_reps * (n_reps - 1) / 2
+        if pair_work <= _SETSIM_ALLPAIRS_COST_FACTOR * est_cand:
+            vocab = reps.select(F.explode("arr").alias("token")).distinct()
+            n_vocab = vocab.count()
+            n_words = (n_vocab + 63) // 64
+            mask_bytes = n_reps * (n_words + 2) * 8
+            if (
+                n_vocab <= _SETSIM_BITMASK_VOCAB_MAX
+                and mask_bytes <= _SETSIM_BITMASK_BROADCAST_MAX
+            ):
+                return _setsim_allpairs_bitmask(
+                    reps, members, vocab, n_vocab, threshold_pct,
+                    verify_ok, jaccard_of_c, id_col,
+                )
     # positional filter (PPJoin): a token match at positions (pa, pb) bounds
     # the overlap by ub = 1 + min(ma-pa, mb-pb); rows whose bound can't
     # reach the threshold are dropped BEFORE the pair-dedup shuffle. Exact:

@@ -128,3 +128,72 @@ def global_ntile(
             rn <= F.lit(big_span), F.floor((rn - 1) / (base + 1)) + 1
         ).otherwise(F.lit(rem) + F.floor((rn - F.lit(big_span) - 1) / base) + 1)
     return ranked.withColumn(out_col, tile.cast("int")).drop("__rn")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_key: str,
+    value_col: str,
+    tiebreaks: list[str] | None = None,
+    out_col: str = "prefix_sum",
+    num_buckets: int = 32,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact EXCLUSIVE global prefix sum of ``value_col`` under
+    ``ORDER BY order_key, *tiebreaks`` — the running-total twin of
+    :func:`global_row_number`, same two-phase shape: range-bucket on the
+    leading key (GK-sketch boundaries), running sum WITHIN each bucket
+    under a partitioned window, plus each bucket's total-of-lower-buckets
+    offset broadcast back as an O(buckets) table. No single-partition
+    window anywhere.
+
+    ``value_col`` must be integral — both the per-bucket totals and the
+    window sums add exact longs, so the result is independent of partition
+    order (float running sums would not be). ``(order_key, *tiebreaks)``
+    must be a total order, as for every deterministic global rank here.
+    Exclusive convention: a row's ``out_col`` is the sum of all STRICTLY
+    preceding rows' values (the first row gets 0) — the natural "global
+    offset of this row's first unit", which is what sequence packing
+    consumes.
+    """
+    tiebreaks = tiebreaks or []
+    spark = df.sparkSession
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    row = df.select(F.percentile_approx(order_key, qs, accuracy).alias("b")).first()
+    bounds = sorted(set(row["b"] or []))
+    if not bounds:
+        bucketed = df.withColumn("__bucket", F.lit(0))
+    else:
+        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        bucketed = df.withColumn(
+            "__bucket",
+            F.size(F.filter(bounds_arr, lambda b: b < F.col(order_key))),
+        )
+    bucketed = bucketed.localCheckpoint(eager=True)
+    sums = sorted(
+        (r["__bucket"], int(r["s"] or 0))
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for bucket, s in sums:
+        offsets.append((bucket, running))
+        running += s
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__bucket INT, __offset BIGINT"
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_key, *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running_incl = F.sum(F.col(value_col).cast("long")).over(w)
+    return (
+        bucketed.join(F.broadcast(offsets_df), "__bucket")
+        .withColumn(
+            out_col,
+            (running_incl + F.col("__offset") - F.col(value_col)).cast("long"),
+        )
+        .drop("__bucket", "__offset")
+    )

@@ -2123,3 +2123,59 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         ((F.col("pos") - 1) % _EPOCH_SHARDS).cast("int").alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: concat-and-chunk context windows
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_context_windows",
+    category="sampling",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM d WHERE n_tokens > 0),
+e AS (
+  SELECT doc_id, n_tokens, s,
+         unnest(range(s // {_PACK_BUDGET},
+                      (s + n_tokens - 1) // {_PACK_BUDGET} + 1)) AS chunk_id
+  FROM p)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(0, chunk_id * {_PACK_BUDGET} - s) AS BIGINT) AS doc_from,
+       CAST(least(n_tokens, (chunk_id + 1) * {_PACK_BUDGET} - s) AS BIGINT)
+         AS doc_to,
+       CAST(greatest(0, s - chunk_id * {_PACK_BUDGET}) AS BIGINT) AS chunk_from,
+       CAST(least(n_tokens, (chunk_id + 1) * {_PACK_BUDGET} - s)
+            - greatest(0, chunk_id * {_PACK_BUDGET} - s) AS BIGINT) AS n_slice
+FROM e
+""",
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.pack_sequences):
+    documents in doc_id order are laid out on one global token stream and
+    split at 512-token window boundaries; each output row is the span of a
+    document inside one window. The global offsets come from the two-phase
+    exclusive prefix sum (operators/ranking.global_prefix_sum) — no
+    single-partition window — and every boundary is exact long arithmetic,
+    so the DuckDB window-sum oracle replays it bit-for-bit."""
+    from arc_cassandra_pipeline_plugin_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("n_tokens"),
+    )
+    return pack_sequences(docs, budget=_PACK_BUDGET).drop("n_tokens")

@@ -673,6 +673,45 @@ def test_setsim_adaptive_paths_agree_and_pick_bitmask(spark):
     assert out.count() == 0
 
 
+def test_setsim_late_cost_replan(spark):
+    """Late cost-based re-plan: when R exceeds allpairs_rep_limit, the
+    decision falls to the exact candidate-count statistic from the
+    materialized prefix table. A dense small-vocab corpus (every prefix
+    token hot, most pairs passing) must come BACK to the bitmask sweep;
+    a sparse corpus (disjoint tokens, zero candidates) must stay on the
+    prefix path — R²/2 popcount evals for a provably-empty output would
+    be pure waste."""
+    # dense: 60 reps > limit=10, vocab 30 tokens, most pairs similar
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(30) if (i + j) % 5 != 0))
+        for i in range(60)
+    ]
+    df = _docs(spark, rows)
+    fast = D.setsim_join_prefix(df, threshold_pct=60, allpairs_rep_limit=10)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, "late re-plan missed the sweep"
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in fast.collect()}
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.setsim_join_prefix(
+            df, threshold_pct=60, allpairs_rep_limit=0
+        ).collect()
+    }
+    assert got == want and got
+
+    # sparse: 30 reps > limit=10, pairwise-disjoint tokens -> est_cand = 0
+    sparse = _docs(
+        spark,
+        [(i, " ".join(f"u{i}t{j}" for j in range(8))) for i in range(30)],
+    )
+    out = D.setsim_join_prefix(sparse, threshold_pct=50, allpairs_rep_limit=10)
+    plan_sparse = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_sparse, (
+        "cost model chose an all-pairs sweep for a zero-candidate corpus"
+    )
+    assert out.count() == 0
+
+
 def test_setsim_multiword_bitmask_overlap_exact(spark):
     """Vocabulary between 65 and 128 tokens exercises the multi-long
     bitmask (2 words): popcount overlap must equal the true intersection
@@ -1073,3 +1112,75 @@ def test_bpe_batched_equals_serial_with_fewer_jobs(spark):
     assert serial_iters == 12
     assert batched_iters * 2 <= serial_iters, (batched_iters, serial_iters)
     assert batched_jobs * 2 <= serial_jobs, (batched_jobs, serial_jobs)
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk packing: per-doc spans tile [0, n_tokens) in chunk
+    order; per-window slices tile [0, budget) exactly (last window may end
+    short); zero-token docs are dropped; offsets are a pure function of the
+    doc_id order."""
+    from arc_cassandra_pipeline_plugin_spark.operators.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 23) for i in range(50)]  # includes n_tokens == 0
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    budget = 10
+    out = pack_sequences(df, budget=budget).collect()
+
+    # replay the packing in plain Python as the ground truth
+    start, expect = 0, []
+    for i, n in rows:
+        if n == 0:
+            continue
+        for k in range(start // budget, (start + n - 1) // budget + 1):
+            f = max(0, k * budget - start)
+            t = min(n, (k + 1) * budget - start)
+            expect.append((i, k, f, t, max(0, start - k * budget), t - f))
+        start += n
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["doc_from"], r["doc_to"],
+         r["chunk_from"], r["n_slice"])
+        for r in out
+    )
+    assert got == sorted(expect)
+
+    # window tiling: every chunk except the last sums to exactly budget,
+    # with slices contiguous from offset 0
+    by_chunk: dict[int, list] = {}
+    for d, k, f, t, cf, ns in got:
+        by_chunk.setdefault(k, []).append((cf, ns))
+    last = max(by_chunk)
+    for k, slices in by_chunk.items():
+        slices.sort()
+        pos = 0
+        for cf, ns in slices:
+            assert cf == pos, f"gap in chunk {k}"
+            pos += ns
+        if k != last:
+            assert pos == budget
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """Two-phase exclusive prefix sum equals the single-window reference on
+    a shuffled input, including duplicate leading keys resolved by the
+    tiebreak."""
+    import random
+
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, i % 17, rng.randint(0, 9)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "rid long, key int, v int").repartition(8)
+    got = {
+        r["rid"]: r["ps"]
+        for r in global_prefix_sum(
+            df, "key", "v", tiebreaks=["rid"], out_col="ps", num_buckets=8
+        ).collect()
+    }
+    running, expect = 0, {}
+    for rid, key, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        expect[rid] = running
+        running += v
+    assert got == expect
