@@ -649,3 +649,86 @@ dtok AS (
   FROM {table})
 SELECT {id_col}, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
 FROM dtok JOIN wmap USING (w) GROUP BY {id_col}"""
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a small query-term list —
+    the classic probabilistic retrieval score (Robertson/Sparck Jones):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+
+    Distributed shape: one token explode; doc lengths are a linear groupBy;
+    corpus stats (N, total tokens) a broadcast 1-row aggregate; the term
+    list joins in as a broadcast table so only query-term occurrences
+    survive into the (doc, term) tf aggregation; per-term document
+    frequencies are an O(|terms|) aggregate joined back by broadcast. All
+    expressions JVM-side. Documents containing none of the terms are
+    absent from the output (their score is 0 by definition).
+
+    Cross-engine determinism: the single ``ln`` is rounded to 6 dp (the
+    repo's log convention — JVM vs libm differ by 1 ulp at boundaries),
+    every other op is IEEE-deterministic given identical expression shape,
+    each term's contribution is rounded to 6 dp and summed as an exact
+    DECIMAL, and the final score is rounded to 4 dp.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("corpus_tokens")
+    )
+    terms_df = spark.createDataFrame([(t,) for t in terms], "token string")
+    tf = (
+        toks.join(F.broadcast(terms_df), "token")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    avgdl = F.col("corpus_tokens") / F.col("n_docs")
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+            / (F.col("dfreq") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    # (k1 + 1.0) and (1.0 - b) are computed ENGINE-side, not in Python:
+    # e.g. the double sum 1.2 + 1.0 is NOT the double literal 2.2 (it
+    # rounds to the neighbor below), so a Python-folded constant would
+    # diverge from an oracle writing the same arithmetic. Both engines
+    # parse identical literals and fold identically.
+    den = F.col("tf") + F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    contrib = (
+        F.round((idf * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))) / den, 6)
+        .cast("decimal(18,6)")
+        .alias("c")
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, contrib)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"), F.sum("c").alias("__s"))
+        .select(
+            id_col,
+            F.col("n_hit").cast("int").alias("n_hit"),
+            F.round(F.col("__s").cast("double"), 4).alias("bm25"),
+        )
+    )

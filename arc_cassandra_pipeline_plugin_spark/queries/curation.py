@@ -2179,3 +2179,54 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens"),
     )
     return pack_sequences(docs, budget=_PACK_BUDGET).drop("n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "hash", "window", "spark", "columnar"]
+
+
+@register(
+    "text_bm25_ranking",
+    category="text",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS corpus_tokens FROM dl),
+q AS (SELECT unnest({_BM25_TERMS!r}) AS token),
+tf AS (
+  SELECT t.doc_id, t.token, count(*) AS tf
+  FROM tok t JOIN q USING (token) GROUP BY t.doc_id, t.token),
+dfr AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (round(ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0), 6)
+            * (tf.tf * (1.2 + 1.0)))
+           / (tf.tf + 1.2 * ((1.0 - 0.75)
+              + 0.75 * (dl.dl / (s.corpus_tokens / s.n_docs)))),
+           6) AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfr d USING (token)
+  CROSS JOIN stats s)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_hit,
+       round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+FROM contrib GROUP BY doc_id
+""",
+)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a 5-term query
+    (operators/text.bm25_scores): k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/
+    (df+0.5)). Doc lengths and corpus stats are linear aggregates, the term
+    list and per-term document frequencies ride broadcast joins, and every
+    constant is folded ENGINE-side with identical literal shape on both
+    engines (1.2+1.0 is not the double 2.2 — see the operator docstring)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.text import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
