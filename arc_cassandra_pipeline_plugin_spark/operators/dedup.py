@@ -863,3 +863,99 @@ def _setsim_expand(passing: DataFrame, members: DataFrame, id_col: str) -> DataF
         )
     )
     return cross.unionByName(within)
+
+
+def editdist_join_prefix(
+    df: DataFrame,
+    max_dist: int = 1,
+    q: int = 3,
+    text_col: str = "s",
+    id_col: str = "id",
+) -> DataFrame:
+    """All string pairs within Levenshtein distance ``max_dist``, found by
+    PREFIX-FILTERED q-gram blocking (the Ed-Join family, Xiao et al.,
+    VLDB'08) instead of an all-pairs sweep.
+
+    Filter chain, each step provably complete:
+
+    - *q-gram count bound*: one edit operation touches at most ``q``
+      distinct q-grams, so ``|Da \\ Db| <= max_dist*q`` for any pair within
+      distance ``max_dist`` (``Da`` = distinct q-grams of ``a``; any gram
+      of ``a`` untouched by every edit survives into ``b``).
+    - *prefix filter*: under one global total order on grams (ascending
+      corpus frequency, rarest first — ties broken lexically), two sets
+      whose difference is bounded by ``k = max_dist*q`` MUST share a gram
+      within each side's first ``k+1`` grams (classic prefix-filtering
+      lemma) — so candidates come from an equi-join on PREFIX grams only,
+      and the corpus-hot grams (the quadratic blowup) mostly stay out of
+      the join key.
+    - *length filter*: ``abs(len(a) - len(b)) <= max_dist`` is necessary
+      (each edit changes length by at most 1) and is applied inside the
+      candidate join.
+    - *verification*: ``levenshtein(a, b, max_dist)`` — Spark's
+      threshold form is banded DP, O(max_dist * len) per pair instead of
+      O(len^2), returning -1 past the threshold.
+
+    Scope: strings shorter than ``q`` characters have no q-grams and are
+    excluded (document-id keys and names are far longer in practice; a
+    production variant would all-pairs the tiny short-string stratum).
+
+    Scale shape: gram explode (linear) → frequency aggregate → per-string
+    rarest-(k+1) prefix (partitioned window) → prefix equi-join →
+    pair-distinct shuffle bounded by candidates → banded-DP verify.
+    Mirrors :func:`setsim_join_prefix`; the same duplicate-set collapsing
+    could be layered on top for corpora dominated by identical strings.
+    """
+    from pyspark.sql.window import Window
+
+    k = max_dist * q
+    strs = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .filter(F.length(text_col) >= q)
+        .select(
+            F.col(id_col).alias("rid"),
+            F.col(text_col).alias("s"),
+            F.length(text_col).alias("len"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams = strs.select(
+        "rid",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, len - {q} + 1),"
+                f" i -> substring(s, i, {q})))"
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_freq"))
+    w = Window.partitionBy("rid").orderBy("gram_freq", "gram")
+    prefix = (
+        grams.join(freq, "gram")
+        .select("rid", "gram", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= k + 1)
+        .join(strs.select("rid", "len"), "rid")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        prefix.select(F.col("rid").alias("ra"), "gram", F.col("len").alias("la"))
+        .join(
+            prefix.select(F.col("rid").alias("rb"), "gram", F.col("len").alias("lb")),
+            "gram",
+        )
+        .filter(F.col("ra") < F.col("rb"))
+        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        .select("ra", "rb")
+        .distinct()
+    )
+    return (
+        cand.join(strs.select(F.col("rid").alias("ra"), F.col("s").alias("sa")), "ra")
+        .join(strs.select(F.col("rid").alias("rb"), F.col("s").alias("sb")), "rb")
+        .withColumn("edit_dist", F.levenshtein("sa", "sb", max_dist))
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.col("ra").alias("id_a"),
+            F.col("rb").alias("id_b"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+    )

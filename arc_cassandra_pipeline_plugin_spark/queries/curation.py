@@ -2230,3 +2230,34 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_cassandra_pipeline_plugin_spark.operators.text import bm25_scores
 
     return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# Ed-Join: prefix-filtered edit-distance similarity join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_editdist_join",
+    category="dedup",
+    oracle="""
+WITH s AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist
+FROM s a JOIN s b
+  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1
+""",
+)
+def dedup_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within Levenshtein distance 1, via the
+    prefix-filtered q-gram Ed-Join (operators/dedup.editdist_join_prefix):
+    candidates only from rarest-(d*q+1) gram prefixes under a global
+    frequency order (provably complete), length filter inside the join,
+    banded-DP levenshtein verification. The oracle is the brute-force
+    length-banded all-pairs — feasible at oracle scale, exactly what the
+    filter chain provably reproduces."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    return D.editdist_join_prefix(cust, max_dist=1)

@@ -1184,3 +1184,55 @@ def test_global_prefix_sum_matches_window(spark):
         expect[rid] = running
         running += v
     assert got == expect
+
+
+def test_editdist_join_prefix_complete_vs_bruteforce(spark):
+    """Ed-Join completeness: the prefix-filtered candidate chain must find
+    EVERY pair within the distance bound — compared against a plain-Python
+    O(n^2) Levenshtein over strings with planted 0/1/2-edit variants."""
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import (
+        editdist_join_prefix,
+    )
+
+    base = [
+        "the quick brown fox jumps",
+        "pack my box with five dozen jugs",
+        "sphinx of black quartz judge my vow",
+        "how vexingly quick daft zebras jump",
+    ]
+    rows = []
+    rid = 0
+    for s in base:
+        for variant in (
+            s,                          # exact duplicate
+            s[:-1],                     # 1 deletion
+            s.replace("qu", "qx", 1),   # 1 substitution
+            "x" + s,                    # 1 insertion
+            s[:-2] + "zz",              # 2 substitutions
+            s.upper().lower() + " tail words",  # far away
+        ):
+            rows.append((rid, variant))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for d in (1, 2):
+        want = {
+            (a, b, lev(sa, sb))
+            for a, sa in rows
+            for b, sb in rows
+            if a < b and lev(sa, sb) <= d
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in editdist_join_prefix(df, max_dist=d).collect()
+        }
+        assert got == want, f"d={d}: missing {want - got}, extra {got - want}"
