@@ -762,3 +762,308 @@ def wav_frame_features(assets: DataFrame, frame_len: int = 32) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=WAV_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec: GIF89a (animated, palette-indexed) — the MULTI-FRAME container
+# path, pure stdlib including the compression: this module implements GIF's
+# variable-width LZW in BOTH directions (bit-packed LSB-first, CLEAR/EOI
+# codes, width growth at dictionary boundaries, 4096-entry reset, the KwKwK
+# special case), the container walk (logical screen descriptor, global +
+# local color tables, graphic-control extensions carrying per-frame delays,
+# sub-block framing), and 4-pass interlace row order on decode. An animated
+# GIF is the honest stand-in for video sampling: a real compressed container
+# with N timed frames. JPEG/MP3/H.264 remain gated on codec libraries.
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_compress(indices: list[int], min_code_size: int) -> bytes:
+    """GIF variable-width LZW. Width grows when the next free code reaches
+    the current width's capacity (mirrored exactly by the decoder, so the
+    bit streams stay aligned); at 4096 entries a CLEAR is emitted and the
+    dictionary resets."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset() -> tuple[dict, int, int]:
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, nxt, cs = reset()
+    emit(clear, cs)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], cs)
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << cs) and cs < 12:
+                cs += 1
+        else:
+            emit(clear, cs)
+            table, nxt, cs = reset()
+        w = (k,)
+    if w:
+        emit(table[w], cs)
+    emit(eoi, cs)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of :func:`_lzw_compress`; also accepts any spec-conforming
+    GIF LZW stream (handles KwKwK, deferred clears, full-table streams)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: dict[int, tuple[int, ...]] = {}
+    out: list[int] = []
+    cs = min_code_size + 1
+    nxt = eoi + 1
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(cs)
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            cs, nxt, prev = min_code_size + 1, eoi + 1, None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF: first code after clear not a literal")
+            entry = (code,)
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"GIF: code {code} beyond dictionary ({nxt})")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+        # "early change": the decoder's table lags the encoder's by one
+        # entry at every stream position (the encoder adds on emit, the
+        # decoder on the NEXT read), so the decoder must widen one entry
+        # before its own table hits the boundary to stay bit-aligned
+        if nxt == (1 << cs) - 1 and cs < 12:
+            cs += 1
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Pack bytes into <=255-byte length-prefixed sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[list[int]],
+    delays_cs: list[int],
+) -> bytes:
+    """GIF89a writer: global color table (padded to a power of two),
+    graphic-control extension per frame (delay in centiseconds), full-frame
+    non-interlaced image descriptors, REAL LZW-compressed index streams."""
+    import struct
+
+    n = max(2, len(palette))
+    depth = max(1, (n - 1).bit_length())
+    size = 1 << depth
+    pal = list(palette) + [(0, 0, 0)] * (size - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    for rgb in pal:
+        out += bytes(rgb)
+    mcs = max(2, depth)
+    for idx, frame in zip(delays_cs, frames):
+        out += bytes([0x21, 0xF9, 4, 0, idx & 0xFF, (idx >> 8) & 0xFF, 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        out.append(mcs)
+        out += _gif_subblocks(_lzw_compress(frame, mcs))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], list[tuple[int, int, int, int, int, list[int]]]]:
+    """GIF parser: validates the magic, walks the logical screen descriptor,
+    color tables, extensions (per-frame delay from graphic-control, other
+    extensions skipped by sub-block framing) and image descriptors,
+    LZW-decompresses every frame, and undoes 4-pass interlacing when the
+    descriptor says so. Returns ``(width, height, global_palette,
+    [(left, top, fw, fh, delay_cs, indices), ...])``."""
+    import struct
+
+    try:
+        return _decode_gif(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF: truncated or corrupt ({e})") from e
+
+
+def _decode_gif(payload: bytes):
+    import struct
+
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF: bad magic")
+    W, H, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(size)]
+        pos += 3 * size
+    frames = []
+    delay = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF: missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            return W, H, palette, frames
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:
+                delay = payload[pos + 2] | (payload[pos + 3] << 8)
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        left, top, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if iflags & 0x80:  # local color table (skipped: indices returned)
+            pos += 3 * (2 << (iflags & 0x07))
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idxs = _lzw_decompress(bytes(data), mcs)
+        if len(idxs) < fw * fh:
+            raise ValueError("GIF: frame pixel data short")
+        idxs = idxs[: fw * fh]
+        if iflags & 0x40:  # undo 4-pass interlace
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            rows = [idxs[r * fw : (r + 1) * fw] for r in range(fh)]
+            deinter = [None] * fh
+            for src, dst in enumerate(order):
+                deinter[dst] = rows[src]
+            idxs = [v for row in deinter for v in row]
+        frames.append((left, top, fw, fh, delay, idxs))
+        delay = 0
+
+
+GIF_FRAME_SCHEMA = (
+    "asset_id bigint, frame_idx int, delay_cs int, width int, height int, "
+    "n_px int, max_idx int, sum_idx bigint"
+)
+
+
+def gif_frame_features(assets: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video-style frame sampling through the REAL animated-GIF decoder:
+    each payload is parsed (container walk + LZW decompression per frame),
+    every ``every_n``-th frame is kept, and integer-exact per-frame stats
+    are emitted — the decode → frame-sample → featurize kernel of a video
+    pipeline, with a genuinely compressed container standing in for the
+    codec-library formats. One Arrow batch in, one out."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "frame_idx", "delay_cs", "width", "height",
+                "n_px", "max_idx", "sum_idx")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _w, _h, _pal, frames = decode_gif(payload)
+                for fi, (_l, _t, fw, fh, delay, idxs) in enumerate(frames):
+                    if fi % every_n:
+                        continue
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(fi)
+                    out["delay_cs"].append(delay)
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["n_px"].append(fw * fh)
+                    out["max_idx"].append(max(idxs) if idxs else 0)
+                    out["sum_idx"].append(sum(idxs))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64" if k in ("asset_id", "sum_idx")
+                              else "int32") for k, v in out.items()}
+            )
+
+    return assets.mapInPandas(batches, schema=GIF_FRAME_SCHEMA)
+
+
+def synthesize_gif_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic animated-GIF corpus for the encode→decode loop: asset
+    ``i`` is ``(5 + i%4) × (4 + i%3)`` with ``2 + i%3`` frames over a
+    16-color palette; frame ``f`` pixel ``p`` has index
+    ``(7i + 13f + 3p) % 16`` and delay ``4 + f`` cs — integer math an SQL
+    oracle replays exactly, serialized through the REAL LZW encoder so the
+    decoder faces genuine variable-width compressed streams."""
+    pal = [((17 * c) % 256, (29 * c) % 256, (43 * c) % 256) for c in range(16)]
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_ = pdf[id_col].tolist()
+            payloads = []
+            for i in ids_:
+                w, h = 5 + i % 4, 4 + i % 3
+                nf = 2 + i % 3
+                frames = [
+                    [(7 * i + 13 * f + 3 * p) % 16 for p in range(w * h)]
+                    for f in range(nf)
+                ]
+                payloads.append(encode_gif(w, h, pal, frames, [4 + f for f in range(nf)]))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")

@@ -1236,3 +1236,65 @@ def test_editdist_join_prefix_complete_vs_bruteforce(spark):
             for r in editdist_join_prefix(df, max_dist=d).collect()
         }
         assert got == want, f"d={d}: missing {want - got}, extra {got - want}"
+
+
+def test_gif_lzw_roundtrip_properties():
+    """GIF LZW self-consistency across code widths, the KwKwK case, and a
+    stream long enough to force the 4096-entry dictionary reset."""
+    import random
+
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    rng = random.Random(11)
+    for mcs in (2, 3, 4, 8):
+        for n in (0, 1, 2, 3, 17, 4000):
+            s = [rng.randrange(1 << mcs) for _ in range(n)]
+            assert M._lzw_decompress(M._lzw_compress(s, mcs), mcs) == s
+        assert M._lzw_decompress(M._lzw_compress([0] * 50, mcs), mcs) == [0] * 50
+    long = ([3] * 97 + [1, 2] * 55) * 120  # >30k symbols, dict reset path
+    assert M._lzw_decompress(M._lzw_compress(long, 4), 4) == long
+
+
+def test_gif_container_roundtrip_and_rejection():
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    pal = [(c, 2 * c, 3 * c) for c in range(16)]
+    frames = [[(p + f) % 16 for p in range(20)] for f in range(3)]
+    b = M.encode_gif(5, 4, pal, frames, [10, 20, 30])
+    W, H, p2, fr = M.decode_gif(b)
+    assert (W, H) == (5, 4) and p2 == pal
+    assert [f[5] for f in fr] == frames
+    assert [f[4] for f in fr] == [10, 20, 30]
+    import pytest
+
+    for bad in (b"NOTAGIF" + b"\x00" * 30, b[:-5], b[:10]):
+        with pytest.raises(ValueError):
+            M.decode_gif(bad)
+
+
+def test_gif_decoder_handles_interlace():
+    """A hand-built interlaced GIF (flag 0x40, rows stored in 4-pass order)
+    must decode back to natural row order — the branch the non-interlaced
+    encoder never exercises."""
+    import struct
+
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    w, h = 4, 8
+    frame = [(x + 3 * y) % 4 for y in range(h) for x in range(w)]
+    pass_order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = [v for r in pass_order for v in frame[r * w : (r + 1) * w]]
+    pal = [(c, c, c) for c in range(4)]
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", w, h, 0x80 | (2 - 1), 0, 0)
+    for rgb in pal:
+        payload += bytes(rgb)
+    payload += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)
+    payload.append(2)
+    payload += M._gif_subblocks(M._lzw_compress(stored, 2))
+    payload.append(0x3B)
+    _, _, _, fr = M.decode_gif(bytes(payload))
+    assert fr[0][5] == frame
