@@ -131,3 +131,68 @@ def power_iteration_oracle_sql(
         )
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT CAST(j AS INT) AS j, val AS loading FROM v{iters}"
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact d×d covariance (upper triangle) of an embedding column — the
+    PCA/whitening building block for the SMALL-d regime (d up to a few
+    thousand), complementary to :func:`power_iteration_top_component`
+    which exists precisely to avoid this materialization when d is huge.
+
+    Shape: a chained double ``posexplode`` turns each row into its
+    d(d+1)/2 upper-triangle outer-product terms with NO join (pure codegen
+    projection), then one ``groupBy(i, j)`` whose map-side combine reduces
+    shuffle volume to d²/2 rows PER PARTITION regardless of corpus size —
+    the canonical distributed Gram-matrix shape. Per-dimension sums ride a
+    second linear aggregate; the final covariance assembly joins three
+    O(d²)-sized frames (AQE broadcasts them).
+
+    Cross-engine determinism: every product is computed in double from the
+    float32 inputs, rounded to 6 dp and summed as exact DECIMAL (order-
+    free); the covariance ``E[xy] - E[x]E[y]`` assembly is then identical
+    double arithmetic on both engines. Output dims are 1-based.
+    """
+    a = df.select(
+        id_col,
+        vec_col,
+        F.posexplode(vec_col).alias("i0", "xi"),
+    )
+    pairs = a.select(
+        id_col,
+        "i0",
+        "xi",
+        F.posexplode(vec_col).alias("j0", "xj"),
+    ).filter(F.col("j0") >= F.col("i0"))
+    prod = (
+        F.round(F.col("xi").cast("double") * F.col("xj").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("p")
+    )
+    sxy = pairs.select("i0", "j0", prod).groupBy("i0", "j0").agg(
+        F.sum("p").alias("sxy")
+    )
+    dim_sums = a.select(
+        "i0",
+        F.round(F.col("xi").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    ).groupBy("i0").agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    si = dim_sums.select("i0", F.col("sx").alias("sx_i"), "n")
+    sj = dim_sums.select(F.col("i0").alias("j0"), F.col("sx").alias("sx_j"))
+    nd = F.col("n").cast("double")
+    return (
+        sxy.join(F.broadcast(si), "i0")
+        .join(F.broadcast(sj), "j0")
+        .select(
+            (F.col("i0") + 1).cast("int").alias("dim_i"),
+            (F.col("j0") + 1).cast("int").alias("dim_j"),
+            F.round(
+                F.col("sxy").cast("double") / nd
+                - (F.col("sx_i").cast("double") / nd)
+                * (F.col("sx_j").cast("double") / nd),
+                6,
+            ).alias("cov"),
+        )
+    )

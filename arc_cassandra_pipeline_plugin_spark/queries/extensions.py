@@ -3249,3 +3249,41 @@ def multimodal_gif_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     on genuinely compressed multi-frame payloads."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.gif_frame_features(M.synthesize_gif_assets(docs), every_n=2)
+
+
+@register(
+    "embedding_covariance",
+    category="similarity",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+idx AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM e),
+x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM idx),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(round(a.v * b.v, 6) AS DECIMAL(18,6)) AS p
+  FROM x a JOIN x b USING (vec_id) WHERE b.i >= a.i),
+sxy AS (SELECT i, j, sum(p) AS sxy FROM pairs GROUP BY i, j),
+dimsum AS (
+  SELECT i, sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS sx, count(*) AS n
+  FROM x GROUP BY i)
+SELECT CAST(s.i AS INT) AS dim_i,
+       CAST(s.j AS INT) AS dim_j,
+       round(CAST(s.sxy AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE))
+             * (CAST(b.sx AS DOUBLE) / CAST(a.n AS DOUBLE)), 6) AS cov
+FROM sxy s
+JOIN dimsum a ON a.i = s.i
+JOIN dimsum b ON b.i = s.j
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64×64 covariance upper triangle of the embedding corpus
+    (operators/linalg.covariance_matrix): chained posexplode outer-product
+    terms (no join), map-side-combined groupBy(i,j) — shuffle volume d²/2
+    per partition regardless of corpus size — with decimal-summed products
+    so partition order cannot perturb a single bit. The small-d complement
+    to the Gram-free power-iteration path."""
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import covariance_matrix
+
+    return covariance_matrix(load_table(spark, sf_dir, "embeddings"))

@@ -2231,3 +2231,36 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    category="ddl",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as the interchange format (Spark's second first-class columnar
+    source): a lineitem slice is written to ORC with zlib compression and
+    read back at query time; the aggregate over the roundtripped rows must
+    equal the oracle's aggregate over the parquet originals — types,
+    decimals and dictionary-encoded strings all surviving the format hop.
+    Predicate/projection pushdown applies to the ORC scan exactly as to
+    parquet (same DSv2 path)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    path = scratch_dir("orc")
+    li.select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"
+    ).write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
