@@ -188,11 +188,18 @@ def covariance_matrix(
         .select(
             (F.col("i0") + 1).cast("int").alias("dim_i"),
             (F.col("j0") + 1).cast("int").alias("dim_j"),
-            F.round(
-                F.col("sxy").cast("double") / nd
-                - (F.col("sx_i").cast("double") / nd)
-                * (F.col("sx_j").cast("double") / nd),
-                6,
+            # + 0.0 normalizes IEEE negative zero: round() can yield -0.0
+            # from tiny negative covariances, and -0.0 vs 0.0 hash-compare
+            # differently even though they compare ==; both engines apply
+            # the same normalization
+            (
+                F.round(
+                    F.col("sxy").cast("double") / nd
+                    - (F.col("sx_i").cast("double") / nd)
+                    * (F.col("sx_j").cast("double") / nd),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

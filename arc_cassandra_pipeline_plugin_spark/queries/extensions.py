@@ -3271,7 +3271,7 @@ SELECT CAST(s.i AS INT) AS dim_i,
        CAST(s.j AS INT) AS dim_j,
        round(CAST(s.sxy AS DOUBLE) / CAST(a.n AS DOUBLE)
              - (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE))
-             * (CAST(b.sx AS DOUBLE) / CAST(a.n AS DOUBLE)), 6) AS cov
+             * (CAST(b.sx AS DOUBLE) / CAST(a.n AS DOUBLE)), 6) + 0.0 AS cov
 FROM sxy s
 JOIN dimsum a ON a.i = s.i
 JOIN dimsum b ON b.i = s.j
