@@ -2264,3 +2264,29 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t ON true
+WHERE c.c_custkey < 200
+"""
+
+
+@register("subquery_lateral_topn", category="subquery", oracle=_LATERAL_SQL)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL table subquery (SQL:1999 LATERAL, Spark 3.2+ /
+    DuckDB parity): per customer, the top-2 orders by price — the
+    'correlated top-N' shape users reach for before learning window
+    functions. Catalyst decorrelates the LATERAL into a ranked window
+    join; the same SQL text runs on both engines, so the oracle IS the
+    query."""
+    register_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_SQL)
