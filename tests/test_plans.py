@@ -105,6 +105,7 @@ DIMENSION_BOUNDED = {
 SCALAR_BROADCASTS = {
     "text_tfidf_top_terms",
     "text_unigram_lm_score",  # broadcast 1-row corpus total
+    "text_bm25_ranking",  # broadcast 1-row (N, total tokens) corpus stats
     "funnel_conversion",  # three 1-row stage counts cross-joined
     "q22_global_sales_opportunity",  # broadcast 1-row (sum, count) threshold
     "agg_sketch_union",  # broadcast 1-row exact total joined to 1-row merged sketch
