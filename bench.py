@@ -42,6 +42,11 @@ HEADLINE = [
     "graph_pagerank_trade",
     "window_rank_global_scalable",
     "corpus_curation_pipeline",
+    # round 4: Ed-Join fuzzy matching, concat-and-chunk sequence packing,
+    # BM25 retrieval scoring
+    "dedup_editdist_join",
+    "pack_context_windows",
+    "text_bm25_ranking",
 ]
 
 

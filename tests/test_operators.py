@@ -1298,3 +1298,51 @@ def test_gif_decoder_handles_interlace():
     payload.append(0x3B)
     _, _, _, fr = M.decode_gif(bytes(payload))
     assert fr[0][5] == frame
+
+
+def test_editdist_join_random_corpus_vs_bruteforce(spark):
+    """Randomized stress: both strategy paths (deletion-neighborhood d=1,
+    q-gram prefix d=2) against plain-Python brute force over a random
+    corpus with heavy near-duplicate structure."""
+    import random
+
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import (
+        editdist_join_prefix,
+    )
+
+    rng = random.Random(42)
+    alpha = "abcdef"
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randint(9, 14)))
+            for _ in range(25)]
+    rows = []
+    rid = 0
+    for s in base:
+        rows.append((rid, s)); rid += 1
+        for _ in range(2):  # mutated neighbors
+            t = list(s)
+            op = rng.choice(("sub", "del", "ins"))
+            p = rng.randrange(len(t))
+            if op == "sub":
+                t[p] = rng.choice(alpha)
+            elif op == "del":
+                del t[p]
+            else:
+                t.insert(p, rng.choice(alpha))
+            rows.append((rid, "".join(t))); rid += 1
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for d in (1, 2):
+        want = {(a, b, lev(sa, sb)) for a, sa in rows for b, sb in rows
+                if a < b and lev(sa, sb) <= d}
+        got = {(r["id_a"], r["id_b"], r["edit_dist"])
+               for r in editdist_join_prefix(df, max_dist=d).collect()}
+        assert got == want, f"d={d}: missing {want - got}, extra {got - want}"
