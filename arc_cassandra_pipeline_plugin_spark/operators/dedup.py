@@ -1067,3 +1067,85 @@ def _editdist_join_deletion(strs: DataFrame, max_dist: int) -> DataFrame:
             F.col("edit_dist").cast("int").alias("edit_dist"),
         )
     )
+
+
+def banded_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows from a MinHash signature frame — the
+    LSH index representation a production pipeline persists between runs."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return (
+        signatures.select(F.col(id_col), *band_cols)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"band_{b}").alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    signatures: DataFrame,
+    is_new: F.Column,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup detection: LSH candidate pairs where AT LEAST
+    ONE side satisfies ``is_new`` — the daily-ingest pattern, where
+    yesterday's corpus is already deduplicated and only new-vs-corpus and
+    new-vs-new pairs need generating.
+
+    Scale shape: the corpus side streams its banded rows through ONE
+    broadcast hash join against the (small) new batch's bands — no
+    corpus-side shuffle at all, unlike the full self-join. This is the
+    O(corpus × new/buckets) incremental cost; re-running the full
+    quadratic join daily would be the classic pipeline mistake. Pairs are
+    oriented (a < b) and distinct; new-vs-new pairs surface through the
+    same join (the new side is a subset of the corpus side).
+    """
+    stacked = banded_rows(signatures, id_col, num_perm, bands).localCheckpoint(
+        eager=True
+    )
+    new_side = stacked.filter(is_new)
+    pairs = (
+        stacked.alias("l")
+        .join(
+            F.broadcast(new_side.alias("r")),
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") != F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -3287,3 +3287,24 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_cassandra_pipeline_plugin_spark.operators.linalg import covariance_matrix
 
     return covariance_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_lsh_incremental",
+    category="dedup",
+    oracle=f"SELECT * FROM ({_lsh_oracle()}) WHERE doc_a % 10 = 7 OR doc_b % 10 = 7",
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (operators/dedup.
+    lsh_candidate_pairs_incremental): the docs with doc_id % 10 = 7 play
+    today's ingest batch; candidate pairs touch at least one new doc. The
+    corpus side streams its banded rows through ONE broadcast hash join
+    against the new batch's bands — no corpus-side shuffle, the
+    O(corpus x new) daily-ingest cost instead of re-running the full
+    quadratic self-join. Oracle: the full LSH pair oracle filtered to
+    pairs with a new side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    return D.lsh_candidate_pairs_incremental(
+        sigs, is_new=F.col("doc_id") % 10 == 7, num_perm=_NUM_PERM, bands=_BANDS
+    )
