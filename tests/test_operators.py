@@ -1346,3 +1346,30 @@ def test_editdist_join_random_corpus_vs_bruteforce(spark):
         got = {(r["id_a"], r["id_b"], r["edit_dist"])
                for r in editdist_join_prefix(df, max_dist=d).collect()}
         assert got == want, f"d={d}: missing {want - got}, extra {got - want}"
+
+
+def test_lsh_incremental_matches_filtered_full_join(spark):
+    """Incremental LSH pairs == the full self-join's pairs restricted to
+    those touching a new doc — on a corpus with planted duplicates inside
+    and across the 'new' batch."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        body = f"distinct document body number {i} with plenty of words"
+        rows.append((i, body))
+        if i % 4 == 0:
+            rows.append((100 + i, body))  # duplicate partner (some new, some old)
+    df = _docs(spark, rows)
+    sigs = D.minhash_signature(df, num_perm=16)
+    is_new = (F.col("doc_id") % 10) == 0
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs_incremental(sigs, is_new=is_new).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sigs).collect()
+        if r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0
+    }
+    assert inc == full and inc
