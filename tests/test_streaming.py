@@ -542,3 +542,47 @@ def test_outer_join_output_filter_pushdown_trap(spark, tmp_path):
     # filter on a left-only column: pushed into the left scan, left sentinel
     # pruned, left watermark frozen short of click_ts+upper — null row lost
     assert run(F.col("click_id") >= 0, "oj_leftfilter") == [(1, 7, 2)]
+
+
+def test_foreachbatch_checkpoint_resume_continues_offsets(spark, tmp_path):
+    """Restarting a foreachBatch stream from its checkpoint must process
+    ONLY files that arrived after the first drain, with batch ids
+    continuing (not restarting at 0) — the offset-tracking contract that
+    makes idempotent-by-batch-id sinks exactly-once in effect."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple[int, list[int]]] = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, sorted(r["v"] for r in batch_df.collect())))
+
+    def drain():
+        q = (
+            spark.readStream.schema("v int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    spark.createDataFrame([(1,)], "v int").coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([(2,)], "v int").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    first_run = list(seen)
+    assert sorted(v for _, vs in first_run for v in vs) == [1, 2]
+
+    spark.createDataFrame([(3,)], "v int").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    second_run = seen[len(first_run):]
+    # only the NEW file is processed, nothing re-emitted
+    assert sorted(v for _, vs in second_run for v in vs) == [3]
+    # batch ids continue across the restart
+    assert min(b for b, _ in second_run) > max(b for b, _ in first_run)
