@@ -1373,3 +1373,20 @@ def test_lsh_incremental_matches_filtered_full_join(spark):
         if r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0
     }
     assert inc == full and inc
+
+
+def test_gif_decoder_interop_canonical_onepixel():
+    """Third-party interop: the canonical minimal 1x1 GIF (reference bytes
+    published across the web, produced by standard encoders — NOT our own
+    encoder) must decode to a single black pixel."""
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    onepx = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff"
+        b"!\xf9\x04\x00\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    w, h, pal, frames = M.decode_gif(onepx)
+    assert (w, h) == (1, 1)
+    assert pal[:2] == [(0, 0, 0), (255, 255, 255)]
+    assert frames == [(0, 0, 1, 1, 0, [0])]
