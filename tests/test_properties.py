@@ -230,3 +230,51 @@ def test_setsim_prefix_filter_is_complete(spark, texts):
     )
     assert dataset_equality(fast, brute)
     assert dataset_equality(fast_prefix, brute)
+
+
+@_settings
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=25),
+)
+def test_pack_sequences_tiles_exactly(spark, toks, budget):
+    """For ANY token-count vector and budget: per-doc spans tile
+    [0, n_tokens) in chunk order, per-window slices tile [0, budget)
+    contiguously (last window may end short), and total slice length
+    equals total tokens."""
+    from arc_cassandra_pipeline_plugin_spark.operators.packing import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["doc_from"], r["doc_to"],
+         r["chunk_from"], r["n_slice"])
+        for r in pack_sequences(df, budget=budget).collect()
+    )
+    total = sum(n for _, n in rows if n > 0)
+    assert sum(ns for *_, ns in out) == total
+    # per-doc tiling
+    per_doc: dict[int, list] = {}
+    for d, k, f, t, cf, ns in out:
+        per_doc.setdefault(d, []).append((k, f, t))
+    for d, n in rows:
+        if n <= 0:
+            assert d not in per_doc
+            continue
+        spans = sorted(per_doc[d])
+        assert spans[0][1] == 0 and spans[-1][2] == n
+        for (_, _, t1), (_, f2, _) in zip(spans, spans[1:]):
+            assert t1 == f2
+    # per-window tiling
+    per_chunk: dict[int, list] = {}
+    for d, k, f, t, cf, ns in out:
+        per_chunk.setdefault(k, []).append((cf, ns))
+    if per_chunk:
+        last = max(per_chunk)
+        for k, slices in per_chunk.items():
+            slices.sort()
+            pos = 0
+            for cf, ns in slices:
+                assert cf == pos
+                pos += ns
+            assert pos == budget or k == last
