@@ -400,3 +400,19 @@ def test_proximity_join_has_no_cartesian(spark):
     plan = explain_str(df, "simple")
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_lsh_incremental_broadcasts_new_side(spark):
+    """The incremental LSH join must broadcast the new batch's bands —
+    a corpus-side shuffle would defeat the entire daily-ingest design."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sigs = D.minhash_signature(docs, num_perm=16, shingle_k=5)
+    out = D.lsh_candidate_pairs_incremental(sigs, is_new=F.col("doc_id") % 10 == 7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

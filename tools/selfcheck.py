@@ -58,6 +58,9 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    plain = "--plain" in argv
+    if plain:
+        argv.remove("--plain")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     registry = load_all()
@@ -65,7 +68,19 @@ def main() -> int:
     if unknown:
         print(f"FAIL unknown query name(s): {sorted(unknown)}")
         return 1
-    spark = get_spark("selfcheck")
+    if plain:
+        # the plain-session gauntlet: an UNCONFIGURED driver session (no
+        # UTC pin, no tuned confs) — the config defenses in
+        # sources.load_table must hold on whatever session the driver uses
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("selfcheck-plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         p = table_path(sf_dir, t)
