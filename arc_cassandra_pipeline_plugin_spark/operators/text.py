@@ -665,7 +665,14 @@ def bm25_scores(
         score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
         idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
 
-    Distributed shape: one token explode; doc lengths are a linear groupBy;
+    Distributed shape: the token explode feeds two aggregate branches
+    (doc lengths; query-term tf) — Catalyst does not reuse the explode
+    subtree, so the corpus is tokenized twice. That is the deliberate
+    trade at scale: the alternative single-pass (doc, token) count table
+    shuffles the full distinct-word TF index, while this shape's shuffles
+    carry only doc-sized lengths and query-term-sized tf rows; a pipeline
+    scoring MANY term sets should materialize the TF table once instead.
+    Doc lengths are a linear groupBy;
     corpus stats (N, total tokens) a broadcast 1-row aggregate; the term
     list joins in as a broadcast table so only query-term occurrences
     survive into the (doc, term) tf aggregation; per-term document
