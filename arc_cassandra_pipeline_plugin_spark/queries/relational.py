@@ -2290,3 +2290,64 @@ def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     query."""
     register_tables(spark, sf_dir, "customer", "orders")
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "scan_dynamic_partition_overwrite",
+    category="ddl",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey < 2000),
+-- the rewrite replaces ONLY partition 'O' with discounted rows (exact
+-- integer cents: cents*9 // 10); 'F' and 'P' must survive untouched
+final AS (
+  SELECT o_orderkey, (price_cents * 9) // 10 AS price_cents, o_orderstatus
+  FROM base WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey, price_cents, o_orderstatus
+  FROM base WHERE o_orderstatus <> 'O')
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(price_cents) / 100.0, 2) AS total
+FROM final GROUP BY o_orderstatus
+""",
+)
+def scan_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the production incremental-rewrite
+    mode: with ``partitionOverwriteMode=dynamic``, an overwrite touches
+    ONLY the partitions present in the incoming frame. A
+    partitioned-by-status table is written, then partition 'O' alone is
+    rewritten with discounted prices (exact integer cents — the repo's
+    money convention, so no float-boundary drift); the certified aggregate
+    proves 'F' and 'P' survived untouched while 'O' was replaced (static
+    mode would have dropped them — the data-loss trap this mode exists to
+    fix)."""
+    path = scratch_dir("dynpart")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+            "o_orderstatus",
+        )
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    rewrite = base.filter(F.col("o_orderstatus") == "O").withColumn(
+        "price_cents", (F.col("price_cents") * 9) / F.lit(10)
+    ).withColumn("price_cents", F.floor("price_cents").cast("bigint"))
+    (
+        rewrite.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price_cents") / 100.0, 2).alias("total"),
+        )
+    )
