@@ -1390,3 +1390,36 @@ def test_gif_decoder_interop_canonical_onepixel():
     assert (w, h) == (1, 1)
     assert pal[:2] == [(0, 0, 0), (255, 255, 255)]
     assert frames == [(0, 0, 1, 1, 0, [0])]
+
+
+def test_wav_codec_interop_with_stdlib_wave_module():
+    """Cross-implementation check: our RIFF/PCM16 writer must be readable
+    by Python's stdlib `wave` module, and `wave`-written files must decode
+    through our parser — byte-identical samples both directions."""
+    import io
+    import struct
+    import wave
+
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    samples = [0, 1000, -1000, 32767, -32768, 123, -456] * 11
+    rate = 8000
+
+    # ours -> stdlib
+    payload = M.encode_wav_pcm16(samples, rate)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == rate
+        raw = w.readframes(w.getnframes())
+    assert list(struct.unpack(f"<{len(samples)}h", raw)) == samples
+
+    # stdlib -> ours
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    got_rate, got = M.decode_wav_pcm16(buf.getvalue())
+    assert got_rate == rate and got == samples
