@@ -3308,3 +3308,34 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs_incremental(
         sigs, is_new=F.col("doc_id") % 10 == 7, num_perm=_NUM_PERM, bands=_BANDS
     )
+
+
+@register(
+    "multimodal_tar_shard_ingest",
+    category="multimodal",
+    oracle="""
+WITH d AS (SELECT doc_id AS i FROM documents),
+c AS (
+  SELECT i,
+         'doc ' || i || ' payload ' || repeat('x', CAST(i % 50 AS INT)) AS s
+  FROM d)
+SELECT CAST(i // 10 AS BIGINT) AS shard_id,
+       i || '.txt' AS member,
+       CAST(length(s) AS INT) AS n_bytes,
+       CAST(list_aggregate(
+              list_transform(range(1, length(s) + 1), j -> ord(s[j])),
+              'sum') AS BIGINT) AS byte_sum
+FROM c
+""",
+)
+def multimodal_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard ingest (operators/archive): documents
+    bucket into shards of 10, each becomes a REAL stdlib-built tar; the
+    member-stats kernel unpacks every shard executor-side and emits
+    integer-exact per-member audits (size, byte sum) that the oracle
+    re-derives from the content formula — the shard-drop trust check an
+    LLM data pipeline runs before training."""
+    from arc_cassandra_pipeline_plugin_spark.operators import archive as A
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return A.tar_member_stats(A.synthesize_tar_shards(docs))

@@ -12,6 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODULES = [
+    "archive",
     "dedup", "similarity", "text", "timeseries", "ranking", "packing",
     "graph", "linalg", "sketches", "bloom", "layout", "skew", "sampling",
     "quality", "multimodal",
