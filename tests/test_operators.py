@@ -1423,3 +1423,24 @@ def test_wav_codec_interop_with_stdlib_wave_module():
         w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     got_rate, got = M.decode_wav_pcm16(buf.getvalue())
     assert got_rate == rate and got == samples
+
+
+def test_tar_member_stats_roundtrip_and_malformed(spark):
+    import pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators import archive as A
+
+    ids = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    shards = A.synthesize_tar_shards(ids, docs_per_shard=10)
+    assert shards.count() == 3  # ids 0-9, 10-19, 20-24
+    out = {(r["shard_id"], r["member"]): (r["n_bytes"], r["byte_sum"])
+           for r in A.tar_member_stats(shards).collect()}
+    assert len(out) == 25
+    for i in range(25):
+        data = A._member_text(i)
+        assert out[(i // 10, f"{i}.txt")] == (len(data), sum(data))
+
+    bad = spark.createDataFrame([(0, bytearray(b"not a tar at all"))],
+                                "shard_id long, payload binary")
+    with pytest.raises(Exception):
+        A.tar_member_stats(bad).collect()
