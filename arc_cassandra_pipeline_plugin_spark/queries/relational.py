@@ -2351,3 +2351,36 @@ def scan_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.sum("price_cents") / 100.0, 2).alias("total"),
         )
     )
+
+
+@register(
+    "scan_jsonl_gzip_roundtrip",
+    category="ddl",
+    oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderstatus
+""",
+)
+def scan_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSONL as the interchange format: written with
+    ``compression=gzip``, read back with an explicit schema (no inference
+    job), aggregate certified against the source rows. The 100 TB caveat
+    this query documents: gzip is NOT splittable — each ``.json.gz`` file
+    is one task regardless of size, so a production writer must shard into
+    many files sized for one executor core (this write inherits the
+    upstream partitioning and does exactly that); zstd/bzip2-via-codec or
+    plain parquet are the splittable alternatives."""
+    path = scratch_dir("jsonlgz")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    src.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema("o_orderkey bigint, o_orderstatus string").json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
