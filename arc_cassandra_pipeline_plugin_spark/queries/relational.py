@@ -2384,3 +2384,54 @@ def scan_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@register(
+    "ddl_analyze_table_stats",
+    category="ddl",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS row_count,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS priority_ndv
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def ddl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — the CBO prerequisite: a managed table is analyzed
+    (table-level + column-level statistics), and the certified result is
+    what the CATALOG now believes: rowCount from DESCRIBE EXTENDED and the
+    column's distinct-count from DESCRIBE EXTENDED <col>. Spark's column
+    NDV uses HyperLogLog++ but is exact at this cardinality (5 priorities);
+    the certified values prove the statistics pipeline feeds the optimizer
+    real numbers, not nulls — the difference between CBO join reordering
+    working and silently not."""
+    import shutil
+    from urllib.parse import urlparse
+
+    register_tables(spark, sf_dir, "orders")
+    name = f"acpps_cert_stats_{session_suffix()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{loc.rstrip('/')}/{name}", ignore_errors=True)
+    spark.sql(f"""
+        CREATE TABLE {name} USING parquet AS
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 2000
+    """)
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS o_orderpriority")
+    stats_row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter(F.col("col_name") == "Statistics")
+        .select("data_type")
+        .first()
+    )
+    row_count = int(stats_row["data_type"].split(",")[1].strip().split(" ")[0])
+    ndv_row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name} o_orderpriority")
+        .filter(F.col("info_name") == "distinct_count")
+        .select("info_value")
+        .first()
+    )
+    ndv = int(ndv_row["info_value"])
+    return spark.createDataFrame(
+        [(row_count, ndv)], "row_count bigint, priority_ndv bigint"
+    )
