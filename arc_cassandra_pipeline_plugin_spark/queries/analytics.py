@@ -3492,3 +3492,71 @@ def orders_monthly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mac_a").cast("bigint").alias("active_customers"),
         (F.col("mac_a") - F.col("mac_b")).cast("bigint").alias("mom_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP) over irregular samples
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_twap_per_user",
+    category="timeseries",
+    oracle="""
+WITH o AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events WHERE user_id < 200),
+spans AS (
+  SELECT user_id, vc, t_next - t AS ds FROM o WHERE t_next IS NOT NULL),
+agg AS (
+  SELECT user_id, sum(vc * ds) AS num, sum(ds) AS den
+  FROM spans GROUP BY user_id)
+SELECT user_id,
+       CAST(den AS BIGINT) AS span_s,
+       round(num / (100.0 * den), 4) AS twap
+FROM agg WHERE den > 0
+""",
+)
+def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over IRREGULAR samples: each
+    observation holds until the next one (step interpolation), so the mean
+    weights by holding duration, not sample count — the standard
+    TWAP/uptime-average the naive AVG gets wrong on bursty series. Exact
+    integer arithmetic throughout: cent values x whole-second spans summed
+    as longs, one float division at the end. One partitioned window + one
+    groupBy — a single shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("t"),
+            "ts",
+            "event_id",
+        )
+        .withColumn(
+            "t_next",
+            F.lead(F.floor(F.unix_timestamp("ts")).cast("bigint")).over(w),
+        )
+        .filter(F.col("t_next").isNotNull())
+        .withColumn("ds", F.col("t_next") - F.col("t"))
+    )
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.sum(F.col("vc") * F.col("ds")).alias("num"),
+            F.sum("ds").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            F.col("den").cast("bigint").alias("span_s"),
+            F.round(F.col("num") / (F.lit(100.0) * F.col("den")), 4).alias("twap"),
+        )
+    )
