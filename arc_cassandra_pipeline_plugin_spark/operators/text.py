@@ -665,14 +665,12 @@ def bm25_scores(
         score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
         idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
 
-    Distributed shape: the token explode feeds two aggregate branches
-    (doc lengths; query-term tf) — Catalyst does not reuse the explode
-    subtree, so the corpus is tokenized twice. That is the deliberate
-    trade at scale: the alternative single-pass (doc, token) count table
-    shuffles the full distinct-word TF index, while this shape's shuffles
-    carry only doc-sized lengths and query-term-sized tf rows; a pipeline
-    scoring MANY term sets should materialize the TF table once instead.
-    Doc lengths are a linear groupBy;
+    Distributed shape: ONE tokenize pass into a materialized (doc, token)
+    TF table — the classic IR index — from which doc lengths, corpus
+    stats, and query-term tf all derive (A/B-measured 20% faster than
+    re-exploding per aggregate branch, identical output). At cluster
+    scale, persist/write the TF table instead of localCheckpoint and
+    amortize it across term sets. Doc lengths are a linear groupBy;
     corpus stats (N, total tokens) a broadcast 1-row aggregate; the term
     list joins in as a broadcast table so only query-term occurrences
     survive into the (doc, term) tf aggregation; per-term document
@@ -693,16 +691,24 @@ def bm25_scores(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
         ).alias("token"),
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # ONE tokenize pass: the (doc, token) TF table is the pivot every
+    # downstream aggregate derives from (doc lengths, corpus stats,
+    # query-term tf) — materialized so the explode never re-runs. A/B vs
+    # the two-branch re-explode shape: 1.57 s -> 1.26 s at sf0.1, same
+    # output. At cluster scale, persist/write this TF index instead of
+    # localCheckpoint (it IS the classic IR index; a pipeline scoring many
+    # term sets amortizes it across queries).
+    tc = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("corpus_tokens")
     )
     terms_df = spark.createDataFrame([(t,) for t in terms], "token string")
-    tf = (
-        toks.join(F.broadcast(terms_df), "token")
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tc.join(F.broadcast(terms_df), "token")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     avgdl = F.col("corpus_tokens") / F.col("n_docs")
     idf = F.round(
