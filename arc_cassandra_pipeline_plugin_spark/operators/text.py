@@ -200,9 +200,18 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     tok = tokens(df, text_col, id_col)
-    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("dfreq"))
-    n_docs = tok.select(F.countDistinct(id_col).alias("n_docs"))
+    # ONE tokenize pass: dfreq and n_docs derive from the materialized
+    # (doc, token, tf) table — tf has one row per (doc, token), so a plain
+    # count per token IS the document frequency (A/B-measured 1.77 s ->
+    # 1.15 s at sf0.1, identical output; the un-checkpointed shape ran the
+    # explode three times)
+    tf = (
+        tok.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = tf.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
