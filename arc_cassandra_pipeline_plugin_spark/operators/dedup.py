@@ -247,7 +247,13 @@ def ngram_jaccard_pairs(
     When ``pairs`` (e.g. LSH candidates) is given, only those pairs are
     scored; otherwise all same-shingle pairs that share ≥1 shingle.
     """
-    sh = shingle_rows(df, text_col, id_col, shingle_k, distinct=True)
+    # sh feeds THREE consumers (sizes + both self-join sides); without the
+    # snapshot Catalyst re-runs the shingle explode + distinct shuffle per
+    # consumer (A/B: 1.90 s -> 1.55 s on 300 docs at sf0.1, same output;
+    # at 100 TB it's one corpus pass instead of three)
+    sh = shingle_rows(df, text_col, id_col, shingle_k, distinct=True).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     inter = (
         sh.alias("a")
