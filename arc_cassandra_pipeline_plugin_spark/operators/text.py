@@ -425,6 +425,82 @@ def unigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model fluency score per document: the mean log-prob
+    of each token given its predecessor under the corpus's own add-one-
+    smoothed bigram distribution — logp(w_i | w_{i-1}) =
+    ln((c(w_{i-1}, w_i) + 1) / (c(w_{i-1}) + V)). The order-sensitive
+    upgrade of :func:`unigram_lm_score`: shuffled or template-stitched text
+    scores low even when its unigram profile looks fluent.
+
+    Distributed shape, ONE tokenize pass: the positioned token table
+    (doc, pos, token) is materialized once (localCheckpoint) and every
+    consumer derives from it — the vocabulary size V (one countDistinct),
+    the bigram stream (a lag window partitioned per document, state bounded
+    by document length), the bigram/context count tables (groupBy with
+    map-side combine on the bigram key), and the scoring join (bigram-key
+    shuffle join — the bigram table is NOT broadcast: at web scale it has
+    billions of entries; V and the corpus totals ride a broadcast 1-row
+    aggregate). Cross-engine determinism: per-bigram log-probs are rounded
+    to 6 dp and summed as exact DECIMAL weighted by the doc-level bigram
+    count, so the per-doc mean is independent of partition order (weighting
+    the rounded logp by the count is exactly the sum of per-occurrence
+    rounded logps)."""
+    from pyspark.sql.window import Window
+
+    from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
+
+    normed = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("t"),
+        )
+    )
+    tokp = (
+        normed.select(
+            id_col, F.posexplode(F.split(F.col("t"), " ")).alias("pos", "token")
+        )
+        .filter(F.length("token") > 0)
+        .localCheckpoint(eager=True)
+    )
+    vocab_size = tokp.agg(F.countDistinct("token").alias("v"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = tokp.select(
+        id_col, F.lag("token").over(w).alias("prev"), F.col("token").alias("cur")
+    ).filter(F.col("prev").isNotNull())
+    # doc-level bigram counts: everything downstream (global counts AND the
+    # scoring join) derives from this one table — no second corpus pass
+    bc = big.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = bc.groupBy("prev", "cur").agg(F.sum("cnt").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    logp = F.round(
+        F.log(
+            (F.col("c2") + F.lit(1).cast("double"))
+            / (F.col("c1") + F.col("v")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bc.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(id_col, "cnt", (logp * F.col("cnt")).alias("logp_w"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_bigrams"), F.sum("logp_w").alias("__s"))
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(F.col("__s").cast("double") / F.col("n_bigrams"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 #: BPE symbol separator — a control char absent from the tokenized corpus
 #: (tokens are [a-z0-9]+, so \x1f can never appear inside a symbol)
 BPE_SEP = "\x1f"

@@ -18,6 +18,7 @@ from arc_cassandra_pipeline_plugin_spark.operators import text as TX
 from arc_cassandra_pipeline_plugin_spark.queries import register
 from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
     _clusters_oracle,
+    _NORM,
     _TOKENS_CTE,
     dedup_clusters,
 )
@@ -178,6 +179,126 @@ def timeseries_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_interpolate_linear",
+    category="timeseries",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         FROM bounds),
+joined AS (
+  SELECT g.user_id, g.hour, h.v
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+),
+filled AS (
+  SELECT user_id, hour, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined),
+exact AS (
+  SELECT user_id, hour, v,
+         CAST(round(pv * 100, 0) AS BIGINT) AS pvc,
+         CAST(round(nv * 100, 0) AS BIGINT) AS nvc,
+         (CAST(epoch(nh) AS BIGINT) - CAST(epoch(hour) AS BIGINT)) // 3600 AS a,
+         (CAST(epoch(hour) AS BIGINT) - CAST(epoch(ph) AS BIGINT)) // 3600 AS b
+  FROM filled)
+SELECT user_id, hour,
+       CAST(CASE WHEN v IS NOT NULL THEN CAST(round(v * 100, 0) AS BIGINT) * 10000
+            ELSE (2 * (pvc * a + nvc * b) * 10000 + (a + b)) // (2 * (a + b)) END
+            AS DOUBLE) / 1000000.0 AS value_interp
+FROM exact
+""",
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto an hourly grid, filling gaps
+    by LINEAR interpolation between the surrounding observations — the
+    densification step for signals where carrying the last value forward
+    (LOCF) biases downstream features.
+
+    Shape mirrors the LOCF query: one groupBy(user, hour) bucket aggregate
+    (max_by picks the latest value — (user, ts) unique in the fixture), a
+    distributed `sequence()` grid, then TWO windows partitioned by user
+    (backward last-non-null, forward first-non-null) that Spark evaluates
+    over the same user-keyed sort. The grid spans each user's own observed
+    [min, max] hours, so both neighbors always exist where v is null.
+
+    Determinism: floating-point interpolation of 2-dp values over dyadic
+    hour fractions lands EXACTLY on round-halfway boundaries (e.g.
+    7.15 → 82.92 over 8 h hits 54.50625), where the engines' rounding
+    algorithms diverge — so the interpolation is integer arithmetic end to
+    end: values in exact cents, hour gaps as exact bigints, half-up
+    integer division to micro-units ((2·N·10⁴ + D) div 2·D), and one final
+    int→double division both engines perform identically."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max_by("value", "ts").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("v")
+    obs_hour = F.when(v.isNotNull(), F.col("hour"))
+    filled = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        v,
+        F.last(v, ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
+        F.first(v, ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"),
+    )
+    cents = lambda c: F.round(c * 100, 0).cast("bigint")  # noqa: E731
+    exact = filled.select(
+        "user_id",
+        "hour",
+        v,
+        cents(F.col("pv")).alias("pvc"),
+        cents(F.col("nv")).alias("nvc"),
+        ((F.col("nh").cast("long") - F.col("hour").cast("long")) / 3600)
+        .cast("bigint")
+        .alias("a"),
+        ((F.col("hour").cast("long") - F.col("ph").cast("long")) / 3600)
+        .cast("bigint")
+        .alias("b"),
+    )
+    micro = F.when(v.isNotNull(), cents(v) * 10000).otherwise(
+        F.expr("(2 * (pvc * a + nvc * b) * 10000 + (a + b)) div (2 * (a + b))")
+    )
+    return exact.select(
+        "user_id",
+        "hour",
+        (micro.cast("double") / F.lit(1000000.0)).alias("value_interp"),
+    )
+
+
+@register(
     "text_unigram_lm_score",
     category="text",
     oracle=f"""
@@ -195,6 +316,38 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM fluency score per document (mean token log-prob under the
     corpus's own unigram distribution) — the CCNet-style quality signal."""
     return TX.unigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bigram_lm_score",
+    category="text",
+    oracle=f"""
+WITH tokp AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS pos,
+         unnest(toks) AS token
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents) d),
+ptok AS (SELECT doc_id, pos, token FROM tokp WHERE length(token) > 0),
+vocab AS (SELECT count(DISTINCT token) AS v FROM ptok),
+big AS (
+  SELECT doc_id, lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         token AS cur
+  FROM ptok),
+big2 AS (SELECT doc_id, prev, cur FROM big WHERE prev IS NOT NULL),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM big2 GROUP BY prev, cur),
+c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(CAST(round(ln((c2 + 1.0) / CAST(c1 + v AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM big2 JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN vocab
+GROUP BY doc_id
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram-LM fluency score per document (mean
+    conditional token log-prob under the corpus's own bigram distribution)
+    — the order-sensitive upgrade of the unigram signal: shuffled or
+    template-stitched text scores low even with a fluent unigram profile."""
+    return TX.bigram_lm_score(load_table(spark, sf_dir, "documents"))
 
 
 @register(

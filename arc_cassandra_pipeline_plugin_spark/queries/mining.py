@@ -449,6 +449,80 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_ks_exact",
+    category="quality",
+    oracle="""
+WITH per AS (
+  SELECT round(value, 2) AS val,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT val,
+         sum(ca) OVER (ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM per),
+tot AS (
+  SELECT sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cand
+  FROM events)
+SELECT round(max(abs(CAST(cum_a AS DOUBLE) / n_base
+                     - CAST(cum_b AS DOUBLE) / n_cand)), 6) AS ks_stat,
+       count(*) AS n_grid,
+       CAST(any_value(n_base) AS BIGINT) AS n_base,
+       CAST(any_value(n_cand) AS BIGINT) AS n_cand
+FROM cum CROSS JOIN tot
+""",
+)
+def dq_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the baseline
+    and candidate slices: the max CDF gap evaluated at EVERY distinct
+    (2-dp-gridded) value, not just the decile sketch grid of
+    dq_distribution_drift — the drift gate you run when the sketch KS is
+    near the alarm threshold and you need the true statistic.
+
+    Scalable shape: counts pre-aggregate per distinct grid value FIRST
+    (groupBy with map-side combine — the only data-sized pass), then the
+    cumulative-sum window runs over the VALUE GRID, whose cardinality is
+    bounded by the 2-dp grid (value range × 100 cells) regardless of row
+    count — the same bounded-input-below-global-window pattern as the
+    CUSUM and Zipf queries (plan-guarded in tests/test_plans.py). CDF
+    gaps are exact-integer cumulative counts over one IEEE division each;
+    one final round(6)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    even = F.col("event_id") % 2 == 0
+    per = ev.groupBy(F.round("value", 2).alias("val")).agg(
+        F.sum(F.when(even, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~even, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "val",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = ev.agg(
+        F.sum(F.when(even, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~even, 1).otherwise(0)).alias("n_cand"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_base")
+        - F.col("cum_b").cast("double") / F.col("n_cand")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.count(F.lit(1)).alias("n_grid"),
+            F.any_value("n_base").cast("bigint").alias("n_base"),
+            F.any_value("n_cand").cast("bigint").alias("n_cand"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # key-skew diagnostic (Gini coefficient of the key distribution)
 # --------------------------------------------------------------------------

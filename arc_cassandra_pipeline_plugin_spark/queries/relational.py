@@ -1227,6 +1227,52 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_binaryfile_ingest",
+    category="scan",
+    oracle="""
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(hex(text)) AS content_md5
+FROM documents WHERE doc_id < 40
+""",
+)
+def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — Spark's standard ingestion path for
+    image/audio/document blob corpora (one row per file: path, length,
+    content) — certified end to end: per-document binary files on disk are
+    read back through the real source and fingerprinted, with the oracle
+    recomputing size and digest from the originating table. The digest is
+    md5 over the uppercase hex encoding because the oracle engine's md5
+    only accepts strings; hex() bytes agree across engines.
+
+    The 40-file fixture is materialized driver-side from a bounded collect
+    (it IS the input layout being certified, not a data path). At corpus
+    scale the source parallelizes by files-per-partition
+    (maxPartitionBytes / openCostInBytes) and prunes on pathGlobFilter —
+    the partitioning knobs, not this query, change."""
+    import os
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    path = scratch_dir("binfiles")
+    for r in docs.collect():  # bounded: 40 fixture rows
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
+    )
+
+
+@register(
     "scan_csv_roundtrip",
     category="ddl",
     oracle="""

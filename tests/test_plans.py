@@ -278,6 +278,10 @@ def test_unpartitioned_windows_sit_above_bounded_inputs(spark):
         # YoY lag over the per-year aggregate: input cardinality = calendar
         # years (the groupBy-year Aggregate emits "... AS yr#" below)
         "orders_yoy_growth": ["AS yr#"],
+        # KS cumulative-CDF window over the per-grid-value aggregate: input
+        # cardinality = the 2-dp value grid (the groupBy-round Aggregate
+        # emits "... AS val#" below the Window)
+        "dq_ks_exact": ["AS val#"],
     }
     for name, markers in bounded_markers.items():
         df = REGISTRY[name].fn(spark, SF_SMALL)
