@@ -21,6 +21,7 @@ is per-batch, not per-row.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -762,6 +763,68 @@ def wav_frame_features(assets: DataFrame, frame_len: int = 32) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=WAV_FRAME_SCHEMA)
+
+
+#: DFT window for :func:`wav_spectrum_features` and the quantized cos/sin
+#: lookup tables shared verbatim with the SQL oracle (scaled to 1e9 integers
+#: so every spectral sum is EXACT integer arithmetic — the same
+#: literal-table trick the entropy query uses for ln(); a libm-vs-JVM 1-ulp
+#: transcendental divergence cannot exist when neither engine calls cos()).
+SPECTRUM_N = 64
+_COSQ = [
+    round(math.cos(2.0 * math.pi * m / SPECTRUM_N) * 1e9) for m in range(SPECTRUM_N)
+]
+_SINQ = [
+    round(math.sin(2.0 * math.pi * m / SPECTRUM_N) * 1e9) for m in range(SPECTRUM_N)
+]
+
+WAV_SPECTRUM_SCHEMA = (
+    "asset_id bigint, bin_k int, c_k double, s_k double, power_k double"
+)
+
+
+def wav_spectrum_features(
+    assets: DataFrame, bins: tuple[int, ...] = (1, 2, 4, 8)
+) -> DataFrame:
+    """Spectral features through the REAL WAV decoder: DFT cosine/sine
+    sums (Goertzel-style single bins) of each asset's first
+    ``SPECTRUM_N`` samples at the requested bin frequencies — the
+    tone/bandwidth fingerprint an audio-curation pipeline uses to screen
+    silence, hum, and clipping.
+
+    Determinism by construction: the cos/sin coefficients are the shared
+    1e9-quantized integer tables, so C_k = Σ smp_j·cosq[(k·j) mod N] is an
+    exact bigint in BOTH engines (|C| ≤ 1024·1e9·64 < 2⁵³, so the final
+    int→double rescale and the power combination are identical IEEE ops —
+    no rounding needed anywhere). One Arrow batch per partition; the fan-out
+    is |bins| rows per asset."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "bin_k", "c_k", "s_k", "power_k")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _rate, samples = decode_wav_pcm16(payload)
+                win = samples[:SPECTRUM_N]
+                if len(win) < SPECTRUM_N:
+                    raise ValueError(
+                        f"asset {aid}: {len(win)} samples < window {SPECTRUM_N}"
+                    )
+                for k in bins:
+                    cq = sum(
+                        s * _COSQ[(k * j) % SPECTRUM_N] for j, s in enumerate(win)
+                    )
+                    sq = sum(
+                        s * _SINQ[(k * j) % SPECTRUM_N] for j, s in enumerate(win)
+                    )
+                    cd, sd = float(cq), float(sq)
+                    out["asset_id"].append(aid)
+                    out["bin_k"].append(k)
+                    out["c_k"].append(cd / 1e9)
+                    out["s_k"].append(sd / 1e9)
+                    out["power_k"].append((cd * cd + sd * sd) / 1e18)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=WAV_SPECTRUM_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -299,6 +299,145 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "session_pattern_match",
+    category="timeseries",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS letter,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                   > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id, letter,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+seqs AS (
+  SELECT user_id, sid,
+         string_agg(letter, '' ORDER BY ts, event_id) AS seq
+  FROM sess GROUP BY 1, 2)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_conv_sessions,
+       CAST(max(length(seq)) AS BIGINT) AS max_session_len
+FROM seqs GROUP BY user_id
+""",
+)
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over sessionized event streams — the
+    MATCH_RECOGNIZE workload Spark lacks natively, expressed Spark-first:
+    each 30-min-gap session becomes an ordered event-type letter string
+    (one letter per event), and a regex over that string detects the
+    view→click→purchase conversion shape anywhere within the session.
+    Arbitrary sequence patterns (retries, abandon loops, A*B+C?) are one
+    regex swap away.
+
+    Shape: the sessionizer is the certified lag/running-sum pair (windows
+    partitioned by user), the per-session string is a sort_array-then-
+    concat aggregate (bounded by session length), and the regex evaluates
+    JVM-side per session row — no explode-back, no UDF. Deterministic:
+    (ts, event_id) totally orders each session's letters in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.substring("event_type", 1, 1).alias("letter")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long")
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(is_new).over(wc))
+    seqs = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "letter"))),
+                lambda x: x["letter"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    conv = F.when(F.col("seq").rlike("v.*c.*p"), 1).otherwise(0)
+    return seqs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(conv).cast("bigint").alias("n_conv_sessions"),
+        F.max(F.length("seq")).cast("bigint").alias("max_session_len"),
+    )
+
+
+@register(
+    "events_mann_kendall_trend",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT d1.user_id,
+         CASE WHEN d2.cents * d1.cnt > d1.cents * d2.cnt THEN 1
+              WHEN d2.cents * d1.cnt < d1.cents * d2.cnt THEN -1
+              ELSE 0 END AS sgn
+  FROM daily d1 JOIN daily d2
+    ON d1.user_id = d2.user_id AND d1.day < d2.day),
+s AS (SELECT user_id, sum(sgn) AS s_stat, count(*) AS n_pairs FROM p GROUP BY 1),
+nd AS (SELECT user_id, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT nd.user_id, CAST(n_days AS BIGINT) AS n_days,
+       CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
+       CASE WHEN n_pairs > 0
+            THEN round(CAST(s_stat AS DOUBLE) / n_pairs, 6) END AS tau_a
+FROM nd LEFT JOIN s ON nd.user_id = s.user_id
+""",
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend statistic per user: S = Σ_{i<j}
+    sign(mean_j − mean_i) over the user's DAILY mean values, plus Kendall's
+    tau-a (S over the pair count) — the nonparametric "is this metric
+    drifting?" test that needs no distributional assumptions.
+
+    Scalable shape: the O(n²) pair comparison runs over the per-(user, day)
+    AGGREGATE, so pairs are bounded by calendar-days² per user regardless
+    of event volume; the self-join shuffles once on user_id. Exactness: the
+    mean comparison is cross-multiplied integer cents
+    (sign(c_j·n_i − c_i·n_j)) — no float enters until the final tau
+    division, so sign flips from engine-order ulp drift are impossible by
+    construction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    d1 = daily.alias("d1")
+    d2 = daily.alias("d2")
+    lhs = F.col("d2.cents") * F.col("d1.cnt")
+    rhs = F.col("d1.cents") * F.col("d2.cnt")
+    pairs = d1.join(
+        d2,
+        (F.col("d1.user_id") == F.col("d2.user_id"))
+        & (F.col("d1.day") < F.col("d2.day")),
+    ).select(
+        F.col("d1.user_id").alias("user_id"),
+        F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0).alias("sgn"),
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.sum("sgn").alias("s_stat"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    nd = daily.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
+    return nd.join(s, "user_id", "left").select(
+        "user_id",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("bigint").alias("s_stat"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 6),
+        ).alias("tau_a"),
+    )
+
+
+@register(
     "text_unigram_lm_score",
     category="text",
     oracle=f"""
@@ -1874,6 +2013,106 @@ SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
                   ELSE 3 * n_triangles / n_wedges END, 6) AS clustering_coeff
 FROM tri, wed
 """
+
+
+def _link_prediction_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import _clusters_cte
+
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+nbr AS (
+  SELECT doc_a AS node, doc_b AS nb FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT node, count(*) AS d FROM nbr GROUP BY node),
+two AS (
+  SELECT n1.node AS a, n2.node AS c, count(*) AS cn
+  FROM nbr n1 JOIN nbr n2 ON n1.nb = n2.nb AND n1.node < n2.node
+  GROUP BY 1, 2),
+cand AS (
+  SELECT a, c, cn FROM two t
+  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                    WHERE p.doc_a = t.a AND p.doc_b = t.c)),
+scored AS (
+  SELECT a, c, cn, da.d AS da, dc.d AS dc
+  FROM cand JOIN deg da ON da.node = a JOIN deg dc ON dc.node = c)
+SELECT a AS doc_a, c AS doc_b,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       round(CAST(cn AS DOUBLE) / (da + dc - cn), 6) AS jaccard
+FROM scored
+ORDER BY jaccard DESC, common_neighbors DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@register("graph_link_prediction", category="graph", oracle=_link_prediction_oracle())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the LSH near-duplicate candidate
+    graph: the top-20 NON-edges ranked by neighbor-set Jaccard — "these
+    two documents share near-duplicate neighborhoods but were never banded
+    together", the recall audit for an LSH dedup pass (and the classic
+    link-prediction primitive).
+
+    Algorithm: symmetric neighbor list → two-hop join through the shared
+    neighbor (n1.nb = n2.nb, node< orientation counts each unordered pair
+    once) → anti-join against existing edges → degree join →
+    Jaccard = cn / (d_a + d_c − cn), exact because a and c are non-adjacent
+    so |N_a ∪ N_c| = d_a + d_c − cn in pure integers. Shuffles are all
+    keyed by vertex; the two-hop fan-out is Σ d² over the shared-neighbor
+    key — the banded graph keeps degrees bounded (hot buckets are already
+    salted upstream). Top-20 compiles to TakeOrderedAndProject under a
+    total order (score, cn, doc_a, doc_b)."""
+    from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+    from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
+        _BANDS,
+        _NUM_PERM,
+        _SHINGLE_K,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K)
+    pairs = (
+        D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    nbr = pairs.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nb")
+    ).unionAll(pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nb")))
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr.select(F.col("node").alias("a"), F.col("nb").alias("m"))
+    n2 = nbr.select(F.col("node").alias("c"), F.col("nb").alias("m"))
+    two = (
+        n1.join(n2, "m")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = two.join(
+        pairs,
+        (two["a"] == pairs["doc_a"]) & (two["c"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    scored = cand.join(da, "a").join(dc, "c")
+    jac = F.round(
+        F.col("cn").cast("double") / (F.col("da") + F.col("dc") - F.col("cn")), 6
+    )
+    return (
+        scored.select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            jac.alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(),
+            F.col("common_neighbors").desc(),
+            "doc_a",
+            "doc_b",
+        )
+        .limit(20)
+    )
 
 
 @register("graph_triangle_count", category="graph", oracle=_triangles_oracle())

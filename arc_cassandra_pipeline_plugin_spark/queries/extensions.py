@@ -753,6 +753,50 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_frame_features(M.synthesize_wav_assets(docs), frame_len=32)
 
 
+def _wav_spectrum_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.multimodal import (
+        _COSQ,
+        _SINQ,
+        SPECTRUM_N,
+    )
+
+    cosq = ", ".join(str(v) for v in _COSQ)
+    sinq = ", ".join(str(v) for v in _SINQ)
+    return f"""
+WITH d AS (SELECT doc_id AS asset_id FROM documents),
+s AS (SELECT asset_id, unnest(range(0, {SPECTRUM_N})) AS j FROM d),
+v AS (SELECT asset_id, j, ((asset_id * 31 + j * 17) % 2048) - 1024 AS smp FROM s),
+b AS (SELECT unnest([1, 2, 4, 8]) AS k),
+lut AS (SELECT [{cosq}] AS cq, [{sinq}] AS sq),
+t AS (
+  SELECT asset_id, k,
+         CAST(sum(smp * cq[(k * j) % {SPECTRUM_N} + 1]) AS BIGINT) AS cqs,
+         CAST(sum(smp * sq[(k * j) % {SPECTRUM_N} + 1]) AS BIGINT) AS sqs
+  FROM v CROSS JOIN b CROSS JOIN lut GROUP BY 1, 2)
+SELECT asset_id, CAST(k AS INT) AS bin_k,
+       CAST(cqs AS DOUBLE) / 1e9 AS c_k,
+       CAST(sqs AS DOUBLE) / 1e9 AS s_k,
+       (CAST(cqs AS DOUBLE) * CAST(cqs AS DOUBLE)
+        + CAST(sqs AS DOUBLE) * CAST(sqs AS DOUBLE)) / 1e18 AS power_k
+FROM t
+"""
+
+
+@register(
+    "multimodal_wav_spectrum", category="multimodal", oracle=_wav_spectrum_oracle()
+)
+def multimodal_wav_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT spectral fingerprints (Goertzel sums at bins
+    1/2/4/8 over the first 64 samples) through the REAL RIFF/WAVE decoder
+    — the audio-curation screen for silence/hum/clipping. The cos/sin
+    coefficients are 1e9-quantized integer tables shared verbatim with the
+    oracle, so every spectral sum is exact integer arithmetic in both
+    engines and the output needs NO rounding (no transcendental is ever
+    evaluated at query time)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.wav_spectrum_features(M.synthesize_wav_assets(docs))
+
+
 @register(
     "multimodal_bmp_roundtrip",
     category="multimodal",

@@ -902,6 +902,30 @@ def test_wav_features_match_python(spark):
         assert feats[i] == want
 
 
+def test_wav_spectrum_pure_tone_concentrates_power(spark):
+    """A pure cosine at DFT bin 4 must put essentially all spectral power
+    in bin 4 (the quantized-LUT sums still approximate a real DFT), and a
+    short payload must fail loudly rather than zero-pad."""
+    import pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    n = M.SPECTRUM_N
+    tone = [round(1000 * M._COSQ[(4 * j) % n] / 1e9) for j in range(n)]
+    payload = M.encode_wav_pcm16(tone, sample_rate=8000)
+    assets = spark.createDataFrame([(1, bytearray(payload))], "asset_id long, payload binary")
+    rows = {r["bin_k"]: r["power_k"] for r in M.wav_spectrum_features(assets).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    assert rows[4] > 100 * max(rows[1], rows[2], rows[8])
+    # bin-4 cosine power ~ (1000 * N/2)^2 = 1.024e9
+    assert rows[4] == pytest.approx((1000 * n / 2) ** 2, rel=0.01)
+
+    short = M.encode_wav_pcm16([0] * (n - 1), sample_rate=8000)
+    bad = spark.createDataFrame([(2, bytearray(short))], "asset_id long, payload binary")
+    with pytest.raises(Exception, match="samples < window"):
+        M.wav_spectrum_features(bad).collect()
+
+
 def test_bmp_codec_roundtrip_and_rejection():
     """The BMP codec is a real parser: roundtrip is exact through the
     bottom-up padded representation, top-down (negative height) images
