@@ -1185,3 +1185,174 @@ def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("returned_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# spatial: grid-bucketed proximity join (vs brute-force oracle)
+# --------------------------------------------------------------------------
+
+_PROX_GRID = 1000
+_PROX_RADIUS = 25
+
+
+@register(
+    "spatial_proximity_join",
+    category="spatial",
+    oracle=f"""
+WITH pt AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5('sx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_PROX_GRID} AS x,
+         ('0x' || substr(md5('sy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_PROX_GRID} AS y
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+         AS dist_sq
+FROM pt a JOIN pt b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_PROX_RADIUS * _PROX_RADIUS}
+""",
+)
+def spatial_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within Euclidean radius 25 on a deterministic
+    1000×1000 lattice (md5-prefix coordinates) — the spatial self-join
+    every geo workload needs, certified against the brute-force all-pairs
+    oracle.
+
+    The Spark plan is the SCALABLE formulation: radius-sized grid cells,
+    each point replicated to its 3×3 cell neighborhood (constant fan-out),
+    one equi-join keyed by cell — never an all-pairs comparison, and every
+    qualifying pair found exactly once by construction (the mirror match
+    dies on the id_a < id_b canonicalization). Distances are exact integer
+    squares; no float enters the predicate. See operators/spatial.py."""
+    from arc_cassandra_pipeline_plugin_spark.operators import spatial as SP
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pts = SP.grid_points(cust, "c_custkey", grid=_PROX_GRID)
+    return SP.proximity_join(pts, radius=_PROX_RADIUS)
+
+
+# --------------------------------------------------------------------------
+# file-level skipping index through the _metadata hidden column
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_metadata_skipping_index",
+    category="scan",
+    oracle="""
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+FROM lineitem WHERE l_orderkey < 4000
+GROUP BY 1
+""",
+)
+def scan_metadata_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a file-level min/max skipping index through Spark's hidden
+    `_metadata` column: a partitioned parquet layout is written (one file
+    per partition value), read back, and grouped by the partition value
+    EXTRACTED FROM THE FILE PATH — certifying that `_metadata.file_path`
+    reflects the physical layout and that per-file min/max statistics
+    equal the per-partition truth. This is the metadata a lakehouse query
+    planner consults to skip files; at scale the index build is one
+    aggregate keyed by file, proportional to file count."""
+    from arc_cassandra_pipeline_plugin_spark.queries import scratch_dir
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_returnflag")
+    )
+    path = scratch_dir("skipidx")
+    (
+        li.repartition("l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    flag = F.regexp_extract(F.col("_metadata.file_path"), r"l_returnflag=([^/]+)/", 1)
+    return back.groupBy(flag.alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# trailing-window OLS trend per user (exact integer normal equations)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_ols_slope",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3),
+win AS (
+  SELECT user_id, day,
+         count(*) OVER w AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+SELECT user_id, day, CAST(n AS BIGINT) AS n_obs,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx), 6) END AS slope_cents_per_day
+FROM win
+""",
+)
+def events_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-observation OLS trend per user: the least-squares slope
+    of daily spend (exact cents) against the day index, evaluated at every
+    day — the rolling "how fast is this account growing?" feature.
+
+    The normal equations use ONLY exact integer window sums (n, Σx, Σy,
+    Σxy, Σx²) over the per-(user, day) aggregate — one user-keyed shuffle,
+    window state bounded at 30 rows — and the slope materializes as a
+    single integer-ratio division (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), so no
+    accumulation-order float drift is possible; the denominator is zero
+    exactly when the window holds one day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("y"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    win = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return win.select(
+        "user_id",
+        "day",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.when(den > 0, F.round(num.cast("double") / den, 6)).alias(
+            "slope_cents_per_day"
+        ),
+    )

@@ -1468,3 +1468,33 @@ def test_tar_member_stats_roundtrip_and_malformed(spark):
                                 "shard_id long, payload binary")
     with pytest.raises(Exception):
         A.tar_member_stats(bad).collect()
+
+
+def test_spatial_proximity_join_matches_brute_force(spark):
+    """The grid-bucketed proximity join finds EXACTLY the brute-force pair
+    set (each pair once) on a corpus engineered to include same-cell,
+    adjacent-cell, and boundary-distance pairs, and compiles to an
+    equi-join (no nested-loop all-pairs)."""
+    from arc_cassandra_pipeline_plugin_spark.operators import spatial as SP
+
+    # deterministic lattice-ish cloud: clusters around multiples of 25
+    # (cell boundaries) so cross-cell pairs at exactly radius are common
+    pts = [
+        (i, (i * 7919) % 200, (i * 104729) % 200)
+        for i in range(120)
+    ] + [(1000 + j, 24 + j % 3, 25 * (j % 4)) for j in range(30)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    r = 25
+    got = {
+        (row["id_a"], row["id_b"], row["dist_sq"])
+        for row in SP.proximity_join(df, radius=r).collect()
+    }
+    want = set()
+    for ia, xa, ya in pts:
+        for ib, xb, yb in pts:
+            if ia < ib and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r:
+                want.add((ia, ib, (xa - xb) ** 2 + (ya - yb) ** 2))
+    assert got == want and len(want) > 50
+
+    plan = SP.proximity_join(df, radius=r)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -105,6 +105,8 @@ DIMENSION_BOUNDED = {
 SCALAR_BROADCASTS = {
     "text_tfidf_top_terms",
     "text_unigram_lm_score",  # broadcast 1-row corpus total
+    "text_bigram_lm_score",  # broadcast 1-row vocabulary size
+    "dq_ks_exact",  # broadcast 1-row slice totals onto the CDF grid
     "text_bm25_ranking",  # broadcast 1-row (N, total tokens) corpus stats
     "funnel_conversion",  # three 1-row stage counts cross-joined
     "q22_global_sales_opportunity",  # broadcast 1-row (sum, count) threshold
