@@ -133,6 +133,152 @@ def power_iteration_oracle_sql(
     return f"WITH {body}\nSELECT CAST(j AS INT) AS j, val AS loading FROM v{iters}"
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm), ``iters`` synchronous
+    rounds from the deterministic seed "centroid g = the vector with id g"
+    — returns the final centroids in long form with member counts:
+    (cluster_id, j, loading, n_members), k·d rows.
+
+    Each round is the classic two-step, Spark-first:
+
+      assign:  dist(i,g) = Σ_j (x_ij − v_gj)²  — the k·d centroid table
+               BROADCASTS onto the long-form view (never a shuffle of the
+               corpus), per-(i,g) sums are exact DECIMAL of fixed-scale
+               rounded squares, and the argmin is a (dist, g)-ordered
+               row_number window partitioned by vector id (k rows per
+               key — bounded state, deterministic tiebreak on g);
+      update:  new centroid = per-(g, j) mean — one map-side-combinable
+               aggregate keyed by (g, j); empty clusters keep their
+               previous centroid via the left-join coalesce.
+
+    Cross-engine determinism follows the power-iteration discipline: every
+    distance term and every summed coordinate is rounded to the shared
+    fixed scale and summed as exact DECIMAL (order-free), distances
+    compare AS DECIMAL (argmin flips are impossible), and each round's
+    centroids re-round after the single float division. The oracle
+    (:func:`kmeans_oracle_sql`) unrolls the same rounds from the same
+    constants. No driver-side data at any point — the only small state is
+    the k·d centroid table itself."""
+    from pyspark.sql.window import Window
+
+    e = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.col(vec_col)).alias("_p", "_xf"),
+        )
+        .select(
+            "_id",
+            (F.col("_p") + 1).alias("j"),
+            F.col("_xf").cast("double").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dec = f"decimal(30,{_SCALE})"
+    c = e.filter(F.col("_id") < k).select(
+        F.col("_id").cast("int").alias("g"),
+        "j",
+        F.round(F.col("x"), _VSCALE).alias("v"),
+    ).localCheckpoint(eager=True)
+    assign = None
+    for _ in range(iters):
+        diff = F.col("x") - F.col("v")
+        dist = (
+            e.join(F.broadcast(c), "j")
+            .groupBy("_id", "g")
+            .agg(F.sum(F.round(diff * diff, _SCALE).cast(dec)).alias("dist"))
+        )
+        w = Window.partitionBy("_id").orderBy("dist", "g")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("_id", "g")
+        )
+        means = (
+            e.join(assign, "_id")
+            .groupBy("g", "j")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("x"), _SCALE).cast(dec)).cast("double")
+                    / F.count(F.lit(1)),
+                    _VSCALE,
+                ).alias("mv")
+            )
+        )
+        c = (
+            c.join(means, ["g", "j"], "left")
+            .select("g", "j", F.coalesce("mv", "v").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    counts = assign.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    return c.join(F.broadcast(counts), "g", "left").select(
+        F.col("g").alias("cluster_id"),
+        F.col("j").cast("int").alias("j"),
+        F.col("v").alias("loading"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for :func:`kmeans_lloyd`: the same rounds unrolled as
+    CTEs from the same rounding constants."""
+    dec = f"DECIMAL(30,{_SCALE})"
+    ctes = [
+        f"""e AS (
+  SELECT {id_col} AS id,
+         unnest(range(1, len({vec_col}) + 1)) AS j,
+         unnest({vec_col})::DOUBLE AS x
+  FROM {table})""",
+        f"""c0 AS (
+  SELECT CAST(id AS INT) AS g, j, round(x, {_VSCALE}) AS v
+  FROM e WHERE id < {k})""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT e.id, c.g,
+         SUM(CAST(round((e.x - c.v) * (e.x - c.v), {_SCALE}) AS {dec})) AS dist
+  FROM e JOIN c{t - 1} c USING (j) GROUP BY e.id, c.g)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+  SELECT id, g FROM (
+    SELECT id, g, row_number() OVER (PARTITION BY id ORDER BY dist, g) AS rn
+    FROM d{t}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+  SELECT a.g, e.j,
+         round(CAST(SUM(CAST(round(e.x, {_SCALE}) AS {dec})) AS DOUBLE)
+               / COUNT(*), {_VSCALE}) AS mv
+  FROM e JOIN a{t} a USING (id) GROUP BY a.g, e.j)"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+  SELECT p.g, p.j, coalesce(m.mv, p.v) AS v
+  FROM c{t - 1} p LEFT JOIN m{t} m ON m.g = p.g AND m.j = p.j)"""
+        )
+    ctes.append(
+        f"cnt AS (SELECT g, count(*) AS n FROM a{iters} GROUP BY g)"
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT CAST(c.g AS INT) AS cluster_id, CAST(c.j AS INT) AS j, c.v AS loading,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members
+FROM c{iters} c LEFT JOIN cnt ON cnt.g = c.g"""
+
+
 def covariance_matrix(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2977,6 +2977,28 @@ def _pca_oracle() -> str:
     return power_iteration_oracle_sql(iters=3)
 
 
+def _kmeans_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, iters=3)
+
+
+@register("embeddings_kmeans_lloyd", category="similarity", oracle=_kmeans_oracle())
+def embeddings_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, three Lloyd rounds, deterministic seeds)
+    over the embedding corpus — the clustering workhorse behind IVF index
+    training, semantic dedup bucketing, and topic discovery — certified
+    bit-identically against the same rounds unrolled as DuckDB CTEs.
+    Broadcast centroids onto the long-form view, exact-decimal distances
+    with a (dist, g) argmin that cannot tie-flip, map-side-combinable
+    centroid updates; no driver-side data (see operators/linalg.py)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import kmeans_lloyd
+
+    return kmeans_lloyd(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
 @register("embeddings_pca_power", category="similarity", oracle=_pca_oracle())
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus by distributed

@@ -66,3 +66,45 @@ def test_power_iteration_deterministic(spark, emb):
     a = _as_vector(power_iteration_top_component(emb, iters=2))
     b = _as_vector(power_iteration_top_component(emb, iters=2))
     assert np.array_equal(a, b)
+
+
+def test_kmeans_lloyd_recovers_planted_clusters(spark):
+    """On a corpus of three well-separated planted clusters, three Lloyd
+    rounds recover the planting exactly: member counts match the plant and
+    every centroid sits within the cluster's jitter radius of its true
+    center."""
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import kmeans_lloyd
+
+    centers = [(0.0, 0.0, 0.0, 0.0), (10.0, 10.0, 0.0, 0.0), (-10.0, 0.0, 10.0, 0.0)]
+    sizes = [10, 20, 30]
+    rows, vid = [], 0
+    # seeds 0..2 must land in distinct planted clusters (deterministic
+    # seeding picks vec_id 0, 1, 2): interleave the first three vectors
+    order = [0, 1, 2] + [ci for ci, n in enumerate(sizes) for _ in range(n - 1)]
+    used = {0: 0, 1: 0, 2: 0}
+    for ci in order:
+        cx = centers[ci]
+        k = used[ci] = used.get(ci, 0) + 1
+        jit = [((vid * 13 + d * 7 + k) % 11 - 5) / 10.0 for d in range(4)]
+        rows.append((vid, [cx[d] + jit[d] for d in range(4)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=3, iters=3).collect()
+    counts = {}
+    cent = {}
+    for r in out:
+        counts[r["cluster_id"]] = r["n_members"]
+        cent.setdefault(r["cluster_id"], {})[r["j"]] = r["loading"]
+    assert sorted(counts.values()) == sorted(sizes)
+    # each centroid must be within the +-0.5 jitter box of one true center
+    matched = set()
+    for g, c in cent.items():
+        vec = [c[j] for j in sorted(c)]
+        hits = [
+            ci
+            for ci, cx in enumerate(centers)
+            if all(abs(vec[d] - cx[d]) <= 0.5 for d in range(4))
+        ]
+        assert hits, f"centroid {g}={vec} matches no planted center"
+        matched.add(hits[0])
+    assert matched == {0, 1, 2}
