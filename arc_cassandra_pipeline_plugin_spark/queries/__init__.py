@@ -96,6 +96,7 @@ def load_all() -> dict[str, Query]:
         extensions,
         mining,
         relational,
+        science,
         tpch,
         tpch2,
     )
