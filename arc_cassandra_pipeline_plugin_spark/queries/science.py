@@ -305,3 +305,415 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("bigint"),
         ).alias("residual_mc"),
     )
+
+
+# --------------------------------------------------------------------------
+# readability scoring (sentence-free FORCAST family)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_readability",
+    category="text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+  FROM documents),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS words,
+         CAST(sum(len(regexp_extract_all(token, '[aeiou]+', 0))) AS BIGINT)
+           AS syllables,
+         CAST(sum(CASE WHEN len(regexp_extract_all(token, '[aeiou]+', 0)) = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mono,
+         CAST(sum(CASE WHEN length(token) >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS long_words
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, words, syllables, mono, long_words,
+       CAST(round((20.0 - (CAST(mono AS DOUBLE) * 15.0)
+                   / CAST(words AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS forcast_micro,
+       CAST(round((CAST(syllables AS DOUBLE)
+                   / CAST(words AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS spw_micro,
+       CAST(round((CAST(long_words AS DOUBLE) * 100.0
+                   / CAST(words AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS longpct_micro
+FROM per_doc
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-free readability features per document: FORCAST grade
+    (20 - 15*monosyllabic/words — the military-manual formula that needs no
+    sentence boundaries, which this corpus lacks), syllables-per-word, and
+    long-word share (LIX's second term).
+
+    Vowel-group count is the standard syllable proxy; every score is an
+    exact integer micro-unit (integer-rounding of a fixed-shape double over
+    exact counts — identical on both engines, unlike fractional-dp rounding
+    of doubles). One token explode, one map-side-combinable groupBy; regex
+    stays JVM-side (identical [a-z]+ / [aeiou]+ semantics in Java regex and
+    RE2). Reference parity: delegated-analytics surface
+    (src/main/scala/.../SQLTransform semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token"),
+    )
+    sy = F.size(F.expr("regexp_extract_all(token, '[aeiou]+', 0)"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("words"),
+        F.sum(sy).cast("bigint").alias("syllables"),
+        F.sum(F.when(sy == 1, 1).otherwise(0)).cast("bigint").alias("mono"),
+        F.sum(F.when(F.length("token") >= 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("long_words"),
+    )
+    # Identical expression text on both engines -> identical double tree.
+    return per_doc.select(
+        "doc_id",
+        "words",
+        "syllables",
+        "mono",
+        "long_words",
+        F.expr(
+            "CAST(round((20.0 - (CAST(mono AS DOUBLE) * 15.0)"
+            " / CAST(words AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        ).alias("forcast_micro"),
+        F.expr(
+            "CAST(round((CAST(syllables AS DOUBLE)"
+            " / CAST(words AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        ).alias("spw_micro"),
+        F.expr(
+            "CAST(round((CAST(long_words AS DOUBLE) * 100.0"
+            " / CAST(words AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        ).alias("longpct_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# chi-squared keyword selection per language
+# --------------------------------------------------------------------------
+
+_CHI2_SQL = (
+    "CAST(round((CAST(n_docs AS DOUBLE)"
+    " * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)"
+    " / (CAST(df_t AS DOUBLE) * CAST(n_docs - df_t AS DOUBLE)"
+    "    * CAST(n_l AS DOUBLE) * CAST(n_docs - n_l AS DOUBLE)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "text_chi2_keywords",
+    category="text",
+    oracle=f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+  FROM documents),
+tl AS (SELECT token, lang, CAST(count(*) AS BIGINT) AS a
+       FROM pres GROUP BY 1, 2),
+tok AS (SELECT token, CAST(sum(a) AS BIGINT) AS df_t FROM tl GROUP BY 1),
+lg AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_l
+       FROM pres GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM pres),
+cells AS (
+  SELECT tl.token, tl.lang, tl.a, tok.df_t - tl.a AS b, lg.n_l - tl.a AS c,
+         tot.n_docs - lg.n_l - (tok.df_t - tl.a) AS d,
+         tok.df_t, lg.n_l, tot.n_docs
+  FROM tl JOIN tok USING (token) JOIN lg USING (lang) CROSS JOIN tot
+  WHERE tok.df_t >= 5 AND tok.df_t < tot.n_docs
+        AND tl.a * tot.n_docs > tok.df_t * lg.n_l),
+scored AS (SELECT token, lang, a, {_CHI2_SQL} AS chi2_micro FROM cells)
+SELECT lang, CAST(rank AS INT) AS rank, token,
+       CAST(a AS BIGINT) AS df_in_lang, chi2_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY chi2_micro DESC, token ASC) AS rank FROM scored)
+WHERE rank <= 10
+""",
+)
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 keywords per language by chi-squared association — the
+    classic supervised feature-selection statistic over the (token in doc)
+    x (doc in class) contingency table, restricted to positively-associated
+    tokens (observed > expected).
+
+    With margins a+b=df_t, a+c=n_l the statistic collapses to
+    N(ad-bc)^2 / (df_t (N-df_t) n_l (N-n_l)) — all eight inputs exact
+    BIGINT counts, the score a fixed-shape double rounded to an integer
+    micro-unit (the chi2 expression is the SAME SQL text on both engines).
+    Presence table is one explode + DISTINCT; margin tables are
+    map-side-combinable aggregates of it, joined back (token/lang margins
+    are vocabulary- and label-sized — broadcastable at any corpus scale);
+    the top-k window partitions by lang. min-df 5 drops unstable cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    tl = pres.groupBy("token", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    tok = tl.groupBy("token").agg(F.sum("a").cast("bigint").alias("df_t"))
+    lg = pres.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_l")
+    )
+    tot = pres.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    cells = (
+        tl.join(F.broadcast(tok), "token")
+        .join(F.broadcast(lg), "lang")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("df_t") >= 5)
+            & (F.col("df_t") < F.col("n_docs"))
+            & (F.col("a") * F.col("n_docs") > F.col("df_t") * F.col("n_l"))
+        )
+        .select(
+            "token",
+            "lang",
+            "a",
+            (F.col("df_t") - F.col("a")).alias("b"),
+            (F.col("n_l") - F.col("a")).alias("c"),
+            (
+                F.col("n_docs") - F.col("n_l") - (F.col("df_t") - F.col("a"))
+            ).alias("d"),
+            "df_t",
+            "n_l",
+            "n_docs",
+        )
+    )
+    scored = cells.select(
+        "token", "lang", "a", F.expr(_CHI2_SQL).alias("chi2_micro")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_micro").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "lang",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("a").cast("bigint").alias("df_in_lang"),
+            "chi2_micro",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# decision stump induction (best Gini split per source)
+# --------------------------------------------------------------------------
+
+_GAIN_SQL = (
+    "CAST(round(("
+    "  (1.0 - (CAST(pos AS DOUBLE) * CAST(pos AS DOUBLE)"
+    "          + CAST(n - pos AS DOUBLE) * CAST(n - pos AS DOUBLE))"
+    "         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    "  - (CAST(n_l AS DOUBLE)"
+    "       * (1.0 - (CAST(pos_l AS DOUBLE) * CAST(pos_l AS DOUBLE)"
+    "                 + CAST(n_l - pos_l AS DOUBLE)"
+    "                   * CAST(n_l - pos_l AS DOUBLE))"
+    "                / (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)))"
+    "     + CAST(n - n_l AS DOUBLE)"
+    "       * (1.0 - (CAST(pos - pos_l AS DOUBLE)"
+    "                   * CAST(pos - pos_l AS DOUBLE)"
+    "                 + CAST((n - n_l) - (pos - pos_l) AS DOUBLE)"
+    "                   * CAST((n - n_l) - (pos - pos_l) AS DOUBLE))"
+    "                / (CAST(n - n_l AS DOUBLE) * CAST(n - n_l AS DOUBLE))))"
+    "    / CAST(n AS DOUBLE)"
+    ") * 1000000.0) AS BIGINT)"
+)
+
+_THR_SQL = "CAST(floor((mn * (16 - k) + mx * k) / 16.0) AS BIGINT)"
+
+
+@register(
+    "ml_decision_stump",
+    category="ml",
+    oracle=f"""
+WITH stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(min(n_chars) AS BIGINT) AS mn,
+         CAST(max(n_chars) AS BIGINT) AS mx
+  FROM documents GROUP BY source),
+grid AS (
+  SELECT d.source, d.n_chars, d.lang, s.n, s.pos, g.k,
+         {_THR_SQL} AS thr
+  FROM documents d
+  JOIN stats s USING (source)
+  CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS k) g),
+counts AS (
+  SELECT source, k, thr, n, pos,
+         CAST(sum(CASE WHEN n_chars <= thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_l,
+         CAST(sum(CASE WHEN n_chars <= thr AND lang = 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pos_l
+  FROM grid GROUP BY 1, 2, 3, 4, 5),
+scored AS (
+  SELECT source, k, thr, n, pos, n_l, pos_l, {_GAIN_SQL} AS gain_micro
+  FROM counts WHERE n_l > 0 AND n_l < n)
+SELECT source, thr, n, pos, n_l, pos_l, gain_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY gain_micro DESC, thr ASC, k ASC) AS rn FROM scored)
+WHERE rn = 1
+""",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction per source: the n_chars threshold (from a
+    16-point min/max grid) that maximizes Gini impurity reduction for
+    predicting lang='en' — the weak learner at the bottom of every boosted
+    ensemble, expressed as pure aggregation.
+
+    Candidate thresholds come from per-source min/max (driver sees
+    nothing); each doc fans out to the 15 grid points and a single
+    map-side-combinable groupBy yields exact BIGINT split counts, so the
+    shuffle is O(sources x 15), independent of corpus size. The Gini gain
+    is one fixed-shape double expression over six exact integers — the
+    SAME SQL text on both engines — rounded to an integer micro-unit;
+    ties broken by (threshold, grid index) for a deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "lang"
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.min("n_chars").cast("bigint").alias("mn"),
+        F.max("n_chars").cast("bigint").alias("mx"),
+    )
+    grid = (
+        docs.join(F.broadcast(stats), "source")
+        .select(
+            "source",
+            "n_chars",
+            "lang",
+            "n",
+            "pos",
+            "mn",
+            "mx",
+            F.explode(F.sequence(F.lit(1), F.lit(15))).alias("k"),
+        )
+        .withColumn("thr", F.expr(_THR_SQL))
+        .drop("mn", "mx")
+    )
+    counts = grid.groupBy("source", "k", "thr", "n", "pos").agg(
+        F.sum(F.when(F.col("n_chars") <= F.col("thr"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_l"),
+        F.sum(
+            F.when(
+                (F.col("n_chars") <= F.col("thr")) & (F.col("lang") == "en"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos_l"),
+    )
+    scored = counts.where(
+        (F.col("n_l") > 0) & (F.col("n_l") < F.col("n"))
+    ).withColumn("gain_micro", F.expr(_GAIN_SQL))
+    w = Window.partitionBy("source").orderBy(
+        F.col("gain_micro").desc(), F.col("thr").asc(), F.col("k").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "thr", "n", "pos", "n_l", "pos_l", "gain_micro")
+    )
+
+
+# --------------------------------------------------------------------------
+# leave-one-out + smoothed target encoding
+# --------------------------------------------------------------------------
+
+_SMOOTH_SQL = (
+    "CAST(round(((CAST(s AS DOUBLE)"
+    " + 20.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))"
+    " / (CAST(n AS DOUBLE) + 20.0)) * 1000.0) AS BIGINT)"
+)
+
+_LOO_SQL = (
+    "CASE WHEN n > 1 THEN CAST(round((CAST(s - cents AS DOUBLE) * 1000.0)"
+    " / CAST(n - 1 AS DOUBLE)) AS BIGINT) END"
+)
+
+
+@register(
+    "ml_target_encoding",
+    category="ml",
+    oracle=f"""
+WITH base AS (
+  SELECT o.o_orderkey, c.c_nationkey,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+stats AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM base GROUP BY 1),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(cents) AS BIGINT) AS gs
+  FROM base)
+SELECT b.o_orderkey, b.c_nationkey, stats.n AS n_cat,
+       {_SMOOTH_SQL} AS smooth_mc,
+       {_LOO_SQL} AS loo_mc
+FROM base b JOIN stats USING (c_nationkey) CROSS JOIN gtot
+""",
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of customer nation against order value, emitted
+    row-level in the two leakage-aware forms every tabular-ML pipeline
+    needs: additive-smoothed category mean (m=20 pseudo-observations of
+    the global mean) and the leave-one-out mean that excludes the row's
+    own target.
+
+    Targets are exact integer cents; category and global moments are
+    map-side-combinable aggregates (category table is nation-sized ->
+    broadcast back; global is one row via crossJoin). Encodings are
+    fixed-shape double expressions over exact BIGINTs — SAME SQL text on
+    both engines — rounded to integer milli-cents. The one data-sized
+    shuffle is the orders-customer key join; at warehouse scale the
+    customer side prunes to (custkey, nationkey) before it."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    base = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey", "cents").localCheckpoint()
+    stats = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("cents").cast("bigint").alias("gs"),
+    )
+    return (
+        base.join(F.broadcast(stats), "c_nationkey")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "c_nationkey",
+            F.col("n").alias("n_cat"),
+            F.expr(_SMOOTH_SQL).alias("smooth_mc"),
+            F.expr(_LOO_SQL).alias("loo_mc"),
+        )
+    )
