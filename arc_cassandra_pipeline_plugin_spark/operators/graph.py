@@ -219,3 +219,99 @@ def bfs_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT n AS node, CAST(lvl AS INT) AS level FROM l{rounds} WHERE lvl < {inf}"
     )
+
+
+#: SSSP infinity sentinel — far above any reachable cost (rounds x max
+#: edge cost stays < 1e12 for integer costs < 1e9 and small hop budgets),
+#: kept plain INT literal so both engines iterate exact arithmetic.
+_SSSP_INF = 10**15
+
+
+def sssp_cheapest(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+) -> DataFrame:
+    """Weighted single-source shortest path (Bellman-Ford relaxation) from
+    the lexicographically-smallest vertex: ``rounds`` synchronous passes
+    relaxing every edge, integer costs. Returns (node, dist) for nodes
+    whose cheapest known route within ``rounds`` hops is finite.
+
+    The weighted companion of :func:`bfs_levels` — same scale shape: each
+    round joins the current distance vector onto the edge list (vertex-
+    keyed shuffles, parallel edge relaxation — nothing like Dijkstra's
+    sequential frontier, which cannot distribute), aggregates the min
+    candidate per destination, and least-folds it into the vector. Costs
+    stay BIGINT against an INT infinity sentinel, so the iterate is exact
+    on both engines; with rounds < graph diameter the result is the
+    honest "cheapest route within k hops", identical on both engines."""
+    e = (
+        edges.groupBy(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .agg(F.min(F.col(cost).cast("bigint")).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("_s").alias("node")).union(
+        e.select(F.col("_d").alias("node"))
+    ).distinct()
+    # smallest vertex WITH out-edges — a pure sink as source reaches nothing
+    source = e.agg(F.min("_s").alias("_src0"))
+    dist = nodes.crossJoin(F.broadcast(source)).select(
+        "node",
+        F.when(F.col("node") == F.col("_src0"), F.lit(0).cast("bigint"))
+        .otherwise(F.lit(_SSSP_INF).cast("bigint"))
+        .alias("dist"),
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(
+                dist.filter(F.col("dist") < _SSSP_INF).select(
+                    F.col("node").alias("_s"), "dist"
+                ),
+                "_s",
+            )
+            .groupBy("_d")
+            .agg(F.min(F.col("dist") + F.col("_c")).alias("_m"))
+        )
+        dist = dist.join(cand, dist.node == cand._d, "left").select(
+            "node",
+            F.least(
+                F.col("dist"),
+                F.coalesce(F.col("_m"), F.lit(_SSSP_INF).cast("bigint")),
+            ).alias("dist"),
+        )
+    return dist.filter(F.col("dist") < _SSSP_INF).select(
+        "node", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+def sssp_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB oracle for :func:`sssp_cheapest`: the same Bellman-Ford
+    relaxation rounds unrolled as CTEs from the same INT-sentinel
+    constants. ``edges_sql`` must yield (src, dst, cost) — parallel edges
+    allowed, collapsed to min cost here exactly as the operator does."""
+    inf = _SSSP_INF
+    ctes = [
+        f"se AS (SELECT src, dst, CAST(min(cost) AS BIGINT) AS c"
+        f" FROM ({edges_sql}) GROUP BY 1, 2)",
+        "sn AS (SELECT src AS n FROM se UNION SELECT dst FROM se)",
+        "ss AS (SELECT min(src) AS s0 FROM se)",
+        f"d0 AS (SELECT n, CAST(CASE WHEN n = (SELECT s0 FROM ss)"
+        f" THEN 0 ELSE {inf} END AS BIGINT) AS dist FROM sn)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"""d{r} AS (
+  SELECT p.n, least(p.dist, coalesce(c.m, {inf})) AS dist
+  FROM {prev} p LEFT JOIN (
+    SELECT e.dst AS n2, min(p2.dist + e.c) AS m
+    FROM se e JOIN {prev} p2 ON p2.n = e.src
+    WHERE p2.dist < {inf} GROUP BY e.dst) c ON c.n2 = p.n)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n AS node, CAST(dist AS BIGINT) AS dist"
+        f" FROM d{rounds} WHERE dist < {inf}"
+    )

@@ -376,3 +376,130 @@ def covariance_matrix(
             ).alias("cov"),
         )
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    y_col: str = "y",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed batch-perceptron training: ``rounds`` synchronous
+    full-batch updates of a linear classifier w·x + b over quantized
+    embeddings, labels in {+1, −1}. Returns the learned weight vector in
+    long form — (d, w, mis_after) with d=0 the bias and d=1..dim the
+    feature weights, plus the misclassified count under the final weights
+    riding every row.
+
+    The classic screen for "is this embedding space linearly separable on
+    my label" — and the simplest member of the iterative gradient family
+    (same fixed-point discipline as pagerank/k-means/power iteration).
+
+    EXACT by construction: features quantize to integer milli-units
+    (round(x·1000) — the only float op, identical fixed shape on both
+    engines), so margins, update sums, and weights are all BIGINT — no
+    accumulation-order or libm drift is possible anywhere in the iterate.
+
+    Physical plan per round (the k-means convention): the weight vector is
+    O(dim) DRIVER state embedded as literals, so the margin
+    y·(b + Σ w_d x_d) is a pure per-row projection (integer `aggregate`
+    over `zip_with`) — ZERO shuffle for assignment; the misclassified-set
+    gradient is one posexplode + map-side-combinable groupBy(d) collapsing
+    to dim+1 rows per partition before the exchange. Driver ferries
+    O(dim) integers per round, never data. The oracle
+    (:func:`perceptron_oracle_sql`) unrolls the same rounds from the same
+    constants."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.expr(
+            f"transform({vec_col}, "
+            "v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("xq"),
+    ).localCheckpoint(eager=True)
+    first = base.select(F.size("xq").alias("n")).first()
+    dim = int(first["n"])
+    w = [0] * (dim + 1)  # w[0] = bias (feature x_0 = 1)
+
+    def margin_expr() -> str:
+        wlits = ", ".join(f"CAST({v} AS BIGINT)" for v in w[1:])
+        return (
+            f"y * (CAST({w[0]} AS BIGINT) + aggregate("
+            f"zip_with(xq, array({wlits}), (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+        )
+
+    for _ in range(rounds):
+        mis = base.where(F.expr(f"({margin_expr()}) <= 0"))
+        upd = (
+            mis.select(
+                "y",
+                F.posexplode(
+                    F.concat(F.array(F.lit(1).cast("bigint")), F.col("xq"))
+                ).alias("d", "x"),
+            )
+            .groupBy("d")
+            .agg(F.sum(F.col("y") * F.col("x")).alias("du"))
+            .collect()
+        )
+        for r in upd:
+            w[int(r["d"])] += int(r["du"])
+    mis_after = base.where(F.expr(f"({margin_expr()}) <= 0")).count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(d, int(w[d]), int(mis_after)) for d in range(dim + 1)],
+        "d INT, w BIGINT, mis_after BIGINT",
+    )
+
+
+def perceptron_oracle_sql(base_sql: str, rounds: int = 3, dim: int = 64) -> str:
+    """DuckDB oracle for :func:`perceptron_train`: the same full-batch
+    rounds unrolled as CTEs from the same constants. ``base_sql`` must
+    yield (vec_id, y, embedding) with y in {+1, −1}."""
+    ctes = [
+        f"pb AS ({base_sql})",
+        """pxl AS (
+  SELECT vec_id, y, d,
+         CAST(round(CAST(embedding[d] AS DOUBLE) * 1000, 0) AS BIGINT) AS x
+  FROM (SELECT vec_id, y, embedding,
+               unnest(range(1, len(embedding) + 1)) AS d FROM pb)
+  UNION ALL
+  SELECT vec_id, y, 0 AS d, CAST(1 AS BIGINT) AS x FROM pb)""",
+        f"pw0 AS (SELECT unnest(range(0, {dim + 1})) AS d,"
+        " CAST(0 AS BIGINT) AS w)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"pw{r - 1}"
+        ctes.append(
+            f"""pm{r} AS (
+  SELECT l.vec_id, l.y, sum(w.w * l.x) AS dot
+  FROM pxl l JOIN {prev} w USING (d) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"pmis{r} AS (SELECT vec_id FROM pm{r} WHERE y * dot <= 0)"
+        )
+        ctes.append(
+            f"""pu{r} AS (
+  SELECT d, CAST(sum(y * x) AS BIGINT) AS du
+  FROM pxl JOIN pmis{r} USING (vec_id) GROUP BY d)"""
+        )
+        ctes.append(
+            f"""pw{r} AS (
+  SELECT w.d, w.w + coalesce(u.du, 0) AS w
+  FROM {prev} w LEFT JOIN pu{r} u USING (d))"""
+        )
+    ctes.append(
+        f"""pmf AS (
+  SELECT l.vec_id, l.y, sum(w.w * l.x) AS dot
+  FROM pxl l JOIN pw{rounds} w USING (d) GROUP BY 1, 2)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(d AS INT) AS d, CAST(w AS BIGINT) AS w,
+       (SELECT CAST(count(*) AS BIGINT) FROM pmf WHERE y * dot <= 0)
+         AS mis_after
+FROM pw{rounds}"""
+    )

@@ -3952,3 +3952,54 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / (F.lit(100.0) * F.col("den")), 4).alias("twap"),
         )
     )
+
+
+def _sssp_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import sssp_oracle_sql
+
+    cost_edges = (
+        "SELECT src, dst, CAST(floor(1000000.0 / w) AS BIGINT) AS cost "
+        f"FROM ({_TRADE_EDGES_SQL})"
+    )
+    return (
+        "SELECT node AS nation, dist AS cost FROM ("
+        + sssp_oracle_sql(cost_edges, rounds=4)
+        + ")"
+    )
+
+
+@register("graph_sssp_cheapest", category="graph", oracle=_sssp_oracle())
+def graph_sssp_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (operators/graph.sssp_cheapest)
+    over the trade graph: Bellman-Ford relaxation rounds finding the
+    cheapest route from the lexicographically-first nation, edge cost
+    inversely proportional to trade volume (floor(1e6/w) — busy lanes are
+    cheap). Four synchronous relaxation passes, exact BIGINT costs,
+    certified against the identical rounds unrolled as CTEs — the weighted
+    member of the iterative-graph family next to BFS (unweighted hops)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import sssp_cheapest
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            "src",
+            "dst",
+            F.expr("CAST(floor(1000000.0 / w) AS BIGINT)").alias("cost"),
+        )
+    )
+    d = sssp_cheapest(edges, rounds=4)
+    return d.select(F.col("node").alias("nation"), F.col("dist").alias("cost"))

@@ -717,3 +717,40 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_LOO_SQL).alias("loo_mc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch-perceptron linear classifier training
+# --------------------------------------------------------------------------
+
+
+def _perceptron_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import (
+        perceptron_oracle_sql,
+    )
+
+    base = (
+        "SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE -1 END AS y, "
+        "embedding FROM embeddings"
+    )
+    return perceptron_oracle_sql(base, rounds=3, dim=64)
+
+
+@register("ml_perceptron_train", category="ml", oracle=_perceptron_oracle())
+def ml_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-perceptron training (operators/linalg.perceptron_train) on
+    the embeddings table: three full-batch rounds learning to separate
+    labels 0-4 from 5-9, returning the integer weight vector (bias at
+    d=0) and the final misclassified count — distributed linear-classifier
+    training as pure integer aggregation, certified against the identical
+    rounds unrolled as CTEs."""
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import (
+        perceptron_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(F.col("label") < 5, 1).otherwise(-1).alias("y"),
+        "embedding",
+    )
+    return perceptron_train(emb, rounds=3)
