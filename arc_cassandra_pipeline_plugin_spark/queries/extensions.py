@@ -3405,3 +3405,168 @@ def multimodal_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return A.tar_member_stats(A.synthesize_tar_shards(docs))
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval
+# --------------------------------------------------------------------------
+
+_MMR_COS_Q = (
+    "round(list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+def _mmr_oracle(pool: int = 20, k: int = 5) -> str:
+    """Unrolled-CTE oracle for MMR selection: top-``pool`` by relevance,
+    then ``k`` greedy rounds of argmax(7·rel − 3·maxsim) in exact deci-micro
+    integers (rel/sim are 6-dp-rounded cosines converted to micro ints —
+    the same float→int conversion both engines)."""
+    ctes = [
+        "qv_t AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+        " WHERE vec_id = 0)",
+        f"""relt AS (
+  SELECT c.vec_id,
+         CAST(round(({_MMR_COS_Q}) * 1000000.0) AS BIGINT) AS rm
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+  CROSS JOIN qv_t WHERE c.vec_id <> 0)""",
+        f"""pool AS (
+  SELECT vec_id, rm FROM (
+    SELECT *, row_number() OVER (ORDER BY rm DESC, vec_id) AS rn FROM relt)
+  WHERE rn <= {pool})""",
+        """pv AS (SELECT p.vec_id, p.rm, e.embedding::DOUBLE[] AS v
+  FROM pool p JOIN embeddings e USING (vec_id))""",
+        """sims AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST(round(round(list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))), 6) * 1000000.0) AS BIGINT)
+           AS sm
+  FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)""",
+        "pick1 AS (SELECT vec_id, rm, CAST(7 * rm AS BIGINT) AS mmr"
+        " FROM pool ORDER BY rm DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id FROM pick1)",
+    ]
+    for t in range(2, k + 1):
+        prev = t - 1
+        ctes.append(
+            f"""cand{t} AS (
+  SELECT p.vec_id, p.rm,
+         CAST(7 * p.rm - 3 * coalesce(mx.m, 0) AS BIGINT) AS mmr
+  FROM pool p
+  LEFT JOIN (SELECT s.i AS vec_id, max(s.sm) AS m
+             FROM sims s JOIN sel{prev} ss ON s.j = ss.vec_id
+             GROUP BY 1) mx ON mx.vec_id = p.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{prev}))"""
+        )
+        ctes.append(
+            f"pick{t} AS (SELECT vec_id, rm, mmr FROM cand{t}"
+            " ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT vec_id FROM sel{prev}"
+            f" UNION ALL SELECT vec_id FROM pick{t})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS rank, vec_id, rm, mmr FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(rank AS INT) AS rank, vec_id,"
+        f" rm AS rel_micro, mmr AS mmr_deci FROM ({unions})"
+    )
+
+
+@register(
+    "similarity_mmr_diversified",
+    category="similarity",
+    oracle=_mmr_oracle(),
+)
+def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval: top-20 relevance pool for the
+    query vector (vec_id 0), then 5 greedy MMR rounds picking
+    argmax(0.7·rel − 0.3·max-sim-to-selected) — the diversified re-rank
+    every RAG retriever runs between ANN shortlist and prompt assembly.
+
+    Scale shape: relevance is one corpus scan against the broadcast query
+    (the brute_force_topk posture) and the pool cut is a
+    TakeOrderedAndProject — no global window, no corpus shuffle; the
+    pairwise-sim matrix and greedy loop touch only the pool (bounded
+    pool² = 400 integers of driver state, the k-means ferry convention).
+    Selection arithmetic is EXACT: 6-dp cosines convert to micro ints in
+    Spark (never driver-side), and 7·rel − 3·maxsim runs in deci-micro
+    BIGINTs with vec_id tiebreak — the oracle unrolls the same rounds from
+    the same constants."""
+    from arc_cassandra_pipeline_plugin_spark.functions import (
+        cosine_similarity,
+        vec_double,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        vec_double("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", vec_double("embedding").alias("cv")
+    )
+    rel = c.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.expr(
+            "CAST(round(round("
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x)"
+            " / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+            "    * sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))), 6)"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("rm"),
+    )
+    pool = rel.orderBy(F.col("rm").desc(), F.col("vec_id")).limit(20)
+    pv = pool.join(emb, "vec_id").select(
+        "vec_id", "rm", vec_double("embedding").alias("v")
+    )
+    a = pv.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+    b = pv.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+    sims_df = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("sm"),
+        )
+    )
+    pool_rows = {int(r["vec_id"]): int(r["rm"]) for r in pool.collect()}
+    sims = {
+        (int(r["i"]), int(r["j"])): int(r["sm"]) for r in sims_df.collect()
+    }
+    selected: list[tuple[int, int, int]] = []  # (vec_id, rm, mmr)
+    chosen: set[int] = set()
+    for _ in range(5):
+        best = None
+        for vid, rm in pool_rows.items():
+            if vid in chosen:
+                continue
+            maxsim = max(
+                (sims[(vid, s)] for s in chosen if (vid, s) in sims),
+                default=0,
+            )
+            mmr = 7 * rm - 3 * maxsim
+            key = (-mmr, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rm, mmr)
+        selected.append((best[1], best[2], best[3]))
+        chosen.add(best[1])
+    return spark.createDataFrame(
+        [
+            (rank + 1, vid, rm, mmr)
+            for rank, (vid, rm, mmr) in enumerate(selected)
+        ],
+        "rank INT, vec_id BIGINT, rel_micro BIGINT, mmr_deci BIGINT",
+    )

@@ -1356,3 +1356,117 @@ def events_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+_TRIPLE_LIFT_SQL = (
+    "CAST(round((CAST(no AS DOUBLE) * CAST(no AS DOUBLE)"
+    " * CAST(nabc AS DOUBLE)"
+    " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nc3 AS DOUBLE)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_TRIPLE_SUPPORT_SQL = (
+    "CAST(round((CAST(nabc AS DOUBLE) / CAST(no AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "basket_apriori_triples",
+    category="mining",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+no_t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS no FROM items),
+brand_n AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb1 FROM items
+            GROUP BY brand),
+freq AS (SELECT brand, nb1 FROM brand_n CROSS JOIN no_t
+         WHERE nb1 * 100 >= no),
+itf AS (SELECT i.l_orderkey, i.brand FROM items i
+        JOIN freq f ON f.brand = i.brand),
+triples AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, c.brand AS brand_c,
+         CAST(count(*) AS BIGINT) AS nabc
+  FROM itf a
+  JOIN itf b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  JOIN itf c ON b.l_orderkey = c.l_orderkey AND b.brand < c.brand
+  GROUP BY 1, 2, 3),
+kept AS (
+  SELECT t.brand_a, t.brand_b, t.brand_c, t.nabc,
+         fa.nb1 AS na, fb.nb1 AS nb, fc.nb1 AS nc3, no_t.no
+  FROM triples t
+  JOIN freq fa ON fa.brand = t.brand_a
+  JOIN freq fb ON fb.brand = t.brand_b
+  JOIN freq fc ON fc.brand = t.brand_c
+  CROSS JOIN no_t
+  WHERE t.nabc * 500 >= no_t.no)
+SELECT brand_a, brand_b, brand_c, nabc AS n_together,
+       {_TRIPLE_SUPPORT_SQL} AS support_micro,
+       {_TRIPLE_LIFT_SQL} AS lift_micro
+FROM kept
+""",
+)
+def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori 3-itemset mining over order baskets of part brands: frequent
+    single brands (>=1% of orders) gate the candidate space — the Apriori
+    downward-closure prune — then an ordered triple self-join on the
+    per-order DISTINCT projection counts exact co-occurrence, keeping
+    triples with >=0.2% support. Lift against three-way independence is
+    the cross-multiplied integer form scored as one fixed-shape double
+    (SAME SQL text both engines), emitted as integer micro-units.
+
+    Scale shape: the basket projection is one fact shuffle; the triple
+    join is keyed by order and bounded by per-basket frequent-brand count
+    (C(m,3) rows per order, m <= basket size), never all-pairs across
+    orders; brand margins and the order count are label-sized broadcasts.
+    Thresholds are integer cross-multiplications — no float boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint()
+    )
+    no_t = items.agg(F.countDistinct("l_orderkey").cast("bigint").alias("no"))
+    brand_n = items.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb1")
+    )
+    freq = (
+        brand_n.crossJoin(F.broadcast(no_t))
+        .where(F.col("nb1") * 100 >= F.col("no"))
+        .select("brand", "nb1")
+    )
+    itf = items.join(F.broadcast(freq.select("brand")), "brand").select(
+        "l_orderkey", "brand"
+    )
+    a = itf.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = itf.select("l_orderkey", F.col("brand").alias("brand_b"))
+    c = itf.select("l_orderkey", F.col("brand").alias("brand_c"))
+    triples = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .join(c, "l_orderkey")
+        .where(F.col("brand_b") < F.col("brand_c"))
+        .groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nabc"))
+    )
+    fa = freq.select(F.col("brand").alias("brand_a"), F.col("nb1").alias("na"))
+    fb = freq.select(F.col("brand").alias("brand_b"), F.col("nb1").alias("nb"))
+    fc = freq.select(F.col("brand").alias("brand_c"), F.col("nb1").alias("nc3"))
+    kept = (
+        triples.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .join(F.broadcast(fc), "brand_c")
+        .crossJoin(F.broadcast(no_t))
+        .where(F.col("nabc") * 500 >= F.col("no"))
+    )
+    return kept.select(
+        "brand_a",
+        "brand_b",
+        "brand_c",
+        F.col("nabc").alias("n_together"),
+        F.expr(_TRIPLE_SUPPORT_SQL).alias("support_micro"),
+        F.expr(_TRIPLE_LIFT_SQL).alias("lift_micro"),
+    )
