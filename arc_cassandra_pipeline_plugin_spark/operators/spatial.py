@@ -46,7 +46,12 @@ def grid_points(
     )
 
 
-def proximity_join(points: DataFrame, radius: int) -> DataFrame:
+def proximity_join(
+    points: DataFrame,
+    radius: int,
+    salt_buckets: int = 16,
+    skew_threshold: int = 5000,
+) -> DataFrame:
     """All pairs of points within Euclidean distance ``radius``, as
     (id_a < id_b, dist_sq) — grid-cell bucketed, never all-pairs.
 
@@ -56,9 +61,22 @@ def proximity_join(points: DataFrame, radius: int) -> DataFrame:
     cell; the equi-join on (cell_x, cell_y) finds pair (a, b) exactly once
     — a is replicated onto b's home cell exactly once, and the id_a < id_b
     canonicalization kills the mirror match. Distances compare as exact
-    integer squares (no sqrt, no floats). At 100 TB the shuffle is keyed
-    by cell; a hot cell (skewed point density) is the same salting problem
-    as any hot join key — split the cell id, not the algorithm."""
+    integer squares (no sqrt, no floats).
+
+    **Hot-cell salting** (``salt_buckets`` > 1): point density is rarely
+    uniform — a dense cell (city-center skew) makes one (cx, cy) join key
+    quadratic on a single reducer. Cells whose RESIDENT count reaches
+    ``skew_threshold`` are split exactly like the LSH hot-bucket pattern
+    (operators/dedup.py lsh_candidate_pairs): left rows landing on a hot
+    key take a deterministic salt ``xxhash64(id) % salt_buckets``; right
+    rows resident in a hot cell are replicated once per salt value — each
+    (a, b) pair still meets exactly once (on a's salt), but the hot cell's
+    work spreads across ``salt_buckets`` reducers. Cold cells join with
+    salt 0, unreplicated. The pair set is identical to the unsalted join
+    (adversarial dense-cell pytest asserts this); the detection probe is
+    one map-side-combinable agg that doubles as the checkpoint
+    materialization, and healthy layouts keep the plain 2-key join.
+    ``salt_buckets=0`` disables."""
     cell = int(radius)
     pts = points.select(
         "id",
@@ -67,6 +85,25 @@ def proximity_join(points: DataFrame, radius: int) -> DataFrame:
         F.expr(f"x div {cell}").alias("cx"),
         F.expr(f"y div {cell}").alias("cy"),
     )
+    hot = None
+    if salt_buckets > 1:
+        # lazy checkpoint: the hot-cell probe's job materializes the blocks,
+        # so the probe rides the pass instead of paying a separate job
+        pts = pts.localCheckpoint(eager=False)
+        hot = (
+            pts.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") >= skew_threshold)
+            .select(
+                F.col("cx").alias("jx"),
+                F.col("cy").alias("jy"),
+                F.lit(True).alias("_hot"),
+            )
+        )
+        # hot set is bounded by n_points/skew_threshold cells → broadcasts;
+        # healthy layouts have none — keep the plain join, no salt columns
+        if hot.isEmpty():
+            salt_buckets = 0
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -91,11 +128,37 @@ def proximity_join(points: DataFrame, radius: int) -> DataFrame:
         F.col("cx").alias("jx"),
         F.col("cy").alias("jy"),
     )
+    join_keys = ["jx", "jy"]
+    if salt_buckets > 1:
+        mod_salt = (
+            (F.xxhash64(F.col("id_a")) % salt_buckets + salt_buckets) % salt_buckets
+        ).cast("int")
+        left = (
+            left.join(F.broadcast(hot), ["jx", "jy"], "left")
+            .withColumn(
+                "_salt",
+                F.when(F.col("_hot"), mod_salt).otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+        right = (
+            right.join(F.broadcast(hot), ["jx", "jy"], "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_hot"), F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_hot")
+        )
+        join_keys = ["jx", "jy", "_salt"]
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
     dist_sq = dx * dx + dy * dy
     return (
-        left.join(right, ["jx", "jy"])
+        left.join(right, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(dist_sq <= radius * radius)
         .select(

@@ -23,6 +23,15 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: Declared plan shapes a query may opt into. The plan-sweep test
+#: (``tests/test_plans.py::test_no_accidental_cartesian_anywhere``) rejects
+#: any cartesian/nested-loop join UNLESS the query declares why its plan
+#: legitimately contains one. Declaring the shape at the registration site
+#: (instead of a hand-kept allowlist in the test file) makes a forgotten
+#: entry structurally impossible — the declaration travels with the query.
+PLAN_SHAPES = frozenset({"scalar_broadcast", "dimension_bounded", "all_pairs"})
+
+
 @dataclass(frozen=True)
 class Query:
     name: str
@@ -30,15 +39,39 @@ class Query:
     oracle: Optional[str]
     description: str = ""
     category: str = ""
+    #: one of PLAN_SHAPES, or None for "plan must be cartesian-free":
+    #: - scalar_broadcast: BNLJ against a 1-row (or O(1)-row) aggregate —
+    #:   a broadcast scalar constant, O(rows) work at any scale
+    #: - dimension_bounded: non-equi join whose both sides are bounded by a
+    #:   dimension (days, labels), constant w.r.t. corpus scale
+    #: - all_pairs: the operator IS an intentional all-pairs computation
+    plan_shape: Optional[str] = None
+    #: required one-line justification when plan_shape is set
+    plan_reason: str = ""
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def register(
-    name: str, oracle: Optional[str] = None, category: str = "", description: str = ""
+    name: str,
+    oracle: Optional[str] = None,
+    category: str = "",
+    description: str = "",
+    plan_shape: Optional[str] = None,
+    plan_reason: str = "",
 ):
-    """Decorator adding a query to the registry."""
+    """Decorator adding a query to the registry.
+
+    ``plan_shape``/``plan_reason`` declare a deliberate cartesian-bearing
+    plan (see :data:`PLAN_SHAPES`); the plan-sweep test reads these instead
+    of a hand-kept allowlist.
+    """
+    if plan_shape is not None:
+        if plan_shape not in PLAN_SHAPES:
+            raise ValueError(f"{name}: unknown plan_shape {plan_shape!r}")
+        if not plan_reason:
+            raise ValueError(f"{name}: plan_shape={plan_shape} requires plan_reason")
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         desc = description
@@ -50,6 +83,8 @@ def register(
             oracle=oracle.strip() if oracle else None,
             description=desc or "",
             category=category,
+            plan_shape=plan_shape,
+            plan_reason=plan_reason,
         )
         return fn
 

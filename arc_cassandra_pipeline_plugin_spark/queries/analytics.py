@@ -3968,7 +3968,13 @@ def _sssp_oracle() -> str:
     )
 
 
-@register("graph_sssp_cheapest", category="graph", oracle=_sssp_oracle())
+@register(
+    "graph_sssp_cheapest",
+    category="graph",
+    oracle=_sssp_oracle(),
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row source-vertex seed row into the relaxation rounds",
+)
 def graph_sssp_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest path (operators/graph.sssp_cheapest)
     over the trade graph: Bellman-Ford relaxation rounds finding the

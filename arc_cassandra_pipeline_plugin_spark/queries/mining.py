@@ -1374,6 +1374,8 @@ _TRIPLE_SUPPORT_SQL = (
 @register(
     "basket_apriori_triples",
     category="mining",
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row basket-count total for support thresholds",
     oracle=f"""
 WITH items AS (
   SELECT DISTINCT l.l_orderkey, p.p_brand AS brand

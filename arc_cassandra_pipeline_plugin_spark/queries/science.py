@@ -410,6 +410,8 @@ _CHI2_SQL = (
 @register(
     "text_chi2_keywords",
     category="text",
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row corpus doc-count total onto the (token,lang) table",
     oracle=f"""
 WITH pres AS (
   SELECT DISTINCT doc_id, lang,
@@ -655,6 +657,8 @@ _LOO_SQL = (
 @register(
     "ml_target_encoding",
     category="ml",
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row global moments (prior mean) onto every group",
     oracle=f"""
 WITH base AS (
   SELECT o.o_orderkey, c.c_nationkey,

@@ -1498,3 +1498,33 @@ def test_spatial_proximity_join_matches_brute_force(spark):
 
     plan = SP.proximity_join(df, radius=r)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_spatial_hot_cell_salting_is_result_identical(spark):
+    """Adversarial dense-cell layout (one cell holds most of the corpus —
+    the docstring's city-center skew): the salted plan must (a) actually
+    engage (salt key in the join), (b) return EXACTLY the unsalted pair
+    set, (c) spread the hot cell's left rows across many salt values."""
+    from arc_cassandra_pipeline_plugin_spark.operators import spatial as SP
+
+    r = 25
+    # 400 points crammed into cell (0,0) [coords 0..24] + a sparse ring in
+    # neighboring cells so cross-cell pairs exist
+    dense = [(i, (i * 13) % 25, (i * 29) % 25) for i in range(400)]
+    sparse = [(1000 + j, 26 + (j * 7) % 20, 26 + (j * 11) % 20) for j in range(40)]
+    df = spark.createDataFrame(dense + sparse, "id long, x long, y long")
+
+    unsalted = {
+        (row["id_a"], row["id_b"], row["dist_sq"])
+        for row in SP.proximity_join(df, radius=r, salt_buckets=0).collect()
+    }
+    salted_df = SP.proximity_join(df, radius=r, salt_buckets=8, skew_threshold=100)
+    salted = {(row["id_a"], row["id_b"], row["dist_sq"]) for row in salted_df.collect()}
+    assert salted == unsalted and len(unsalted) > 1000
+
+    # the salted plan joins on (_salt, jx, jy) — verify the key is present
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    # and the threshold probe keeps cold layouts on the plain 2-key join
+    cold = SP.proximity_join(df, radius=r, salt_buckets=8, skew_threshold=10_000)
+    assert "_salt" not in cold._jdf.queryExecution().executedPlan().toString()

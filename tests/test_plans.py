@@ -141,19 +141,50 @@ SCALAR_BROADCASTS = {
 }
 
 
+# The three sets above are FROZEN legacy allowlists (pre-r5 queries only).
+# Do NOT add new names here: declare plan_shape="scalar_broadcast" /
+# "dimension_bounded" / "all_pairs" (+ plan_reason) on @register instead —
+# the sweep below reads the registry flag, so the declaration travels with
+# the query and a forgotten allowlist entry is structurally impossible.
+# test_legacy_plan_allowlists_are_frozen pins their size.
+_LEGACY_ALLOWLIST_SIZES = {
+    "DELIBERATE_ALL_PAIRS": 9,
+    "DIMENSION_BOUNDED": 9,
+    "SCALAR_BROADCASTS": 35,
+}
+
+
+def test_legacy_plan_allowlists_are_frozen():
+    """New queries must use the @register plan_shape flag, not these sets."""
+    for name, size in _LEGACY_ALLOWLIST_SIZES.items():
+        assert len(globals()[name]) == size, (
+            f"{name} grew: declare plan_shape on @register instead of "
+            "extending the legacy allowlist"
+        )
+
+
+def test_plan_shape_flags_do_not_duplicate_legacy_sets():
+    legacy = DELIBERATE_ALL_PAIRS | DIMENSION_BOUNDED | SCALAR_BROADCASTS
+    flagged = {n for n, q in REGISTRY.items() if q.plan_shape}
+    assert not (legacy & flagged)
+
+
 @pytest.mark.parametrize(
     "name", [n for n in sorted(REGISTRY) if REGISTRY[n].category != "pipeline"]
 )
 def test_no_accidental_cartesian_anywhere(spark, name):
     """Every certified query must be free of cartesian/nested-loop joins
-    unless the operator is an intentional all-pairs computation."""
-    if name in DELIBERATE_ALL_PAIRS:
+    unless the operator declares an intentional all-pairs / scalar-broadcast /
+    dimension-bounded plan (registry plan_shape flag, or the frozen legacy
+    allowlists above)."""
+    q = REGISTRY[name]
+    if name in DELIBERATE_ALL_PAIRS or q.plan_shape == "all_pairs":
         pytest.skip("deliberate all-pairs plan")
-    if name in SCALAR_BROADCASTS:
+    if name in SCALAR_BROADCASTS or q.plan_shape == "scalar_broadcast":
         pytest.skip("1-row scalar broadcast join by design")
-    if name in DIMENSION_BOUNDED:
+    if name in DIMENSION_BOUNDED or q.plan_shape == "dimension_bounded":
         pytest.skip("non-equi join bounded by dimension cardinality (days/labels)")
-    df = REGISTRY[name].fn(spark, SF_SMALL)
+    df = q.fn(spark, SF_SMALL)
     assert_no_cartesian(df)
 
 
