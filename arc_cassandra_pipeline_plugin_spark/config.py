@@ -70,6 +70,10 @@ _KEY_TO_FIELD = {
     "leftView": "left_view",
     "rightView": "right_view",
     "operator": "operator",
+    "skipIndexColumn": "skip_index_col",
+    "skipMin": "skip_min",
+    "skipMax": "skip_max",
+    "skipManifestURI": "skip_manifest_uri",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 
@@ -114,6 +118,12 @@ def _coerce(field: dataclasses.Field, value: Any, key: str) -> Any:
     if field.name == "rows_per_second":
         if isinstance(value, bool) or not isinstance(value, int):
             raise TypeError(f"expected an integer for '{key}'")
+        return value
+    if field.name in ("skip_min", "skip_max"):
+        # index-range bound: any comparable scalar (the stage compares it
+        # against the column's native min/max via Spark literals)
+        if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+            raise TypeError(f"expected a scalar (number or string) for '{key}'")
         return value
     if field.name == "schema":
         # schema accepts a DDL string OR a programmatic StructType (the

@@ -76,16 +76,75 @@ class ExtractStage(PipelineStage):
 class ParquetExtract(ExtractStage):
     """``spark.read.parquet`` source. Filters/projections a downstream query
     applies reach the scan via Catalyst pushdown (no stage code needed —
-    SURVEY.md §4)."""
+    SURVEY.md §4).
+
+    **File-skipping index** (``skipIndexColumn`` + ``skipMin``/``skipMax``,
+    optionally ``skipManifestURI``): before the scan, a per-file min/max
+    manifest over the index column is consulted and only files whose
+    [min, max] range intersects the requested bounds are read — the
+    lakehouse data-skipping pattern (Delta/Iceberg file stats), exposed on
+    the extract side, the reference's only physical-knob surface
+    (``CassandraExtract.scala:107-122``). The manifest is built once from
+    the hidden ``_metadata.file_path`` column (one aggregate keyed by
+    file) and, when ``skipManifestURI`` is set, persisted there and
+    reused — subsequent runs prune from the manifest alone, touching no
+    skipped data file. The driver-side file list is O(files), never rows.
+    The range predicate is re-applied to the surviving rows, so results
+    are exactly the full scan's (skipping is a pure optimization).
+    Metrics: ``skipIndexFilesTotal`` / ``skipIndexFilesRead``.
+    """
 
     stage_type: str = "ParquetExtract"
     input_uri: str = ""
+    skip_index_col: str = ""
+    skip_min: object = None
+    skip_max: object = None
+    skip_manifest_uri: str = ""
 
     def _read(self, spark: SparkSession, ctx: PipelineContext) -> DataFrame:
         reader = spark.read.options(**self.params)
         if self.schema is not None:
             reader = reader.schema(self.schema)
+        if self.skip_index_col and (self.skip_min is not None or self.skip_max is not None):
+            return self._skipping_read(spark, reader)
         return reader.parquet(self.input_uri)
+
+    def _skipping_read(self, spark: SparkSession, reader) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        col = F.col(self.skip_index_col)
+        manifest = None
+        if self.skip_manifest_uri:
+            try:
+                manifest = spark.read.parquet(self.skip_manifest_uri)
+            except Exception:
+                manifest = None  # not built yet
+        if manifest is None:
+            manifest = (
+                reader.parquet(self.input_uri)
+                .groupBy(F.col("_metadata.file_path").alias("file_path"))
+                .agg(F.min(col).alias("min_val"), F.max(col).alias("max_val"))
+            )
+            if self.skip_manifest_uri:
+                manifest.write.mode("overwrite").parquet(self.skip_manifest_uri)
+                manifest = spark.read.parquet(self.skip_manifest_uri)
+
+        keep_cond = F.lit(True)
+        row_cond = F.lit(True)
+        if self.skip_min is not None:
+            keep_cond = keep_cond & (F.col("max_val") >= F.lit(self.skip_min))
+            row_cond = row_cond & (col >= F.lit(self.skip_min))
+        if self.skip_max is not None:
+            keep_cond = keep_cond & (F.col("min_val") <= F.lit(self.skip_max))
+            row_cond = row_cond & (col <= F.lit(self.skip_max))
+        # O(files) driver list — the planner's file census, never row data
+        rows = manifest.select("file_path", keep_cond.alias("_keep")).collect()
+        keep = [r["file_path"] for r in rows if r["_keep"]]
+        self.stage_detail.set("skipIndexFilesTotal", len(rows))
+        self.stage_detail.set("skipIndexFilesRead", len(keep))
+        if not keep:
+            return reader.parquet(self.input_uri).filter(F.lit(False))
+        return reader.parquet(*keep).filter(row_cond)
 
 
 @dataclass

@@ -607,3 +607,108 @@ def test_operator_transform_reaches_linalg(spark, ctx):
         ).collect()
     }
     assert got == want and len(got) == 64
+
+
+def test_parquet_extract_skipping_index_prunes_files(spark, ctx, tmp_path):
+    """The min/max skipping index must (a) read strictly fewer files than
+    the layout holds, (b) return exactly the full-scan-with-filter result,
+    (c) record the pruning metrics, (d) reuse a persisted manifest without
+    touching skipped data files."""
+    from pyspark.sql import functions as F
+
+    # range-partition so per-file min/max stats are disjoint (a hash layout
+    # overlaps every file's range and nothing could be skipped)
+    src2 = str(tmp_path / "orders_ranged")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .repartitionByRange(8, "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(src2)
+    )
+    lo, hi = 50_000.0, 80_000.0
+    full = (
+        spark.read.parquet(src2)
+        .filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi))
+    )
+    want = {tuple(r) for r in full.collect()}
+
+    manifest = str(tmp_path / "manifest")
+    st = ParquetExtract(
+        name="skip",
+        input_uri=src2,
+        output_view="orders_skip",
+        skip_index_col="o_totalprice",
+        skip_min=lo,
+        skip_max=hi,
+        skip_manifest_uri=manifest,
+    )
+    df = st.execute(spark, ctx)
+    got = {tuple(r) for r in df.collect()}
+    assert got == want and len(want) > 50
+    d = st.stage_detail.as_dict()
+    assert d["skipIndexFilesTotal"] >= 8
+    assert 0 < d["skipIndexFilesRead"] < d["skipIndexFilesTotal"]
+    # the physical scan reads only the surviving files
+    assert len(df.inputFiles()) == d["skipIndexFilesRead"]
+
+    # second run: manifest is consulted (no rebuild), same result
+    st2 = ParquetExtract(
+        name="skip2",
+        input_uri=src2,
+        output_view="orders_skip2",
+        skip_index_col="o_totalprice",
+        skip_min=lo,
+        skip_max=hi,
+        skip_manifest_uri=manifest,
+    )
+    df2 = st2.execute(spark, ctx)
+    assert {tuple(r) for r in df2.collect()} == want
+    assert st2.stage_detail.as_dict()["skipIndexFilesRead"] == d["skipIndexFilesRead"]
+
+    # empty intersection → zero rows, schema intact
+    st3 = ParquetExtract(
+        name="skip3",
+        input_uri=src2,
+        output_view="orders_skip3",
+        skip_index_col="o_totalprice",
+        skip_min=1e12,
+    )
+    df3 = st3.execute(spark, ctx)
+    assert df3.count() == 0 and df3.columns == df.columns
+    assert st3.stage_detail.as_dict()["skipIndexFilesRead"] == 0
+
+
+def test_parquet_extract_skipping_index_declarative(spark, ctx, tmp_path):
+    """skipIndexColumn/skipMin/skipMax flow through the config layer."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ranged")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .repartitionByRange(6, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    p = parse_config(
+        {
+            "stages": [
+                {
+                    "type": "ParquetExtract",
+                    "name": "e",
+                    "inputURI": src,
+                    "outputView": "orders_skip_decl",
+                    "skipIndexColumn": "o_orderkey",
+                    "skipMin": 100,
+                    "skipMax": 900,
+                }
+            ]
+        }
+    )
+    p.run(spark, ctx)
+    got = spark.table("orders_skip_decl")
+    want = (
+        spark.read.parquet(src)
+        .filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 900))
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert len(got.inputFiles()) < len(want.inputFiles())
