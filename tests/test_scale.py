@@ -250,3 +250,28 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scale_md_shuffle_inventory_is_fresh():
+    """The generated shuffle inventory in SCALE.md must cover exactly the
+    registered (non-pipeline) queries — a query added without rerunning
+    `python tools/gen_scale_inventory.py` fails here, keeping the
+    100×-scale story auditable as the registry grows."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark.queries import load_all
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE.md")) as f:
+        text = f.read()
+    begin = "<!-- BEGIN GENERATED SHUFFLE INVENTORY"
+    assert begin in text, "run python tools/gen_scale_inventory.py"
+    section = text.split(begin)[1].split("<!-- END GENERATED")[0]
+    listed = set(re.findall(r"^[|-] `([a-z0-9_]+)`", section, re.M))
+    want = {n for n, q in load_all().items() if q.category != "pipeline"}
+    missing = sorted(want - listed)
+    stale = sorted(listed - want)
+    assert not missing and not stale, (
+        f"SCALE.md inventory out of date (run tools/gen_scale_inventory.py); "
+        f"missing={missing[:5]} stale={stale[:5]}"
+    )

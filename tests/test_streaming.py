@@ -586,3 +586,180 @@ def test_foreachbatch_checkpoint_resume_continues_offsets(spark, tmp_path):
     assert sorted(v for _, vs in second_run for v in vs) == [3]
     # batch ids continue across the restart
     assert min(b for b, _ in second_run) > max(b for b, _ in first_run)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_stream_stream_outer_jittered_traces_match_batch(spark, tmp_path, seed):
+    """Watermark-delay × out-of-orderness property (r4 verdict item 6):
+    random event-time jitter BOUNDED BY the watermark delay must leave the
+    streamed outer join exactly equal to the batch join, for any trace.
+
+    The bound is provable, not tuned: arrival slot i carries event time
+    base + 60·i + jitter, |jitter| ≤ 300 s, watermark delay W = 1800 s.
+    A row is late iff its ts < max(previous ts) − W; worst case
+    (60·i − 300) < (60·(i−1) + 300) − 1800 reduces to −300 < −1560, false —
+    so NO row in any jittered trace can be dropped, and stream ≡ batch is
+    the exact contract. (Beyond-watermark lateness is pinned separately by
+    test_stream_stream_outer_beyond_watermark_row_is_dropped.)"""
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    rng = random.Random(seed)
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    rows = []
+    for i in range(24):
+        side = rng.choice(["click", "error"])
+        user = rng.randrange(5)
+        ts = base + 60 * i + rng.randint(-300, 300)
+        rows.append((i, ts, user, side))
+
+    d = str(tmp_path / "src")
+    schema = "event_id int, ts timestamp, user_id int, event_type string"
+
+    def frame(batch):
+        return spark.createDataFrame(
+            [(e, t, u, s) for e, t, u, s in batch],
+            "event_id int, ts long, user_id int, event_type string",
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "user_id", "event_type")
+
+    for b in range(6):  # 6 arrival batches of 4 events, mtime-ordered
+        frame(rows[b * 4:(b + 1) * 4]).coalesce(1).write.parquet(f"{d}/b{b}")
+        time.sleep(1.1)
+    sentinel = [(-1, base + 86400 * 30, -1, "click"),
+                (-2, base + 86400 * 30, -2, "error")]
+    frame(sentinel).coalesce(1).write.parquet(f"{d}/sent")
+
+    def split(df):
+        clicks = df.filter("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("click_ts"))
+        errors = df.filter("event_type = 'error'").select(
+            F.col("event_id").alias("err_id"), "user_id",
+            F.col("ts").alias("err_ts"))
+        return clicks, errors
+
+    hows = ["leftOuter"] if seed != 11 else ["leftOuter", "fullOuter"]
+    for how in hows:
+        ev = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        clicks, errors = split(ev)
+        out = ST.stream_stream_outer_join(
+            clicks, errors, key="user_id", left_ts="click_ts",
+            right_ts="err_ts", watermark="30 minutes", upper="10 minutes",
+            how=how,
+        ).select("click_id", "user_id", "err_id")
+        name = f"jitter_{seed}_{how}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        assert q.awaitTermination(240), "drain timed out"
+
+        def nkey(t):
+            return tuple((v is None, v if v is not None else 0) for v in t)
+
+        got = sorted(
+            (tuple(r) for r in spark.table(name).filter("user_id >= 0").collect()),
+            key=nkey,
+        )
+
+        bc, be = split(frame(rows))
+        be = be.withColumnRenamed("user_id", "__rkey")
+        cond = (
+            (F.col("user_id") == F.col("__rkey"))
+            & (F.col("err_ts") > F.col("click_ts"))
+            & (F.col("err_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes"))
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in bc.join(be, cond, how)
+                .withColumn("user_id", F.coalesce(F.col("user_id"), F.col("__rkey")))
+                .select("click_id", "user_id", "err_id")
+                .collect()
+            ),
+            key=nkey,
+        )
+        assert got == want, f"stream≢batch for seed={seed} how={how}"
+        assert len(want) >= 4  # the trace is non-trivial
+
+
+def test_stream_stream_outer_beyond_watermark_row_semantics(spark, tmp_path):
+    """The other half of the jitter property, pinning Spark's ACTUAL
+    beyond-watermark behavior (it is weaker than naive expectation, and
+    worth documenting like the pushdown trap above): a right row whose
+    event time is far behind the watermark at arrival is NOT dropped on
+    input — stream-stream joins bound lateness through STATE EVICTION, and
+    within a batch the join runs before eviction, so the late row still
+    matches any state the watermark has not yet removed. The guarantee
+    the watermark gives is one-sided: results stop changing once the
+    watermark passes, not that late input is discarded. (Docs: "late rows
+    may or may not get processed"; the jitter test above pins the strong
+    exact-equivalence contract INSIDE the watermark bound.) Also pinned:
+    the interval lower bound is strict (err_ts > click_ts), so a
+    same-timestamp pair does not match."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    base = 1704103200
+    d = str(tmp_path / "src")
+
+    def write(batch, name):
+        spark.createDataFrame(
+            batch, "event_id int, ts long, user_id int, event_type string"
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "user_id", "event_type").coalesce(1).write.parquet(f"{d}/{name}")
+        time.sleep(1.1)
+
+    # batch 0: the click; batch 1: far-future rows push the watermark;
+    # batch 2: an error matching the click in event time, arriving hours
+    # behind the watermark — observed: it still matches (see docstring)
+    write([(1, base, 7, "click")], "b0")
+    write([(50, base + 7200, 9, "click"), (51, base + 7200, 9, "error")], "b1")
+    write([(2, base + 60, 7, "error")], "b2")
+    write([(-1, base + 86400 * 30, -1, "click"),
+           (-2, base + 86400 * 30, -2, "error")], "sent")
+
+    ev = (
+        spark.readStream.schema("event_id int, ts timestamp, user_id int, event_type string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts"))
+    out = ST.stream_stream_outer_join(
+        clicks, errors, key="user_id", left_ts="click_ts", right_ts="err_ts",
+        watermark="30 minutes", upper="10 minutes",
+    ).select("click_id", "user_id", "err_id")
+    q = (
+        out.writeStream.format("memory").queryName("late_drop")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = sorted(
+        (tuple(r) for r in spark.table("late_drop").filter("user_id >= 0").collect()),
+        key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
+    )
+    # (1, 7, 2): the late error matched state not yet evicted in its batch.
+    # (50, 9, None): click 50 null-pads — error 51 shares its timestamp and
+    # the interval lower bound is STRICT, so they cannot pair.
+    assert got == [(1, 7, 2), (50, 9, None)]
