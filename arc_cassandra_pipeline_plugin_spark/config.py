@@ -74,6 +74,7 @@ _KEY_TO_FIELD = {
     "skipMin": "skip_min",
     "skipMax": "skip_max",
     "skipManifestURI": "skip_manifest_uri",
+    "skipSortOutput": "skip_sort_output",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 
@@ -110,7 +111,7 @@ def _coerce(field: dataclasses.Field, value: Any, key: str) -> Any:
         return value
     if field.name in (
         "persist", "header", "infer_schema", "multi_line", "partition_output",
-        "observe_metrics", "trim", "lenient",
+        "observe_metrics", "trim", "lenient", "skip_sort_output",
     ):
         if not isinstance(value, bool):
             raise TypeError(f"expected a boolean for '{key}'")

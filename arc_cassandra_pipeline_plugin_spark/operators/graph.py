@@ -315,3 +315,92 @@ def sssp_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
         + f"\nSELECT n AS node, CAST(dist AS BIGINT) AS dist"
         f" FROM d{rounds} WHERE dist < {inf}"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection): every
+    node starts labeled with itself; each round it adopts the label with
+    the highest total edge weight among its neighbors (ties broken by the
+    LEXICOGRAPHICALLY SMALLEST label, so the iterate is deterministic —
+    classic async LPA is run-order-dependent and cannot be certified).
+    Isolated behavior: a node keeps its label when it has no in-votes.
+    Returns (node, label) after ``rounds`` synchronous passes.
+
+    Scale shape per round: one vertex-keyed join of the O(V) label vector
+    onto the undirected edge list, one (node, label) weight aggregation
+    (map-side combinable), one deterministic argmax window partitioned by
+    node (state = labels per node, bounded by degree). Same iterate family
+    as :func:`pagerank`/:func:`sssp_cheapest`; no adjacency on the driver,
+    lineage cut per round via localCheckpoint on the label vector."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"),
+                     F.col(weight).cast("bigint").alias("_w"))
+        .union(
+            edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"),
+                         F.col(weight).cast("bigint").alias("_w"))
+        )
+        .groupBy("_a", "_b")
+        .agg(F.sum("_w").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_rank = Window.partitionBy("_b").orderBy(F.col("_v").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        votes = (
+            und.join(labels.select(F.col("node").alias("_a"), "label"), "_a")
+            .groupBy("_b", "label")
+            .agg(F.sum("_w").alias("_v"))
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w_rank))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_b").alias("node"), F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce(F.col("_new"), F.col("label")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB oracle for :func:`label_propagation`: identical synchronous
+    rounds unrolled as CTEs — weighted vote per (node, label), argmax by
+    (votes DESC, label ASC) via row_number, keep-own-label on no votes."""
+    ctes = [
+        f"""ue AS (
+  SELECT _a, _b, CAST(sum(_w) AS BIGINT) AS _w FROM (
+    SELECT src AS _a, dst AS _b, w AS _w FROM ({edges_sql})
+    UNION ALL
+    SELECT dst AS _a, src AS _b, w AS _w FROM ({edges_sql})
+  ) GROUP BY 1, 2)""",
+        "l0 AS (SELECT DISTINCT _a AS node, _a AS label FROM ue)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        ctes.append(
+            f"""l{r} AS (
+  SELECT p.node, coalesce(b.label, p.label) AS label
+  FROM {prev} p LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT e._b AS node, q.label,
+             row_number() OVER (PARTITION BY e._b
+                                ORDER BY sum(e._w) DESC, q.label ASC) AS rn
+      FROM ue e JOIN {prev} q ON q.node = e._a
+      GROUP BY e._b, q.label) WHERE rn = 1) b ON b.node = p.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{rounds}"
+    )

@@ -1130,3 +1130,53 @@ def synthesize_gif_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
 
     return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")
+
+
+BMP_AHASH_SCHEMA = (
+    "asset_id bigint, width int, height int, ahash4 int, gray_sum bigint"
+)
+
+
+def bmp_ahash(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash through the REAL BMP decoder: the image is
+    split into a 2×2 block grid (left/top blocks take the floor half on
+    odd dimensions), each block's bit is 1 when its mean luma exceeds the
+    image mean, packed LSB-first as bit (by*2 + bx). Near-duplicate images
+    collide on ahash4; any pixel-level edit flips bits — the cheap
+    screen-before-expensive-verify used in image dedup pipelines.
+
+    Exactness: luma is the integer per-mil BT.601 weighting
+    (299 R + 587 G + 114 B), and every mean comparison is CROSS-MULTIPLIED
+    (block_sum * n_total > total_sum * n_block) — pure BIGINT ordering, no
+    division, no float anywhere, so the hash is bit-stable by
+    construction. Arrow-batched mapInPandas like every multimodal kernel;
+    shuffle-free (one pass over payloads)."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "width", "height", "ahash4", "gray_sum")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_bmp24(payload)
+                gray = [299 * r + 587 * g + 114 * b for (r, g, b) in px]
+                total = sum(gray)
+                n = w * h
+                bs = [[0, 0], [0, 0]]
+                bn = [[0, 0], [0, 0]]
+                for p, gv in enumerate(gray):
+                    bx = 0 if (p % w) < (w // 2) else 1
+                    by = 0 if (p // w) < (h // 2) else 1
+                    bs[by][bx] += gv
+                    bn[by][bx] += 1
+                code = 0
+                for by in range(2):
+                    for bx in range(2):
+                        if bs[by][bx] * n > total * bn[by][bx]:
+                            code |= 1 << (by * 2 + bx)
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash4"].append(code)
+                out["gray_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=BMP_AHASH_SCHEMA)

@@ -4009,3 +4009,51 @@ def graph_sssp_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = sssp_cheapest(edges, rounds=4)
     return d.select(F.col("node").alias("nation"), F.col("dist").alias("cost"))
+
+
+def _lpa_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        label_propagation_oracle_sql,
+    )
+
+    return (
+        "SELECT node AS nation, label AS community FROM ("
+        + label_propagation_oracle_sql(_TRADE_EDGES_SQL, rounds=3)
+        + ")"
+    )
+
+
+@register("graph_label_propagation", category="graph", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation over
+    the nation trade graph (operators/graph.label_propagation): 3 rounds,
+    each node adopting the neighbor label with the highest total trade
+    weight, ties to the lexicographically smallest label — deterministic
+    by construction (async LPA is run-order-dependent and uncertifiable),
+    certified against the identical rounds unrolled as DuckDB CTEs.
+
+    Scale shape: per round one vertex-keyed join of the O(V) label vector
+    onto the symmetrized edge list + one map-side-combinable (node, label)
+    vote aggregation + one degree-bounded argmax window — the same
+    iterate family as pagerank/SSSP/BFS; no driver-side graph state."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import label_propagation
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = label_propagation(edges, rounds=3)
+    return out.select(F.col("node").alias("nation"), F.col("label").alias("community"))

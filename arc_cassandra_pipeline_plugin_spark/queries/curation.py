@@ -2261,3 +2261,62 @@ def dedup_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
     )
     return D.editdist_join_prefix(cust, max_dist=1)
+
+
+@register(
+    "text_chunk_overlap",
+    category="text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS t
+  FROM documents),
+starts AS (
+  SELECT doc_id, t, len(t) AS n, unnest(range(0, greatest(len(t), 1), 48)) AS s
+  FROM toks WHERE len(t) >= 1),
+chunks AS (
+  SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+         t[s + 1 : least(s + 64, n)] AS c
+  FROM starts)
+SELECT doc_id, chunk_idx,
+       CAST(len(c) AS INT) AS n_tokens,
+       c[1] AS first_tok, c[len(c)] AS last_tok,
+       substr(md5(array_to_string(c, ' ')), 1, 16) AS chunk_fp
+FROM chunks
+""",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (window 64 tokens, stride 48 —
+    16-token overlap): the RAG / embedding-index preprocessing step that
+    turns documents into retrievable units, certified chunk-for-chunk
+    (count, boundary tokens, md5 fingerprint of the joined text).
+
+    Chunk boundaries are pure integer arithmetic over the token array
+    (sequence of starts, slice per start) — computed ENGINE-SIDE with no
+    window function and no Python; the explode fans out ~n/48 rows per
+    doc, and everything downstream keys on doc_id. At 100 TB this is one
+    tokenize pass, shuffle-free until a consumer groups the chunks."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("t"),
+    ).filter(F.size("t") >= 1)
+    chunks = toks.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        "t",
+        F.explode(
+            F.expr("sequence(0, greatest(size(t) - 1, 0), 48)")
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        (F.col("s") / 48).cast("int").alias("chunk_idx"),
+        F.expr("slice(t, s + 1, 64)").alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("c").cast("int").alias("n_tokens"),
+        F.element_at("c", 1).alias("first_tok"),
+        F.element_at("c", -1).alias("last_tok"),
+        F.substring(F.md5(F.array_join("c", " ")), 1, 16).alias("chunk_fp"),
+    )

@@ -3570,3 +3570,116 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank INT, vec_id BIGINT, rel_micro BIGINT, mmr_deci BIGINT",
     )
+
+
+@register(
+    "embeddings_quantize_int8",
+    category="similarity",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+mx AS (SELECT j, max(abs(x)) AS m FROM e GROUP BY 1),
+q AS (
+  SELECT e.j, e.x, mx.m,
+         CASE WHEN mx.m = 0 THEN 0
+              ELSE CAST(round(e.x * 127 / mx.m, 0) AS INT) END AS qv
+  FROM e JOIN mx ON mx.j = e.j),
+err AS (SELECT j, m, x - qv * m / 127 AS err FROM q)
+SELECT CAST(j AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       round(max(m), 6) AS scale_max_abs,
+       round(CAST(sum(CAST(round(err * err, 12) AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*), 6) AS mse,
+       round(max(abs(err)), 6) AS max_abs_err
+FROM err GROUP BY 1
+""",
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per embedding dimension — the
+    compression every large vector index applies (scale = max|x|/127),
+    reporting the per-dim scale, reconstruction MSE, and worst-case error
+    so the recall-vs-memory tradeoff is measured, not assumed.
+
+    Determinism: quantized codes are round(x*127/max) on IDENTICAL doubles
+    with identical half-away-from-zero semantics (exact-.5 ties included);
+    squared errors are rounded to 12 dp per row and summed as exact
+    DECIMAL (order-free — the linalg convention), so the MSE cannot drift
+    with partitioning. Scale shape: one posexplode pass, one d-sized max
+    aggregate broadcast back, one d-keyed moment aggregate — no shuffle
+    carries vectors, driver state O(d)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select((F.col("pos") + 1).alias("j"), F.col("xf").cast("double").alias("x"))
+    mx = e.groupBy("j").agg(F.max(F.abs(F.col("x"))).alias("m"))
+    q = e.join(F.broadcast(mx), "j").select(
+        "j",
+        "x",
+        "m",
+        F.when(F.col("m") == 0, F.lit(0))
+        .otherwise(F.round(F.col("x") * 127 / F.col("m"), 0).cast("int"))
+        .alias("qv"),
+    )
+    err = q.select(
+        "j", "m", (F.col("x") - F.col("qv") * F.col("m") / 127).alias("err")
+    )
+    dec = "decimal(30,12)"
+    return err.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("m"), 6).alias("scale_max_abs"),
+        F.round(
+            F.sum(F.round(F.col("err") * F.col("err"), 12).cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mse"),
+        F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
+    ).select(
+        F.col("j").cast("int").alias("dim"), "n", "scale_max_abs", "mse", "max_abs_err"
+    )
+
+
+@register(
+    "multimodal_bmp_ahash",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+g AS (
+  SELECT asset_id, w, h, p,
+         299 * ((asset_id + 13 * p) % 256)
+         + 587 * ((2 * asset_id + 7 * p) % 256)
+         + 114 * ((3 * asset_id + 11 * p) % 256) AS gv,
+         CASE WHEN (p % w) < (w // 2) THEN 0 ELSE 1 END AS bx,
+         CASE WHEN (p // w) < (h // 2) THEN 0 ELSE 1 END AS by
+  FROM px),
+blocks AS (
+  SELECT asset_id, w, h, by, bx,
+         CAST(sum(gv) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bn
+  FROM g GROUP BY 1, 2, 3, 4, 5),
+tot AS (
+  SELECT asset_id, CAST(sum(bsum) AS BIGINT) AS total,
+         CAST(sum(bn) AS BIGINT) AS n
+  FROM blocks GROUP BY 1)
+SELECT b.asset_id, CAST(max(b.w) AS INT) AS width, CAST(max(b.h) AS INT) AS height,
+       CAST(sum(CASE WHEN b.bsum * t.n > t.total * b.bn
+                     THEN 1 << (b.by * 2 + b.bx) ELSE 0 END) AS INT) AS ahash4,
+       CAST(max(t.total) AS BIGINT) AS gray_sum
+FROM blocks b JOIN tot t ON t.asset_id = b.asset_id
+GROUP BY 1
+""",
+)
+def multimodal_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (2×2 block aHash) computed through the REAL
+    BMP codec round-trip (operators/multimodal.bmp_ahash): encode the
+    deterministic RGB corpus, decode genuine BMP bytes, integer BT.601
+    luma, cross-multiplied block-vs-image mean bits packed into a 4-bit
+    code — the screen-then-verify primitive of image near-dup pipelines,
+    certified against the oracle's direct re-derivation of the pixel
+    formula (every comparison pure BIGINT: no division, no floats, no
+    rounding anywhere)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.bmp_ahash(M.synthesize_bmp_assets(docs))

@@ -1472,3 +1472,377 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_TRIPLE_SUPPORT_SQL).alias("support_micro"),
         F.expr(_TRIPLE_LIFT_SQL).alias("lift_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# exponentially-weighted moving average of daily spend (dyadic-exact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_ewma_spend",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT user_id, day, y,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+         lag(y, 0) OVER w AS y0,
+         lag(y, 1) OVER w AS y1,
+         lag(y, 2) OVER w AS y2,
+         lag(y, 3) OVER w AS y3,
+         lag(y, 4) OVER w AS y4,
+         lag(y, 5) OVER w AS y5,
+         lag(y, 6) OVER w AS y6,
+         lag(y, 7) OVER w AS y7,
+         lag(y, 8) OVER w AS y8,
+         lag(y, 9) OVER w AS y9,
+         lag(y, 10) OVER w AS y10,
+         lag(y, 11) OVER w AS y11,
+         lag(y, 12) OVER w AS y12,
+         lag(y, 13) OVER w AS y13,
+         lag(y, 14) OVER w AS y14,
+         lag(y, 15) OVER w AS y15
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day))
+SELECT user_id, day, n AS n_obs,
+       round(CAST(coalesce(y0, 0) * 32768 + coalesce(y1, 0) * 16384 + coalesce(y2, 0) * 8192 + coalesce(y3, 0) * 4096 + coalesce(y4, 0) * 2048 + coalesce(y5, 0) * 1024 + coalesce(y6, 0) * 512 + coalesce(y7, 0) * 256 + coalesce(y8, 0) * 128 + coalesce(y9, 0) * 64 + coalesce(y10, 0) * 32 + coalesce(y11, 0) * 16 + coalesce(y12, 0) * 8 + coalesce(y13, 0) * 4 + coalesce(y14, 0) * 2 + coalesce(y15, 0) * 1 AS DOUBLE)
+             / ((1::BIGINT << 16) - (1::BIGINT << CAST(16 - n AS INT))), 6)
+         AS ewma_cents
+FROM win
+""",
+)
+def events_ewma_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2, 16-term window)
+    of daily spend per user — the smoothed activity feature every
+    engagement model consumes, certified EXACTLY across engines.
+
+    Determinism by construction: with alpha = 1/2 the weights are powers
+    of two, so numerator (sum of y_(t-k) * 2^(15-k)) and denominator
+    (2^16 - 2^(16-n), the geometric partial sum over the n observed lags)
+    are EXACT BIGINTs assembled from 16 lag columns in ONE user-keyed
+    window pass; the EWMA is a single integer-ratio division rounded at
+    6 dp — no float accumulation anywhere, so partitioning cannot move
+    the result. Scale shape: one shuffle on user_id, window state bounded
+    at 16 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wn = w.rowsBetween(-15, 0)
+    lagged = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.lag("y", 0).over(w).alias("y0"),
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 3).over(w).alias("y3"),
+        F.lag("y", 4).over(w).alias("y4"),
+        F.lag("y", 5).over(w).alias("y5"),
+        F.lag("y", 6).over(w).alias("y6"),
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 8).over(w).alias("y8"),
+        F.lag("y", 9).over(w).alias("y9"),
+        F.lag("y", 10).over(w).alias("y10"),
+        F.lag("y", 11).over(w).alias("y11"),
+        F.lag("y", 12).over(w).alias("y12"),
+        F.lag("y", 13).over(w).alias("y13"),
+        F.lag("y", 14).over(w).alias("y14"),
+        F.lag("y", 15).over(w).alias("y15"),
+    )
+    num = (
+        F.coalesce(F.col("y0"), F.lit(0)).cast("bigint") * F.lit(32768)
+        + F.coalesce(F.col("y1"), F.lit(0)).cast("bigint") * F.lit(16384)
+        + F.coalesce(F.col("y2"), F.lit(0)).cast("bigint") * F.lit(8192)
+        + F.coalesce(F.col("y3"), F.lit(0)).cast("bigint") * F.lit(4096)
+        + F.coalesce(F.col("y4"), F.lit(0)).cast("bigint") * F.lit(2048)
+        + F.coalesce(F.col("y5"), F.lit(0)).cast("bigint") * F.lit(1024)
+        + F.coalesce(F.col("y6"), F.lit(0)).cast("bigint") * F.lit(512)
+        + F.coalesce(F.col("y7"), F.lit(0)).cast("bigint") * F.lit(256)
+        + F.coalesce(F.col("y8"), F.lit(0)).cast("bigint") * F.lit(128)
+        + F.coalesce(F.col("y9"), F.lit(0)).cast("bigint") * F.lit(64)
+        + F.coalesce(F.col("y10"), F.lit(0)).cast("bigint") * F.lit(32)
+        + F.coalesce(F.col("y11"), F.lit(0)).cast("bigint") * F.lit(16)
+        + F.coalesce(F.col("y12"), F.lit(0)).cast("bigint") * F.lit(8)
+        + F.coalesce(F.col("y13"), F.lit(0)).cast("bigint") * F.lit(4)
+        + F.coalesce(F.col("y14"), F.lit(0)).cast("bigint") * F.lit(2)
+        + F.coalesce(F.col("y15"), F.lit(0)).cast("bigint") * F.lit(1)
+    )
+    den = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 16)"
+        " - shiftleft(CAST(1 AS BIGINT), CAST(16 - n AS INT))"
+    )
+    return lagged.select(
+        "user_id",
+        "day",
+        F.col("n").alias("n_obs"),
+        F.round(num.cast("double") / den, 6).alias("ewma_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# file-skipping index through the ParquetExtract stage option
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_skipping_index_extract",
+    category="scan",
+    oracle="""
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
+FROM lineitem WHERE l_orderkey >= 1200 AND l_orderkey <= 4200
+GROUP BY 1
+""",
+)
+def scan_skipping_index_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ParquetExtract file-skipping index driven end-to-end as a
+    certified query: a range-partitioned layout is written (disjoint
+    per-file min/max stats), then read back THROUGH the stage with
+    skipIndexColumn + bounds — the stage consults the per-file manifest,
+    reads only intersecting files (pytest asserts the pruned inputFiles),
+    and re-applies the range predicate, so the result is provably the
+    full scan's. At 100 TB this is the lakehouse data-skipping pattern:
+    pruning work is O(files) in the planner, zero rows from skipped files
+    ever leave storage. Oracle is the plain filtered aggregate."""
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+    from arc_cassandra_pipeline_plugin_spark.queries import scratch_dir, session_suffix
+    from arc_cassandra_pipeline_plugin_spark.stages import ParquetExtract
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    path = scratch_dir("skipstage")
+    li.repartitionByRange(8, "l_orderkey").write.mode("overwrite").parquet(path)
+    st = ParquetExtract(
+        name="skip_scan",
+        input_uri=path,
+        output_view=f"skip_scan_{session_suffix()}",
+        skip_index_col="l_orderkey",
+        skip_min=1200,
+        skip_max=4200,
+    )
+    df = st.execute(spark, PipelineContext())
+    return df.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# first-order Markov transition matrix over user event sequences
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    category="sequence",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type AS cur, next_type AS nxt,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT cur, CAST(sum(n) AS BIGINT) AS row_total FROM pairs GROUP BY 1)
+SELECT p.cur, p.nxt, p.n,
+       round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p_transition
+FROM pairs p JOIN tot t ON t.cur = p.cur
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — P(next event type | current), the behavioral fingerprint behind
+    next-action prediction and bot detection.
+
+    Ordering is total ((ts, event_id) — duplicate timestamps cannot flip
+    pairs across engines); transition counts are exact BIGINTs from one
+    user-keyed window pass + one (cur, nxt) aggregation (label² rows, tiny
+    at any scale); each probability is one exact-integer division rounded
+    at 6 dp. Scale shape: one shuffle on user_id for the lead window, one
+    map-side-combinable pair count, one label-sized broadcast join for
+    row totals."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").cast("bigint").alias("row_total"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch, certified vs exact
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "agg_kmv_distinct",
+    category="aggregation",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k FROM orders),
+hashed AS (
+  SELECT grp, k,
+         ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM keys),
+ranked AS (
+  SELECT grp, hv,
+         row_number() OVER (PARTITION BY grp ORDER BY hv, k) AS rn,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_exact
+  FROM hashed)
+SELECT grp, n_exact,
+       CAST(CASE WHEN n_exact < {_KMV_K} THEN n_exact ELSE {_KMV_K} END
+            AS BIGINT) AS sketch_size,
+       round(CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * 1152921504606846976.0 / hv END, 4)
+         AS kmv_estimate
+FROM ranked
+WHERE rn = CASE WHEN n_exact < {_KMV_K} THEN n_exact ELSE {_KMV_K} END
+""",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per order priority,
+    certified against the exact distinct count it estimates — the
+    MERGEABLE sketch family's textbook member (union = keep the k smallest
+    of the pooled hashes), complementing the HLL union certification.
+
+    Estimator: with hashes uniform on [0, 2^60), the k-th smallest order
+    statistic gives (k-1) * 2^60 / h_(k); groups under k keys fall back to
+    the exact count (the sketch IS the key set there). Deterministic by
+    construction: md5-prefix hashing (the repo's content-hash convention),
+    BIGINT order statistics with a total order tiebreak, one fixed-shape
+    double division rounded at 4 dp. Scale shape: one distinct shuffle,
+    one group-keyed window bounded by k — at 100 TB the sketch state per
+    group is k 8-byte values, merged map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("k")
+    ).distinct()
+    hashed = keys.select(
+        "grp",
+        "k",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w_rank = Window.partitionBy("grp").orderBy("hv", "k")
+    w_all = Window.partitionBy("grp")
+    ranked = hashed.select(
+        "grp",
+        "hv",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_exact"),
+    )
+    kth = F.when(F.col("n_exact") < _KMV_K, F.col("n_exact")).otherwise(F.lit(_KMV_K))
+    est = F.when(
+        F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(_KMV_K - 1) * F.lit(1152921504606846976.0) / F.col("hv"))
+    return ranked.filter(F.col("rn") == kth).select(
+        "grp",
+        "n_exact",
+        kth.cast("bigint").alias("sketch_size"),
+        F.round(est, 4).alias("kmv_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch frequency estimates, certified vs exact counts
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+@register(
+    "agg_count_min_sketch",
+    category="aggregation",
+    oracle=f"""
+WITH rows_d AS (
+  SELECT o_custkey AS k, unnest(range(0, {_CMS_DEPTH})) AS d
+  FROM orders),
+cells AS (
+  SELECT d,
+         ('0x' || substr(md5('cms' || d || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM rows_d GROUP BY 1, 2),
+exact AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1),
+top10 AS (
+  SELECT k, n_exact FROM exact
+  ORDER BY n_exact DESC, k ASC LIMIT 10),
+probes AS (
+  SELECT t.k, t.n_exact, c.d, c.c
+  FROM top10 t JOIN cells c
+    ON c.cell = ('0x' || substr(md5('cms' || c.d || ':' || CAST(t.k AS VARCHAR)), 1, 8))::BIGINT
+                % {_CMS_WIDTH})
+SELECT k AS custkey, n_exact, CAST(min(c) AS BIGINT) AS cms_estimate
+FROM probes GROUP BY 1, 2
+""",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (4 rows × 64 cells) frequency estimation over order counts
+    per customer, certified against the exact counts for the top-10
+    heaviest customers — the streaming heavy-hitter sketch whose estimate
+    is provably an overcount bounded by n/width per row, with min over
+    depth rows tightening it.
+
+    Determinism: cell assignment is the repo's md5-prefix convention
+    (salted per depth row), every counter an exact BIGINT, the probe a
+    total-ordered top-10 (count DESC, key ASC) and a min over 4 cells —
+    no floats exist in the query. Scale shape: the sketch build is ONE
+    map-side-combinable aggregate of depth×width = 4×64 cells (a
+    constant-size table at any corpus scale — this is why CMS works on
+    streams); the probe joins 10 rows against it broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cell_of(d_col, k_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), d_col.cast("string"), F.lit(":"),
+                               k_col.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % _CMS_WIDTH
+
+    rows_d = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
+    )
+    cells = rows_d.groupBy(
+        "d", cell_of(F.col("d"), F.col("k")).alias("cell")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    exact = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    top10 = exact.orderBy(F.col("n_exact").desc(), F.col("k").asc()).limit(10)
+    probe_cells = top10.select(
+        "k", "n_exact",
+        F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
+    ).withColumn("cell", cell_of(F.col("d"), F.col("k")))
+    probes = probe_cells.join(F.broadcast(cells), ["d", "cell"])
+    return probes.groupBy(F.col("k").alias("custkey"), "n_exact").agg(
+        F.min("c").cast("bigint").alias("cms_estimate")
+    )

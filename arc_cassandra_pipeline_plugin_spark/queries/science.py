@@ -758,3 +758,335 @@ def ml_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
     )
     return perceptron_train(emb, rounds=3)
+
+
+@register(
+    "text_repetition_topngram",
+    category="text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS t
+  FROM documents),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2),
+cnt AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+  FROM big GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, bg, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS total,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, bg ASC) AS rn
+  FROM cnt)
+SELECT doc_id, bg AS top_bigram, c AS top_cnt, total AS total_bigrams,
+       round(CAST(c AS DOUBLE) / total, 6) AS top_frac
+FROM ranked WHERE rn = 1
+""",
+)
+def text_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style repetition quality signal: per document, the
+    most frequent word bigram and the fraction of all bigrams it accounts
+    for — boilerplate and spam concentrate probability mass on one n-gram,
+    clean prose spreads it out; curation pipelines threshold on top_frac.
+
+    Scale shape: bigrams are built ENGINE-SIDE from the token array
+    (transform over an index sequence — no window, no second shuffle for
+    adjacency), exploded, and counted with one (doc_id, bigram)-keyed
+    map-side-combinable aggregation; the argmax + doc total are one
+    doc-partitioned window over doc-bounded groups. The fraction is one
+    exact-integer division rounded at 6 dp, identical on both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("t"),
+    ).filter(F.size("t") >= 2)
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("bg"),
+    )
+    cnt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_tot = Window.partitionBy("doc_id")
+    w_rn = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("bg").asc())
+    return (
+        cnt.withColumn("total", F.sum("c").over(w_tot).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bg").alias("top_bigram"),
+            F.col("c").alias("top_cnt"),
+            F.col("total").alias("total_bigrams"),
+            F.round(F.col("c").cast("double") / F.col("total"), 6).alias("top_frac"),
+        )
+    )
+
+
+@register(
+    "ml_pr_curve",
+    category="ml",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                              t -> t = 'the')) AS BIGINT) * 10000
+           // CAST(greatest(len(regexp_extract_all(lower(text), '[a-z]+', 0)),
+                            1) AS BIGINT) AS score
+  FROM documents),
+ranked AS (
+  SELECT pos, ntile(10) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+  FROM scored),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM ranked GROUP BY 1),
+cum AS (
+  SELECT decile,
+         CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS n_at_k,
+         CAST(sum(tp) OVER (ORDER BY decile) AS BIGINT) AS tp_at_k,
+         CAST(sum(tp) OVER () AS BIGINT) AS pos_total
+  FROM agg)
+SELECT CAST(decile AS INT) AS decile, n_at_k, tp_at_k,
+       round(CAST(tp_at_k AS DOUBLE) / n_at_k, 6) AS precision_at_k,
+       round(CAST(tp_at_k AS DOUBLE) / pos_total, 6) AS recall_at_k
+FROM cum
+""",
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve at decile cutoffs for a ranking scorer —
+    the evaluation table behind every classifier-threshold decision,
+    certified exactly. Scorer: integer 'the'-rate per 10k tokens as an
+    English detector; ground truth lang = 'en'.
+
+    Exactness: the score is a pure-integer ratio (no floats rank the
+    docs), the ranking has a total order (score DESC, doc_id ASC), decile
+    assignment is standard ntile (identical remainder semantics in both
+    engines), and precision/recall are single exact-integer divisions
+    rounded at 6 dp. Scale shape: one tokenize pass; decile assignment is
+    the TWO-PHASE bucketed ntile (operators/ranking.global_ntile — GK
+    boundaries + partitioned windows + O(buckets) offsets, no
+    single-partition sort); one 10-row cumulative window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.expr(
+            "CAST(size(filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+            " t -> t = 'the')) AS BIGINT) * 10000"
+            " div CAST(greatest(size(regexp_extract_all(lower(text),"
+            " '[a-z]+', 0)), 1) AS BIGINT)"
+        ).alias("score"),
+    )
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_ntile
+
+    # two-phase exact ntile (operators/ranking.py): range-bucket on the
+    # (negated) score, partitioned windows only — no single-partition
+    # global sort at any scale. Negation turns score DESC into the
+    # operator's ascending order; (score, doc_id) is a total order.
+    ranked = global_ntile(
+        scored.withColumn("neg_score", -F.col("score")),
+        "neg_score",
+        ["doc_id"],
+        10,
+        out_col="decile",
+    ).select("pos", "decile")
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("tp"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.sum("n").over(w_cum).cast("bigint").alias("n_at_k"),
+        F.sum("tp").over(w_cum).cast("bigint").alias("tp_at_k"),
+        F.sum("tp").over(w_all).cast("bigint").alias("pos_total"),
+    )
+    return cum.select(
+        "decile",
+        "n_at_k",
+        "tp_at_k",
+        F.round(F.col("tp_at_k").cast("double") / F.col("n_at_k"), 6).alias("precision_at_k"),
+        F.round(F.col("tp_at_k").cast("double") / F.col("pos_total"), 6).alias("recall_at_k"),
+    )
+
+
+@register(
+    "ml_ols_two_feature",
+    category="ml",
+    oracle="""
+WITH feat AS (
+  SELECT l_orderkey AS k,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x1,
+         CAST(count(*) AS BIGINT) AS x2
+  FROM lineitem GROUP BY 1),
+base AS (
+  SELECT f.x1, f.x2,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS y
+  FROM feat f JOIN orders o ON o.o_orderkey = f.k),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM base)
+SELECT n,
+       round((CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+              - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+              + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y))
+             / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+                - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+                + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)), 6)
+         AS beta0,
+       round((CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+              - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+              + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2))
+             / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+                - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+                + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)), 6)
+         AS beta1,
+       round((CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)
+              - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)
+              + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2))
+             / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+                - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+                + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)), 6)
+         AS beta2
+FROM s
+""",
+)
+def ml_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression (intercept + total quantity + line
+    count predicting order value in cents) solved in closed form by
+    Cramer's rule on the 3x3 normal equations — the distributed-OLS
+    pattern: ONE map-side-combinable aggregation collects the 9 exact
+    integer moments (n, Sx1, Sx2, Sy, Sx1x1, Sx1x2, Sx2x2, Sx1y, Sx2y),
+    and each coefficient is a fixed-shape double expression over them, so
+    both engines produce bit-identical betas from identical integers (the
+    bigint->double casts and every +,-,*,/ are IEEE correctly-rounded
+    with an identical expression tree). No gradient loop, no float
+    aggregation, one shuffle on the order key + one 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    feat = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x1"),
+        F.count(F.lit(1)).cast("bigint").alias("x2"),
+    )
+    base = feat.join(orders, feat.k == orders.o_orderkey).select(
+        "x1", "x2",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = (
+        d("n") * (d("s11") * F.col("s22") - d("s12") * F.col("s12"))
+        - d("s1") * (d("s1") * F.col("s22") - d("s12") * F.col("s2"))
+        + d("s2") * (d("s1") * F.col("s12") - d("s11") * F.col("s2"))
+    )
+    det0 = (
+        d("sy") * (d("s11") * F.col("s22") - d("s12") * F.col("s12"))
+        - d("s1") * (d("s1y") * F.col("s22") - d("s12") * F.col("s2y"))
+        + d("s2") * (d("s1y") * F.col("s12") - d("s11") * F.col("s2y"))
+    )
+    det1 = (
+        d("n") * (d("s1y") * F.col("s22") - d("s12") * F.col("s2y"))
+        - d("sy") * (d("s1") * F.col("s22") - d("s12") * F.col("s2"))
+        + d("s2") * (d("s1") * F.col("s2y") - d("s1y") * F.col("s2"))
+    )
+    det2 = (
+        d("n") * (d("s11") * F.col("s2y") - d("s1y") * F.col("s12"))
+        - d("s1") * (d("s1") * F.col("s2y") - d("s1y") * F.col("s2"))
+        + d("sy") * (d("s1") * F.col("s12") - d("s11") * F.col("s2"))
+    )
+    return s.select(
+        "n",
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"),
+    )
+
+
+@register(
+    "events_anomaly_iqr",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+fences AS (
+  SELECT event_type,
+         round(quantile_cont(y, 0.25), 6) AS q1,
+         round(quantile_cont(y, 0.75), 6) AS q3
+  FROM daily GROUP BY 1)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN d.y > round(f.q3 + 0.75 * (f.q3 - f.q1), 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       round(max(f.q3 + 0.75 * (f.q3 - f.q1)), 6) AS upper_fence,
+       CAST(max(d.y) AS BIGINT) AS max_y
+FROM daily d JOIN fences f ON f.event_type = d.event_type
+GROUP BY 1
+""",
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly detection on daily activity: days whose exact
+    cents total exceeds Q3 + 1.5*IQR of their event type — the robust
+    outlier flag ops dashboards run (mean/stddev fences move with the
+    outliers they hunt; quartile fences do not).
+
+    Determinism: daily totals are exact BIGINTs; both engines interpolate
+    PERCENTILE_CONT identically up to one ulp, absorbed by 6-dp rounding
+    BEFORE the comparison — the flag compares an integer against the same
+    rounded double on both sides, so no boundary flip is possible (the
+    summed flags are then integers). The 0.75 multiplier is the
+    mild-outlier fence — synthetic daily totals are near-uniform and the
+    classic 1.5 fence trips nothing at test scale, which would certify a
+    trivially-empty result. Scale shape: one (type, day) aggregation, one
+    label-sized percentile group (state bounded by days-per-type), one
+    broadcastable fence join, one label-keyed count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    fences = daily.groupBy("event_type").agg(
+        F.round(F.expr("percentile(y, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(y, 0.75)"), 6).alias("q3"),
+    )
+    fence = F.round(F.col("q3") + 0.75 * (F.col("q3") - F.col("q1")), 6)
+    return (
+        daily.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.when(F.col("y") > fence, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max(F.col("q3") + 0.75 * (F.col("q3") - F.col("q1"))), 6)
+            .alias("upper_fence"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )

@@ -111,17 +111,50 @@ class LoadStage(PipelineStage):
 class ParquetLoad(LoadStage):
     """Parquet sink. ``partition_by`` doubles as hive-style partition columns
     when ``partition_output=True`` — at 100 TB the on-disk partitioning *is*
-    the downstream partition-pruning strategy."""
+    the downstream partition-pruning strategy.
+
+    **Write-time skipping index** (``skipIndexColumn`` +
+    ``skipManifestURI``): after the write, a per-file min/max manifest over
+    the index column is built from the landed files and persisted — the
+    other half of the lakehouse data-skipping loop (ParquetExtract consults
+    the same manifest via its ``skipManifestURI`` and never rebuilds it at
+    read time). Pair with ``sortWithinPartitions``/``repartitionByRange``
+    upstream (or ``skipSortOutput=True`` here) so file ranges are disjoint
+    and pruning has teeth. The manifest build is one aggregate keyed by
+    file path — O(files) rows, a rounding error next to the write itself."""
 
     stage_type: str = "ParquetLoad"
     output_uri: str = ""
     partition_output: bool = False
+    skip_index_col: str = ""
+    skip_manifest_uri: str = ""
+    #: range-partition the output on the index column before writing, so
+    #: per-file min/max ranges are disjoint and downstream skipping prunes
+    skip_sort_output: bool = False
 
     def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        if self.skip_sort_output and self.skip_index_col:
+            df = df.repartitionByRange(
+                self.num_partitions or df.rdd.getNumPartitions(),
+                self.skip_index_col,
+            )
         writer = df.write.mode(_SAVE_MODE_MAP[self.save_mode]).options(**self.params)
         if self.partition_output and self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.output_uri)
+        if self.skip_index_col and self.skip_manifest_uri:
+            from pyspark.sql import functions as F
+
+            col = F.col(self.skip_index_col)
+            manifest = (
+                spark.read.parquet(self.output_uri)
+                .groupBy(F.col("_metadata.file_path").alias("file_path"))
+                .agg(F.min(col).alias("min_val"), F.max(col).alias("max_val"))
+            )
+            manifest.write.mode("overwrite").parquet(self.skip_manifest_uri)
+            self.stage_detail.set(
+                "skipIndexFilesIndexed", spark.read.parquet(self.skip_manifest_uri).count()
+            )
 
 
 @dataclass

@@ -51,6 +51,10 @@ HEADLINE = [
     # spatial self-join
     "embeddings_kmeans_lloyd",
     "spatial_proximity_join",
+    # round 5: synchronous label propagation (iterative graph), RAG-style
+    # overlapping context-window chunking
+    "graph_label_propagation",
+    "text_chunk_overlap",
 ]
 
 

@@ -712,3 +712,59 @@ def test_parquet_extract_skipping_index_declarative(spark, ctx, tmp_path):
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert len(got.inputFiles()) < len(want.inputFiles())
+
+
+def test_parquet_load_builds_skipping_manifest_extract_consumes(spark, ctx, tmp_path):
+    """The full lakehouse data-skipping loop through the declarative
+    pipeline: ParquetLoad range-sorts the output on the index column and
+    persists the per-file min/max manifest; ParquetExtract consults that
+    manifest (no rebuild) and prunes files."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.stages import ParquetLoad
+
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").createOrReplaceTempView(
+        "orders_for_skip_load"
+    )
+    out = str(tmp_path / "landed")
+    manifest = str(tmp_path / "manifest")
+    ld = ParquetLoad(
+        name="land",
+        input_view="orders_for_skip_load",
+        output_uri=out,
+        num_partitions=8,
+        skip_index_col="o_orderkey",
+        skip_manifest_uri=manifest,
+        skip_sort_output=True,
+    )
+    ld.execute(spark, ctx)
+    d = ld.stage_detail.as_dict()
+    assert d["skipIndexFilesIndexed"] >= 8
+    man = spark.read.parquet(manifest)
+    assert set(man.columns) == {"file_path", "min_val", "max_val"}
+    # range-sorted output → file ranges are (near-)disjoint: every file
+    # cannot span the whole key space
+    rows = man.collect()
+    full_lo = min(r["min_val"] for r in rows)
+    full_hi = max(r["max_val"] for r in rows)
+    spanning = [r for r in rows if r["min_val"] == full_lo and r["max_val"] == full_hi]
+    assert not spanning
+
+    st = ParquetExtract(
+        name="consume",
+        input_uri=out,
+        output_view="orders_skip_loop",
+        skip_index_col="o_orderkey",
+        skip_min=100,
+        skip_max=600,
+        skip_manifest_uri=manifest,
+    )
+    df = st.execute(spark, ctx)
+    want = (
+        spark.read.parquet(out)
+        .filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 600))
+    )
+    assert {tuple(r) for r in df.collect()} == {tuple(r) for r in want.collect()}
+    sd = st.stage_detail.as_dict()
+    assert 0 < sd["skipIndexFilesRead"] < sd["skipIndexFilesTotal"]
+    assert len(df.inputFiles()) == sd["skipIndexFilesRead"]
