@@ -4057,3 +4057,48 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(edges, rounds=3)
     return out.select(F.col("node").alias("nation"), F.col("label").alias("community"))
+
+
+@register(
+    "graph_bipartite_projection",
+    category="graph",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS shared_parts
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2)
+SELECT s_a, s_b, shared_parts
+FROM pairs
+ORDER BY shared_parts DESC, s_a ASC, s_b ASC
+LIMIT 20
+""",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the part–supplier graph onto suppliers:
+    co-supplier pairs weighted by shared parts (top-20, total-ordered) —
+    the standard graph construction behind co-occurrence networks
+    (co-authors, co-purchases, co-suppliers).
+
+    Scale shape: the pair fan-out is a self-equi-join keyed by part, so
+    per-part work is degree² with degree = suppliers-per-part (a catalog
+    constant, not corpus-scaled); the (s_a, s_b) count is map-side
+    combinable and the top-20 compiles to TakeOrderedAndProject. A
+    genuinely hot part (degree thousands) is the spatial/LSH hot-key
+    problem — salt the part id exactly as operators/spatial.py does; the
+    fixture degrees are bounded so the plain join is the right plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_parts"))
+    )
+    return pairs.orderBy(
+        F.col("shared_parts").desc(), F.col("s_a").asc(), F.col("s_b").asc()
+    ).limit(20)

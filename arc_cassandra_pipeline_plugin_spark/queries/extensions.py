@@ -3683,3 +3683,124 @@ def multimodal_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding anywhere)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.bmp_ahash(M.synthesize_bmp_assets(docs))
+
+
+def _minhash_calibration_oracle() -> str:
+    rows = _NUM_PERM // _BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh_{p} = b.mh_{p} THEN 1 ELSE 0 END" for p in range(_NUM_PERM)
+    )
+    return f"""
+{_shingle_cte(_SHINGLE_K)},
+sig AS ({_minhash_select()}),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b, CAST({match_sum} AS BIGINT) AS matches16
+  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT e.matches16,
+         coalesce(i.n_inter, 0) AS n_inter,
+         sa.set_size + sb.set_size - coalesce(i.n_inter, 0) AS n_union
+  FROM est e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes sa ON sa.doc_id = e.doc_a
+  JOIN sizes sb ON sb.doc_id = e.doc_b)
+SELECT matches16, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+       CAST(sum(n_union) AS BIGINT) AS sum_union,
+       round(CAST(sum(n_inter) AS DOUBLE) / sum(n_union), 6)
+         AS micro_avg_jaccard
+FROM pairs GROUP BY 1
+"""
+
+
+@register(
+    "dedup_minhash_calibration",
+    category="dedup",
+    oracle=_minhash_calibration_oracle(),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash/LSH stack: every LSH
+    candidate pair is scored BOTH ways — matching permutations of the
+    16-perm signature (the sketch's Jaccard estimate, E[matches/16] = J)
+    and exact 5-gram Jaccard — then grouped by match count so the
+    calibration curve (estimate bucket → micro-averaged true Jaccard) is
+    a certified table. This is the measurement behind choosing bands/rows:
+    it shows precisely how sharp the sketch's threshold really is on THIS
+    corpus.
+
+    Determinism: match counts and shingle intersections/unions are exact
+    BIGINTs; the only division is the final ratio-of-sums (micro-average —
+    per-pair float averaging would drift; ratio of exact sums cannot).
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); exact verification joins shingles THROUGH the candidate
+    list, so its cost is candidate-bounded — the verify step of every
+    production dedup pipeline, here certified."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(
+        docs, num_perm=_NUM_PERM, shingle_k=_SHINGLE_K
+    ).localCheckpoint(eager=True)
+    cand = D.lsh_candidate_pairs(sigs, num_perm=_NUM_PERM, bands=_BANDS)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    match_sum = None
+    for p in range(_NUM_PERM):
+        term = F.when(F.col(f"a.mh_{p}") == F.col(f"b.mh_{p}"), 1).otherwise(0)
+        match_sum = term if match_sum is None else match_sum + term
+    est = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", match_sum.cast("bigint").alias("matches16"))
+    )
+    sh = D.shingle_rows(docs, "text", "doc_id", k=_SHINGLE_K, distinct=True).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("set_size"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    pairs = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "matches16",
+            "n_inter",
+            (F.col("sa.set_size") + F.col("sb.set_size") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    return pairs.groupBy("matches16").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("n_inter").cast("bigint").alias("sum_inter"),
+        F.sum("n_union").cast("bigint").alias("sum_union"),
+        F.round(
+            F.sum("n_inter").cast("double") / F.sum("n_union"), 6
+        ).alias("micro_avg_jaccard"),
+    )
