@@ -404,3 +404,130 @@ def label_propagation_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, label FROM l{rounds}"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """HITS hubs-and-authorities: ``iters`` synchronous rounds of
+    a = norm(Aᵀh), h = norm(A a) over a weighted edge list, max-normalized
+    (the max of exact decimals is exact, so the normalizer is
+    partition-independent — an L2 normalizer would sum floats). Returns
+    (node, hub, authority).
+
+    Same iterate family and determinism recipe as :func:`pagerank`:
+    per-edge contributions rounded to 12 dp then summed as exact DECIMAL
+    (order-free), each round's vector re-rounded to 12 dp — bit-identical
+    on both engines. Scale shape per round: two |E|-contribution shuffles
+    (keyed by dst then src) + two O(V) vector joins; the 1-row max
+    normalizer broadcasts (declared scalar_broadcast)."""
+    dec = f"decimal(20,{_SCALE})"
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+        F.col(weight).cast("double").alias("_w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.select(F.col("node").alias("_src"), "hub"), "_src")
+            .select(
+                "_dst",
+                F.round(F.col("hub") * F.col("_w"), _SCALE).cast(dec).alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        a_max = a_raw.agg(F.max("_s").alias("_m"))
+        a = (
+            nodes.join(a_raw, nodes.node == a_raw._dst, "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                    / F.col("_m").cast("double"),
+                    _SCALE,
+                ).alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(a.select(F.col("node").alias("_dst"), "auth"), "_dst")
+            .select(
+                "_src",
+                F.round(F.col("auth") * F.col("_w"), _SCALE).cast(dec).alias("_c"),
+            )
+            .groupBy("_src")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        h_max = h_raw.agg(F.max("_s").alias("_m"))
+        h = (
+            nodes.join(h_raw, nodes.node == h_raw._src, "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                    / F.col("_m").cast("double"),
+                    _SCALE,
+                ).alias("hub"),
+            )
+        )
+    return h.join(a, "node").select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("authority")
+    )
+
+
+def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle for :func:`hits`: identical rounds unrolled as CTEs
+    from the same rounding constants."""
+    dec = f"DECIMAL(20,{_SCALE})"
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""ar{i} AS (
+  SELECT e.dst, sum(CAST(round(h.hub * e.w, {_SCALE}) AS {dec})) AS s
+  FROM edges e JOIN h{i} h ON h.node = e.src GROUP BY 1)"""
+        )
+        parts.append(f"am{i} AS (SELECT max(s) AS m FROM ar{i})")
+        parts.append(
+            f"""a{i + 1} AS (
+  SELECT n.node,
+         round(coalesce(CAST(ar{i}.s AS DOUBLE), 0.0) / CAST(am{i}.m AS DOUBLE),
+               {_SCALE}) AS auth
+  FROM nodes n CROSS JOIN am{i} LEFT JOIN ar{i} ON ar{i}.dst = n.node)"""
+        )
+        parts.append(
+            f"""hr{i} AS (
+  SELECT e.src, sum(CAST(round(a.auth * e.w, {_SCALE}) AS {dec})) AS s
+  FROM edges e JOIN a{i + 1} a ON a.node = e.dst GROUP BY 1)"""
+        )
+        parts.append(f"hm{i} AS (SELECT max(s) AS m FROM hr{i})")
+        parts.append(
+            f"""h{i + 1} AS (
+  SELECT n.node,
+         round(coalesce(CAST(hr{i}.s AS DOUBLE), 0.0) / CAST(hm{i}.m AS DOUBLE),
+               {_SCALE}) AS hub
+  FROM nodes n CROSS JOIN hm{i} LEFT JOIN hr{i} ON hr{i}.src = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS authority"
+        f"\nFROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )

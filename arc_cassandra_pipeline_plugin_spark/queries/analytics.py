@@ -4102,3 +4102,50 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("shared_parts").desc(), F.col("s_a").asc(), F.col("s_b").asc()
     ).limit(20)
+
+
+def _hits_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import hits_oracle_sql
+
+    return (
+        "SELECT node AS nation, hub, authority FROM ("
+        + hits_oracle_sql(_TRADE_EDGES_SQL, iters=3)
+        + ")"
+    )
+
+
+@register(
+    "graph_hits_trade",
+    category="graph",
+    oracle=_hits_oracle(),
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row max normalizer into each HITS round",
+)
+def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the nation trade graph
+    (operators/graph.hits): exporter nations score as hubs, importer
+    nations as authorities — the second spectral centrality next to
+    PageRank, max-normalized per round so the iterate stays exact
+    (decimal-summed contributions, 12-dp re-rounding, certified against
+    the identical rounds unrolled as DuckDB CTEs)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import hits
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = hits(edges, iters=3)
+    return out.select(F.col("node").alias("nation"), "hub", "authority")

@@ -1846,3 +1846,182 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.groupBy(F.col("k").alias("custkey"), "n_exact").agg(
         F.min("c").cast("bigint").alias("cms_estimate")
     )
+
+
+# --------------------------------------------------------------------------
+# sequence-pattern funnel: regex over per-user ordered event strings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_pattern_sequence",
+    category="sequence",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 1 ELSE 0 END)
+            AS BIGINT) AS full_funnel,
+       CAST(sum(CASE WHEN regexp_matches(s, 'v.*c') THEN 1 ELSE 0 END)
+            AS BIGINT) AS view_click,
+       CAST(sum(CASE WHEN regexp_matches(s, 'ee') THEN 1 ELSE 0 END)
+            AS BIGINT) AS double_error,
+       CAST(sum(CASE WHEN s LIKE 'p%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase_first
+FROM seq
+""",
+)
+def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern funnel without the operator:
+    each user's event history collapses into an ordered initial-letter
+    string ('vcvp...') and behavioral patterns become regexes — ordered
+    funnel completion (view→click→purchase in order, arbitrary gaps),
+    consecutive double-errors, purchase-before-anything. The string-
+    encoding trick makes arbitrary sequence patterns expressible in ANY
+    SQL engine — and distributable: one user-keyed shuffle builds the
+    per-user string (ordered aggregation under a TOTAL order (ts,
+    event_id) — engines cannot disagree), per-user state bounded by
+    history length, then regex evaluation is embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda x: x["c"]), ""
+            ).alias("s")
+        )
+    )
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("s").rlike("v.*c.*p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("full_funnel"),
+        F.sum(F.when(F.col("s").rlike("v.*c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("view_click"),
+        F.sum(F.when(F.col("s").rlike("ee"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("double_error"),
+        F.sum(F.when(F.col("s").startswith("p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("purchase_first"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment analysis with deterministic hash assignment
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_test_analysis",
+    category="analytics",
+    oracle="""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS variant
+  FROM events),
+per_user AS (
+  SELECT e.user_id, a.variant,
+         CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS spend,
+         CAST(max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events e JOIN assign a ON a.user_id = e.user_id
+  GROUP BY 1, 2),
+s AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(spend) AS BIGINT) AS sx,
+         CAST(sum(spend * spend) AS BIGINT) AS sxx,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY 1),
+w AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+         max(CASE WHEN variant = 0 THEN sxx END) AS sxx0,
+         max(CASE WHEN variant = 0 THEN conv END) AS c0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+         max(CASE WHEN variant = 1 THEN sxx END) AS sxx1,
+         max(CASE WHEN variant = 1 THEN conv END) AS c1
+  FROM s)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       round(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0, 6)
+         AS spend_diff_cents,
+       round((CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+             / sqrt((CAST(sxx1 AS DOUBLE) / n1
+                     - (CAST(sx1 AS DOUBLE) / n1) * (CAST(sx1 AS DOUBLE) / n1)) / n1
+                    + (CAST(sxx0 AS DOUBLE) / n0
+                       - (CAST(sx0 AS DOUBLE) / n0) * (CAST(sx0 AS DOUBLE) / n0)) / n0),
+             6) AS spend_z,
+       round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+         AS conversion_diff
+FROM w
+""",
+)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with deterministic hash assignment — the
+    md5-bucket variant split every experimentation platform uses (same
+    user always lands in the same arm, no assignment table needed), then
+    Welch z on per-user spend and the conversion-rate delta.
+
+    Exactness: per-user spend is exact cents, all moments (n, Σx, Σx²,
+    conversions) are exact BIGINTs per arm, and the z statistic is one
+    fixed-shape double expression over them (IEEE-identical on both
+    engines). Scale shape: assignment is a pure projection (no shuffle),
+    per-user aggregation one user-keyed shuffle, the readout a 2-row
+    pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 2
+    )
+    per_user = (
+        ev.select(
+            "user_id",
+            variant.alias("variant"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum("cents").cast("bigint").alias("spend"),
+            F.max("is_p").cast("bigint").alias("converted"),
+        )
+    )
+    s = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("spend").cast("bigint").alias("sx"),
+        F.sum(F.col("spend") * F.col("spend")).cast("bigint").alias("sxx"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("variant") == v, F.col(c))).alias(f"{c}{v}")
+            for v in (0, 1)
+            for c in ("n", "sx", "sxx", "conv")
+        ]
+    )
+    m0 = F.col("sx0").cast("double") / F.col("n0")
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    var0 = (F.col("sxx0").cast("double") / F.col("n0") - m0 * m0) / F.col("n0")
+    var1 = (F.col("sxx1").cast("double") / F.col("n1") - m1 * m1) / F.col("n1")
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.round(m1 - m0, 6).alias("spend_diff_cents"),
+        F.round((m1 - m0) / F.sqrt(var1 + var0), 6).alias("spend_z"),
+        F.round(
+            F.col("conv1").cast("double") / F.col("n1")
+            - F.col("conv0").cast("double") / F.col("n0"),
+            6,
+        ).alias("conversion_diff"),
+    )
