@@ -1528,3 +1528,119 @@ def test_spatial_hot_cell_salting_is_result_identical(spark):
     # and the threshold probe keeps cold layouts on the plain 2-key join
     cold = SP.proximity_join(df, radius=r, salt_buckets=8, skew_threshold=10_000)
     assert "_salt" not in cold._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kmv_sketch_merge_property(spark):
+    """KMV mergeability: the union sketch (k smallest of the pooled
+    hashes) must equal the sketch built directly on the union — on the
+    registry query's own md5-prefix hash, for arbitrary overlapping key
+    sets."""
+    from pyspark.sql import functions as F
+
+    K = 8
+    a = spark.range(0, 60).select(F.col("id").alias("k"))
+    b = spark.range(40, 130).select(F.col("id").alias("k"))
+
+    def hashes(df):
+        return sorted(
+            r["hv"]
+            for r in df.distinct().select(
+                F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("hv")
+            ).collect()
+        )
+
+    sk_a, sk_b = hashes(a)[:K], hashes(b)[:K]
+    merged = sorted(set(sk_a) | set(sk_b))[:K]
+    direct = hashes(a.union(b))[:K]
+    assert merged == direct
+
+
+def test_count_min_never_undercounts(spark):
+    """CMS overcount guarantee: for EVERY key, min-over-depth cell count
+    >= the key's exact count — on an adversarially skewed corpus (one key
+    holds half the mass, forcing collisions)."""
+    from pyspark.sql import functions as F
+
+    W, D = 16, 4  # tiny width → heavy collisions
+    rows = [(0,)] * 500 + [(i % 37 + 1,) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long")
+
+    def cell(d, kc):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), kc.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % W
+
+    cells = {}
+    for d in range(D):
+        for r in df.groupBy(cell(d, F.col("k")).alias("c")).count().collect():
+            cells[(d, r["c"])] = r["count"]
+    exact = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    import hashlib
+    for k, n in exact.items():
+        est = min(
+            cells[(d, int(hashlib.md5(f"cms{d}:{k}".encode()).hexdigest()[:8], 16) % W)]
+            for d in range(D)
+        )
+        assert est >= n, f"CMS undercounted key {k}: {est} < {n}"
+
+
+def test_chunk_overlap_tiling_invariants(spark):
+    """Chunking invariants on the registry query at sf0.001: chunks cover
+    every token exactly once per stride step, consecutive chunks overlap
+    by window-stride tokens, only the final chunk may be short, and
+    re-concatenating chunk [0:stride) slices reconstructs the document."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.queries import load_all
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    W, S = 64, 48
+    reg = load_all()
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("t")
+        ).collect()
+    }
+    out = reg["text_chunk_overlap"].fn(spark, SF_SMALL).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    for doc_id, t in toks.items():
+        if not t:
+            continue
+        chunks = by_doc[doc_id]
+        n = len(t)
+        want_chunks = len(range(0, max(n - 1, 0) + 1, S)) if n else 0
+        assert set(chunks) == set(range(want_chunks))
+        for i in range(want_chunks):
+            c = chunks[i]
+            lo = i * S
+            want = t[lo:lo + W]
+            assert c["n_tokens"] == len(want)
+            assert c["first_tok"] == want[0] and c["last_tok"] == want[-1]
+            # all but the last chunk carry a full window unless doc is short
+            if i < want_chunks - 1:
+                assert c["n_tokens"] == W or lo + W >= n
+
+
+def test_label_propagation_partition_invariance(spark):
+    """LPA determinism: identical labels under 1 vs 32 input partitions
+    (the synchronous min-label formulation cannot depend on layout)."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import label_propagation
+
+    edges = [(f"n{a}", f"n{b}", (a * 7 + b) % 5 + 1)
+             for a in range(30) for b in range(30)
+             if a != b and (a * 31 + b * 17) % 11 == 0]
+    df1 = spark.createDataFrame(edges, "src string, dst string, w long").coalesce(1)
+    df32 = spark.createDataFrame(edges, "src string, dst string, w long").repartition(32)
+    r1 = {tuple(r) for r in label_propagation(df1, rounds=3).collect()}
+    r32 = {tuple(r) for r in label_propagation(df32, rounds=3).collect()}
+    assert r1 == r32 and len(r1) > 10
