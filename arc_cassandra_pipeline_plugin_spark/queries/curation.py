@@ -2320,3 +2320,113 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("c", -1).alias("last_tok"),
         F.substring(F.md5(F.array_join("c", " ")), 1, 16).alias("chunk_fp"),
     )
+
+
+@register(
+    "dedup_blocked_entity_resolution",
+    category="dedup",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS cust, o_orderdate AS d,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+pairs AS (
+  SELECT a.cust,
+         abs(a.cents - b.cents) AS cents_diff,
+         abs(date_diff('day', a.d, b.d)) AS day_diff
+  FROM o a JOIN o b
+    ON a.cust = b.cust AND a.k < b.k
+   AND abs(date_diff('day', a.d, b.d)) <= 90)
+SELECT cust, CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN cents_diff <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suspect_pairs,
+       CAST(min(cents_diff) AS BIGINT) AS min_cents_diff,
+       CAST(min(day_diff) AS BIGINT) AS min_day_diff
+FROM pairs GROUP BY 1
+""",
+)
+def dedup_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution, candidate-generation + scoring: order
+    pairs from the SAME customer within a 90-day window are the candidate
+    set (the blocking-key pattern every ER pipeline uses — compare only
+    within blocks, never across the corpus); candidates within $1000 are
+    scored suspect, and per-customer minima report how close the nearest
+    pair gets (the match-threshold tuning table).
+
+    Scale shape: pair generation is a self-equi-join keyed by the BLOCK
+    (customer), so per-block work is orders-per-customer², bounded by
+    entity activity, not corpus size; amount/date predicates are exact
+    integer comparisons evaluated inside the join. A runaway block (one
+    customer with millions of orders) is the standard hot-key salting
+    case. Aggregation is map-side combinable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    cents_diff = F.abs(F.col("a.cents") - F.col("b.cents"))
+    day_diff = F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+    pairs = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (day_diff <= 90),
+    ).select(F.col("a.cust").alias("cust"), cents_diff.alias("cd"), day_diff.alias("dd"))
+    return pairs.groupBy("cust").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("cd") <= 100000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suspect_pairs"),
+        F.min("cd").cast("bigint").alias("min_cents_diff"),
+        F.min("dd").cast("bigint").alias("min_day_diff"),
+    )
+
+
+@register(
+    "text_inverted_index_search",
+    category="text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)))
+           AS token
+  FROM documents),
+q AS (SELECT unnest(['spark', 'join', 'window']) AS token),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM toks t JOIN q ON q.token = t.token
+  GROUP BY 1)
+SELECT CAST(n_matched AS BIGINT) AS n_terms_matched,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS example_doc
+FROM hits GROUP BY 1
+""",
+)
+def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index conjunctive retrieval: the posting-list build
+    (distinct (token, doc) pairs) probed by a 3-term query, with documents
+    grouped by how many query terms they match — count == 3 is the AND
+    result, lower counts the OR tail a ranker would score. This is the
+    keyword leg of every hybrid (BM25 + vector) retrieval stack.
+
+    Scale shape: the posting build is one explode + distinct (token-keyed
+    shuffle — the index build); the probe joins a 3-row broadcast query
+    against it and aggregates doc match counts map-side. At 100 TB the
+    posting list is the thing you persist bucketed by token; the probe
+    never rescans text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        ).alias("token"),
+    )
+    q = spark.createDataFrame([("spark",), ("join",), ("window",)], "token string")
+    hits = toks.join(F.broadcast(q), "token").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched")
+    )
+    return hits.groupBy(F.col("n_matched").alias("n_terms_matched")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("example_doc"),
+    )
