@@ -531,3 +531,85 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
         + f"\nSELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS authority"
         f"\nFROM h{iters} h JOIN a{iters} a ON a.node = h.node"
     )
+
+
+def hash_random_walk(
+    edges: DataFrame,
+    steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hash-seeded random walk (DeepWalk-style corpus sampling made
+    REPRODUCIBLE): one walker starts at every vertex; at step t the walker
+    on node v moves to out-neighbor number ``md5('walk' t ':' v) mod
+    out-degree(v)`` under the neighbor list's lexicographic order — a
+    pseudo-random but fully deterministic choice both engines (and any
+    re-run, at any partitioning) reproduce bit-for-bit, which
+    ``rand()``-driven walks never do. Walkers on sink nodes stay put.
+    Returns (start, node) after ``steps`` hops.
+
+    Scale shape: the ranked neighbor table (row_number per src over the
+    dst order — per-vertex-bounded window) is built once and checkpointed;
+    each hop is ONE equi-join of the O(V) walker frontier against it
+    (shuffle keyed by current node) — |V| walkers, never an edge
+    materialization per walker. Multi-walker variants just seed the hash
+    with a walker id."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    w = Window.partitionBy("_s").orderBy("_d")
+    nbrs = (
+        e.select(
+            "_s",
+            "_d",
+            (F.row_number().over(w) - 1).cast("bigint").alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("_s")).cast("bigint").alias("_deg"),
+        )
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    walk = nodes.select(F.col("node").alias("start"), F.col("node").alias("cur"))
+    for t in range(1, steps + 1):
+        pick = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"walk{t}:"), F.col("cur"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        step = walk.join(
+            nbrs.select(F.col("_s").alias("cur"), "_d", "_rn", "_deg"), "cur", "left"
+        ).filter(F.col("_rn").isNull() | (F.col("_rn") == pick % F.col("_deg")))
+        walk = step.select(
+            "start", F.coalesce(F.col("_d"), F.col("cur")).alias("cur")
+        )
+    return walk.select("start", F.col("cur").alias("node"))
+
+
+def hash_random_walk_oracle_sql(edges_cte: str, steps: int = 4) -> str:
+    """DuckDB oracle for :func:`hash_random_walk`: identical hops unrolled
+    as CTEs from the same hash formula and neighbor ordering."""
+    parts = [
+        f"edges AS (SELECT DISTINCT src AS s, dst AS d FROM ({edges_cte}))",
+        """nbrs AS (
+  SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rn,
+         count(*) OVER (PARTITION BY s) AS deg
+  FROM edges)""",
+        "nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges)",
+        "w0 AS (SELECT node AS start, node AS cur FROM nodes)",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""w{t} AS (
+  SELECT w.start, coalesce(n.d, w.cur) AS cur
+  FROM w{t - 1} w LEFT JOIN nbrs n
+    ON n.s = w.cur
+   AND n.rn = ('0x' || substr(md5('walk{t}:' || w.cur), 1, 8))::BIGINT % n.deg)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT start, cur AS node FROM w{steps}"
+    )

@@ -4149,3 +4149,48 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = hits(edges, iters=3)
     return out.select(F.col("node").alias("nation"), "hub", "authority")
+
+
+def _walk_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        hash_random_walk_oracle_sql,
+    )
+
+    return (
+        "SELECT node AS nation, CAST(count(*) AS BIGINT) AS n_walkers FROM ("
+        + hash_random_walk_oracle_sql(_TRADE_EDGES_SQL, steps=4)
+        + ") GROUP BY 1"
+    )
+
+
+@register("graph_hash_random_walk", category="graph", oracle=_walk_oracle())
+def graph_hash_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible random-walk sampling over the trade graph
+    (operators/graph.hash_random_walk): every nation launches a walker,
+    four hash-seeded hops, and the landing distribution (how many walkers
+    end on each nation) is certified — the corpus-sampling primitive
+    behind DeepWalk/node2vec embeddings, made engine-reproducible by
+    hashing (cur, step) instead of drawing rand()."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import hash_random_walk
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    walks = hash_random_walk(edges, steps=4)
+    return walks.groupBy(F.col("node").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_walkers")
+    )

@@ -2025,3 +2025,71 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# funnel stage-to-stage latency distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_latency",
+    category="sequence",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1),
+deltas AS (
+  SELECT CAST(date_diff('second', t_view, t_click) AS BIGINT) AS vc,
+         CAST(date_diff('second', t_click, t_purchase) AS BIGINT) AS cp
+  FROM firsts),
+stages AS (
+  SELECT 'view_to_click' AS stage, vc AS delta FROM deltas
+  WHERE vc IS NOT NULL AND vc >= 0
+  UNION ALL
+  SELECT 'click_to_purchase', cp FROM deltas
+  WHERE cp IS NOT NULL AND cp >= 0)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(delta, 0.5), 6) AS p50_seconds,
+       round(quantile_cont(delta, 0.9), 6) AS p90_seconds,
+       CAST(max(delta) AS BIGINT) AS max_seconds
+FROM stages GROUP BY 1
+""",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-to-stage funnel latency: per user, the time from first view
+    to first subsequent click and first click to first subsequent
+    purchase, summarized as exact-interpolated percentiles — the
+    conversion-velocity readout behind time-to-convert dashboards.
+
+    Negative deltas (conversion preceding the earlier stage for that
+    user) are excluded on BOTH engines, making the population identical;
+    deltas are exact integer seconds; percentiles follow the
+    PERCENTILE_CONT parity convention (identical interpolation up to one
+    ulp, absorbed by 6-dp rounding). One user-keyed conditional-min
+    aggregate + one 2-group percentile — two shuffles total."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    vc = (F.unix_timestamp("t_click") - F.unix_timestamp("t_view")).cast("bigint")
+    cp = (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_click")).cast("bigint")
+    stages = (
+        firsts.select(F.lit("view_to_click").alias("stage"), vc.alias("delta"))
+        .filter(F.col("delta").isNotNull() & (F.col("delta") >= 0))
+        .unionAll(
+            firsts.select(F.lit("click_to_purchase").alias("stage"), cp.alias("delta"))
+            .filter(F.col("delta").isNotNull() & (F.col("delta") >= 0))
+        )
+    )
+    return stages.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.expr("percentile(delta, 0.5)"), 6).alias("p50_seconds"),
+        F.round(F.expr("percentile(delta, 0.9)"), 6).alias("p90_seconds"),
+        F.max("delta").cast("bigint").alias("max_seconds"),
+    )

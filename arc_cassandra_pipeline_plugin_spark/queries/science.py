@@ -1090,3 +1090,47 @@ def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("bigint").alias("max_y"),
         )
     )
+
+
+@register(
+    "ml_kfold_assign",
+    category="ml",
+    oracle="""
+WITH assign AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+           AS fold
+  FROM documents)
+SELECT CAST(fold AS INT) AS fold, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM assign GROUP BY 1, 2
+""",
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by content hash —
+    the split that is reproducible across runs, engines, and data layouts
+    (random() splits are none of those), audited per (fold, language) so
+    stratification drift is visible before any training job runs.
+
+    Assignment is a pure projection (md5-prefix mod k — the repo's
+    content-hash convention, no shuffle, no state); the audit is one
+    map-side-combinable aggregate over fold x label (a constant-size
+    output at any corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 5
+    )
+    return (
+        docs.select(fold.cast("int").alias("fold"), "lang", "doc_id")
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
