@@ -535,3 +535,38 @@ def quantize_int8(
         F.round(scale, 6).alias("scale"),
         F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("q_embedding"),
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k — the retrieval metric for
+    dot-product-trained embedding models (recommendations, two-tower
+    retrieval), where the UNNORMALIZED score matters and cosine's norm
+    division would re-rank results. Same physical shape as
+    :func:`brute_force_topk`: broadcast query set × one corpus scan,
+    deterministic (rounded score, id tiebreak) ranking, self-matches
+    excluded. MIPS does not admit a triangle-inequality metric-tree
+    prune; the production scale path is the same bucketed/quantized ANN
+    family, which is why the exact scan stays the certified baseline."""
+    from arc_cassandra_pipeline_plugin_spark.functions import dot_product
+
+    q = _unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
+    c = _unit(_parallel_corpus(corpus), vec_col, "cv").select(
+        F.col(id_col).alias("match_id"), "cv"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("dot", F.round(dot_product(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "dot", "rank")
+    )

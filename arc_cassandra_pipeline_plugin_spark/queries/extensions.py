@@ -3900,3 +3900,31 @@ def multimodal_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("longest_segment"), F.lit(0)).cast("bigint").alias("longest_segment"),
         "first_active_frame",
     )
+
+
+@register(
+    "similarity_mips_topk",
+    category="similarity",
+    plan_shape="all_pairs",
+    plan_reason="broadcast 3-query probe set × corpus scan is the exact-MIPS baseline",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+     c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, match_id, round(list_dot_product(qv, cv), 6) AS dot
+  FROM q CROSS JOIN c WHERE match_id <> query_id)
+SELECT query_id, match_id, dot, rn AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, match_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def similarity_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-5 for 3 query vectors
+    (operators/similarity.mips_topk) — the unnormalized-score retrieval
+    metric of dot-product-trained towers, certified against the brute-
+    force oracle with the rounded-score + id-tiebreak total order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mips_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)

@@ -2481,3 +2481,64 @@ def ddl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(row_count, ndv)], "row_count bigint, priority_ndv bigint"
     )
+
+
+@register(
+    "dq_referential_integrity",
+    category="dq",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders od LEFT JOIN customer c ON c.c_custkey = od.o_custkey
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l2 LEFT JOIN part p ON p.p_partkey = l2.l_partkey
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l3 LEFT JOIN supplier s ON s.s_suppkey = l3.l_suppkey
+""",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four foreign
+    keys: child row counts and orphan counts (child rows whose parent key
+    does not exist) — the pre-flight every warehouse load runs before
+    trusting downstream joins.
+
+    Each check is one LEFT join probing the parent's key column only
+    (pruned scan, broadcastable parents where small) with a null-count
+    aggregate; checks union into a single audit table. At 100 TB the
+    orphan probe is the same join the workload runs anyway — auditing
+    costs one pass, not a new algorithm."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def check(child, ckey, parent, pkey, name):
+        p = parent.select(F.col(pkey).alias("_pk"))
+        return (
+            child.select(F.col(ckey).alias("_ck"))
+            .join(p, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    return (
+        check(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionAll(check(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
+        .unionAll(check(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+        .unionAll(check(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"))
+    )
