@@ -2093,3 +2093,64 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delta, 0.9)"), 6).alias("p90_seconds"),
         F.max("delta").cast("bigint").alias("max_seconds"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of customer spend
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_gini_concentration",
+    category="analytics",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM ranked)
+SELECT n, sx AS total_cents,
+       round(2.0 * six / (CAST(n AS DOUBLE) * sx)
+             - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+FROM s
+""",
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the inequality
+    metric behind whale-risk dashboards, computed by the rank formula
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over the (spend, custkey)-totally-
+    ordered sequence.
+
+    All inputs to the final fixed-shape double expression are exact
+    BIGINTs (per-customer cents, ranks, Σx, Σi·x). The global rank uses a
+    total order so both engines index identically; at 100 TB the single
+    ntile-style sort becomes the two-phase bucketed rank
+    (operators/ranking.global_row_number) — same formula, partitioned
+    windows."""
+    spend = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(spend, "x", ["o_custkey"], out_col="i")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.col("sx").alias("total_cents"),
+        F.round(
+            2.0 * F.col("six") / (nd * F.col("sx")) - (nd + 1) / F.col("n"), 6
+        ).alias("gini"),
+    )

@@ -1134,3 +1134,71 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc"),
         )
     )
+
+
+@register(
+    "text_burstiness",
+    category="text",
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row corpus doc count onto the vocabulary table",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+  FROM documents),
+per_doc AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM counts GROUP BY 1, 2),
+df_t AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(c) AS BIGINT) AS tf,
+         CAST(sum(c * c) AS BIGINT) AS tf2
+  FROM per_doc GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM counts)
+SELECT token, n_docs, tf,
+       round((CAST(tf2 AS DOUBLE) / nd
+              - (CAST(tf AS DOUBLE) / nd) * (CAST(tf AS DOUBLE) / nd))
+             / (CAST(tf AS DOUBLE) / nd), 6) AS burstiness
+FROM df_t CROSS JOIN tot
+WHERE tf >= 500
+""",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document counts,
+    zeros included): bursty terms cluster in few documents (topical
+    signal), Poisson-like terms spread evenly (function words) — the
+    statistic behind stopword induction and topical-term mining without
+    any language resource.
+
+    Var/mean over ALL docs derives from three exact BIGINT sums (Σc, Σc²
+    over occurring docs; absent docs contribute zero to both, so no dense
+    join is needed — the formula only divides by the corpus doc count N)
+    in one token-keyed map-side-combinable pass; the final expression is
+    fixed-shape double. Restricted to tf >= 500 so the table is the
+    high-volume vocabulary head."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("token"),
+    )
+    per_doc = counts.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    df_t = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("tf2"),
+    )
+    tot = counts.agg(F.countDistinct("doc_id").cast("bigint").alias("nd"))
+    mean = F.col("tf").cast("double") / F.col("nd")
+    return (
+        df_t.crossJoin(F.broadcast(tot))
+        .filter(F.col("tf") >= 500)
+        .select(
+            "token",
+            "n_docs",
+            "tf",
+            F.round(
+                (F.col("tf2").cast("double") / F.col("nd") - mean * mean) / mean, 6
+            ).alias("burstiness"),
+        )
+    )
