@@ -613,3 +613,156 @@ def hash_random_walk_oracle_sql(edges_cte: str, steps: int = 4) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT start, cur AS node FROM w{steps}"
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-truss peeling (bounded synchronous rounds): keep edges whose
+    triangle support (common-neighbor count in the undirected graph) is
+    at least k-2, recompute support on the surviving subgraph, repeat.
+    With ``rounds`` < the peel depth the result is the honest
+    "k-truss-candidate after r peels" — monotone, deterministic, and
+    identical on both engines (pure integer counting, no tie decisions).
+    Returns canonical surviving edges (a < b) with their final support.
+
+    Scale shape per round: support is ONE self-join of the symmetrized
+    adjacency on the shared-neighbor column (shuffle keyed by vertex)
+    aggregated per edge — the standard distributed triangle-counting
+    join, never materializing triangles; the filter is a pushed predicate
+    on the aggregate. Dense hub vertices are the usual hot-key salting
+    candidates."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(rounds):
+        n1 = cur.select(F.col("a").alias("ea"), F.col("b").alias("c"))
+        n2 = cur.select(F.col("a").alias("eb"), F.col("b").alias("c2"))
+        sup = (
+            cur.filter(F.col("a") < F.col("b"))
+            .join(n1, F.col("ea") == F.col("a"))
+            .join(n2, (F.col("eb") == F.col("b")) & (F.col("c2") == F.col("c")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .filter(F.col("support") >= k - 2)
+        )
+        keep = sup.select("a", "b")
+        cur = (
+            keep.union(keep.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .localCheckpoint(eager=True)
+        )
+        last_sup = sup
+    return last_sup
+
+
+def ktruss_oracle_sql(edges_cte: str, k: int = 4, rounds: int = 2) -> str:
+    """DuckDB oracle for :func:`ktruss_edges`: identical peel rounds
+    unrolled as CTEs."""
+    parts = [
+        f"""u0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ({edges_cte})
+    UNION ALL SELECT dst, src FROM ({edges_cte})
+  ) WHERE a <> b)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"u{r - 1}"
+        parts.append(
+            f"""s{r} AS (
+  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+  FROM {prev} e
+  JOIN {prev} n1 ON n1.a = e.a
+  JOIN {prev} n2 ON n2.a = e.b AND n2.b = n1.b
+  WHERE e.a < e.b
+  GROUP BY 1, 2
+  HAVING count(*) >= {k - 2})"""
+        )
+        parts.append(
+            f"""u{r} AS (
+  SELECT a, b FROM s{r} UNION ALL SELECT b, a FROM s{r})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a, b, support FROM s{rounds}"
+    )
+
+
+def kcore_vertices(
+    edges: DataFrame,
+    k: int = 6,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-core peeling (bounded synchronous rounds), the VERTEX-side
+    complement of :func:`ktruss_edges`: drop vertices whose degree in the
+    undirected simple graph is below ``k``, restrict the graph to the
+    survivors, repeat. With ``rounds`` below the peel depth the result is
+    the honest "k-core candidate after r peels" — monotone and
+    deterministic (pure integer degree counting). Returns the surviving
+    vertices with the degree that qualified them in the LAST round.
+
+    Scale shape per round: degree is one count aggregation keyed by
+    vertex; the restriction is two semi-join-shaped equi-joins of the
+    edge list against the O(|V|) survivor set (broadcastable when the
+    vertex set is dimension-sized, shuffle-keyed otherwise). Nothing is
+    ever quadratic; peel work shrinks monotonically as edges drop."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    keep_deg = None
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree")
+        )
+        keep_deg = deg.filter(F.col("degree") >= k)
+        keep = keep_deg.select("a")
+        cur = (
+            cur.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return keep_deg
+
+
+def kcore_oracle_sql(edges_cte: str, k: int = 6, rounds: int = 2) -> str:
+    """DuckDB oracle for :func:`kcore_vertices`: identical peel rounds
+    unrolled as CTEs."""
+    parts = [
+        f"""g0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ({edges_cte})
+    UNION ALL SELECT dst, src FROM ({edges_cte})
+  ) WHERE a <> b)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"g{r - 1}"
+        parts.append(
+            f"""d{r} AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS degree
+  FROM {prev} GROUP BY 1 HAVING count(*) >= {k})"""
+        )
+        parts.append(
+            f"""g{r} AS (
+  SELECT g.a, g.b FROM {prev} g
+  JOIN d{r} x ON g.a = x.a JOIN d{r} y ON g.b = y.a)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a, degree FROM d{rounds}"
+    )

@@ -1180,3 +1180,47 @@ def bmp_ahash(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=BMP_AHASH_SCHEMA)
+
+
+BMP_PATCH_SCHEMA = "asset_id bigint, py int, px int, n_px bigint, luma_sum bigint"
+
+
+def bmp_patches(assets: DataFrame, patch: int = 2) -> DataFrame:
+    """ViT-style patchify through the REAL BMP decoder: tile each image
+    into non-overlapping ``patch×patch`` grids (partial edge tiles
+    dropped, the standard crop-to-multiple preprocessing), emitting one
+    row per patch with its grid coordinates, pixel count, and exact
+    integer BT.601 luma sum (299R + 587G + 114B per mil) — the token
+    grid a vision transformer embeds, with the sum left unreduced so
+    downstream normalization stays in exact integers.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass over payloads
+    (shuffle-free); output is (pixels/patch²) rows per asset — a bounded
+    constant-factor fan-out, partitioned exactly like the input
+    payloads. The decode is the pure-stdlib BMP codec; no pixel array
+    ever crosses the driver."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "py", "px", "n_px", "luma_sum")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_bmp24(payload)
+                fw, fh = (w // patch) * patch, (h // patch) * patch
+                sums: dict[tuple[int, int], int] = {}
+                cnts: dict[tuple[int, int], int] = {}
+                for p, (r, g, b) in enumerate(px):
+                    x, y = p % w, p // w
+                    if x >= fw or y >= fh:
+                        continue
+                    key = (y // patch, x // patch)
+                    sums[key] = sums.get(key, 0) + 299 * r + 587 * g + 114 * b
+                    cnts[key] = cnts.get(key, 0) + 1
+                for (py_, px_), s in sorted(sums.items()):
+                    out["asset_id"].append(aid)
+                    out["py"].append(py_)
+                    out["px"].append(px_)
+                    out["n_px"].append(cnts[(py_, px_)])
+                    out["luma_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=BMP_PATCH_SCHEMA)

@@ -4283,3 +4283,115 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+def _ktruss_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import ktruss_oracle_sql
+
+    return (
+        "SELECT a AS nation_a, b AS nation_b, support FROM ("
+        + ktruss_oracle_sql(_TRADE_EDGES_SQL, k=8, rounds=2)
+        + ")"
+    )
+
+
+@register("graph_ktruss_core", category="graph", oracle=_ktruss_oracle())
+def graph_ktruss_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-truss cohesion core of the trade graph (operators/graph.
+    ktruss_edges, k=8, two synchronous peel rounds): edges embedded in at
+    least 6 triangles after re-peeling — the community-core definition
+    stronger than degree (every surviving tie is multiply witnessed).
+    k sits inside the observed support range at BOTH fixture scales, so
+    peeling bites and survivors remain non-trivial; the
+    certified output is the surviving canonical edge list with final
+    support, identical rounds unrolled as the DuckDB oracle."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import ktruss_edges
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = ktruss_edges(edges, k=8, rounds=2)
+    return out.select(
+        F.col("a").alias("nation_a"), F.col("b").alias("nation_b"), "support"
+    )
+
+
+_KCORE_THRESH_EDGES_SQL = f"""
+SELECT e0.src, e0.dst
+FROM ({_TRADE_EDGES_SQL}) e0,
+     (SELECT sum(w) AS s, count(*) AS c FROM ({_TRADE_EDGES_SQL})) t
+WHERE e0.w * t.c * 4 >= t.s * 5
+"""
+
+
+def _kcore_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import kcore_oracle_sql
+
+    return (
+        "SELECT a AS nation, degree FROM ("
+        + kcore_oracle_sql(_KCORE_THRESH_EDGES_SQL, k=6, rounds=2)
+        + ")"
+    )
+
+
+@register(
+    "graph_kcore_trade",
+    category="graph",
+    plan_shape="scalar_broadcast",
+    plan_reason="1-row global (sum,count) broadcast sets the relative edge-weight cut",
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core cohesion of the HEAVY trade graph (operators/graph.
+    kcore_vertices, k=6, two peel rounds): nations still connected to at
+    least 6 peers after restricting to above-average trade lanes (edge
+    weight >= 5/4 of the mean — a RELATIVE cut, so the peel bites at
+    every fixture scale; the nation graph is complete under a raw cut).
+    The vertex-side complement of graph_ktruss_core: k-core bounds
+    degree, k-truss bounds triangle support.
+
+    Scale shape: the mean cut is a 1-row (sum,count) broadcast against
+    the edge list (declared scalar_broadcast); each peel round is one
+    vertex-keyed degree count plus two survivor equi-joins — never
+    quadratic, work shrinks monotonically."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import kcore_vertices
+
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e0 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("c"))
+    edges = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("c") * 4 >= F.col("s") * 5)
+        .select("src", "dst")
+    )
+    out = kcore_vertices(edges, k=6, rounds=2)
+    return out.select(F.col("a").alias("nation"), "degree")

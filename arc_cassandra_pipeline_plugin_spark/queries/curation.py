@@ -2430,3 +2430,113 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("example_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring
+# ---------------------------------------------------------------------------
+
+def _fs_milli_weights() -> dict[str, int]:
+    """Integer milli-bit log-odds weights for the three comparison fields,
+    derived from declared (m, u) priors: w_agree = 1000*log2(m/u),
+    w_disagree = 1000*log2((1-m)/(1-u)). Python-computed ONCE and embedded
+    as identical literals in both engines (the char-entropy LUT rule — no
+    runtime transcendental ever crosses the engine boundary). In a real
+    pipeline m/u come from EM over the blocked pairs; the declared priors
+    keep the certified surface deterministic while exercising the exact
+    same engine mechanics (blocked join + integer log-odds sum + banding)."""
+    import math
+
+    priors = {
+        "band": (0.90, 1 / 11),  # $1000 acctbal band agreement
+        "sign": (0.95, 0.82),    # balance-sign agreement
+        "cong": (0.98, 0.10),    # key check-digit congruence (mod 10)
+    }
+    out = {}
+    for f, (m, u) in priors.items():
+        out[f"{f}_a"] = round(1000 * math.log2(m / u))
+        out[f"{f}_d"] = round(1000 * math.log2((1 - m) / (1 - u)))
+    return out
+
+
+_FS_W = _fs_milli_weights()
+
+
+@register(
+    "er_fellegi_sunter",
+    category="dedup",
+    oracle=f"""
+WITH c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer),
+s AS (SELECT s_suppkey AS sk, s_nationkey AS nk,
+             CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier),
+pairs AS (
+  SELECT CASE WHEN ((c.cents + 100000) // 100000) = ((s.cents + 100000) // 100000)
+              THEN {_FS_W["band_a"]} ELSE {_FS_W["band_d"]} END
+       + CASE WHEN (c.cents >= 0) = (s.cents >= 0)
+              THEN {_FS_W["sign_a"]} ELSE {_FS_W["sign_d"]} END
+       + CASE WHEN (c.ck % 10) = (s.sk % 10)
+              THEN {_FS_W["cong_a"]} ELSE {_FS_W["cong_d"]} END AS score
+  FROM c JOIN s ON c.nk = s.nk)
+SELECT CASE WHEN score >= 4000 THEN 'match'
+            WHEN score <= -2000 THEN 'non_match'
+            ELSE 'possible' END AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM pairs GROUP BY 1
+""",
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over nation-blocked
+    customer x supplier candidate pairs: each pair scores the sum of
+    per-field integer log-odds weights (agree => log2(m/u), disagree =>
+    log2((1-m)/(1-u)), milli-bit literals from :func:`_fs_milli_weights`)
+    over three comparison fields — $1000 balance band, balance sign, and
+    key check-digit congruence — then lands in the classic
+    match / possible / non_match decision bands. The output is the band
+    summary a linkage pipeline tunes its thresholds on.
+
+    Scale shape: candidate generation is an equi-join keyed by the BLOCK
+    (nation) — per-block work is |C_b| x |S_b|, bounded by blocking
+    discipline, never corpus-quadratic (a runaway block is the standard
+    hot-key salting case); field comparisons are exact integer
+    expressions inside the join; banding aggregates map-side to <= 3
+    rows. The band arithmetic shifts cents by +100000 so integer
+    division stays in positive range (Spark ``div`` truncates toward
+    zero, floor/trunc agreement guaranteed only for non-negative
+    operands)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("c_cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("s_nationkey").alias("snk"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("s_cents"),
+    )
+    w = _FS_W
+    band_eq = F.expr("(c_cents + 100000) div 100000") == F.expr(
+        "(s_cents + 100000) div 100000"
+    )
+    sign_eq = (F.col("c_cents") >= 0) == (F.col("s_cents") >= 0)
+    cong_eq = (F.col("ck") % 10) == (F.col("sk") % 10)
+    score = (
+        F.when(band_eq, w["band_a"]).otherwise(w["band_d"])
+        + F.when(sign_eq, w["sign_a"]).otherwise(w["sign_d"])
+        + F.when(cong_eq, w["cong_a"]).otherwise(w["cong_d"])
+    )
+    pairs = c.join(F.broadcast(s), F.col("nk") == F.col("snk")).select(
+        score.alias("score")
+    )
+    band = (
+        F.when(F.col("score") >= 4000, "match")
+        .when(F.col("score") <= -2000, "non_match")
+        .otherwise("possible")
+    )
+    return pairs.select(band.alias("band"), "score").groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )

@@ -3928,3 +3928,148 @@ def similarity_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force oracle with the rounded-score + id-tiebreak total order."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.mips_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+_RRF_TERMS = ("spark", "join", "window")
+_RRF_K = 60
+
+
+@register(
+    "similarity_rrf_fusion",
+    category="similarity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents),
+q AS (SELECT unnest({list(_RRF_TERMS)!r}) AS token),
+hits AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(count(DISTINCT t.token) AS BIGINT) AS n_terms
+  FROM toks t JOIN q ON q.token = t.token GROUP BY 1),
+cand AS (
+  SELECT h.doc_id, h.n_hits, h.n_terms, d.n_chars
+  FROM hits h JOIN documents d USING (doc_id)),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY n_hits DESC, doc_id) AS r
+       FROM cand),
+rb AS (SELECT doc_id,
+              row_number() OVER (ORDER BY n_terms DESC, n_chars, doc_id) AS r
+       FROM cand),
+fused AS (
+  SELECT c.doc_id,
+         CAST(ra.r AS BIGINT) AS rank_hits,
+         CAST(rb.r AS BIGINT) AS rank_coverage,
+         CAST(round(1000000000.0 / ({_RRF_K} + ra.r), 0) AS BIGINT)
+       + CAST(round(1000000000.0 / ({_RRF_K} + rb.r), 0) AS BIGINT) AS rrf_micro
+  FROM cand c JOIN ra ON ra.doc_id = c.doc_id JOIN rb ON rb.doc_id = c.doc_id)
+SELECT doc_id, rank_hits, rank_coverage, rrf_micro
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 15
+""",
+)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two keyword retrieval rankings — the
+    standard hybrid-search combiner (BM25 leg + vector leg in production;
+    here two deterministic keyword legs: total term hits vs distinct-term
+    coverage with a shorter-doc tiebreak). Each ranker's contribution is
+    round(1e9/(60+rank)) exact micro-units (one IEEE division each,
+    identically rounded on both engines), so the fused score is an exact
+    BIGINT sum — no float aggregation order anywhere.
+
+    Scale shape: the candidate set is the union of posting lists for the
+    query terms (one token-keyed join against a 3-row broadcast term
+    list), never the corpus; both global ranks use the two-phase bucketed
+    row_number (operators/ranking.global_row_number — partitioned windows
+    only, O(buckets) driver state); the fused top-15 is
+    TakeOrderedAndProject."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+    q = spark.createDataFrame([(t,) for t in _RRF_TERMS], "token string")
+    hits = (
+        toks.join(F.broadcast(q), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.countDistinct("token").cast("bigint").alias("n_terms"),
+        )
+    )
+    cand = hits.join(docs.select("doc_id", "n_chars"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    ra = global_row_number(
+        cand.select("doc_id", (-F.col("n_hits")).alias("neg_hits")),
+        "neg_hits",
+        ["doc_id"],
+        out_col="r",
+    ).select("doc_id", F.col("r").cast("bigint").alias("rank_hits"))
+    rb = global_row_number(
+        cand.select(
+            "doc_id", (-F.col("n_terms")).alias("neg_terms"), "n_chars"
+        ),
+        "neg_terms",
+        ["n_chars", "doc_id"],
+        out_col="r",
+    ).select("doc_id", F.col("r").cast("bigint").alias("rank_coverage"))
+    contrib = lambda r: F.round(F.lit(1000000000.0) / (F.lit(_RRF_K) + r), 0).cast(
+        "bigint"
+    )
+    fused = (
+        cand.select("doc_id")
+        .join(ra, "doc_id")
+        .join(rb, "doc_id")
+        .select(
+            "doc_id",
+            "rank_hits",
+            "rank_coverage",
+            (contrib(F.col("rank_hits")) + contrib(F.col("rank_coverage"))).alias(
+                "rrf_micro"
+            ),
+        )
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(15)
+
+
+@register(
+    "multimodal_bmp_patches",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+g AS (
+  SELECT asset_id, w, h, p, (p % w) AS x, (p // w) AS y,
+         299 * ((asset_id + 13 * p) % 256)
+         + 587 * ((2 * asset_id + 7 * p) % 256)
+         + 114 * ((3 * asset_id + 11 * p) % 256) AS gv
+  FROM px)
+SELECT asset_id,
+       CAST(y // 2 AS INT) AS py, CAST(x // 2 AS INT) AS px,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(gv) AS BIGINT) AS luma_sum
+FROM g
+WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+GROUP BY 1, 2, 3
+""",
+)
+def multimodal_bmp_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch grid through the REAL BMP codec round-trip
+    (operators/multimodal.bmp_patches): the deterministic RGB corpus is
+    encoded to genuine BMP bytes, decoded, and tiled into non-overlapping
+    2x2 patches (edge remainders cropped — the standard crop-to-multiple
+    step), each patch certified by its grid coordinates, pixel count, and
+    exact integer BT.601 luma sum against the oracle's direct pixel-
+    formula re-derivation. This is the tokenization step of an image
+    transformer pipeline with every reduction in exact integers.
+
+    Scale shape: synth + patchify are two shuffle-free Arrow mapInPandas
+    passes; output fan-out is pixels/4 rows per asset."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.bmp_patches(M.synthesize_bmp_assets(docs), patch=2)

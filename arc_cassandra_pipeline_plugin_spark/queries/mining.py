@@ -2154,3 +2154,186 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("six") / (nd * F.col("sx")) - (nd + 1) / F.col("n"), 6
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# theta-sketch-style set intersection via KMV
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_kmv_intersection",
+    category="aggregation",
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row exact-intersection count next to the sketch row",
+    oracle=f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '2-HIGH'),
+u AS (SELECT k FROM a UNION SELECT k FROM b),
+hu AS (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS hv
+       FROM u),
+theta AS (
+  SELECT hv, k, row_number() OVER (ORDER BY hv, k) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n_union
+  FROM hu),
+kept AS (SELECT * FROM theta
+         WHERE rn <= CASE WHEN n_union < {_KMV_K} THEN n_union ELSE {_KMV_K} END),
+marked AS (
+  SELECT kept.rn, kept.n_union,
+         CASE WHEN kept.k IN (SELECT k FROM a)
+               AND kept.k IN (SELECT k FROM b) THEN 1 ELSE 0 END AS in_both,
+         max(kept.hv) OVER () AS hv_k
+  FROM kept),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS sketch_size,
+         CAST(sum(in_both) AS BIGINT) AS n_matches,
+         CAST(max(n_union) AS BIGINT) AS n_union_exact,
+         CAST(max(hv_k) AS BIGINT) AS hv_k
+  FROM marked),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_exact
+       FROM a JOIN b ON a.k = b.k)
+SELECT s.sketch_size, s.n_matches, ex.n_inter_exact,
+       round(CASE WHEN s.n_union_exact < {_KMV_K}
+                  THEN CAST(s.n_matches AS DOUBLE)
+                  ELSE CAST(s.n_matches AS DOUBLE) / s.sketch_size
+                       * (({_KMV_K} - 1) * 1152921504606846976.0 / s.hv_k) END,
+             4) AS inter_estimate
+FROM s CROSS JOIN ex
+""",
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set intersection: urgent-priority and
+    high-priority customer sets sketch as the k smallest hashes of their
+    UNION; the fraction of retained samples present in both sets, scaled
+    by the KMV union estimate, estimates the intersection — certified
+    next to the exact |A∩B| so the estimator error is visible. This is
+    the composable form of COUNT DISTINCT set algebra (union/intersect
+    sketches merge; exact distinct does not).
+
+    Same determinism as agg_kmv_distinct: md5-prefix hashes, total-order
+    statistics, one fixed-shape double expression rounded at 4 dp. The
+    theta cut and membership marking are vertex... set-sized aggregates;
+    nothing scales with fact rows beyond the two distinct shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    u = a.union(b).distinct()
+    hu = u.select(
+        "k",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w_rank = Window.orderBy("hv", "k")
+    w_all = Window.partitionBy()
+    theta = hu.select(
+        "k", "hv",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_union"),
+    )
+    cut = F.when(F.col("n_union") < _KMV_K, F.col("n_union")).otherwise(F.lit(_KMV_K))
+    kept = theta.filter(F.col("rn") <= cut)
+    am = a.withColumn("_a", F.lit(1))
+    bm = b.withColumn("_b", F.lit(1))
+    marked = (
+        kept.join(am, "k", "left")
+        .join(bm, "k", "left")
+        .select(
+            "n_union", "hv",
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+            .otherwise(0)
+            .alias("in_both"),
+        )
+    )
+    s = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sketch_size"),
+        F.sum("in_both").cast("bigint").alias("n_matches"),
+        F.max("n_union").cast("bigint").alias("n_union_exact"),
+        F.max("hv").cast("bigint").alias("hv_k"),
+    )
+    ex = a.join(b, "k").agg(F.count(F.lit(1)).cast("bigint").alias("n_inter_exact"))
+    est = F.when(
+        F.col("n_union_exact") < _KMV_K, F.col("n_matches").cast("double")
+    ).otherwise(
+        F.col("n_matches").cast("double") / F.col("sketch_size")
+        * (F.lit(_KMV_K - 1) * F.lit(1152921504606846976.0) / F.col("hv_k"))
+    )
+    return s.crossJoin(F.broadcast(ex)).select(
+        "sketch_size", "n_matches", "n_inter_exact", F.round(est, 4).alias("inter_estimate")
+    )
+
+
+# --------------------------------------------------------------------------
+# longest increasing-spend streak per user (gaps and islands on deltas)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_spend_streaks",
+    category="sequence",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT user_id, day, y,
+         CASE WHEN y > lag(y) OVER w THEN 1 ELSE 0 END AS up
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+isl AS (
+  SELECT user_id, day, up,
+         row_number() OVER (PARTITION BY user_id ORDER BY day)
+         - row_number() OVER (PARTITION BY user_id, up ORDER BY day) AS island
+  FROM d),
+streaks AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+  FROM isl WHERE up = 1 GROUP BY 1, 2)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_up_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY 1
+""",
+)
+def events_spend_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of strictly-increasing daily spend per user — the
+    gaps-and-islands pattern on a DERIVED flag (up = today beats
+    yesterday), the momentum feature growth teams track. Two row_number
+    windows on the same user-keyed sort (overall minus per-flag) make
+    consecutive same-flag days share an island id; islands aggregate to
+    streaks.
+
+    All comparisons are exact cents; the flag, islands, and streak
+    lengths are pure integers. One shuffle keys everything by user; the
+    two windows share that partitioning (no second exchange), and window
+    state is a single lag value plus counters."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    d = daily.select(
+        "user_id",
+        "day",
+        F.when(F.col("y") > F.lag("y").over(w), 1).otherwise(0).alias("up"),
+    )
+    w_flag = Window.partitionBy("user_id", "up").orderBy("day")
+    isl = d.select(
+        "user_id",
+        "up",
+        (F.row_number().over(w) - F.row_number().over(w_flag)).alias("island"),
+    )
+    streaks = isl.filter(F.col("up") == 1).groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_up_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )

@@ -1202,3 +1202,170 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burstiness"),
         )
     )
+
+
+@register(
+    "ml_feature_hashing",
+    category="ml",
+    oracle="""
+WITH crossed AS (
+  SELECT ('0x' || substr(md5('fx:' || CAST(user_id AS VARCHAR) || '|' ||
+                         event_type || '|' ||
+                         CAST(hour(ts) // 6 AS VARCHAR)), 1, 8))::BIGINT % 256
+           AS bucket,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM crossed GROUP BY 1
+""",
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick for feature crosses: (user x event type x
+    6-hour daypart) crosses hash into 256 buckets — the fixed-width,
+    vocabulary-free featurization that keeps training pipelines immune to
+    unbounded categorical cardinality. Certified: per-bucket row counts
+    and exact-cents mass (a collision audit — bucket skew here is exactly
+    what a model would silently absorb).
+
+    Hashing is a pure projection (md5-prefix convention, no vocabulary
+    state, no shuffle); the audit is one map-side-combinable aggregate
+    over a constant 256-row output at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("fx:"), F.col("user_id").cast("string"), F.lit("|"),
+                        F.col("event_type"), F.lit("|"),
+                        F.expr("CAST(hour(ts) div 6 AS STRING)"),
+                    )
+                ), 1, 8),
+            16, 10,
+        ).cast("bigint") % 256
+    )
+    return (
+        ev.select(
+            bucket.cast("int").alias("bucket"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+_RAKE_STOPWORDS = ("the", "a", "big", "small", "fast", "slow")
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOP = 25
+
+
+@register(
+    "text_rake_keywords",
+    category="text",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+  FROM documents),
+content AS (
+  SELECT doc_id, pos, token,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM toks
+  WHERE token NOT IN {_RAKE_STOPWORDS!r}),
+phrases AS (
+  SELECT doc_id, island, string_agg(token, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM content GROUP BY 1, 2
+  HAVING count(*) <= {_RAKE_MAX_PHRASE}),
+members AS (
+  SELECT c.doc_id, c.island, c.token, p.plen
+  FROM content c JOIN phrases p ON p.doc_id = c.doc_id AND p.island = c.island),
+wscore AS (
+  SELECT token,
+         CAST(round(sum(plen) * 1000000.0 / count(*), 0) AS BIGINT) AS score_micro
+  FROM members GROUP BY token),
+pscore AS (
+  SELECT m.doc_id, m.island, CAST(sum(w.score_micro) AS BIGINT) AS phrase_score
+  FROM members m JOIN wscore w ON w.token = m.token GROUP BY 1, 2),
+agg AS (
+  SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(max(s.phrase_score) AS BIGINT) AS score_micro
+  FROM phrases p JOIN pscore s ON s.doc_id = p.doc_id AND s.island = p.island
+  GROUP BY 1)
+SELECT phrase, n_occurrences, score_micro
+FROM agg ORDER BY score_micro DESC, phrase LIMIT {_RAKE_TOP}
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on the token
+    stream — island id = pos minus per-doc content row_number), capped at
+    4 words; each word scores degree/frequency (degree = summed
+    length of phrases containing it), each phrase the sum of its member
+    word scores. Word scores land as exact micro-units
+    (round(degree*1e6/freq) — ONE IEEE division, identically rounded on
+    both engines) so phrase scores are exact BIGINT sums, order-free.
+    The stopword lexicon extends the function words with the corpus's
+    generic modifiers, the standard domain-lexicon adaptation.
+
+    Scale shape: tokenize is one doc-keyed explode; islands use a
+    PARTITIONED (per-doc) window; word stats shuffle by token
+    (vocabulary-bounded output); the word-score table re-joins phrase
+    members token-keyed (broadcastable at vocabulary scale); the top-25
+    is TakeOrderedAndProject. No unpartitioned window, nothing
+    quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    content = toks.filter(~F.col("token").isin(*_RAKE_STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "token",
+        (F.col("pos") - F.row_number().over(w_doc)).alias("island"),
+    )
+    phrases = (
+        content.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    members = content.join(
+        phrases.select("doc_id", "island", "plen"), ["doc_id", "island"]
+    ).select("doc_id", "island", "token", "plen")
+    wscore = members.groupBy("token").agg(
+        F.round(F.sum("plen") * 1000000.0 / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("score_micro")
+    )
+    pscore = (
+        members.join(F.broadcast(wscore), "token")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("score_micro").cast("bigint").alias("phrase_score"))
+    )
+    agg = (
+        phrases.join(pscore, ["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("phrase_score").cast("bigint").alias("score_micro"),
+        )
+    )
+    return agg.orderBy(F.col("score_micro").desc(), "phrase").limit(_RAKE_TOP)
