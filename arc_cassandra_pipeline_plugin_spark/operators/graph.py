@@ -766,3 +766,113 @@ def kcore_oracle_sql(edges_cte: str, k: int = 6, rounds: int = 2) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT a, degree FROM d{rounds}"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Personalized PageRank: identical fixed-point discipline as
+    :func:`pagerank` (per-edge contributions rounded to 12 dp, exact
+    DECIMAL sums, re-rounded iterate) but the teleport mass lands on a
+    SEED set instead of uniformly — the topic-sensitive/recommendation
+    variant (``rank ≈ visit probability of a random walk restarting at
+    the seeds``). ``seeds`` is a 1-column (node) DataFrame; init mass is
+    1/|S| on seeds, 0 elsewhere.
+
+    Scale shape: identical to pagerank (|E| contributions shuffled on
+    dst, |V| ranks on node, out-weights hoisted before the loop); the
+    only addition is an O(|V|) seed-flag join computed once and a 1-row
+    seed-count broadcast."""
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    e_norm = e.join(outw, "_src").localCheckpoint(eager=True)
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    ns = s.agg(F.count(F.lit(1)).alias("_ns"))
+    flagged = nodes.join(
+        s.withColumn("_is_seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_is_seed"))
+    base = flagged.crossJoin(F.broadcast(ns)).localCheckpoint(eager=True)
+    rank = base.select(
+        "node", "_is_seed", "_ns",
+        F.round(F.col("_is_seed") / F.col("_ns"), _SCALE).alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e_norm
+            .join(rank.select(F.col("node").alias("_src"), "rank"), "_src")
+            .select(
+                "_dst",
+                F.round(F.col("rank") * F.col("_w") / F.col("_out_w"), _SCALE)
+                .cast(f"decimal(20,{_SCALE})")
+                .alias("_c"),
+            )
+        )
+        summed = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
+        rank = (
+            base.join(summed, base.node == summed._dst, "left")
+            .select(
+                "node",
+                "_is_seed",
+                "_ns",
+                F.round(
+                    (1.0 - damping) * F.col("_is_seed") / F.col("_ns")
+                    + damping * F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
+                    _SCALE,
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", "rank")
+
+
+def personalized_pagerank_oracle_sql(
+    edges_cte: str, seeds_cte: str, iters: int = 3, damping: float = 0.85
+) -> str:
+    """The identical personalized-PageRank rounds as DuckDB SQL, generated
+    from the same constants as :func:`personalized_pagerank`."""
+    d = damping
+    parts = [
+        f"edges AS ({edges_cte})",
+        f"seeds AS (SELECT DISTINCT * FROM ({seeds_cte}))",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src)",
+        "ns AS (SELECT count(*) AS n FROM seeds)",
+        """flagged AS (
+  SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node)""",
+        f"r0 AS (SELECT node, is_seed, round(is_seed / ns.n, {_SCALE}) AS rank"
+        " FROM flagged CROSS JOIN ns)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst,
+         sum(CAST(round(r.rank * e.w / o.out_w, {_SCALE}) AS DECIMAL(20,{_SCALE}))) AS s
+  FROM edges e JOIN outw o ON e.src = o.src JOIN r{i} r ON r.node = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT f.node, f.is_seed,
+         round((1.0 - {d}) * f.is_seed / ns.n
+               + {d} * coalesce(CAST(c{i}.s AS DOUBLE), 0.0), {_SCALE}) AS rank
+  FROM flagged f CROSS JOIN ns LEFT JOIN c{i} ON c{i}.dst = f.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank FROM r{iters}"
+    )

@@ -1224,3 +1224,49 @@ def bmp_patches(assets: DataFrame, patch: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=BMP_PATCH_SCHEMA)
+
+
+GIF_MOTION_SCHEMA = (
+    "asset_id bigint, frame_idx int, n_px int, changed_px int, motion_sum bigint"
+)
+
+
+def gif_motion_energy(assets: DataFrame) -> DataFrame:
+    """Motion energy between CONSECUTIVE frames through the real
+    animated-GIF decoder — the shot-boundary / static-clip detector of a
+    video curation pipeline: for each frame pair (f-1, f) emit the count
+    of changed pixels and the exact integer sum of |Δluma| across the
+    frame, with luma the per-mil BT.601 weighting of the palette color
+    (299R + 587G + 114B). High motion_sum = cut or fast motion; zero =
+    duplicated frame (the video-level exact-dup signal).
+
+    One Arrow-batched ``mapInPandas`` pass (shuffle-free); output rows =
+    frames-1 per asset. Every quantity is an exact integer — an SQL
+    oracle replays the palette arithmetic bit-for-bit."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "frame_idx", "n_px", "changed_px", "motion_sum")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _w, _h, pal, frames = decode_gif(payload)
+                luma = [299 * r + 587 * g + 114 * b for (r, g, b) in pal]
+                prev = None
+                for fi, (_l, _t, fw, fh, _delay, idxs) in enumerate(frames):
+                    if prev is not None:
+                        changed = sum(1 for a, b in zip(prev, idxs) if a != b)
+                        motion = sum(
+                            abs(luma[a] - luma[b]) for a, b in zip(prev, idxs)
+                        )
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(fi)
+                        out["n_px"].append(fw * fh)
+                        out["changed_px"].append(changed)
+                        out["motion_sum"].append(motion)
+                    prev = idxs
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64" if k in ("asset_id", "motion_sum")
+                              else "int32") for k, v in out.items()}
+            )
+
+    return assets.mapInPandas(batches, schema=GIF_MOTION_SCHEMA)

@@ -74,6 +74,13 @@ def register(
             raise ValueError(f"{name}: plan_shape={plan_shape} requires plan_reason")
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration {name!r}: already registered "
+                f"as {REGISTRY[name].fn.__module__}.{REGISTRY[name].fn.__qualname__}"
+                " — a second registration would silently shadow the first,"
+                " removing certified surface; pick a distinct name"
+            )
         desc = description
         if not desc and fn.__doc__:
             desc = fn.__doc__.strip().splitlines()[0]

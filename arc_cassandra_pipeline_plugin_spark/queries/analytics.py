@@ -4395,3 +4395,69 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kcore_vertices(edges, k=6, rounds=2)
     return out.select(F.col("a").alias("nation"), "degree")
+
+
+_PPR_SEEDS_SQL = """
+SELECT n_name AS node FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+
+def _ppr_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        personalized_pagerank_oracle_sql,
+    )
+
+    sql = personalized_pagerank_oracle_sql(
+        _TRADE_EDGES_SQL, _PPR_SEEDS_SQL, iters=3, damping=0.85
+    )
+    return f"SELECT node AS nation, round(rank, 8) AS ppr FROM ({sql})"
+
+
+@register("graph_ppr_asia", category="graph", oracle=_ppr_oracle())
+def graph_ppr_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the trade graph with the teleport mass
+    pinned to the ASIA-region nations (operators/graph.
+    personalized_pagerank, 3 rounds, d=0.85): rank is the stationary
+    visit probability of a restart-at-ASIA random walk — "how exposed is
+    each nation to Asian trade flows", the topic-sensitive variant
+    recommendation and influence pipelines run per seed segment.
+
+    Same fixed-point determinism as graph_pagerank_trade (12-dp rounded
+    contributions, exact DECIMAL sums, identical rounds unrolled as the
+    oracle); the only addition over pagerank's scale shape is a 1-row
+    seed-count broadcast and an O(|V|) seed flag."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_name").alias("node"))
+    )
+    out = personalized_pagerank(edges, seeds, iters=3, damping=0.85)
+    return out.select(
+        F.col("node").alias("nation"), F.round("rank", 8).alias("ppr")
+    )

@@ -1114,9 +1114,11 @@ FROM scored GROUP BY 1
 
 
 @register(
-    "dedup_minhash_calibration", category="dedup", oracle=_minhash_calibration_oracle()
+    "dedup_minhash_calibration_curve",
+    category="dedup",
+    oracle=_minhash_calibration_oracle(),
 )
-def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator calibration for MinHash: over the LSH candidate pairs,
     bucket by the signature-agreement count (the Jaccard ESTIMATE is
     matches/num_perm) and report the mean EXACT shingle Jaccard per

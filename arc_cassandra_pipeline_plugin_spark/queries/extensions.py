@@ -3053,7 +3053,7 @@ def embeddings_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embeddings_quantize_int8",
+    "embeddings_quantize_int8_rowwise",
     category="similarity",
     oracle="""
 WITH m AS (
@@ -3069,7 +3069,7 @@ SELECT vec_id,
 FROM s
 """,
 )
-def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embeddings_quantize_int8_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (4× memory cut on the widest
     training-corpus column) — pure higher-order projection, certified
     element-for-element via integer CSV."""
@@ -4073,3 +4073,52 @@ def multimodal_bmp_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes; output fan-out is pixels/4 rows per asset."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.bmp_patches(M.synthesize_bmp_assets(docs), patch=2)
+
+
+@register(
+    "multimodal_gif_motion",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents),
+fr AS (
+  SELECT asset_id, w, h, unnest(range(1, nf)) AS f FROM d),
+px AS (
+  SELECT asset_id, w, h, f, unnest(range(0, w * h)) AS p FROM fr),
+delta AS (
+  SELECT asset_id, f, w, h,
+         (7 * asset_id + 13 * f + 3 * p) % 16 AS ca,
+         (7 * asset_id + 13 * (f - 1) + 3 * p) % 16 AS cb
+  FROM px),
+luma AS (
+  SELECT asset_id, f, w, h,
+         CASE WHEN ca <> cb THEN 1 ELSE 0 END AS chg,
+         abs((299 * ((17 * ca) % 256) + 587 * ((29 * ca) % 256)
+              + 114 * ((43 * ca) % 256))
+             - (299 * ((17 * cb) % 256) + 587 * ((29 * cb) % 256)
+                + 114 * ((43 * cb) % 256))) AS dl
+  FROM delta)
+SELECT asset_id, CAST(f AS INT) AS frame_idx, CAST(max(w * h) AS INT) AS n_px,
+       CAST(sum(chg) AS INT) AS changed_px,
+       CAST(sum(dl) AS BIGINT) AS motion_sum
+FROM luma GROUP BY 1, 2
+""",
+)
+def multimodal_gif_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame-pair motion energy through the real animated-GIF codec
+    round-trip (operators/multimodal.gif_motion_energy): the deterministic
+    multi-frame corpus is LZW-encoded, decoded, and every consecutive
+    frame pair reduced to changed-pixel count and exact |delta-luma| sum —
+    the shot-boundary / duplicated-frame detector of a video curation
+    pipeline, certified against the oracle's direct replay of the frame
+    and palette arithmetic (note the luma swap vs the frame formula: the
+    decoder's |Δ| is over PALETTE colors, so the oracle derives both
+    frames' indices then the same per-mil BT.601 weighting — all
+    integers, no rounding anywhere).
+
+    Scale shape: synth + motion are two shuffle-free Arrow mapInPandas
+    passes; output is frames-1 rows per asset."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.gif_motion_energy(M.synthesize_gif_assets(docs))

@@ -2337,3 +2337,369 @@ def events_spend_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_up_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_cuped_adjustment",
+    category="analytics",
+    plan_shape="scalar_broadcast",
+    plan_reason="two 1-row moment pivots (per-variant, global) broadcast-crossed",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS variant,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                       THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY 1),
+g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sx) AS BIGINT) AS gx,
+         CAST(sum(sy) AS BIGINT) AS gy, CAST(sum(sxx) AS BIGINT) AS gxx,
+         CAST(sum(sxy) AS BIGINT) AS gxy, CAST(sum(syy) AS BIGINT) AS gyy
+  FROM s),
+w AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+         max(CASE WHEN variant = 0 THEN sy END) AS sy0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+         max(CASE WHEN variant = 1 THEN sy END) AS sy1
+  FROM s)
+SELECT n0 AS n_control, n1 AS n_treat,
+       round((CAST(nt AS DOUBLE) * gxy - CAST(gx AS DOUBLE) * gy)
+             / (CAST(nt AS DOUBLE) * gxx - CAST(gx AS DOUBLE) * gx), 6) AS theta,
+       round(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0, 6) AS raw_diff_cents,
+       round((CAST(sy1 AS DOUBLE) / n1
+              - ((CAST(nt AS DOUBLE) * gxy - CAST(gx AS DOUBLE) * gy)
+                 / (CAST(nt AS DOUBLE) * gxx - CAST(gx AS DOUBLE) * gx))
+                * (CAST(sx1 AS DOUBLE) / n1 - CAST(gx AS DOUBLE) / nt))
+             - (CAST(sy0 AS DOUBLE) / n0
+                - ((CAST(nt AS DOUBLE) * gxy - CAST(gx AS DOUBLE) * gy)
+                   / (CAST(nt AS DOUBLE) * gxx - CAST(gx AS DOUBLE) * gx))
+                  * (CAST(sx0 AS DOUBLE) / n0 - CAST(gx AS DOUBLE) / nt)), 6)
+         AS cuped_diff_cents,
+       round(((CAST(nt AS DOUBLE) * gxy - CAST(gx AS DOUBLE) * gy)
+              * (CAST(nt AS DOUBLE) * gxy - CAST(gx AS DOUBLE) * gy))
+             / ((CAST(nt AS DOUBLE) * gxx - CAST(gx AS DOUBLE) * gx)
+                * (CAST(nt AS DOUBLE) * gyy - CAST(gy AS DOUBLE) * gy)), 6)
+         AS var_reduction
+FROM w CROSS JOIN g
+""",
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al.): the pre-period
+    spend covariate (days 1-15) adjusts the post-period metric
+    (days 16+) via the pooled regression theta = cov(x,y)/var(x), the
+    standard sensitivity boost every mature experimentation platform
+    applies before the t-test. Certified: theta, the raw and
+    CUPED-adjusted treatment deltas, and the achieved variance-reduction
+    factor (rho^2), alongside arm sizes — same deterministic md5 hash
+    assignment as events_ab_test_analysis.
+
+    Exactness: per-user (x, y) are exact cents; all cross-moments are
+    exact BIGINT sums; every reported figure is ONE fixed-shape double
+    expression over those integers (identical text both engines, IEEE
+    ops only), rounded at 6 dp. Scale shape: one user-keyed shuffle for
+    per-user sums, one 2-row variant aggregate, 1-row global/variant
+    pivots broadcast into the final projection — nothing scales past
+    the per-user aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint") % 2
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    per_user = (
+        ev.select(
+            "user_id",
+            variant.alias("variant"),
+            F.when(pre, cents).otherwise(F.lit(0)).alias("xc"),
+            F.when(~pre, cents).otherwise(F.lit(0)).alias("yc"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum("xc").cast("bigint").alias("x"),
+            F.sum("yc").cast("bigint").alias("y"),
+        )
+    )
+    s = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).localCheckpoint(eager=True)
+    g = s.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sx").cast("bigint").alias("gx"),
+        F.sum("sy").cast("bigint").alias("gy"),
+        F.sum("sxx").cast("bigint").alias("gxx"),
+        F.sum("sxy").cast("bigint").alias("gxy"),
+        F.sum("syy").cast("bigint").alias("gyy"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("variant") == v, F.col(c))).alias(f"{c}{v}")
+            for v in (0, 1)
+            for c in ("n", "sx", "sy")
+        ]
+    )
+    j = w.crossJoin(F.broadcast(g))
+    ntd = F.col("nt").cast("double")
+    gxd, gyd = F.col("gx").cast("double"), F.col("gy").cast("double")
+    cov_n = ntd * F.col("gxy") - gxd * F.col("gy")
+    var_n = ntd * F.col("gxx") - gxd * F.col("gx")
+    vary_n = ntd * F.col("gyy") - gyd * F.col("gy")
+    theta = cov_n / var_n
+    mean = lambda sc, nc: F.col(sc).cast("double") / F.col(nc)
+    adj = lambda sy, sx, n: (
+        mean(sy, n) - theta * (mean(sx, n) - gxd / F.col("nt"))
+    )
+    return j.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean("sy1", "n1") - mean("sy0", "n0"), 6).alias("raw_diff_cents"),
+        F.round(
+            adj("sy1", "sx1", "n1") - adj("sy0", "sx0", "n0"), 6
+        ).alias("cuped_diff_cents"),
+        F.round((cov_n * cov_n) / (var_n * vary_n), 6).alias("var_reduction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join-cardinality estimation via CMS inner product
+# --------------------------------------------------------------------------
+
+_CMJ_DEPTH = 4
+_CMJ_WIDTH = 4096
+
+
+@register(
+    "dq_join_size_estimate",
+    category="dq",
+    plan_shape="scalar_broadcast",
+    plan_reason="1-row exact join count broadcast next to the 4-row sketch inner products",
+    oracle=f"""
+WITH a AS (SELECT o_custkey AS k FROM orders),
+b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+ad AS (SELECT k, unnest(range(0, {_CMJ_DEPTH})) AS d FROM a),
+bd AS (SELECT k, unnest(range(0, {_CMJ_DEPTH})) AS d FROM b),
+ca AS (
+  SELECT d, ('0x' || substr(md5('cmj' || d || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+              % {_CMJ_WIDTH} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ad GROUP BY 1, 2),
+cb AS (
+  SELECT d, ('0x' || substr(md5('cmj' || d || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+              % {_CMJ_WIDTH} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bd GROUP BY 1, 2),
+ip AS (
+  SELECT ca.d, CAST(sum(ca.c * cb.c) AS BIGINT) AS est
+  FROM ca JOIN cb ON cb.d = ca.d AND cb.cell = ca.cell GROUP BY 1),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM a JOIN b ON b.k = a.k)
+SELECT ex.n_exact, CAST(min(ip.est) AS BIGINT) AS cms_estimate,
+       CAST(min(ip.est) - ex.n_exact AS BIGINT) AS overcount
+FROM ip CROSS JOIN ex GROUP BY 1
+""",
+)
+def dq_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT executing the join: the
+    Count-Min inner product. Sketch both join inputs (orders.o_custkey vs
+    BUILDING-segment customers) into 4x4096 counter arrays with the same
+    per-depth hash family; sum(ca_cell * cb_cell) per depth row is a
+    provable OVERestimate of |A join B| (equality when no collisions),
+    and min over depth rows tightens it — the sketch-algebra primitive a
+    planner or a data-contract monitor uses to budget a shuffle before
+    paying for it. Certified next to the exact join count so the
+    estimator error is visible.
+
+    Determinism: md5-prefix cell hashing (depth-salted), every counter
+    and inner product an exact BIGINT, min over 4 rows — no floats.
+    Scale shape: each sketch is ONE map-side-combinable aggregate into a
+    constant 4x4096 table regardless of input size (sketches of
+    sub-streams merge by cell-wise add — this runs on partitions
+    independently); the inner product joins two constant-size tables.
+    The exact count here is the certification yardstick, not part of the
+    estimator."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.select(F.col("o_custkey").alias("k"))
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def cell_of(d_col, k_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cmj"), d_col.cast("string"), F.lit(":"),
+                               k_col.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % _CMJ_WIDTH
+
+    def sketch(df):
+        rows_d = df.select(
+            "k",
+            F.explode(F.array(*[F.lit(d) for d in range(_CMJ_DEPTH)])).alias("d"),
+        )
+        return rows_d.groupBy(
+            "d", cell_of(F.col("d"), F.col("k")).alias("cell")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    ca = sketch(a)
+    cb = sketch(b).select(
+        F.col("d").alias("d2"), F.col("cell").alias("cell2"),
+        F.col("c").alias("c2"),
+    )
+    ip = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("d2") == F.col("d")) & (F.col("cell2") == F.col("cell")),
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("est"))
+    )
+    ex = a.join(b, "k").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (
+        ip.crossJoin(F.broadcast(ex))
+        .groupBy("n_exact")
+        .agg(F.min("est").cast("bigint").alias("cms_estimate"))
+        .select(
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
+@register(
+    "agg_kmv_difference",
+    category="aggregation",
+    plan_shape="scalar_broadcast",
+    plan_reason="broadcast 1-row exact-difference count next to the sketch row",
+    oracle=f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '2-HIGH'),
+u AS (SELECT k FROM a UNION SELECT k FROM b),
+hu AS (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS hv
+       FROM u),
+theta AS (
+  SELECT hv, k, row_number() OVER (ORDER BY hv, k) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n_union
+  FROM hu),
+kept AS (SELECT * FROM theta
+         WHERE rn <= CASE WHEN n_union < {_KMV_K} THEN n_union ELSE {_KMV_K} END),
+marked AS (
+  SELECT kept.rn, kept.n_union,
+         CASE WHEN kept.k IN (SELECT k FROM a)
+               AND kept.k NOT IN (SELECT k FROM b) THEN 1 ELSE 0 END AS a_only,
+         max(kept.hv) OVER () AS hv_k
+  FROM kept),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS sketch_size,
+         CAST(sum(a_only) AS BIGINT) AS n_matches,
+         CAST(max(n_union) AS BIGINT) AS n_union_exact,
+         CAST(max(hv_k) AS BIGINT) AS hv_k
+  FROM marked),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_diff_exact
+       FROM a WHERE k NOT IN (SELECT k FROM b))
+SELECT s.sketch_size, s.n_matches, ex.n_diff_exact,
+       round(CASE WHEN s.n_union_exact < {_KMV_K}
+                  THEN CAST(s.n_matches AS DOUBLE)
+                  ELSE CAST(s.n_matches AS DOUBLE) / s.sketch_size
+                       * (({_KMV_K} - 1) * 1152921504606846976.0 / s.hv_k) END,
+             4) AS diff_estimate
+FROM s CROSS JOIN ex
+""",
+)
+def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set DIFFERENCE |A \\ B| (urgent-priority
+    customers who never placed a high-priority order), completing the
+    sketch set algebra with agg_kmv_distinct (union) and
+    agg_kmv_intersection: the same k-smallest-hash sample of A UNION B,
+    with retained samples marked A-only and scaled by the KMV union
+    estimate — certified next to the exact difference so estimator error
+    is visible. Same md5-prefix hashing, total-order theta cut, and
+    fixed-shape double expression (4 dp) as its siblings; membership
+    marking is two hash-keyed semi/anti-join-shaped lookups against the
+    distinct sets, nothing scales past the two distinct shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    u = a.union(b).distinct()
+    hu = u.select(
+        "k",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w_rank = Window.orderBy("hv", "k")
+    w_all = Window.partitionBy()
+    theta = hu.select(
+        "k", "hv",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_union"),
+    )
+    cut = F.when(F.col("n_union") < _KMV_K, F.col("n_union")).otherwise(F.lit(_KMV_K))
+    kept = theta.filter(F.col("rn") <= cut)
+    am = a.withColumn("_a", F.lit(1))
+    bm = b.withColumn("_b", F.lit(1))
+    marked = (
+        kept.join(am, "k", "left")
+        .join(bm, "k", "left")
+        .select(
+            "n_union", "hv",
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNull(), 1)
+            .otherwise(0)
+            .alias("a_only"),
+        )
+    )
+    s = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sketch_size"),
+        F.sum("a_only").cast("bigint").alias("n_matches"),
+        F.max("n_union").cast("bigint").alias("n_union_exact"),
+        F.max("hv").cast("bigint").alias("hv_k"),
+    )
+    ex = a.join(b, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_diff_exact")
+    )
+    est = F.when(
+        F.col("n_union_exact") < _KMV_K, F.col("n_matches").cast("double")
+    ).otherwise(
+        F.col("n_matches").cast("double") / F.col("sketch_size")
+        * (F.lit(_KMV_K - 1) * F.lit(1152921504606846976.0) / F.col("hv_k"))
+    )
+    return s.crossJoin(F.broadcast(ex)).select(
+        "sketch_size", "n_matches", "n_diff_exact", F.round(est, 4).alias("diff_estimate")
+    )

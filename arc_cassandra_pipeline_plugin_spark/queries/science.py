@@ -1369,3 +1369,122 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.orderBy(F.col("score_micro").desc(), "phrase").limit(_RAKE_TOP)
+
+
+@register(
+    "ml_decision_stump_price",
+    category="ml",
+    oracle="""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000000 AS band,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders),
+bands AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM o GROUP BY 1),
+cum AS (
+  SELECT band,
+         CAST(sum(n) OVER w AS BIGINT) AS nl,
+         CAST(sum(pos) OVER w AS BIGINT) AS pl,
+         CAST(sum(n) OVER () AS BIGINT) AS nt,
+         CAST(sum(pos) OVER () AS BIGINT) AS pt
+  FROM bands WINDOW w AS (ORDER BY band)),
+splits AS (
+  SELECT band AS threshold_band, nl, pl, nt - nl AS nr, pt - pl AS pr
+  FROM cum WHERE nl > 0 AND nt - nl > 0),
+gini AS (
+  SELECT threshold_band, nl, nr,
+         round(
+           (nl - (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl)
+           + (nr - (CAST(pr AS DOUBLE) * pr + CAST(nr - pr AS DOUBLE) * (nr - pr)) / nr),
+           9) AS wgini
+  FROM splits)
+SELECT threshold_band, nl, nr, wgini
+FROM gini ORDER BY wgini, threshold_band LIMIT 5
+""",
+)
+def ml_decision_stump_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump training: the best $10k-band threshold on
+    order value for predicting 1-URGENT priority, by minimum
+    Gini-impurity-weighted split — one boosting round / feature-ranking
+    primitive, trained with the classic distributed recipe (per-band
+    class histograms once, cumulative prefix sums give every candidate
+    split's left/right class counts without rescanning). Output is the
+    top-5 split table (threshold, side sizes, weighted Gini) a modeler
+    reads as the feature's split quality profile.
+
+    Exactness: class counts are integers; weighted Gini is ONE
+    fixed-shape double expression over them (IEEE-identical both
+    engines) rounded at 9 dp, ranked under a (wgini, band) total order.
+    Scale shape: one map-side-combinable histogram aggregate (bands x
+    classes); the cumulative window runs over the ~60-row BAND table
+    (dimension-bounded — price bands, not rows), and the top-5 is
+    TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT) div 1000000").alias(
+            "band"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    bands = o.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = bands.select(
+        "band",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("pos").over(w).cast("bigint").alias("pl"),
+        F.sum("n").over(w_all).cast("bigint").alias("nt"),
+        F.sum("pos").over(w_all).cast("bigint").alias("pt"),
+    )
+    splits = cum.filter(
+        (F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)
+    ).select(
+        F.col("band").alias("threshold_band"),
+        "nl",
+        "pl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+    )
+    pld, nld = F.col("pl").cast("double"), (F.col("nl") - F.col("pl")).cast("double")
+    prd, nrd = F.col("pr").cast("double"), (F.col("nr") - F.col("pr")).cast("double")
+    wgini = F.round(
+        (F.col("nl") - (pld * F.col("pl") + nld * (F.col("nl") - F.col("pl"))) / F.col("nl"))
+        + (F.col("nr") - (prd * F.col("pr") + nrd * (F.col("nr") - F.col("pr"))) / F.col("nr")),
+        9,
+    )
+    gini = splits.select("threshold_band", "nl", "nr", wgini.alias("wgini"))
+    return gini.orderBy("wgini", "threshold_band").limit(5)
+
+
+@register(
+    "sql_group_by_all",
+    category="sql",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern ``GROUP BY ALL`` resolution (every non-aggregate select
+    item becomes a key — the same SQL text runs on Spark 4 and DuckDB):
+    the ergonomic surface analysts reach for first, certified so the
+    dialect-compat claim is tested, not assumed. Exact-cents sum;
+    map-side-combinable aggregate keyed by the two label columns."""
+    from arc_cassandra_pipeline_plugin_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY ALL
+        """
+    )

@@ -278,3 +278,109 @@ def test_pack_sequences_tiles_exactly(spark, toks, budget):
                 assert cf == pos
                 pos += ns
             assert pos == budget or k == last
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_kcore(edges, k, rounds):
+    """Reference bounded-round k-core peel in plain Python."""
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    keep = {}
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in und:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {v: d for v, d in deg.items() if d >= k}
+        und = {(a, b) for a, b in und if a in keep and b in keep}
+    return keep
+
+
+@given(edges=edges_strategy, k=st.integers(min_value=1, max_value=4))
+@_settings
+def test_kcore_matches_python_reference_and_is_monotone(spark, edges, k):
+    """kcore_vertices == the plain-Python bounded peel for any graph, and
+    the (k+1)-core is always a subset of the k-core (monotonicity)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import kcore_vertices
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r["a"], r["degree"])
+        for r in kcore_vertices(df, k=k, rounds=2).collect()
+    }
+    want = set(_py_kcore(edges, k, rounds=2).items())
+    assert got == want
+    higher = {v for v, _ in kcore_vertices(df, k=k + 1, rounds=2).collect()}
+    assert higher <= {v for v, _ in got}
+
+
+def _py_ktruss(edges, k, rounds):
+    """Reference bounded-round k-truss peel in plain Python."""
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    sup = {}
+    for _ in range(rounds):
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+        sup = {
+            (a, b): len(adj[a] & adj[b])
+            for a, b in und
+            if a < b and len(adj[a] & adj[b]) >= k - 2
+        }
+        und = set(sup) | {(b, a) for a, b in sup}
+    return sup
+
+
+@given(edges=edges_strategy, k=st.integers(min_value=3, max_value=5))
+@_settings
+def test_ktruss_matches_python_reference(spark, edges, k):
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import ktruss_edges
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss_edges(df, k=k, rounds=2).collect()
+    }
+    want = {(a, b, s) for (a, b), s in _py_ktruss(edges, k, rounds=2).items()}
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=400),
+                    min_size=1, max_size=6, unique=True))
+@_settings
+def test_bmp_patches_tiling_invariants(spark, ids):
+    """Patchify through the real BMP codec matches the direct pixel
+    formula: full 2x2 coverage of the cropped grid, n_px always 4, and
+    every patch's luma sum equals the synthetic-corpus formula."""
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    rows = M.bmp_patches(M.synthesize_bmp_assets(docs), patch=2).collect()
+    by_asset = {}
+    for r in rows:
+        assert r["n_px"] == 4
+        by_asset.setdefault(r["asset_id"], {})[(r["py"], r["px"])] = r["luma_sum"]
+    for i in ids:
+        w, h = 4 + i % 5, 3 + i % 4
+        expect = {}
+        for p in range(w * h):
+            x, y = p % w, p // w
+            if x >= (w // 2) * 2 or y >= (h // 2) * 2:
+                continue
+            gv = (
+                299 * ((i + 13 * p) % 256)
+                + 587 * ((2 * i + 7 * p) % 256)
+                + 114 * ((3 * i + 11 * p) % 256)
+            )
+            key = (y // 2, x // 2)
+            expect[key] = expect.get(key, 0) + gv
+        assert by_asset.get(i, {}) == expect
