@@ -4461,3 +4461,116 @@ def graph_ppr_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("nation"), F.round("rank", 8).alias("ppr")
     )
+
+
+@register(
+    "graph_harmonic_centrality",
+    category="graph",
+    plan_shape="scalar_broadcast",
+    plan_reason="1-row global (sum,count) broadcast sets the relative edge-weight cut",
+    oracle=f"""
+WITH e0 AS ({_TRADE_EDGES_SQL}),
+tot AS (SELECT sum(w) AS s, count(*) AS c FROM e0),
+e AS (SELECT src, dst FROM e0, tot WHERE w * c * 2 >= s * 3),
+u AS (SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e) t0
+      WHERE a <> b),
+d2 AS (
+  SELECT DISTINCT x.a, y.b FROM u x JOIN u y ON y.a = x.b
+  WHERE x.a <> y.b
+    AND NOT EXISTS (SELECT 1 FROM u WHERE u.a = x.a AND u.b = y.b)),
+d3 AS (
+  SELECT DISTINCT x.a, y.b FROM d2 x JOIN u y ON y.a = x.b
+  WHERE x.a <> y.b
+    AND NOT EXISTS (SELECT 1 FROM u WHERE u.a = x.a AND u.b = y.b)
+    AND NOT EXISTS (SELECT 1 FROM d2 WHERE d2.a = x.a AND d2.b = y.b)),
+counts AS (
+  SELECT a, CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(n2) AS BIGINT) AS n2,
+         CAST(sum(n3) AS BIGINT) AS n3
+  FROM (
+    SELECT a, 1 AS n1, 0 AS n2, 0 AS n3 FROM u
+    UNION ALL SELECT a, 0, 1, 0 FROM d2
+    UNION ALL SELECT a, 0, 0, 1 FROM d3) z
+  GROUP BY 1)
+SELECT a AS nation, n1, n2, n3,
+       CAST(n1 * 1000000 + n2 * 500000 + n3 * 333333 AS BIGINT) AS harmonic_micro
+FROM counts
+""",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality within a 3-hop horizon on the HEAVY trade
+    graph (edges at >= 3/2 of mean weight — the relative cut that keeps
+    the peel meaningful at every fixture scale): each nation scores
+    sum(1/dist) over its distance-1/2/3 neighborhoods, in exact integer
+    micro-units (1e6, 5e5, 333333) — the reachability-weighted influence
+    measure that, unlike closeness, handles disconnected graphs natively.
+
+    Distances come from the standard frontier expansion: d2 is one
+    self-join of the symmetrized edge set minus d1 (anti-join), d3 one
+    more hop minus d1/d2 — each hop a vertex-keyed shuffle plus anti-join
+    dedup, the bounded-hop BFS census (never materializing beyond the
+    horizon). All counting is exact integers; the scalar edge cut is the
+    declared 1-row broadcast."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1_ = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2_ = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e0 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1_), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2_), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("c"))
+    e = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("c") * 2 >= F.col("s") * 3)
+        .select("src", "dst")
+    )
+    u = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hop = lambda frontier: (
+        frontier.select(F.col("a"), F.col("b").alias("m"))
+        .join(u.select(F.col("a").alias("m"), F.col("b")), "m")
+        .select("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    d2 = hop(u).join(u, ["a", "b"], "left_anti").localCheckpoint(eager=True)
+    d3 = (
+        hop(d2)
+        .join(u, ["a", "b"], "left_anti")
+        .join(d2, ["a", "b"], "left_anti")
+    )
+    counts = (
+        u.select("a", F.lit(1).alias("n1"), F.lit(0).alias("n2"), F.lit(0).alias("n3"))
+        .union(d2.select("a", F.lit(0), F.lit(1), F.lit(0)))
+        .union(d3.select("a", F.lit(0), F.lit(0), F.lit(1)))
+        .groupBy("a")
+        .agg(
+            F.sum("n1").cast("bigint").alias("n1"),
+            F.sum("n2").cast("bigint").alias("n2"),
+            F.sum("n3").cast("bigint").alias("n3"),
+        )
+    )
+    return counts.select(
+        F.col("a").alias("nation"),
+        "n1",
+        "n2",
+        "n3",
+        (F.col("n1") * 1000000 + F.col("n2") * 500000 + F.col("n3") * 333333)
+        .cast("bigint")
+        .alias("harmonic_micro"),
+    )

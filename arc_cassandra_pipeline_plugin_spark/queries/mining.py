@@ -2703,3 +2703,90 @@ def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(F.broadcast(ex)).select(
         "sketch_size", "n_matches", "n_diff_exact", F.round(est, 4).alias("diff_estimate")
     )
+
+
+@register(
+    "orders_did_lift",
+    category="analytics",
+    oracle="""
+WITH o AS (
+  SELECT ('0x' || substr(md5('did:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS treat,
+         CASE WHEN o_orderdate >= DATE '1998-04-01' THEN 1 ELSE 0 END AS post,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+cells AS (
+  SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx
+  FROM o GROUP BY 1, 2),
+w AS (
+  SELECT max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_tp,
+         max(CASE WHEN treat = 1 AND post = 1 THEN sx END) AS s_tp,
+         max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t0,
+         max(CASE WHEN treat = 1 AND post = 0 THEN sx END) AS s_t0,
+         max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_cp,
+         max(CASE WHEN treat = 0 AND post = 1 THEN sx END) AS s_cp,
+         max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c0,
+         max(CASE WHEN treat = 0 AND post = 0 THEN sx END) AS s_c0
+  FROM cells)
+SELECT CAST(n_tp AS BIGINT) AS n_treat_post, CAST(n_t0 AS BIGINT) AS n_treat_pre,
+       CAST(n_cp AS BIGINT) AS n_ctrl_post, CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
+       round((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) / n_t0)
+             - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) / n_c0), 6)
+         AS did_cents
+FROM w
+""",
+)
+def orders_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences lift estimate — the quasi-experimental
+    causal readout (parallel-trends design) paired with
+    events_cuped_adjustment's randomized-experiment one: hash-assigned
+    customer arms x a 1998-04-01 pre/post boundary form the classic 2x2,
+    and DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre) on mean
+    order value strips time shocks common to both arms.
+
+    Exactness: cell moments are exact cents BIGINTs; DiD is one
+    fixed-shape double expression over the 8 integers, rounded at 6 dp.
+    Scale shape: one map-side-combinable 4-cell aggregate, a 1-row pivot,
+    a pure projection — nothing scales past the scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("did:"), F.col("o_custkey").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 2
+        ).alias("treat"),
+        F.when(F.col("o_orderdate") >= F.lit("1998-04-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cells = o.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    w = cells.agg(
+        *[
+            F.max(
+                F.when((F.col("treat") == t) & (F.col("post") == p), F.col(c))
+            ).alias(f"{c}_{'t' if t else 'c'}{'p' if p else '0'}")
+            for t in (1, 0)
+            for p in (1, 0)
+            for c in ("n", "sx")
+        ]
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)
+    return w.select(
+        F.col("n_tp").alias("n_treat_post"),
+        F.col("n_t0").alias("n_treat_pre"),
+        F.col("n_cp").alias("n_ctrl_post"),
+        F.col("n_c0").alias("n_ctrl_pre"),
+        F.round(
+            (mean("sx_tp", "n_tp") - mean("sx_t0", "n_t0"))
+            - (mean("sx_cp", "n_cp") - mean("sx_c0", "n_c0")),
+            6,
+        ).alias("did_cents"),
+    )

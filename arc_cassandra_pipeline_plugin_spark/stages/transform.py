@@ -92,17 +92,21 @@ class PythonTransform(PipelineStage):
 #: whitelist, so a config file can never import or execute arbitrary code
 _OPERATOR_MODULES = frozenset(
     {
+        "archive",
         "bloom",
         "dedup",
         "graph",
         "layout",
         "linalg",
+        "multimodal",
+        "packing",
         "quality",
         "ranking",
         "sampling",
         "similarity",
         "sketches",
         "skew",
+        "spatial",
         "text",
         "timeseries",
     }

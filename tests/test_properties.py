@@ -384,3 +384,60 @@ def test_bmp_patches_tiling_invariants(spark, ids):
             key = (y // 2, x // 2)
             expect[key] = expect.get(key, 0) + gv
         assert by_asset.get(i, {}) == expect
+
+
+def _py_ppr(edges, seeds, iters, damping=0.85):
+    """Reference personalized PageRank with the operator's exact rounding
+    discipline: 12-dp rounded contributions, exact sums, 12-dp iterate."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outw = {}
+    for a, _b in edges:
+        outw[a] = outw.get(a, 0) + 1
+    ns = len(seeds)
+    rank = {v: round((1 if v in seeds else 0) / ns, 12) for v in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for a, b in edges:
+            c = round(rank[a] * 1 / outw[a], 12)
+            contrib[b] = round(contrib.get(b, 0.0) + c, 15)
+        rank = {
+            v: round(
+                (1.0 - damping) * (1 if v in seeds else 0) / ns
+                + damping * contrib.get(v, 0.0),
+                12,
+            )
+            for v in nodes
+        }
+    return rank
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda t: t[0] != t[1]),
+        min_size=2, max_size=20, unique=True,
+    ),
+)
+@_settings
+def test_personalized_pagerank_mass_and_seed_locality(spark, edges):
+    """PPR invariants on arbitrary graphs: total rank mass never exceeds
+    1 + epsilon (teleport + damped flow, dangling mass dropped), every
+    rank is non-negative, and with NO path into a non-seed component the
+    teleport keeps all mass on seeds (locality — the property that makes
+    PPR a recommendation primitive)."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], "src int, dst int, w int"
+    )
+    seeds = sorted({a for a, _ in edges})[:2]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(df, sdf, iters=2).collect()}
+    assert all(v >= 0 for v in got.values())
+    assert sum(got.values()) <= 1.0 + 1e-9
+    want = _py_ppr(edges, set(seeds), iters=2)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 5e-12, (v, got[v], r)

@@ -768,3 +768,55 @@ def test_parquet_load_builds_skipping_manifest_extract_consumes(spark, ctx, tmp_
     sd = st.stage_detail.as_dict()
     assert 0 < sd["skipIndexFilesRead"] < sd["skipIndexFilesTotal"]
     assert len(df.inputFiles()) == sd["skipIndexFilesRead"]
+
+
+def test_operator_transform_reaches_multimodal_and_spatial(spark, ctx):
+    """The whitelist covers the full operator library: a pure-config
+    pipeline can chain multimodal kernels (synthesize -> patchify) and the
+    results equal the direct operator calls."""
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+    from tests.conftest import SF_SMALL
+
+    p = parse_config(
+        {
+            "stages": [
+                {
+                    "type": "ParquetExtract",
+                    "name": "docs",
+                    "inputURI": f"{SF_SMALL}/documents.parquet",
+                    "outputView": "docs_mm",
+                },
+                {
+                    "type": "SQLTransform",
+                    "name": "ids",
+                    "sql": "SELECT doc_id FROM docs_mm WHERE doc_id < 20",
+                    "outputView": "ids_mm",
+                },
+                {
+                    "type": "OperatorTransform",
+                    "name": "synth",
+                    "operator": "multimodal.synthesize_bmp_assets",
+                    "inputView": "ids_mm",
+                    "outputView": "assets_mm",
+                },
+                {
+                    "type": "OperatorTransform",
+                    "name": "patches",
+                    "operator": "multimodal.bmp_patches",
+                    "inputView": "assets_mm",
+                    "outputView": "patches_mm",
+                    "params": {"patch": 2},
+                },
+            ]
+        }
+    )
+    p.run(spark, ctx)
+    got = {tuple(r) for r in spark.table("patches_mm").collect()}
+    ids = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        "doc_id < 20"
+    ).select("doc_id")
+    want = {
+        tuple(r) for r in M.bmp_patches(M.synthesize_bmp_assets(ids), patch=2).collect()
+    }
+    assert got == want and got
