@@ -2790,3 +2790,59 @@ def orders_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_cents"),
     )
+
+
+_MARKOV_EDGES_SQL = """
+SELECT cur AS src, nxt AS dst, n AS w FROM (
+  SELECT event_type AS cur, next_type AS nxt, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events) seq
+  WHERE next_type IS NOT NULL GROUP BY 1, 2) pairs
+"""
+
+
+def _markov_stationary_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank_oracle_sql
+
+    sql = pagerank_oracle_sql(_MARKOV_EDGES_SQL, iters=4, damping=1.0)
+    return f"SELECT node AS event_type, round(rank, 8) AS stationary_p FROM ({sql})"
+
+
+@register(
+    "events_markov_stationary",
+    category="sequence",
+    plan_shape="scalar_broadcast",
+    plan_reason="pagerank engine broadcasts its 1-row node count into the init/update",
+    oracle=_markov_stationary_oracle(),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where the
+    behavioral process settles regardless of starting state, the
+    long-run companion to events_markov_transitions. Four synchronous
+    power-iteration rounds over the transition-count edge list, which is
+    EXACTLY the PageRank engine with damping=1.0 (no teleport): the same
+    12-dp rounded contributions, exact DECIMAL sums, and unrolled-CTE
+    oracle (operators/graph.pagerank — one certified fixed-point engine,
+    three certified uses: pagerank, personalized, stationary).
+
+    Scale shape: transition counts are one user-keyed window pass + one
+    label-squared aggregate; the iteration then runs on a label-sized
+    (5x5) edge list — every per-round join is dimension-bounded."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    edges = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    out = pagerank(edges, iters=4, damping=1.0)
+    return out.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 8).alias("stationary_p"),
+    )
