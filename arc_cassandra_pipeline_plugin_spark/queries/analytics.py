@@ -4574,3 +4574,120 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("harmonic_micro"),
     )
+
+
+@register(
+    "graph_negative_samples",
+    category="graph",
+    plan_shape="scalar_broadcast",
+    plan_reason="1-row vertex count broadcast drives the hash-modulo corruption index",
+    oracle=f"""
+WITH e AS (SELECT src, dst FROM ({_KCORE_THRESH_EDGES_SQL})),
+nodes AS (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+  FROM (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e) n),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM nodes),
+cand AS (
+  SELECT e.src,
+         ('0x' || substr(md5('neg:' || e.src || '|' || e.dst || '|'
+                              || CAST(g.i AS VARCHAR)), 1, 8))::BIGINT % nv.v AS j
+  FROM e CROSS JOIN nv
+  CROSS JOIN (SELECT unnest([0, 1]) AS i) g),
+corrupted AS (
+  SELECT DISTINCT c.src, n.node AS neg_dst
+  FROM cand c JOIN nodes n ON n.idx = c.j
+  WHERE n.node <> c.src),
+kept AS (
+  SELECT c.src, c.neg_dst FROM corrupted c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.neg_dst))
+SELECT src, CAST(count(*) AS BIGINT) AS n_negatives,
+       min(neg_dst) AS example_negative
+FROM kept GROUP BY 1
+""",
+)
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training: each
+    positive trade edge generates two hash-corrupted candidates (dst
+    replaced by the node at index md5(src,dst,i) mod |V|), self-loops
+    dropped and true edges anti-joined away — the corrupt-the-tail recipe
+    every graph-embedding trainer (TransE/word2vec-style) uses, made
+    reproducible by the repo's md5 convention instead of an RNG.
+    Certified: per-source negative counts plus a deterministic example.
+
+    Scale shape: candidate generation is per-EDGE work (2 rows each, no
+    vertex² grid anywhere); the index lookup joins a |V|-row node table
+    (broadcastable); the anti-join is edge-keyed. The node indexing uses
+    one window over the |V|-row distinct-vertex table (dimension-bounded
+    here; at web scale swap in the two-phase global rank). The 1-row
+    vertex count is the declared scalar broadcast."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e.agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("c"))
+    e = (
+        e.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("c") * 4 >= F.col("s") * 5)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    w_idx = Window.orderBy("node")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.row_number().over(w_idx) - 1).alias("idx"))
+    )
+    nv = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    cand = (
+        e.crossJoin(F.broadcast(nv))
+        .select(
+            "src",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("i"),
+            "dst",
+            "v",
+        )
+        .select(
+            "src",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"), F.col("src"), F.lit("|"),
+                                F.col("dst"), F.lit("|"), F.col("i").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint") % F.col("v")
+            ).alias("j"),
+        )
+    )
+    corrupted = (
+        cand.join(F.broadcast(nodes), F.col("idx") == F.col("j"))
+        .filter(F.col("node") != F.col("src"))
+        .select("src", F.col("node").alias("neg_dst"))
+        .distinct()
+    )
+    kept = corrupted.join(
+        e.select("src", F.col("dst").alias("neg_dst")), ["src", "neg_dst"], "left_anti"
+    )
+    return kept.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_negatives"),
+        F.min("neg_dst").alias("example_negative"),
+    )

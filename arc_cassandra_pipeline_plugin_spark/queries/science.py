@@ -1488,3 +1488,69 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY ALL
         """
     )
+
+
+@register(
+    "dq_k_anonymity",
+    category="dq",
+    oracle="""
+WITH qi AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 200000 AS bal_band,
+         c_custkey
+  FROM customer),
+groups AS (
+  SELECT nation, segment, bal_band, CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT c_custkey % 7) AS BIGINT) AS l_sensitive
+  FROM qi GROUP BY 1, 2, 3)
+SELECT CASE WHEN k = 1 THEN '1'
+            WHEN k <= 4 THEN '2-4'
+            WHEN k <= 9 THEN '5-9' ELSE '10+' END AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(min(l_sensitive) AS BIGINT) AS min_l
+FROM groups GROUP BY 1
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity / l-diversity audit over the quasi-identifier triple
+    (nation, market segment, $2000 balance band): the group-size (k)
+    distribution is the re-identification risk profile a privacy review
+    reads before releasing a dataset — every row in a k=1 group is
+    uniquely re-identifiable from the QI columns alone; min_l is the
+    worst-case diversity of the (synthetic stand-in) sensitive attribute
+    within each bucket's groups, the l-diversity complement that catches
+    homogeneous groups k-anonymity misses.
+
+    All integers end to end (band shift keeps the division in positive
+    trunc==floor range). Scale shape: one QI-keyed aggregate (map-side
+    combinable) then a 4-row bucket rollup — the audit never scales past
+    the group count."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 200000"
+        ).alias("bal_band"),
+        "c_custkey",
+    )
+    groups = qi.groupBy("nation", "segment", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct(F.col("c_custkey") % 7).cast("bigint").alias("l_sensitive"),
+    )
+    bucket = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return groups.select(bucket.alias("k_bucket"), "k", "l_sensitive").groupBy(
+        "k_bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.min("l_sensitive").cast("bigint").alias("min_l"),
+    )
