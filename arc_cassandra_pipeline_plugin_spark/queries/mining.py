@@ -2846,3 +2846,96 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.round("rank", 8).alias("stationary_p"),
     )
+
+
+_CS_DEPTH = 5
+_CS_WIDTH = 256
+
+
+@register(
+    "agg_count_sketch_signed",
+    category="aggregation",
+    oracle=f"""
+WITH rows_d AS (
+  SELECT event_type AS k, unnest(range(0, {_CS_DEPTH})) AS d FROM events),
+hashed AS (
+  SELECT d, k,
+         ('0x' || substr(md5('cs' || d || ':' || k), 1, 8))::BIGINT AS hv
+  FROM rows_d),
+cells AS (
+  SELECT d, hv % {_CS_WIDTH} AS cell,
+         CAST(sum(CASE WHEN (hv // {_CS_WIDTH}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+           AS c
+  FROM hashed GROUP BY 1, 2),
+exact AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n_exact
+          FROM events GROUP BY 1),
+pr AS (
+  SELECT e.k, e.n_exact, g.d,
+         ('0x' || substr(md5('cs' || g.d || ':' || e.k), 1, 8))::BIGINT AS hv
+  FROM exact e CROSS JOIN (SELECT unnest(range(0, {_CS_DEPTH})) AS d) g),
+probes AS (
+  SELECT pr.k, pr.n_exact, pr.d,
+         CASE WHEN (pr.hv // {_CS_WIDTH}) % 2 = 0 THEN c.c ELSE -c.c END AS est
+  FROM pr JOIN cells c ON c.d = pr.d AND c.cell = pr.hv % {_CS_WIDTH}),
+med AS (
+  SELECT k, n_exact, est,
+         row_number() OVER (PARTITION BY k ORDER BY est, d) AS rn
+  FROM probes)
+SELECT k AS event_type, n_exact,
+       CAST(max(CASE WHEN rn = 3 THEN est END) AS BIGINT) AS cs_estimate
+FROM med GROUP BY 1, 2
+""",
+)
+def agg_count_sketch_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (signed) frequency estimation, completing the sketch
+    family next to Count-Min: each of 5 rows hashes the key to one of 256
+    cells AND a +/-1 sign (the next bit of the same hash), cells
+    accumulate SIGNED counts, and the estimate is the exact median of the
+    5 signed probes — unlike CMS this is unbiased and supports DELETIONS /
+    stream subtraction (negative updates cancel), the property a
+    train-corpus retraction pipeline needs. Certified per event type
+    beside the exact counts.
+
+    Determinism: md5-prefix cells and signs, integer counters, and the
+    median realized as row_number()=3 under an (est, d) total order — no
+    floats anywhere. Scale shape: the sketch build is ONE
+    map-side-combinable aggregate into a constant depth x width table
+    (cell-wise additive across partitions and streams); probes join a
+    label-sized table against it broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    d_arr = F.array(*[F.lit(d) for d in range(_CS_DEPTH)])
+    hv = lambda d_col, k_col: F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cs"), d_col.cast("string"), F.lit(":"), k_col)),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    rows_d = ev.select(F.col("event_type").alias("k"), F.explode(d_arr).alias("d"))
+    hashed = rows_d.select("d", "k", hv(F.col("d"), F.col("k")).alias("hv"))
+    sign = F.when(F.expr(f"(hv div {_CS_WIDTH}) % 2") == 0, 1).otherwise(-1)
+    cells = hashed.groupBy("d", (F.col("hv") % _CS_WIDTH).alias("cell")).agg(
+        F.sum(sign).cast("bigint").alias("c")
+    )
+    exact = ev.groupBy(F.col("event_type").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    pr = exact.select(
+        "k", "n_exact", F.explode(d_arr).alias("d")
+    ).withColumn("hv", hv(F.col("d"), F.col("k")))
+    probes = pr.join(
+        F.broadcast(cells),
+        (cells.d == pr.d) & (F.col("cell") == F.col("hv") % _CS_WIDTH),
+    ).select(
+        "k",
+        "n_exact",
+        pr.d.alias("pd"),
+        F.when(F.expr(f"(hv div {_CS_WIDTH}) % 2") == 0, F.col("c"))
+        .otherwise(-F.col("c"))
+        .alias("est"),
+    )
+    w_med = Window.partitionBy("k").orderBy("est", "pd")
+    med = probes.select("k", "n_exact", "est", F.row_number().over(w_med).alias("rn"))
+    return med.groupBy(F.col("k").alias("event_type"), "n_exact").agg(
+        F.max(F.when(F.col("rn") == 3, F.col("est"))).cast("bigint").alias("cs_estimate")
+    )

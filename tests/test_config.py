@@ -358,3 +358,32 @@ def test_curation_example_pipeline_runs(spark, monkeypatch):
     p.run(spark, ctx)
     assert spark.table("scored_docs").count() > 0
     assert spark.table("dedup_groups").count() > 0
+
+
+def test_graph_example_pipeline_runs(spark, monkeypatch):
+    """The shipped examples/graph.conf (HOCON) parses and runs end-to-end:
+    5 extracts → SQL edge build → operator-library PageRank from config →
+    SQLValidate fixed-point gate; the config-driven rank equals the direct
+    operator call on the same edges."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "graph.conf")
+    with open(path) as f:
+        text = f.read()
+    ctx = PipelineContext(environment="test")
+    p = parse_config(text, ctx)
+    assert [s.stage_type for s in p.stages] == (
+        ["ParquetExtract"] * 5 + ["SQLTransform", "OperatorTransform", "SQLValidate"]
+    )
+    p.run(spark, ctx)
+    got = {(r["node"], r["rank"]) for r in spark.table("trade_rank").collect()}
+    want = {
+        (r["node"], r["rank"])
+        for r in pagerank(spark.table("trade_edges"), iters=3, damping=0.85).collect()
+    }
+    assert got == want and len(got) == 25
