@@ -453,3 +453,37 @@ def test_lsh_incremental_broadcasts_new_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_rake_prunes_document_scan(spark):
+    """RAKE must not drag the full documents schema through the scan —
+    phrases derive from (doc_id, text) only."""
+    df = REGISTRY["text_rake_keywords"].fn(spark, SF_SMALL)
+    schemas = read_schemas(df)
+    assert schemas, "expected a parquet scan"
+    for schema in schemas:
+        assert set(schema) <= {"doc_id", "text"}, f"unpruned scan: {schema}"
+
+
+def test_rrf_fusion_windows_all_partitioned(spark):
+    """Both RRF ranking legs ride the two-phase bucketed rank: every
+    Window node in the plan carries a partition spec (no single-partition
+    global sort at any scale)."""
+    import re
+
+    df = REGISTRY["similarity_rrf_fusion"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    found = False
+    for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\]", plan):
+        found = True
+        assert m.group("part").strip(), f"unpartitioned Window:\n{plan}"
+    assert found, f"expected bucketed-rank Window nodes:\n{plan}"
+
+
+def test_fellegi_sunter_broadcasts_supplier_side(spark):
+    """The blocked ER join must broadcast the small (supplier) side —
+    a shuffled pair join on the block key would move the big side for
+    nothing at dimension-sized right inputs."""
+    df = REGISTRY["er_fellegi_sunter"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
