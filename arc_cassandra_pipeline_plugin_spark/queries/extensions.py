@@ -4122,3 +4122,92 @@ def multimodal_gif_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes; output is frames-1 rows per asset."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.gif_motion_energy(M.synthesize_gif_assets(docs))
+
+
+@register(
+    "dq_embedding_cosine_histogram",
+    category="similarity",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS i,
+         ('0x' || substr(md5('pair:' || CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT % 500
+           AS j
+  FROM embeddings a),
+kept AS (SELECT i, j FROM pairs WHERE i <> j),
+lv AS (
+  SELECT e.vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings e),
+dots AS (
+  SELECT k.i, k.j,
+         sum(CAST(round(la.x * lb.x, 9) AS DECIMAL(28,9))) AS dot,
+         sum(CAST(round(la.x * la.x, 9) AS DECIMAL(28,9))) AS na,
+         sum(CAST(round(lb.x * lb.x, 9) AS DECIMAL(28,9))) AS nb
+  FROM kept k
+  JOIN lv la ON la.vec_id = k.i
+  JOIN lv lb ON lb.vec_id = k.j AND lb.d = la.d
+  GROUP BY 1, 2),
+cos AS (
+  SELECT i,
+         round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 2)
+           AS c
+  FROM dots)
+SELECT CAST(round(c * 10, 0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cos GROUP BY 1
+""",
+)
+def dq_embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space geometry health check: the distribution of pairwise
+    cosine similarities over a deterministic 1-pair-per-vector sample
+    (partner index = md5(vec_id) mod N — reproducible, no RNG), bucketed
+    at 0.1 width. A healthy random-ish space concentrates near 0; a
+    collapsed space (anisotropy, dead encoder) shifts right — the drift
+    signal retrieval teams watch between embedding model versions.
+
+    Determinism: per-dimension products rounded to 9 dp and summed as
+    exact DECIMAL (the linalg convention — order-free), one sqrt+divide
+    (IEEE-identical), cosine rounded to 2 dp before the integer
+    bucketing. Scale shape: the sample is 1 pair per vector (linear, not
+    pairs²); the dot products are one (pair, dim)-keyed join-aggregate;
+    the histogram is a constant ~21-row aggregate. N is a fixture
+    constant (500) shared with the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.col("vec_id").alias("i"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pair:"), F.col("vec_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 500
+        ).alias("j"),
+    ).filter(F.col("i") != F.col("j"))
+    lv = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "xf")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("xf").cast("double").alias("x"))
+    la = lv.select(F.col("vec_id").alias("i"), "d", F.col("x").alias("xa"))
+    lb = lv.select(F.col("vec_id").alias("jb"), F.col("d").alias("db"), F.col("x").alias("xb"))
+    dec = "decimal(28,9)"
+    dots = (
+        pairs.join(la, "i")
+        .join(lb, (F.col("j") == F.col("jb")) & (F.col("d") == F.col("db")))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.round(F.col("xa") * F.col("xb"), 9).cast(dec)).alias("dot"),
+            F.sum(F.round(F.col("xa") * F.col("xa"), 9).cast(dec)).alias("na"),
+            F.sum(F.round(F.col("xb") * F.col("xb"), 9).cast(dec)).alias("nb"),
+        )
+    )
+    c = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        2,
+    )
+    return (
+        dots.select(F.round(c * 10, 0).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
