@@ -441,3 +441,156 @@ def test_personalized_pagerank_mass_and_seed_locality(spark, edges):
     want = _py_ppr(edges, set(seeds), iters=2)
     for v, r in want.items():
         assert abs(got[v] - r) < 5e-12, (v, got[v], r)
+
+
+def _py_rake(texts, stopwords, max_phrase):
+    """Pure-Python RAKE reference: islands of non-stopword tokens, word
+    score = round(degree*1e6/freq) micro-units, phrase score = exact sum."""
+    import re
+
+    phrases = []  # (tokens tuple) per occurrence, capped
+    for text in texts:
+        toks = re.findall(r"[a-z]+", text.lower())
+        run = []
+        for t in toks + [None]:
+            if t is None or t in stopwords:
+                if run:
+                    if len(run) <= max_phrase:
+                        phrases.append(tuple(run))
+                    run = []
+            else:
+                run.append(t)
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    score = {w: round(deg[w] * 1000000.0 / freq[w]) for w in freq}
+    out = {}
+    for p in phrases:
+        key = " ".join(p)
+        n, s = out.get(key, (0, 0))
+        out[key] = (n + 1, sum(score[w] for w in p))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["the", "a", "big", "fast", "spark", "join",
+                             "row", "scan", "data", "key"]),
+            min_size=1, max_size=30,
+        ).map(" ".join),
+        min_size=1, max_size=5,
+    )
+)
+@_settings
+def test_rake_matches_python_reference(spark, texts):
+    """The RAKE phrase/score pipeline (islands → degree/freq micro-units →
+    exact phrase sums) equals a plain-Python reference on arbitrary token
+    streams — including stopword-only docs, runs over the length cap, and
+    repeated phrases."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    stop = ("the", "a", "big", "small", "fast", "slow")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    content = toks.filter(~F.col("token").isin(*stop)).select(
+        "doc_id", "pos", "token",
+        (F.col("pos") - F.row_number().over(w_doc)).alias("island"),
+    )
+    phrases = (
+        content.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen") <= 4)
+    )
+    members = content.join(
+        phrases.select("doc_id", "island", "plen"), ["doc_id", "island"]
+    )
+    wscore = members.groupBy("token").agg(
+        F.round(F.sum("plen") * 1000000.0 / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("score_micro")
+    )
+    pscore = (
+        members.join(wscore, "token")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("score_micro").cast("bigint").alias("phrase_score"))
+    )
+    got = {
+        r["phrase"]: (r["n"], r["s"])
+        for r in phrases.join(pscore, ["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("phrase_score").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    want = _py_rake(texts, set(stop), 4)
+    assert got == want
+
+
+@given(
+    keys_a=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+    keys_b=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+)
+@_settings
+def test_count_sketch_cells_merge_additively(spark, keys_a, keys_b):
+    """Count-Sketch's defining algebra: the sketch of A ⊎ B equals the
+    cell-wise SUM of the sketches of A and B (so partitions/streams merge
+    by addition), and sketch(A ⊎ B) minus sketch(B) recovers sketch(A)
+    (deletions/retraction). Verified cell-for-cell on arbitrary key
+    multisets."""
+    from pyspark.sql import functions as F
+
+    D, W = 3, 16
+
+    def cells(keys):
+        if not keys:
+            return {}
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        hv = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cs"), F.col("d").cast("string"),
+                               F.lit(":"), F.col("k"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        rows = df.select(
+            "k", F.explode(F.array(*[F.lit(d) for d in range(D)])).alias("d")
+        ).withColumn("hv", hv)
+        sign = F.when(F.expr(f"(hv div {W}) % 2") == 0, 1).otherwise(-1)
+        out = rows.groupBy("d", (F.col("hv") % W).alias("cell")).agg(
+            F.sum(sign).cast("bigint").alias("c")
+        )
+        return {(r["d"], r["cell"]): r["c"] for r in out.collect() if r["c"] != 0}
+
+    ca, cb, cab = cells(keys_a), cells(keys_b), cells(keys_a + keys_b)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    merged = {k: v for k, v in merged.items() if v != 0}
+    assert cab == merged
+    recovered = dict(cab)
+    for k, v in cb.items():
+        recovered[k] = recovered.get(k, 0) - v
+    recovered = {k: v for k, v in recovered.items() if v != 0}
+    assert recovered == ca
