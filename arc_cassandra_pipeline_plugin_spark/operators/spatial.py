@@ -66,17 +66,19 @@ def proximity_join(
     **Hot-cell salting** (``salt_buckets`` > 1): point density is rarely
     uniform — a dense cell (city-center skew) makes one (cx, cy) join key
     quadratic on a single reducer. Cells whose RESIDENT count reaches
-    ``skew_threshold`` are split exactly like the LSH hot-bucket pattern
-    (operators/dedup.py lsh_candidate_pairs): left rows landing on a hot
-    key take a deterministic salt ``xxhash64(id) % salt_buckets``; right
-    rows resident in a hot cell are replicated once per salt value — each
-    (a, b) pair still meets exactly once (on a's salt), but the hot cell's
-    work spreads across ``salt_buckets`` reducers. Cold cells join with
-    salt 0, unreplicated. The pair set is identical to the unsalted join
-    (adversarial dense-cell pytest asserts this); the detection probe is
-    one map-side-combinable agg that doubles as the checkpoint
-    materialization, and healthy layouts keep the plain 2-key join.
-    ``salt_buckets=0`` disables."""
+    ``skew_threshold`` are split via the shared hot-block helper
+    (:func:`~.blocking.salt_hot_blocks`, ``count_side="right"`` — the
+    resident side carries the density): left rows landing on a hot key
+    take a deterministic salt; right rows resident in a hot cell are
+    replicated once per salt value — each (a, b) pair still meets exactly
+    once (on a's salt), but the hot cell's work spreads across
+    ``salt_buckets`` reducers. Cold cells join with salt 0, unreplicated.
+    The pair set is identical to the unsalted join (adversarial dense-cell
+    pytest asserts this); the detection probe is one map-side-combinable
+    agg that doubles as the checkpoint materialization, and healthy
+    layouts keep the plain 2-key join. ``salt_buckets=0`` disables."""
+    from arc_cassandra_pipeline_plugin_spark.operators.blocking import salt_hot_blocks
+
     cell = int(radius)
     pts = points.select(
         "id",
@@ -85,25 +87,10 @@ def proximity_join(
         F.expr(f"x div {cell}").alias("cx"),
         F.expr(f"y div {cell}").alias("cy"),
     )
-    hot = None
     if salt_buckets > 1:
         # lazy checkpoint: the hot-cell probe's job materializes the blocks,
         # so the probe rides the pass instead of paying a separate job
         pts = pts.localCheckpoint(eager=False)
-        hot = (
-            pts.groupBy("cx", "cy")
-            .agg(F.count(F.lit(1)).alias("_csz"))
-            .filter(F.col("_csz") >= skew_threshold)
-            .select(
-                F.col("cx").alias("jx"),
-                F.col("cy").alias("jy"),
-                F.lit(True).alias("_hot"),
-            )
-        )
-        # hot set is bounded by n_points/skew_threshold cells → broadcasts;
-        # healthy layouts have none — keep the plain join, no salt columns
-        if hot.isEmpty():
-            salt_buckets = 0
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -128,32 +115,15 @@ def proximity_join(
         F.col("cx").alias("jx"),
         F.col("cy").alias("jy"),
     )
-    join_keys = ["jx", "jy"]
-    if salt_buckets > 1:
-        mod_salt = (
-            (F.xxhash64(F.col("id_a")) % salt_buckets + salt_buckets) % salt_buckets
-        ).cast("int")
-        left = (
-            left.join(F.broadcast(hot), ["jx", "jy"], "left")
-            .withColumn(
-                "_salt",
-                F.when(F.col("_hot"), mod_salt).otherwise(F.lit(0)),
-            )
-            .drop("_hot")
-        )
-        right = (
-            right.join(F.broadcast(hot), ["jx", "jy"], "left")
-            .withColumn(
-                "_salt",
-                F.explode(
-                    F.when(
-                        F.col("_hot"), F.sequence(F.lit(0), F.lit(salt_buckets - 1))
-                    ).otherwise(F.array(F.lit(0)))
-                ),
-            )
-            .drop("_hot")
-        )
-        join_keys = ["jx", "jy", "_salt"]
+    left, right, join_keys = salt_hot_blocks(
+        left,
+        right,
+        ["jx", "jy"],
+        left_salt_col="id_a",
+        salt_buckets=salt_buckets,
+        skew_threshold=skew_threshold,
+        count_side="right",
+    )
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
     dist_sq = dx * dx + dy * dy

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+from arc_cassandra_pipeline_plugin_spark.operators.blocking import blocked_pair_join
 from arc_cassandra_pipeline_plugin_spark.queries import register
 from arc_cassandra_pipeline_plugin_spark.queries.extensions import (
     _BANDS,
@@ -2359,23 +2360,27 @@ def dedup_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFra
     (customer), so per-block work is orders-per-customer², bounded by
     entity activity, not corpus size; amount/date predicates are exact
     integer comparisons evaluated inside the join. A runaway block (one
-    customer with millions of orders) is the standard hot-key salting
-    case. Aggregation is map-side combinable."""
+    customer with millions of orders) is handled by
+    :func:`~..operators.blocking.blocked_pair_join`'s hot-block salting
+    (detected from exact per-block counts, result-identical).
+    Aggregation is map-side combinable."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_custkey").alias("cust"),
         F.col("o_orderdate").alias("d"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
-    a, b = o.alias("a"), o.alias("b")
-    cents_diff = F.abs(F.col("a.cents") - F.col("b.cents"))
-    day_diff = F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
-    pairs = a.join(
-        b,
-        (F.col("a.cust") == F.col("b.cust"))
-        & (F.col("a.k") < F.col("b.k"))
-        & (day_diff <= 90),
-    ).select(F.col("a.cust").alias("cust"), cents_diff.alias("cd"), day_diff.alias("dd"))
+    a = o.select("cust", F.col("k").alias("k_a"), F.col("d").alias("d_a"),
+                 F.col("cents").alias("cents_a"))
+    b = o.select("cust", F.col("k").alias("k_b"), F.col("d").alias("d_b"),
+                 F.col("cents").alias("cents_b"))
+    cents_diff = F.abs(F.col("cents_a") - F.col("cents_b"))
+    day_diff = F.abs(F.datediff(F.col("d_a"), F.col("d_b")))
+    pairs = (
+        blocked_pair_join(a, b, ["cust"], left_salt_col="k_a")
+        .filter((F.col("k_a") < F.col("k_b")) & (day_diff <= 90))
+        .select("cust", cents_diff.alias("cd"), day_diff.alias("dd"))
+    )
     return pairs.groupBy("cust").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
         F.sum(F.when(F.col("cd") <= 100000, 1).otherwise(0))
@@ -2446,13 +2451,18 @@ def _fs_milli_weights() -> dict[str, int]:
     runtime transcendental ever crosses the engine boundary). In a real
     pipeline m/u come from EM over the blocked pairs; the declared priors
     keep the certified surface deterministic while exercising the exact
-    same engine mechanics (blocked join + integer log-odds sum + banding)."""
+    same engine mechanics (blocked join + integer log-odds sum + banding).
+
+    ``band`` is also the second component of the BLOCKING key (linkage
+    practice: a blocked field contributes its constant agreement weight to
+    every candidate; ``band_d`` is the weight of the pairs the blocking
+    pass excludes — computed for documentation, never summed)."""
     import math
 
     priors = {
-        "band": (0.90, 1 / 11),  # $1000 acctbal band agreement
-        "sign": (0.95, 0.82),    # balance-sign agreement
-        "cong": (0.98, 0.10),    # key check-digit congruence (mod 10)
+        "band": (0.90, 1 / 11),   # $1000 acctbal band agreement (blocked)
+        "penny": (0.90, 0.01),    # cents-within-dollar agreement (mod 100)
+        "cong": (0.98, 0.10),     # key check-digit congruence (mod 10)
     }
     out = {}
     for f, (m, u) in priors.items():
@@ -2473,14 +2483,14 @@ WITH c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
 s AS (SELECT s_suppkey AS sk, s_nationkey AS nk,
              CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier),
 pairs AS (
-  SELECT CASE WHEN ((c.cents + 100000) // 100000) = ((s.cents + 100000) // 100000)
-              THEN {_FS_W["band_a"]} ELSE {_FS_W["band_d"]} END
-       + CASE WHEN (c.cents >= 0) = (s.cents >= 0)
-              THEN {_FS_W["sign_a"]} ELSE {_FS_W["sign_d"]} END
+  SELECT {_FS_W["band_a"]}
+       + CASE WHEN ((c.cents + 100000) % 100) = ((s.cents + 100000) % 100)
+              THEN {_FS_W["penny_a"]} ELSE {_FS_W["penny_d"]} END
        + CASE WHEN (c.ck % 10) = (s.sk % 10)
               THEN {_FS_W["cong_a"]} ELSE {_FS_W["cong_d"]} END AS score
-  FROM c JOIN s ON c.nk = s.nk)
-SELECT CASE WHEN score >= 4000 THEN 'match'
+  FROM c JOIN s ON c.nk = s.nk
+   AND ((c.cents + 100000) // 100000) = ((s.cents + 100000) // 100000))
+SELECT CASE WHEN score >= 8000 THEN 'match'
             WHEN score <= -2000 THEN 'non_match'
             ELSE 'possible' END AS band,
        CAST(count(*) AS BIGINT) AS n_pairs,
@@ -2490,50 +2500,55 @@ FROM pairs GROUP BY 1
 """,
 )
 def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter probabilistic record linkage over nation-blocked
-    customer x supplier candidate pairs: each pair scores the sum of
-    per-field integer log-odds weights (agree => log2(m/u), disagree =>
-    log2((1-m)/(1-u)), milli-bit literals from :func:`_fs_milli_weights`)
-    over three comparison fields — $1000 balance band, balance sign, and
-    key check-digit congruence — then lands in the classic
+    """Fellegi-Sunter probabilistic record linkage over blocked customer x
+    supplier candidate pairs: each pair scores the sum of per-field integer
+    log-odds weights (agree => log2(m/u), disagree => log2((1-m)/(1-u)),
+    milli-bit literals from :func:`_fs_milli_weights`) over three
+    comparison fields — $1000 balance band (the blocking pass, so its
+    agreement weight is a constant on every candidate), cents-within-dollar
+    agreement, and key check-digit congruence — then lands in the classic
     match / possible / non_match decision bands. The output is the band
     summary a linkage pipeline tunes its thresholds on.
 
-    Scale shape: candidate generation is an equi-join keyed by the BLOCK
-    (nation) — per-block work is |C_b| x |S_b|, bounded by blocking
-    discipline, never corpus-quadratic (a runaway block is the standard
-    hot-key salting case); field comparisons are exact integer
-    expressions inside the join; banding aggregates map-side to <= 3
-    rows. The band arithmetic shifts cents by +100000 so integer
-    division stays in positive range (Spark ``div`` truncates toward
-    zero, floor/trunc agreement guaranteed only for non-negative
-    operands)."""
+    Scale shape: candidate generation is an equi-join keyed by the
+    COMPOSITE block (nation x $1000 balance band) — both components are
+    fields the scorer already compares, the standard way to refine a
+    blocking pass without new data. Unlike a nation-only block (fixed 25
+    keys => within-block pair volume grows quadratically with data), the
+    composite key splits every nation by balance band, and the join goes
+    through :func:`~..operators.blocking.blocked_pair_join`: no broadcast
+    hint (a supplier side at corpus scale outgrows any threshold; AQE may
+    still elect a runtime broadcast while the side is actually small), and
+    a runaway block is detected from exact per-block counts and salted
+    across reducers (result-identical — adversarial pytest). Field
+    comparisons are exact integer expressions inside the join; banding
+    aggregates map-side to <= 3 rows. The band/penny arithmetic shifts
+    cents by +100000 so integer division and modulo stay in positive range
+    (Spark ``div`` truncates toward zero, floor/trunc agreement guaranteed
+    only for non-negative operands)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ck"),
         F.col("c_nationkey").alias("nk"),
         F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("c_cents"),
-    )
+    ).withColumn("band_key", F.expr("(c_cents + 100000) div 100000"))
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("sk"),
-        F.col("s_nationkey").alias("snk"),
+        F.col("s_nationkey").alias("nk"),
         F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("s_cents"),
-    )
+    ).withColumn("band_key", F.expr("(s_cents + 100000) div 100000"))
     w = _FS_W
-    band_eq = F.expr("(c_cents + 100000) div 100000") == F.expr(
-        "(s_cents + 100000) div 100000"
-    )
-    sign_eq = (F.col("c_cents") >= 0) == (F.col("s_cents") >= 0)
+    penny_eq = F.expr("(c_cents + 100000) % 100") == F.expr("(s_cents + 100000) % 100")
     cong_eq = (F.col("ck") % 10) == (F.col("sk") % 10)
     score = (
-        F.when(band_eq, w["band_a"]).otherwise(w["band_d"])
-        + F.when(sign_eq, w["sign_a"]).otherwise(w["sign_d"])
+        F.lit(w["band_a"])
+        + F.when(penny_eq, w["penny_a"]).otherwise(w["penny_d"])
         + F.when(cong_eq, w["cong_a"]).otherwise(w["cong_d"])
     )
-    pairs = c.join(F.broadcast(s), F.col("nk") == F.col("snk")).select(
+    pairs = blocked_pair_join(c, s, ["nk", "band_key"], left_salt_col="ck").select(
         score.alias("score")
     )
     band = (
-        F.when(F.col("score") >= 4000, "match")
+        F.when(F.col("score") >= 8000, "match")
         .when(F.col("score") <= -2000, "non_match")
         .otherwise("possible")
     )

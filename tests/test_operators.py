@@ -1644,3 +1644,65 @@ def test_label_propagation_partition_invariance(spark):
     r1 = {tuple(r) for r in label_propagation(df1, rounds=3).collect()}
     r32 = {tuple(r) for r in label_propagation(df32, rounds=3).collect()}
     assert r1 == r32 and len(r1) > 10
+
+
+def test_blocked_pair_join_hot_block_salting_result_identical(spark):
+    """Adversarial hot-block corpus for the shared blocking helper: one
+    block key carries most of both sides (the runaway-block case). The
+    salted join must (a) engage (salt key in the plan), (b) return EXACTLY
+    the unsalted pair multiset, (c) keep cold corpora on the plain join."""
+    from arc_cassandra_pipeline_plugin_spark.operators.blocking import (
+        blocked_pair_join,
+    )
+
+    # block 7 is hot on both sides; blocks 0-4 are cold
+    lrows = [(7, i) for i in range(300)] + [(b, 1000 + b * 10 + i) for b in range(5) for i in range(4)]
+    rrows = [(7, i) for i in range(200)] + [(b, 2000 + b * 10 + i) for b in range(5) for i in range(3)]
+    left = spark.createDataFrame(lrows, "bk long, lid long")
+    right = spark.createDataFrame(rrows, "bk long, rid long")
+
+    plain = left.join(right, ["bk"])
+    want = {(r["bk"], r["lid"], r["rid"]) for r in plain.collect()}
+
+    salted = blocked_pair_join(
+        left, right, ["bk"], left_salt_col="lid",
+        salt_buckets=8, skew_threshold=10_000,  # 300*200=60k >= 10k → hot
+    )
+    got = {(r["bk"], r["lid"], r["rid"]) for r in salted.collect()}
+    assert got == want and len(want) == 300 * 200 + 5 * 4 * 3
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+    # cold probe: threshold above every block's pair count → plain join
+    cold = blocked_pair_join(
+        left, right, ["bk"], left_salt_col="lid",
+        salt_buckets=8, skew_threshold=1_000_000,
+    )
+    assert "_salt" not in cold._jdf.queryExecution().executedPlan().toString()
+    assert {(r["bk"], r["lid"], r["rid"]) for r in cold.collect()} == want
+
+
+def test_blocked_pair_join_side_count_detection(spark):
+    """count_side="left"/"right" gates on one side's block size (the
+    cheap single-agg probe the grid join uses) and stays result-identical."""
+    from arc_cassandra_pipeline_plugin_spark.operators.blocking import (
+        blocked_pair_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(150)] + [(2, 500 + i) for i in range(5)],
+        "bk long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, i) for i in range(8)] + [(2, 100 + i) for i in range(8)],
+        "bk long, rid long",
+    )
+    want = {(r["bk"], r["lid"], r["rid"]) for r in left.join(right, ["bk"]).collect()}
+    got_df = blocked_pair_join(
+        left, right, ["bk"], left_salt_col="lid",
+        salt_buckets=4, skew_threshold=100, count_side="left",
+    )
+    got = {(r["bk"], r["lid"], r["rid"]) for r in got_df.collect()}
+    assert got == want
+    assert "_salt" in got_df._jdf.queryExecution().executedPlan().toString()

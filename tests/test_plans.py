@@ -480,10 +480,16 @@ def test_rrf_fusion_windows_all_partitioned(spark):
     assert found, f"expected bucketed-rank Window nodes:\n{plan}"
 
 
-def test_fellegi_sunter_broadcasts_supplier_side(spark):
-    """The blocked ER join must broadcast the small (supplier) side —
-    a shuffled pair join on the block key would move the big side for
-    nothing at dimension-sized right inputs."""
+def test_fellegi_sunter_no_broadcast_hint(spark):
+    """The FS candidate join must NOT hard-code a broadcast hint: at
+    corpus scale the supplier side outgrows any broadcast threshold, so
+    the strategy choice belongs to AQE (which still elects a runtime
+    broadcast while the side is actually small). The analyzed plan must
+    carry no ResolvedHint/UnresolvedHint."""
     df = REGISTRY["er_fellegi_sunter"].fn(spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed, analyzed
+    # and the join must be an equi-join on the composite block key —
+    # never a nested-loop pair sweep
     plan = explain_str(df, "simple")
-    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
