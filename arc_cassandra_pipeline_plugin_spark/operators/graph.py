@@ -340,15 +340,20 @@ def label_propagation(
     lineage cut per round via localCheckpoint on the label vector."""
     from pyspark.sql import Window
 
+    if rounds < 1:
+        raise ValueError(f"label_propagation needs rounds >= 1, got {rounds}")
+    # sum raw weights FIRST, cast the group sum — matching the oracle's
+    # CAST(sum(_w) AS BIGINT); casting each edge weight before the sum
+    # would truncate fractional weights differently per edge
     und = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"),
-                     F.col(weight).cast("bigint").alias("_w"))
+                     F.col(weight).alias("_w"))
         .union(
             edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"),
-                         F.col(weight).cast("bigint").alias("_w"))
+                         F.col(weight).alias("_w"))
         )
         .groupBy("_a", "_b")
-        .agg(F.sum("_w").alias("_w"))
+        .agg(F.sum("_w").cast("bigint").alias("_w"))
         .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("_a").alias("node")).distinct().select(
@@ -425,6 +430,8 @@ def hits(
     on both engines. Scale shape per round: two |E|-contribution shuffles
     (keyed by dst then src) + two O(V) vector joins; the 1-row max
     normalizer broadcasts (declared scalar_broadcast)."""
+    if iters < 1:
+        raise ValueError(f"hits needs iters >= 1, got {iters}")
     dec = f"decimal(20,{_SCALE})"
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"),
@@ -636,6 +643,8 @@ def ktruss_edges(
     join, never materializing triangles; the filter is a pushed predicate
     on the aggregate. Dense hub vertices are the usual hot-key salting
     candidates."""
+    if rounds < 1:
+        raise ValueError(f"ktruss_edges needs rounds >= 1, got {rounds}")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -716,6 +725,8 @@ def kcore_vertices(
     edge list against the O(|V|) survivor set (broadcastable when the
     vertex set is dimension-sized, shuffle-keyed otherwise). Nothing is
     ever quadratic; peel work shrinks monotonically as edges drop."""
+    if rounds < 1:
+        raise ValueError(f"kcore_vertices needs rounds >= 1, got {rounds}")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

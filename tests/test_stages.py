@@ -820,3 +820,105 @@ def test_operator_transform_reaches_multimodal_and_spatial(spark, ctx):
         tuple(r) for r in M.bmp_patches(M.synthesize_bmp_assets(ids), patch=2).collect()
     }
     assert got == want and got
+
+
+def test_parquet_extract_stale_manifest_rebuilds(spark, ctx, tmp_path):
+    """A persisted manifest must be validated against the live listing:
+    files APPENDED after the manifest was built must appear in results
+    (not silently excluded), and files COMPACTED AWAY must not crash the
+    pruned read — both via an in-place rebuild."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "orders_ranged")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+        4, "o_totalprice"
+    ).write.mode("overwrite").parquet(src)
+
+    manifest = str(tmp_path / "manifest")
+    lo, hi = 50_000.0, 80_000.0
+
+    def run(tag):
+        st = ParquetExtract(
+            name=tag, input_uri=src, output_view=tag,
+            skip_index_col="o_totalprice", skip_min=lo, skip_max=hi,
+            skip_manifest_uri=manifest,
+        )
+        df = st.execute(spark, ctx)
+        return {tuple(r) for r in df.collect()}, st.stage_detail.as_dict()
+
+    got1, d1 = run("stale1")
+
+    # APPEND new files the manifest has never seen
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    odd.repartitionByRange(2, "o_totalprice").write.mode("append").parquet(src)
+    want2 = {
+        tuple(r)
+        for r in spark.read.parquet(src)
+        .filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi))
+        .collect()
+    }
+    got2, d2 = run("stale2")
+    assert got2 == want2 and len(got2) > len(got1)
+    assert d2["skipIndexFilesTotal"] > d1["skipIndexFilesTotal"]
+
+    # COMPACT the layout (fewer, different files): pruned read must not
+    # point at dead paths
+    compacted = spark.read.parquet(src).repartitionByRange(2, "o_totalprice")
+    compacted.write.mode("overwrite").parquet(str(tmp_path / "tmp_swap"))
+    spark.read.parquet(str(tmp_path / "tmp_swap")).write.mode("overwrite").parquet(src)
+    got3, d3 = run("stale3")
+    assert got3 == want2
+    assert d3["skipIndexFilesTotal"] < d2["skipIndexFilesTotal"]
+
+
+def test_parquet_extract_skipping_preserves_partition_columns(spark, ctx, tmp_path):
+    """File-level pruning on a hive-partitioned layout must keep the
+    partition columns in the schema (basePath on the pruned read) and
+    return the exact full-scan result."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "orders_hive")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .withColumn("opri", F.col("o_orderpriority"))
+        .repartitionByRange(4, "o_totalprice")
+        .write.mode("overwrite")
+        .partitionBy("opri")
+        .parquet(src)
+    )
+    lo = 150_000.0
+    full = spark.read.parquet(src).filter(F.col("o_totalprice") >= lo)
+    want = {tuple(r) for r in full.select(sorted(full.columns)).collect()}
+
+    st = ParquetExtract(
+        name="hiveskip", input_uri=src, output_view="orders_hiveskip",
+        skip_index_col="o_totalprice", skip_min=lo,
+    )
+    df = st.execute(spark, ctx)
+    assert "opri" in df.columns
+    got = {tuple(r) for r in df.select(sorted(df.columns)).collect()}
+    assert got == want and len(want) > 10
+    d = st.stage_detail.as_dict()
+    assert 0 < d["skipIndexFilesRead"] < d["skipIndexFilesTotal"]
+
+
+def test_parquet_extract_max_manifest_files_guard(spark, ctx, tmp_path):
+    """Above maxManifestFiles the skipping read must refuse loudly (a
+    driver-side manifest over millions of files would OOM the driver)."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "orders_many")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .repartitionByRange(6, "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    st = ParquetExtract(
+        name="guard", input_uri=src, output_view="orders_guard",
+        skip_index_col="o_totalprice", skip_min=0.0,
+        max_manifest_files=3,
+    )
+    with _pytest.raises(Exception, match="maxManifestFiles"):
+        st.execute(spark, ctx)
