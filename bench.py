@@ -111,17 +111,68 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # three trials per query, report the min (standard practice: the min is
-    # the least-noise estimate of the query's actual cost on a shared box)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        trials = []
-        for _ in range(3):
+    # five trials per query, INTERLEAVED round-robin (trial i of every
+    # query before trial i+1 of any): a machine-noise epoch (page-cache
+    # eviction, a background process) then lands on one TRIAL of many
+    # queries instead of all trials of one query, so a single query can no
+    # longer soak up a whole noise burst — the r5 lesson, where +21-25%
+    # "regressions" appeared on queries whose code had not changed.
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    N_TRIALS = 5
+    for _ in range(N_TRIALS):
+        for name in HEADLINE:
+            q = registry[name]
             t0 = time.time()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            trials.append(time.time() - t0)
-        timings[name] = round(min(trials), 3)
+            raw[name].append(time.time() - t0)
+
+    # median is the headline estimator (robust to one slow AND one lucky
+    # trial); min/max/spread published per query so a cross-round delta can
+    # be judged against the measured noise band instead of eyeballed
+    timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
+    for name, ts in raw.items():
+        s = sorted(ts)
+        med = s[len(s) // 2]
+        timings[name] = round(med, 3)
+        stats[name] = {
+            "min": round(s[0], 3),
+            "median": round(med, 3),
+            "max": round(s[-1], 3),
+            "spread_pct": round(100.0 * (s[-1] - s[0]) / med, 1) if med else 0.0,
+        }
+
+    # delta vs the previous recorded round, flagged against this run's own
+    # noise band: |delta| inside the band is machine variance, not a
+    # regression signal
+    prev_deltas: dict[str, dict[str, object]] = {}
+    machine_shift = 0.0
+    prev_file = _latest_bench_json()
+    if prev_file:
+        try:
+            with open(prev_file) as fh:
+                prev_q = json.load(fh).get("parsed", {}).get("queries", {})
+            deltas = {
+                name: 100.0 * (med - prev_q[name]) / prev_q[name]
+                for name, med in timings.items()
+                if name in prev_q and prev_q[name]
+            }
+            # a machine-wide slowdown (other tenants, thermal state) shifts
+            # EVERY query together — the median cross-query delta estimates
+            # that shift, and a real per-query regression is a delta that
+            # stands out from it, not from zero
+            ds = sorted(deltas.values())
+            machine_shift = round(ds[len(ds) // 2], 1) if ds else 0.0
+            for name, delta in deltas.items():
+                adj = delta - machine_shift
+                prev_deltas[name] = {
+                    "prev": prev_q[name],
+                    "delta_pct": round(delta, 1),
+                    "delta_vs_shift_pct": round(adj, 1),
+                    "within_band": abs(adj) <= max(stats[name]["spread_pct"], 10.0),
+                }
+        except Exception:
+            prev_deltas = {}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -131,20 +182,39 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stats": stats,
+                "vs_prev": prev_deltas,
+                "machine_shift_pct": machine_shift,
+                "prev_file": os.path.basename(prev_file) if prev_file else None,
                 "sf": sf,
                 "sf_dir": sf_dir,
-                "trials": 3,
-                "protocol": "min of 3 trials per query after one untimed "
-                "warmup pass of each query on the target fixture; "
-                "multi-file split fixtures (same rows as the raw sf dir) unless "
-                "SPARK_GRAFT_SF_DIR overrides",
-                "note": "r3+ measures on multi-file split fixtures (VERDICT r2 "
-                "item 5) — absolute times are NOT comparable to BENCH_r1/r2, "
-                "which scanned single-row-group files (1-task scans, no "
-                "scheduling overhead at toy scale, pathological at real scale)",
+                "trials": N_TRIALS,
+                "protocol": "median of 5 INTERLEAVED round-robin trials per "
+                "query after one untimed warmup pass of each query on the "
+                "target fixture; per-query min/max/spread published as the "
+                "noise band; multi-file split fixtures (same rows as the raw "
+                "sf dir) unless SPARK_GRAFT_SF_DIR overrides",
+                "note": "r6+ headline estimator is the MEDIAN (r1-r5 was "
+                "min-of-3): medians read ~5-15% above the old mins by "
+                "construction; judge cross-round deltas against stats[q] "
+                "spread_pct, and vs_prev[q].within_band flags machine "
+                "variance vs real regression. r3+ measures on multi-file "
+                "split fixtures — absolute times NOT comparable to "
+                "BENCH_r1/r2 (single-row-group scans)",
             }
         )
     )
+
+
+def _latest_bench_json() -> str | None:
+    """Newest BENCH_r*.json next to this script (the driver's per-round
+    records), for the cross-round delta report."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        (f for f in os.listdir(root) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
+    return os.path.join(root, cands[-1]) if cands else None
 
 
 if __name__ == "__main__":
