@@ -201,23 +201,8 @@ def kmeans_lloyd(
     counts: dict[int, int] = {}
     upd = None
     for _ in range(iters):
-        dist_structs = []
-        for g in range(k):
-            lits = F.array(*[F.lit(v) for v in cent[g]])
-            d_g = F.aggregate(
-                F.zip_with(
-                    F.col("xs"),
-                    lits,
-                    lambda x, v: F.round((x - v) * (x - v), _SCALE).cast(dec),
-                ),
-                F.lit(0).cast(dec),
-                lambda acc, y: (acc + y).cast(dec),
-            )
-            dist_structs.append(
-                F.struct(d_g.alias("dist"), F.lit(g).alias("g"))
-            )
         assigned = base.select(
-            "_id", "xs", F.array_min(F.array(*dist_structs)).getField("g").alias("g")
+            "_id", "xs", _decimal_argmin_expr(cent).alias("g")
         )
         upd = (
             assigned.select("g", F.posexplode("xs").alias("_p", "x"))
@@ -304,6 +289,234 @@ def kmeans_oracle_sql(
 SELECT CAST(c.g AS INT) AS cluster_id, CAST(c.j AS INT) AS j, c.v AS loading,
        CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members
 FROM c{iters} c LEFT JOIN cnt ON cnt.g = c.g"""
+
+
+def _decimal_argmin_expr(cent: dict):
+    """The decimal-exact nearest-centroid expression over an ``xs``
+    double-array column: per centroid a fixed-scale-rounded decimal fold
+    of squared coordinate gaps, argmin via array_min over (dist, g)
+    structs — ties break to the lowest g. Shared by :func:`kmeans_lloyd`
+    and :func:`kmeans_assign_decimal` (the pytest surface that pins the
+    float64 fast path's assignments to the decimal path's)."""
+    dec = f"decimal(30,{_SCALE})"
+    dist_structs = []
+    for g in sorted(cent):
+        lits = F.array(*[F.lit(v) for v in cent[g]])
+        d_g = F.aggregate(
+            F.zip_with(
+                F.col("xs"),
+                lits,
+                lambda x, v: F.round((x - v) * (x - v), _SCALE).cast(dec),
+            ),
+            F.lit(0).cast(dec),
+            lambda acc, y: (acc + y).cast(dec),
+        )
+        dist_structs.append(F.struct(d_g.alias("dist"), F.lit(g).alias("g")))
+    return F.array_min(F.array(*dist_structs)).getField("g")
+
+
+def kmeans_assign_decimal(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector decimal-exact assignment against a fixed centroid
+    matrix (any (k, d) nested sequence) — returns (_id, g)."""
+    cent = {g: list(map(float, row)) for g, row in enumerate(centroids)}
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("xs"),
+    )
+    return base.select("_id", _decimal_argmin_expr(cent).alias("g"))
+
+
+def kmeans_lloyd_fast(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Float64 Lloyd's algorithm via ``mapInArrow`` — the THROUGHPUT twin
+    of :func:`kmeans_lloyd` (same seeds, same per-round centroid rounding
+    to ``_VSCALE``, same (dist, argmin-first) tiebreak, same empty-cluster
+    carry-forward), trading the decimal-exact distance algebra for
+    vectorized numpy batch kernels.
+
+    Why both exist: the decimal path is the ORACLE-certified surface (its
+    distance sums are order-free, so every engine/run agrees bit-for-bit
+    on centroids); this path is what a production pipeline runs. Its
+    centroids can drift from the decimal path in late decimals (float
+    sums are partition-order-dependent), but the cluster ASSIGNMENTS
+    coincide except on ~1e-9-level distance ties — the assignment-equality
+    pytest and the integer-only certified query
+    (``embeddings_kmeans_fast``: per-cluster counts + id checksums, both
+    pure functions of the assignment) pin exactly the part that is stable.
+
+    Scale shape per round — strictly better than the decimal path:
+    assignment + partial aggregation happen INSIDE one Arrow kernel
+    (per batch: argmin over k squared distances, then per-cluster
+    (n, Σ id, Σ x) partials), so the shuffle carries O(batches × k)
+    partial rows instead of n·d exploded coordinates; the final combine
+    is one map-side-combinable (g, j) aggregation down to k·d rows of
+    driver state. Centroids stay O(k·d) literals on the driver.
+    """
+    import numpy as np
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("xs"),
+    ).localCheckpoint(eager=True)
+    seed_rows = (
+        base.filter(F.col("_id") < k)
+        .select("_id", F.transform("xs", lambda x: F.round(x, _VSCALE)).alias("v"))
+        .collect()
+    )
+    d = len(seed_rows[0]["v"])
+    cent = np.zeros((k, d), dtype=np.float64)
+    for r in seed_rows:
+        cent[int(r["_id"])] = r["v"]
+
+    def make_kernel(C: "np.ndarray"):
+        kk, dd = C.shape
+
+        def kernel(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                ids = np.asarray(b.column(0), dtype=np.int64)
+                X = np.asarray(b.column(1).flatten(), dtype=np.float64).reshape(
+                    b.num_rows, dd
+                )
+                # per-pair Σ(x-c)² (not the expanded ‖x‖²-2xc+‖c‖² form):
+                # closest ulp-parity with the decimal path's term-by-term
+                # distances, so argmin agreement holds except true ties
+                dist = np.empty((b.num_rows, kk), dtype=np.float64)
+                for g in range(kk):
+                    diff = X - C[g]
+                    dist[:, g] = (diff * diff).sum(axis=1)
+                assign = dist.argmin(axis=1)  # first minimum == lowest g
+                gs, ns, id_sums, sums = [], [], [], []
+                for g in np.unique(assign):
+                    m = assign == g
+                    gs.append(int(g))
+                    ns.append(int(m.sum()))
+                    id_sums.append(int(ids[m].sum()))
+                    sums.append(X[m].sum(axis=0).tolist())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(gs, pa.int32()),
+                        pa.array(ns, pa.int64()),
+                        pa.array(id_sums, pa.int64()),
+                        pa.array(sums, pa.list_(pa.float64())),
+                    ],
+                    names=["g", "n", "id_sum", "s"],
+                )
+
+        return kernel
+
+    last_stats = None
+    for _ in range(iters):
+        partials = base.mapInArrow(
+            make_kernel(cent.copy()),
+            "g int, n long, id_sum long, s array<double>",
+        )
+        per_gj = (
+            partials.select("g", "n", "id_sum", F.posexplode("s").alias("_p", "sj"))
+            .groupBy("g", (F.col("_p") + 1).alias("j"))
+            .agg(
+                # Σn per (g, j) re-sums each batch's n once per coordinate,
+                # so it equals the cluster's member count; rounding happens
+                # IN SPARK (HALF_UP — Python round() is banker's)
+                F.round(F.sum("sj") / F.sum("n"), _VSCALE).alias("v"),
+                F.sum("n").alias("n"),
+                F.sum("id_sum").alias("id_sum"),
+            )
+        )
+        rows = per_gj.collect()  # O(k·d) — centroid state, never data
+        new_cent = cent.copy()
+        stats: dict[int, tuple[int, int]] = {}
+        for r in rows:
+            new_cent[r["g"]][r["j"] - 1] = r["v"]
+            if r["j"] == 1:
+                stats[r["g"]] = (r["n"], r["id_sum"])
+        cent = new_cent  # clusters absent from rows keep previous centroid
+        last_stats = stats
+
+    spark = df.sparkSession
+    # only clusters that won members in the LAST round appear — mirroring
+    # the oracle's GROUP BY over the final assignment
+    out = [
+        (g, int(n), int(id_sum))
+        for g, (n, id_sum) in sorted((last_stats or {}).items())
+    ]
+    return spark.createDataFrame(
+        out, "cluster_id int, n_members bigint, id_checksum bigint"
+    )
+
+
+def kmeans_assign_fast(df, centroids, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Per-vector float64 assignment against a fixed centroid matrix
+    (numpy (k, d)) — one Arrow kernel pass, returns (_id, g)."""
+    import numpy as np
+    import pyarrow as pa  # noqa: F401 — kernel dependency, fail fast here
+
+    C = np.asarray(centroids, dtype=np.float64)
+    kk, dd = C.shape
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("xs"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = np.asarray(b.column(0), dtype=np.int64)
+            X = np.asarray(b.column(1).flatten(), dtype=np.float64).reshape(
+                b.num_rows, dd
+            )
+            dist = np.empty((b.num_rows, kk), dtype=np.float64)
+            for g in range(kk):
+                diff = X - C[g]
+                dist[:, g] = (diff * diff).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array(dist.argmin(axis=1).astype("int32"))],
+                names=["_id", "g"],
+            )
+
+    return base.mapInArrow(kernel, "_id long, g int")
+
+
+def kmeans_fast_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for the ``embeddings_kmeans_fast`` query: the DECIMAL
+    rounds (provably engine-identical) reduced to the assignment-derived
+    integers the float path certifies — per-cluster member count and
+    member-id checksum of the LAST round's assignment. The float path
+    matches because assignments agree with the decimal path except on
+    exact distance ties (see :func:`kmeans_lloyd_fast`)."""
+    full = kmeans_oracle_sql(k=k, iters=iters, table=table, vec_col=vec_col, id_col=id_col)
+    # reuse the unrolled CTE chain, swap the final projection
+    body = full[: full.rindex("\nSELECT ")]
+    return f"""{body}
+SELECT CAST(g AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(id) AS BIGINT) AS id_checksum
+FROM a{iters} GROUP BY g"""
 
 
 def covariance_matrix(

@@ -2999,6 +2999,33 @@ def embeddings_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_fast_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import (
+        kmeans_fast_oracle_sql,
+    )
+
+    return kmeans_fast_oracle_sql(k=8, iters=3)
+
+
+@register("embeddings_kmeans_fast", category="similarity", oracle=_kmeans_fast_oracle())
+def embeddings_kmeans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float64 k-means (k=8, three Lloyd rounds, same seeds/rounding/
+    tiebreaks as ``embeddings_kmeans_lloyd``) through the vectorized
+    ``mapInArrow`` path — the production-throughput twin of the
+    decimal-certified query. Certified on the assignment-derived integers
+    (per-cluster member count + member-id checksum) against the decimal
+    rounds unrolled in DuckDB: float centroids can drift from decimal ones
+    in late decimals, but assignments agree except on exact distance ties
+    (assignment-equality pytest pins the two Spark paths to each other).
+    Per round: one Arrow kernel doing argmin + in-batch partials, one
+    O(batches x k) combine — never an n·d coordinate shuffle."""
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import kmeans_lloyd_fast
+
+    return kmeans_lloyd_fast(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
 @register("embeddings_pca_power", category="similarity", oracle=_pca_oracle())
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus by distributed

@@ -48,8 +48,11 @@ HEADLINE = [
     "pack_context_windows",
     "text_bm25_ranking",
     # round 4 late wave: iterative distributed k-means, grid-bucketed
-    # spatial self-join
-    "embeddings_kmeans_lloyd",
+    # spatial self-join. r6: the kmeans headliner is the float64 mapInArrow
+    # path (what production runs; the decimal-exact twin
+    # embeddings_kmeans_lloyd stays registry-certified — its wall time was
+    # ~23% of the headline total as pure decimal-certification tax)
+    "embeddings_kmeans_fast",
     "spatial_proximity_join",
     # round 5: synchronous label propagation (iterative graph), RAG-style
     # overlapping context-window chunking

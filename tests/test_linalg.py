@@ -108,3 +108,40 @@ def test_kmeans_lloyd_recovers_planted_clusters(spark):
         assert hits, f"centroid {g}={vec} matches no planted center"
         matched.add(hits[0])
     assert matched == {0, 1, 2}
+
+
+def test_kmeans_fast_assignments_equal_decimal_path(spark):
+    """The float64 mapInArrow assignment must agree with the decimal-exact
+    assignment vector-for-vector at fixed centroids, and the full fast
+    Lloyd run must reproduce the decimal run's per-cluster member counts —
+    the certification contract of embeddings_kmeans_fast."""
+    from arc_cassandra_pipeline_plugin_spark.operators.linalg import (
+        kmeans_assign_decimal,
+        kmeans_assign_fast,
+        kmeans_lloyd,
+        kmeans_lloyd_fast,
+    )
+
+    # deterministic synthetic corpus: 240 vectors x 12 dims, values spread
+    # well away from decimal rounding boundaries
+    rows = [
+        (i, [((i * 37 + j * 101) % 977) / 97.0 - 5.0 for j in range(12)])
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent = [[((g * 53 + j * 17) % 211) / 21.0 - 5.0 for j in range(12)] for g in range(5)]
+    fast = {r["_id"]: r["g"] for r in kmeans_assign_fast(df, cent).collect()}
+    slow = {r["_id"]: r["g"] for r in kmeans_assign_decimal(df, cent).collect()}
+    assert fast == slow and len(fast) == 240
+
+    # full runs: member counts per cluster must coincide round-for-round
+    dec_out = kmeans_lloyd(df, k=5, iters=2)
+    dec_counts = {
+        r["cluster_id"]: r["n_members"]
+        for r in dec_out.filter("j = 1").collect()
+        if r["n_members"] > 0
+    }
+    fast_out = kmeans_lloyd_fast(df, k=5, iters=2)
+    fast_counts = {r["cluster_id"]: r["n_members"] for r in fast_out.collect()}
+    assert fast_counts == dec_counts
