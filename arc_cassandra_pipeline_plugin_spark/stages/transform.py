@@ -93,6 +93,7 @@ class PythonTransform(PipelineStage):
 _OPERATOR_MODULES = frozenset(
     {
         "archive",
+        "blocking",
         "bloom",
         "dedup",
         "graph",
@@ -180,6 +181,22 @@ class OperatorTransform(PipelineStage):
         for k, v in params.items():
             ann = sig.parameters[k].annotation if k in sig.parameters else None
             ann_name = ann if isinstance(ann, str) else getattr(ann, "__name__", None)
+            if (
+                isinstance(v, str)
+                and isinstance(ann_name, str)
+                and ann_name.startswith("list")
+            ):
+                # a HOCON list arrives stringified by the Map[String,String]
+                # params contract ("['a', 'b']" or "[a, b]") — parse it back
+                # for list-annotated operator parameters
+                body = v.strip()
+                if not (body.startswith("[") and body.endswith("]")):
+                    raise ValueError(
+                        f"OperatorTransform: param {k!r}={v!r} is not a valid list"
+                    )
+                items = [s.strip().strip("'\"") for s in body[1:-1].split(",")]
+                out[k] = [s for s in items if s]
+                continue
             if isinstance(v, str) and ann_name in ("int", "float", "bool"):
                 try:
                     if ann_name == "int":

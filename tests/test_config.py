@@ -387,3 +387,73 @@ def test_graph_example_pipeline_runs(spark, monkeypatch):
         for r in pagerank(spark.table("trade_edges"), iters=3, damping=0.85).collect()
     }
     assert got == want and len(got) == 25
+
+
+def test_dedup_example_pipeline_runs(spark, monkeypatch):
+    """The shipped examples/dedup.conf: MinHash → LSH → connected
+    components → canonical corpus, all from config; the config-driven
+    dedup equals the direct operator-call chain, and the gate holds."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "dedup.conf")
+    with open(path) as f:
+        text = f.read()
+    ctx = PipelineContext(environment="test")
+    p = parse_config(text, ctx)
+    assert [s.stage_type for s in p.stages] == (
+        ["ParquetExtract"] + ["OperatorTransform"] * 3
+        + ["SQLTransform", "SQLValidate"]
+    )
+    p.run(spark, ctx)
+
+    docs = spark.table("documents")
+    sig = minhash_signature(docs, num_perm=16, shingle_k=5)
+    pairs = lsh_candidate_pairs(sig, num_perm=16, bands=4)
+    clusters = connected_components(pairs)
+    non_canon = {r["doc_id"] for r in clusters.filter("doc_id <> cluster_id").collect()}
+    got = {r["doc_id"] for r in spark.table("deduped_docs").collect()}
+    want = {r["doc_id"] for r in docs.collect()} - non_canon
+    assert got == want and len(got) > 0
+
+
+def test_linkage_example_pipeline_runs(spark, monkeypatch):
+    """The shipped examples/linkage.conf: composite blocked candidate join
+    via OperatorTransform blocking.blocked_pair_join (list-typed config
+    param), Fellegi-Sunter banding in SQL, and an EqualityValidate gate
+    pinning the operator path to a pure-SQL twin. The banded summary
+    equals the certified er_fellegi_sunter query's result."""
+    import os
+
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+    from arc_cassandra_pipeline_plugin_spark.queries import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "linkage.conf")
+    with open(path) as f:
+        text = f.read()
+    ctx = PipelineContext(environment="test")
+    p = parse_config(text, ctx)
+    assert [s.stage_type for s in p.stages] == (
+        ["ParquetExtract"] * 2 + ["SQLTransform"] * 2 + ["OperatorTransform"]
+        + ["SQLTransform"] * 2 + ["EqualityValidate"]
+    )
+    p.run(spark, ctx)  # EqualityValidate raises on any mismatch
+
+    got = {tuple(r) for r in spark.table("fs_bands").collect()}
+    want = {
+        tuple(r)
+        for r in load_all()["er_fellegi_sunter"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want and len(got) >= 2
