@@ -1270,3 +1270,47 @@ def gif_motion_energy(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=GIF_MOTION_SCHEMA)
+
+
+BMP_EDGE_SCHEMA = (
+    "asset_id bigint, width int, height int, "
+    "h_energy bigint, v_energy bigint, n_h_pairs bigint, n_v_pairs bigint"
+)
+
+
+def bmp_edge_energy(assets: DataFrame) -> DataFrame:
+    """Integer gradient energy through the REAL BMP decoder — the
+    blur/complexity screen of an image curation pipeline (near-zero energy
+    = flat/blank frame, extreme energy = noise): per image, the exact sums
+    of |Δluma| across horizontally and vertically adjacent pixel pairs,
+    with luma the per-mil BT.601 weighting (299R + 587G + 114B). Every
+    quantity is an exact integer — an SQL oracle replays the pixel
+    arithmetic bit-for-bit.
+
+    One Arrow-batched ``mapInPandas`` pass over payloads (shuffle-free);
+    output is one row per asset; no pixel array crosses the driver."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "width", "height",
+                "h_energy", "v_energy", "n_h_pairs", "n_v_pairs")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_bmp24(payload)
+                gray = [299 * r + 587 * g + 114 * b for (r, g, b) in px]
+                he = ve = 0
+                for p, gv in enumerate(gray):
+                    if (p % w) < w - 1:
+                        he += abs(gray[p + 1] - gv)
+                    if (p // w) < h - 1:
+                        ve += abs(gray[p + w] - gv)
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["h_energy"].append(he)
+                out["v_energy"].append(ve)
+                out["n_h_pairs"].append((w - 1) * h)
+                out["n_v_pairs"].append(w * (h - 1))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=BMP_EDGE_SCHEMA)

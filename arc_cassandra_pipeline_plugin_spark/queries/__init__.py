@@ -135,6 +135,7 @@ def load_all() -> dict[str, Query]:
         advanced,
         analytics,
         curation,
+        evaluation,
         extensions,
         mining,
         relational,

@@ -1,0 +1,532 @@
+"""Model- and retrieval-evaluation metrics + concentration diagnostics
+(round 6).
+
+The metrics every training-data pipeline reports on its retrieval and
+classifier legs — AUC, NDCG@k, MRR, precision/recall@k — plus the
+concentration statistics (Gini, Herfindahl) that audit corpus/vendor
+skew, each Spark-first with an exact DuckDB oracle.
+
+Determinism: rank metrics are computed from exact integer rank sums and
+micro-unit LUT discounts embedded identically in both engines (the
+registry's char-entropy-LUT rule — no runtime transcendental crosses the
+engine boundary); concentration statistics keep every sum in BIGINT /
+DECIMAL(38,0) and perform ONE double division of identical literal shape
+at the end. Reference parity: the reference plugin delegates all query
+semantics to Spark SQL (``CassandraLoad.scala``); these certify the
+evaluation surface a pipeline user runs through it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+#: NDCG position discounts as micro-units: round(1e6 / log2(i + 1)) for
+#: ranks 1..10 — Python-computed once, embedded as identical literals in
+#: both engines (no runtime log2 anywhere)
+def _ndcg_discounts(k: int = 10) -> list[int]:
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+_DISC = _ndcg_discounts(10)
+
+
+@register(
+    "ml_auc_rank_sum",
+    category="analytics",
+    oracle="""
+WITH per AS (
+  SELECT n_chars AS score,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM documents GROUP BY 1),
+c AS (
+  SELECT pos, neg,
+         CAST(coalesce(sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cumneg
+  FROM per)
+SELECT CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS u2,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       round(CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+             / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6)
+         AS auc
+FROM c
+""",
+)
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a scalar predictor (document length predicting
+    lang = 'en') via the Mann-Whitney rank-sum identity: AUC = P(score_pos
+    > score_neg) + 0.5·P(=), computed WITHOUT materializing pairs — group
+    by distinct score, take the exclusive prefix sum of negative counts
+    over the score order, and fold pos·(2·cum_neg + neg) (the doubled-U
+    trick keeps midrank halves in integers). This is the classifier-eval
+    primitive of every filtering-model loop.
+
+    Scale shape: one groupBy(score) aggregation (map-side combinable to
+    |score domain| rows), then the two-phase bucketed global prefix sum
+    (operators/ranking.py — no single-partition window), then a 1-row
+    fold. The only float op is the final division, identical literal
+    shape in both engines."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("neg"),
+    )
+    ps = global_prefix_sum(per, "score", "neg", out_col="cumneg")
+    return ps.agg(
+        F.sum(F.col("pos") * (2 * F.col("cumneg") + F.col("neg")))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("cumneg") + F.col("neg"))).cast("double")
+            / (
+                2.0
+                * F.sum("pos").cast("double")
+                * F.sum("neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def _posting_cte() -> str:
+    """Shared oracle CTE: per (query term, doc) term frequency over the
+    3-term query set, ranked by (tf DESC, doc_id ASC)."""
+    return """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+  FROM documents),
+q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+tf AS (
+  SELECT t.token AS term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN q ON q.term = t.token
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT term, doc_id, tf,
+         CASE WHEN tf >= 3 THEN 3 WHEN tf = 2 THEN 2 ELSE 1 END AS rel,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf)"""
+
+
+def _ranked_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_posting_cte` — posting lists for the 3-term
+    query with graded relevance and a per-term deterministic rank. The
+    window partitions by TERM (posting-list-bounded, the RRF convention);
+    the posting build is one explode + one (term, doc) aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "token"
+        ),
+    )
+    q = spark.createDataFrame([("spark",), ("join",), ("window",)], "term string")
+    tf = (
+        toks.join(F.broadcast(q), F.col("token") == F.col("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    rel = (
+        F.when(F.col("tf") >= 3, 3).when(F.col("tf") == 2, 2).otherwise(1)
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    return tf.select(
+        "term", "doc_id", "tf", rel.alias("rel"), F.row_number().over(w).alias("rn")
+    )
+
+
+def _disc_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {i + 1} THEN {d}" for i, d in enumerate(_DISC)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "ml_ndcg_at_10",
+    category="analytics",
+    oracle=f"""
+WITH {_posting_cte()},
+dcg AS (
+  SELECT term,
+         CAST(sum(CASE WHEN rn <= 10
+                       THEN rel * ({_disc_case_sql("rn")}) ELSE 0 END) AS BIGINT)
+           AS dcg_micro
+  FROM ranked GROUP BY 1),
+ideal AS (
+  SELECT term, rel,
+         row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id ASC) AS irn
+  FROM ranked),
+idcg AS (
+  SELECT term,
+         CAST(sum(CASE WHEN irn <= 10
+                       THEN rel * ({_disc_case_sql("irn")}) ELSE 0 END) AS BIGINT)
+           AS idcg_micro
+  FROM ideal GROUP BY 1)
+SELECT d.term, d.dcg_micro, i.idcg_micro,
+       round(CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
+         AS ndcg
+FROM dcg d JOIN idcg i ON i.term = d.term
+""",
+)
+def ml_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query term over the term-frequency retrieval leg:
+    graded relevance (tf capped at 3), micro-unit integer position
+    discounts round(1e6/log2(rank+1)) embedded as identical literals in
+    both engines, ideal ordering by (rel DESC, doc_id) — the ranking-eval
+    metric every retrieval stack reports. DCG/IDCG stay exact BIGINTs;
+    the single float op is the final division.
+
+    Scale shape: posting build = one explode + (term, doc) agg; both
+    rank windows partition by term (posting-list-bounded)."""
+    ranked = _ranked_postings(spark, sf_dir)
+    disc = F.lit(0)
+    for i, d in enumerate(_DISC):
+        disc = F.when(F.col("rn") == i + 1, d).otherwise(disc)
+    dcg = ranked.groupBy("term").agg(
+        F.sum(F.when(F.col("rn") <= 10, F.col("rel") * disc).otherwise(0))
+        .cast("bigint")
+        .alias("dcg_micro")
+    )
+    wi = Window.partitionBy("term").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = ranked.select("term", "rel", F.row_number().over(wi).alias("rn"))
+    idcg = ideal.groupBy("term").agg(
+        F.sum(F.when(F.col("rn") <= 10, F.col("rel") * disc).otherwise(0))
+        .cast("bigint")
+        .alias("idcg_micro")
+    )
+    return dcg.join(idcg, "term").select(
+        "term",
+        "dcg_micro",
+        "idcg_micro",
+        F.round(
+            F.col("dcg_micro").cast("double") / F.col("idcg_micro").cast("double"), 6
+        ).alias("ndcg"),
+    )
+
+
+@register(
+    "ml_mrr_first_relevant",
+    category="analytics",
+    oracle=f"""
+WITH {_posting_cte()}
+SELECT term,
+       CAST(min(rn) AS BIGINT) AS first_rel_rank,
+       CAST(1000000 // min(rn) AS BIGINT) AS rr_micro
+FROM ranked WHERE rel >= 2 GROUP BY term
+""",
+)
+def ml_mrr_first_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first STRONGLY relevant document (tf >= 2)
+    per query term — the MRR leg of retrieval eval, in exact micro-units
+    via integer floor division (1e6 // rank, identical truncation
+    semantics in both engines; no float ever). Terms without a strong hit
+    are absent on both sides by construction."""
+    ranked = _ranked_postings(spark, sf_dir)
+    return (
+        ranked.filter(F.col("rel") >= 2)
+        .groupBy("term")
+        .agg(F.min("rn").cast("bigint").alias("first_rel_rank"))
+        .select(
+            "term",
+            "first_rel_rank",
+            F.expr("1000000 div first_rel_rank").cast("bigint").alias("rr_micro"),
+        )
+    )
+
+
+@register(
+    "ml_precision_recall_at_10",
+    category="analytics",
+    oracle=f"""
+WITH {_posting_cte()}
+SELECT term,
+       CAST(sum(CASE WHEN rn <= 10 AND rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_10,
+       CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+       CAST(sum(CASE WHEN rn <= 10 AND rel >= 2 THEN 1 ELSE 0 END) * 1000000 // 10
+            AS BIGINT) AS p10_micro,
+       CAST(sum(CASE WHEN rn <= 10 AND rel >= 2 THEN 1 ELSE 0 END) * 1000000
+            // sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r10_micro
+FROM ranked GROUP BY term
+""",
+)
+def ml_precision_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / Recall@10 per query term against the strong-hit
+    (tf >= 2) relevance set — pure integer micro-units via floor
+    division; the cutoff-eval twin of :func:`ml_ndcg_at_10`."""
+    ranked = _ranked_postings(spark, sf_dir)
+    hit = F.when((F.col("rn") <= 10) & (F.col("rel") >= 2), 1).otherwise(0)
+    rel = F.when(F.col("rel") >= 2, 1).otherwise(0)
+    return ranked.groupBy("term").agg(
+        F.sum(hit).cast("bigint").alias("hits_at_10"),
+        F.sum(rel).cast("bigint").alias("n_relevant"),
+        F.expr(
+            "cast(sum(case when rn <= 10 and rel >= 2 then 1 else 0 end) * 1000000"
+            " div 10 as bigint)"
+        ).alias("p10_micro"),
+        F.expr(
+            "cast(sum(case when rn <= 10 and rel >= 2 then 1 else 0 end) * 1000000"
+            " div sum(case when rel >= 2 then 1 else 0 end) as bigint)"
+        ).alias("r10_micro"),
+    )
+
+
+@register(
+    "dq_gini_concentration",
+    category="analytics",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, cust ASC) AS i
+  FROM spend),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS DECIMAL(38,0)) AS total,
+         CAST(sum(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS s1
+  FROM r)
+SELECT n, CAST(total AS BIGINT) AS total_cents,
+       round((2.0 * CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)
+              * CAST(total AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+FROM s
+""",
+)
+def dq_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality audit a corpus
+    curator runs on source/vendor contribution (a Gini near 1 means a few
+    entities dominate the data): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    over ascending-sorted spend, with the global sort rank computed by the
+    two-phase bucketed rank (no single-partition window) and every sum an
+    exact DECIMAL(38,0) of integer cents. One double expression at the
+    end, identical literal shape both engines."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = global_row_number(spend, "cents", ["cust"], out_col="i")
+    dec = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("total"),
+        F.sum(F.col("i").cast(dec) * F.col("cents")).cast(dec).alias("s1"),
+    )
+    return s.select(
+        "n",
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.round(
+            (
+                2.0 * F.col("s1").cast("double")
+                - (F.col("n").cast("double") + 1.0) * F.col("total").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "dq_herfindahl_concentration",
+    category="analytics",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+agg AS (
+  SELECT nk,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(cents) AS DECIMAL(38,0)) AS total,
+         CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS s2
+  FROM rev GROUP BY 1)
+SELECT CAST(nk AS INT) AS nationkey, n_suppliers,
+       CAST(total AS BIGINT) AS total_cents,
+       round(1000000.0 * CAST(s2 AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 2) AS hhi_micro
+FROM agg
+""",
+)
+def dq_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue within
+    each nation (micro-units: 1e6·Σ share² — 1e6 = monopoly): the
+    market-skew audit that, applied to corpus sources, tells a curator
+    when one vendor dominates a slice. Revenue sums and the Σ rev² moment
+    stay exact DECIMAL(38,0); one double expression at the end.
+
+    Scale shape: one (nation, supplier) aggregation (map-side combinable),
+    one nation-keyed moment aggregation — no joins after the dimension
+    lookup, nothing driver-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey").alias("nk")
+    )
+    rev = (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .groupBy("nk", "l_suppkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    dec = "decimal(38,0)"
+    agg = rev.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("total"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).cast(dec).alias("s2"),
+    )
+    return agg.select(
+        F.col("nk").cast("int").alias("nationkey"),
+        "n_suppliers",
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.round(
+            1000000.0
+            * F.col("s2").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            2,
+        ).alias("hhi_micro"),
+    )
+
+
+@register(
+    "events_autocorrelation_lag1",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT a.c AS x, b.c AS y
+  FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS autocorr_lag1
+FROM m
+""",
+)
+def events_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    burstiness/trend diagnostic of ingestion monitoring (near 0 = stable
+    arrivals, near 1 = strong day-over-day drift). Cross-moments of the
+    (x_t, x_{t+1}) pairs are exact BIGINTs (counts are integers); the
+    Pearson formula runs once in doubles with sqrt (exactly IEEE-defined,
+    safe cross-engine) and identical literal shape.
+
+    Scale shape: one date aggregation (map-side combinable to O(days)
+    rows), one day-keyed self-join bounded by the date dimension, one
+    1-row moment fold."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("y"))
+    pairs = a.join(b, F.col("db") == F.date_add(F.col("da"), 1))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return m.select("n", F.round(num / den, 6).alias("autocorr_lag1"))
+
+
+@register(
+    "multimodal_bmp_edge_energy",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+g AS (
+  SELECT asset_id, w, h, p,
+         299 * ((asset_id + 13 * p) % 256)
+         + 587 * ((2 * asset_id + 7 * p) % 256)
+         + 114 * ((3 * asset_id + 11 * p) % 256) AS gv
+  FROM px),
+hpair AS (
+  SELECT a.asset_id, CAST(sum(abs(b.gv - a.gv)) AS BIGINT) AS he
+  FROM g a JOIN g b ON b.asset_id = a.asset_id AND b.p = a.p + 1
+  WHERE (a.p % a.w) < a.w - 1 GROUP BY 1),
+vpair AS (
+  SELECT a.asset_id, CAST(sum(abs(b.gv - a.gv)) AS BIGINT) AS ve
+  FROM g a JOIN g b ON b.asset_id = a.asset_id AND b.p = a.p + a.w
+  WHERE (a.p // a.w) < a.h - 1 GROUP BY 1)
+SELECT d.asset_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       hpair.he AS h_energy, vpair.ve AS v_energy,
+       CAST((d.w - 1) * d.h AS BIGINT) AS n_h_pairs,
+       CAST(d.w * (d.h - 1) AS BIGINT) AS n_v_pairs
+FROM d JOIN hpair ON hpair.asset_id = d.asset_id
+       JOIN vpair ON vpair.asset_id = d.asset_id
+""",
+)
+def multimodal_bmp_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer gradient energy (sum of |Δluma| over horizontally and
+    vertically adjacent pixels) through the REAL BMP codec round-trip —
+    the blur/complexity screen of an image curation pipeline, certified
+    against the oracle's direct re-derivation of the synthetic pixel
+    formula. Pure BIGINT arithmetic end to end; one shuffle-free
+    Arrow-batched kernel pass (operators/multimodal.bmp_edge_energy)."""
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.bmp_edge_energy(M.synthesize_bmp_assets(docs))

@@ -1554,3 +1554,103 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_k"),
         F.min("l_sensitive").cast("bigint").alias("min_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword scoring — the graph-based companion to RAKE
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_EDGES_SQL = """
+WITH docs_t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+', 0) AS ts FROM documents),
+wcnt AS (SELECT unnest(ts) AS vw FROM docs_t),
+wc AS (SELECT vw, CAST(count(*) AS BIGINT) AS cnt FROM wcnt GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM wcnt),
+vocab AS (SELECT vw FROM wc, tot WHERE cnt * 2000 >= t),
+adj0 AS (SELECT ts, unnest(range(1, len(ts))) AS i FROM docs_t),
+adj AS (SELECT ts[i] AS a, ts[i + 1] AS b FROM adj0 WHERE ts[i] <> ts[i + 1]),
+und AS (SELECT a, b FROM adj UNION ALL SELECT b AS a, a AS b FROM adj)
+SELECT u.a AS src, u.b AS dst, CAST(count(*) AS BIGINT) AS w
+FROM und u
+JOIN vocab va ON va.vw = u.a
+JOIN vocab vb ON vb.vw = u.b
+GROUP BY 1, 2
+"""
+
+
+def _textrank_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank_oracle_sql
+
+    sql = pagerank_oracle_sql(_TEXTRANK_EDGES_SQL, iters=3, damping=0.85)
+    return f"SELECT node AS word, round(rank, 8) AS textrank FROM ({sql})"
+
+
+@register(
+    "text_textrank_words",
+    category="text",
+    oracle=_textrank_oracle(),
+    plan_shape="scalar_broadcast",
+    plan_reason="vocabulary gate compares word counts to the 1-row corpus "
+    "token total (broadcast scalar)",
+)
+def text_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau): PageRank over the word
+    co-occurrence graph — nodes are frequent words (count >= 1/2000 of all
+    tokens, a cross-multiplied integer gate), edges are ADJACENT word
+    pairs symmetrized with occurrence-count weights — the graph-centrality
+    companion to RAKE for keyword extraction, and the FOURTH certified use
+    of the one fixed-point pagerank engine (trade rank / personalized /
+    Markov-stationary / TextRank).
+
+    Scale shape: tokenization is one projection; adjacency explode is
+    linear in tokens; both vocabulary joins broadcast (the vocab is
+    frequency-bounded); the rolled-up edge list is vocab² at worst and the
+    three synchronous rounds iterate over it exactly like the trade
+    query. The vocabulary gate is a broadcast 1-row scalar
+    (plan_shape=scalar_broadcast)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ts")
+    )
+    words = toks.select(F.explode("ts").alias("vw")).groupBy("vw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = toks.select(F.explode("ts").alias("vw")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    vocab = (
+        words.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 2000 >= F.col("t"))
+        .select("vw")
+    )
+    pairs = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    va = vocab.select(F.col("vw").alias("a"))
+    vb = vocab.select(F.col("vw").alias("b"))
+    edges = (
+        und.join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        # snapshot the vocab-bounded edge list before the iterate (the
+        # trade-rank convention): each round re-references edges
+        .localCheckpoint(eager=True)
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("word"), F.round("rank", 8).alias("textrank")
+    )
