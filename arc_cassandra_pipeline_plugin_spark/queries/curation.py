@@ -2557,3 +2557,102 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("bigint").alias("min_score"),
         F.max("score").cast("bigint").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination by containment ratio (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_benchmark_contamination",
+    category="dedup",
+    oracle="""
+WITH dt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS ts
+  FROM documents),
+dsh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM dt),
+dsh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS sh
+  FROM dsh0),
+bt AS (
+  SELECT doc_id AS bench_id,
+         regexp_extract_all(lower(substring(text, 30, 150)), '[a-z]+', 0) AS ts
+  FROM documents WHERE doc_id < 5),
+bsh0 AS (SELECT bench_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM bt),
+bsh AS (
+  SELECT DISTINCT bench_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS sh
+  FROM bsh0),
+nb AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS nb FROM bsh GROUP BY 1),
+inter AS (
+  SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS i
+  FROM dsh d JOIN bsh b ON b.sh = d.sh
+  GROUP BY 1, 2)
+SELECT i.bench_id, nb.nb AS bench_shingles,
+       CAST(count(*) AS BIGINT) AS n_docs_with_overlap,
+       CAST(sum(CASE WHEN i.i * 10 >= 8 * nb.nb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(max(i.i * 1000000 // nb.nb) AS BIGINT) AS max_containment_micro
+FROM inter i JOIN nb ON nb.bench_id = i.bench_id
+GROUP BY 1, 2
+""",
+)
+def dedup_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by CONTAINMENT RATIO — the graded
+    companion to ``text_contamination`` (which flags any single shared
+    8-char shingle): word-trigram shingles of each document are scored for
+    coverage of each benchmark item's shingle set (items synthesized
+    as mid-document snippets of the first five docs, so true contamination
+    exists by construction at every scale); a doc covering >= 80% of an
+    item's shingles (cross-multiplied integers, no division) counts as
+    contaminated. Output: per-item overlap census, contaminated-doc count,
+    and max containment in exact micro-units (floor division).
+
+    Scale shape: the corpus side is an explode + DISTINCT (shingle-keyed
+    shuffle); the benchmark side is tiny and BROADCASTS into the
+    intersection join — at 100 TB the benchmark suite stays a broadcast
+    dimension and the corpus is touched once. Aggregations are map-side
+    combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        "CASE WHEN size(ts) >= 3 THEN transform(sequence(1, size(ts) - 2),"
+        " i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1])) ELSE"
+        " array() END"
+    )
+    dsh = (
+        docs.select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ts"),
+        )
+        .select("doc_id", F.explode(F.expr(tri)).alias("sh"))
+        .distinct()
+    )
+    bsh = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.expr(
+                "regexp_extract_all(lower(substring(text, 30, 150)), '[a-z]+', 0)"
+            ).alias("ts"),
+        )
+        .select("bench_id", F.explode(F.expr(tri)).alias("sh"))
+        .distinct()
+    )
+    nb = bsh.groupBy("bench_id").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    inter = (
+        dsh.join(F.broadcast(bsh), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(nb), "bench_id")
+        .groupBy("bench_id", F.col("nb").alias("bench_shingles"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_with_overlap"),
+            F.sum(F.when(F.col("i") * 10 >= 8 * F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.expr("cast(max(i * 1000000 div nb) as bigint)").alias(
+                "max_containment_micro"
+            ),
+        )
+    )

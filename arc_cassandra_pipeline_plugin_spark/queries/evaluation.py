@@ -530,3 +530,144 @@ def multimodal_bmp_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.bmp_edge_energy(M.synthesize_bmp_assets(docs))
+
+
+@register(
+    "ml_calibration_bins",
+    category="analytics",
+    oracle="""
+WITH r AS (
+  SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bin
+  FROM documents)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro,
+       CAST(min(n_chars) AS BIGINT) AS score_lo,
+       CAST(max(n_chars) AS BIGINT) AS score_hi
+FROM r GROUP BY 1
+""",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a scalar predictor (document length
+    vs lang = 'en'): decile-bucket the score with the EXACT two-phase
+    global ntile (operators/ranking.py — SQL ntile semantics, no
+    single-partition window), then report each bin's empirical positive
+    rate in integer micro-units — the calibration table every
+    quality-filter model audit plots. Pure integers end to end."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    tiled = global_ntile(docs, "n_chars", ["doc_id"], n=10, out_col="bin")
+    return tiled.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.expr("cast(sum(y) * 1000000 div count(*) as bigint)").alias(
+            "pos_rate_micro"
+        ),
+        F.min("n_chars").cast("bigint").alias("score_lo"),
+        F.max("n_chars").cast("bigint").alias("score_hi"),
+    )
+
+
+@register(
+    "sample_weighted_hash",
+    category="sampling",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         ('0x' || substr(md5('wsamp|' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+           AS h
+  FROM orders),
+mx AS (SELECT CAST(max(cents) AS BIGINT) AS mc FROM o),
+k AS (
+  SELECT o.o_orderpriority, o.cents,
+         CASE WHEN o.h * mx.mc < o.cents * 16777216 THEN 1 ELSE 0 END AS kept
+  FROM o, mx)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS kept_cents
+FROM k GROUP BY 1
+""",
+    plan_shape="scalar_broadcast",
+    plan_reason="acceptance test compares each row's hash to the 1-row "
+    "corpus max weight (broadcast scalar)",
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling — importance sampling
+    with content-hash randomness (the sampling module's md5 convention):
+    an order is kept with probability totalprice/max(totalprice), decided
+    by CROSS-MULTIPLIED integers (hash24 · max_cents < cents · 2²⁴ — no
+    division, no float, replayable by any engine). The curation use is
+    quality-weighted corpus downsampling where re-runs must pick the SAME
+    examples.
+
+    Scale shape: one scan computing (hash, cents), a 1-row max broadcast
+    back, one map-side-combinable priority aggregation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsamp|"), F.col("o_orderkey"))), 1, 6),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    mx = o.agg(F.max("cents").cast("bigint").alias("mc"))
+    k = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderpriority",
+        "cents",
+        F.when(F.col("h") * F.col("mc") < F.col("cents") * 16777216, 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return k.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_cents"),
+    )
+
+
+@register(
+    "func_levenshtein_adjacent",
+    category="functions",
+    oracle="""
+WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+p AS (
+  SELECT a.name AS na, b.name AS nb, levenshtein(a.name, b.name) AS d
+  FROM c a JOIN c b ON b.k = a.k + 1)
+SELECT CAST(d AS BIGINT) AS edit_distance,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+""",
+)
+def func_levenshtein_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in Levenshtein function surface, certified against DuckDB's
+    implementation of the same classic DP: edit-distance histogram over
+    consecutive customer-name pairs (key k joined to k+1 — a unique-key
+    equi-join, no pair explosion). TPC-H names differ only in their digit
+    tail, so the histogram concentrates on small distances — a cheap
+    structural check that both engines' DP semantics (unit costs,
+    no transpositions) agree."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    a = c.select(F.col("k").alias("ka"), F.col("name").alias("na"))
+    b = c.select((F.col("k") - 1).alias("ka"), F.col("name").alias("nb"))
+    return (
+        a.join(b, "ka")
+        .select(F.levenshtein("na", "nb").cast("bigint").alias("edit_distance"))
+        .groupBy("edit_distance")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
