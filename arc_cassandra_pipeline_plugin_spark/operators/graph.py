@@ -334,12 +334,14 @@ def label_propagation(
 
     Scale shape per round: one vertex-keyed join of the O(V) label vector
     onto the undirected edge list, one (node, label) weight aggregation
-    (map-side combinable), one deterministic argmax window partitioned by
-    node (state = labels per node, bounded by degree). Same iterate family
-    as :func:`pagerank`/:func:`sssp_cheapest`; no adjacency on the driver,
+    (map-side combinable), then a deterministic argmax as a SECOND
+    map-side-combinable aggregation — ``min_by(label, (-votes, label))``
+    picks the highest-vote label with ties to the smallest label, exactly
+    the (votes DESC, label ASC) window rank but without the window's
+    per-partition sort (a reduction combines partially on the map side; a
+    rank window cannot). Same iterate family as
+    :func:`pagerank`/:func:`sssp_cheapest`; no adjacency on the driver,
     lineage cut per round via localCheckpoint on the label vector."""
-    from pyspark.sql import Window
-
     if rounds < 1:
         raise ValueError(f"label_propagation needs rounds >= 1, got {rounds}")
     # sum raw weights FIRST, cast the group sum — matching the oracle's
@@ -359,18 +361,17 @@ def label_propagation(
     labels = und.select(F.col("_a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w_rank = Window.partitionBy("_b").orderBy(F.col("_v").desc(), F.col("label").asc())
     for _ in range(rounds):
         votes = (
             und.join(labels.select(F.col("node").alias("_a"), "label"), "_a")
             .groupBy("_b", "label")
             .agg(F.sum("_w").alias("_v"))
         )
-        best = (
-            votes.withColumn("_rn", F.row_number().over(w_rank))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("_b").alias("node"), F.col("label").alias("_new"))
-        )
+        best = votes.groupBy("_b").agg(
+            F.min_by(
+                "label", F.struct((-F.col("_v")).alias("nv"), F.col("label"))
+            ).alias("_new")
+        ).select(F.col("_b").alias("node"), "_new")
         labels = (
             labels.join(best, "node", "left")
             .select("node", F.coalesce(F.col("_new"), F.col("label")).alias("label"))

@@ -4034,8 +4034,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round one vertex-keyed join of the O(V) label vector
     onto the symmetrized edge list + one map-side-combinable (node, label)
-    vote aggregation + one degree-bounded argmax window — the same
-    iterate family as pagerank/SSSP/BFS; no driver-side graph state."""
+    vote aggregation + a min_by argmax that is ITSELF map-side combinable
+    (r6: replaced the per-node rank window — a reduction combines
+    partially on the map side, a window sort cannot) — the same iterate
+    family as pagerank/SSSP/BFS; no driver-side graph state."""
     from arc_cassandra_pipeline_plugin_spark.operators.graph import label_propagation
 
     nation = load_table(spark, sf_dir, "nation")
