@@ -594,3 +594,86 @@ def test_count_sketch_cells_merge_additively(spark, keys_a, keys_b):
         recovered[k] = recovered.get(k, 0) - v
     recovered = {k: v for k, v in recovered.items() if v != 0}
     assert recovered == ca
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # score
+            st.booleans(),                           # label
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs))
+)
+def test_auc_rank_sum_matches_brute_force_pairs(spark, rows):
+    """The grouped prefix-sum AUC (the ml_auc_rank_sum pipeline) must equal
+    the O(n²) definition: mean over (pos, neg) pairs of
+    [score_pos > score_neg] + 0.5·[==], for ANY score/label multiset."""
+    from fractions import Fraction
+
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(s, 1 if y else 0) for s, y in rows], "score int, y int"
+    )
+    per = df.groupBy("score").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    ps = global_prefix_sum(per, "score", "neg", out_col="cumneg")
+    row = ps.agg(
+        F.sum(F.col("pos") * (2 * F.col("cumneg") + F.col("neg"))).alias("u2"),
+        F.sum("pos").alias("p"),
+        F.sum("neg").alias("n"),
+    ).first()
+    got = Fraction(int(row["u2"]), 2 * int(row["p"]) * int(row["n"]))
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    num = sum(2 * (sp > sn) + (sp == sn) for sp in pos for sn in neg)
+    want = Fraction(num, 2 * len(pos) * len(neg))
+    assert got == want
+
+
+@_settings
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000)), min_size=1, max_size=60
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000)), min_size=1, max_size=40
+    ),
+    buckets=st.integers(min_value=2, max_value=6),
+    threshold=st.integers(min_value=1, max_value=50),
+)
+def test_blocked_pair_join_identity_any_distribution(
+    spark, left, right, buckets, threshold
+):
+    """blocked_pair_join must return exactly the plain equi-join's pair
+    multiset for ANY block distribution, salt bucket count, and hot
+    threshold — salting can never add, drop, or duplicate a pair."""
+    from arc_cassandra_pipeline_plugin_spark.operators.blocking import (
+        blocked_pair_join,
+    )
+
+    l = spark.createDataFrame(
+        [(i, b, v) for i, (b, v) in enumerate(left)], "lid int, bk int, lv int"
+    )
+    r = spark.createDataFrame(
+        [(i, b, v) for i, (b, v) in enumerate(right)], "rid int, bk int, rv int"
+    )
+    plain = sorted(
+        (row["lid"], row["rid"]) for row in l.join(r, ["bk"]).collect()
+    )
+    got = sorted(
+        (row["lid"], row["rid"])
+        for row in blocked_pair_join(
+            l, r, ["bk"], left_salt_col="lid",
+            salt_buckets=buckets, skew_threshold=threshold,
+        ).collect()
+    )
+    assert got == plain
