@@ -493,3 +493,24 @@ def test_fellegi_sunter_no_broadcast_hint(spark):
     # never a nested-loop pair sweep
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_auc_rank_sum_windows_all_partitioned(spark):
+    """The AUC prefix sum must ride the two-phase bucketed helper — every
+    Window node partitioned (no global single-partition running sum)."""
+    import re
+
+    df = REGISTRY["ml_auc_rank_sum"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\]", plan):
+        assert m.group("part").strip(), f"unpartitioned Window:\n{plan}"
+
+
+def test_benchmark_contamination_broadcasts_bench_side(spark):
+    """The decontamination intersection join must broadcast the benchmark
+    shingle set (a fixed eval suite is a dimension at any corpus scale) —
+    and never degenerate to a nested-loop pair sweep."""
+    df = REGISTRY["dedup_benchmark_contamination"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
