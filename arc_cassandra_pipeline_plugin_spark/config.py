@@ -57,6 +57,9 @@ _KEY_TO_FIELD = {
     "inferSchema": "infer_schema",
     "multiLine": "multi_line",
     "rowsPerSecond": "rows_per_second",
+    "rowTag": "row_tag",
+    "rootTag": "root_tag",
+    "wholeText": "whole_text",
     "partitionOutput": "partition_output",
     "bucketBy": "bucket_by",
     "numBuckets": "num_buckets",
@@ -111,7 +114,7 @@ def _coerce(field: dataclasses.Field, value: Any, key: str) -> Any:
         return value
     if field.name in (
         "persist", "header", "infer_schema", "multi_line", "partition_output",
-        "observe_metrics", "trim", "lenient", "skip_sort_output",
+        "observe_metrics", "trim", "lenient", "skip_sort_output", "whole_text",
     ):
         if not isinstance(value, bool):
             raise TypeError(f"expected a boolean for '{key}'")

@@ -671,3 +671,52 @@ def func_levenshtein_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("edit_distance")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "xml_stage_roundtrip",
+    category="pipeline",
+    oracle="""
+SELECT n_regionkey AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name) AS first_name
+FROM nation GROUP BY 1
+""",
+)
+def xml_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML data source as first-class pipeline stages
+    under the oracle gate: nation flows through XMLLoad (rowTag elements
+    under a rootTag document), back out through XMLExtract with schema
+    inference, and a downstream aggregate must equal the plain SQL truth —
+    certifying the XML write path, read path, and type fidelity across
+    the sink/source boundary in one query."""
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+    from arc_cassandra_pipeline_plugin_spark.queries import scratch_dir
+    from arc_cassandra_pipeline_plugin_spark.stages import XMLExtract, XMLLoad
+
+    root = scratch_dir("xml_roundtrip")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.createOrReplaceTempView("xml_rt_src")
+    ctx = PipelineContext()
+    XMLLoad(
+        name="xml write",
+        input_view="xml_rt_src",
+        output_uri=f"{root}/nation_xml",
+        row_tag="nation",
+        root_tag="nations",
+        save_mode="Overwrite",
+    ).execute(spark, ctx)
+    back = XMLExtract(
+        name="xml read",
+        input_uri=f"{root}/nation_xml",
+        output_view="xml_rt_back",
+        row_tag="nation",
+    ).execute(spark, ctx)
+    return back.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -32,6 +32,8 @@ from arc_cassandra_pipeline_plugin_spark.stages.extract import (
     ParquetExtract,
     RateStreamExtract,
     TableExtract,
+    TextExtract,
+    XMLExtract,
 )
 from arc_cassandra_pipeline_plugin_spark.stages.load import (
     SAVE_MODES,
@@ -41,6 +43,7 @@ from arc_cassandra_pipeline_plugin_spark.stages.load import (
     ORCLoad,
     ParquetLoad,
     TableLoad,
+    XMLLoad,
 )
 from arc_cassandra_pipeline_plugin_spark.stages.transform import (
     MetadataTransform,
@@ -111,11 +114,16 @@ for _cls in (
     ParquetExtract,
     ORCExtract,
     ORCLoad,
+    XMLExtract,
+    XMLLoad,
+    TextExtract,
     DelimitedExtract,
     JSONExtract,
     CassandraExtract,
     RateStreamExtract,
     TableExtract,
+    TextExtract,
+    XMLExtract,
     SQLTransform,
     PythonTransform,
     OperatorTransform,
@@ -149,6 +157,9 @@ __all__ = [
     "ParquetLoad",
     "ORCExtract",
     "ORCLoad",
+    "XMLExtract",
+    "XMLLoad",
+    "TextExtract",
     "DelimitedLoad",
     "CassandraLoad",
     "TableLoad",

@@ -258,6 +258,45 @@ class JSONExtract(ExtractStage):
 
 
 @dataclass
+class XMLExtract(ExtractStage):
+    """XML source via Spark 4's NATIVE xml data source (the former
+    spark-xml package, upstreamed): one row per ``rowTag`` element,
+    schema inferred unless supplied. Supports the same pushdown/pruning
+    surface as the other file sources."""
+
+    stage_type: str = "XMLExtract"
+    input_uri: str = ""
+    row_tag: str = "row"
+
+    def _read(self, spark: SparkSession, ctx: PipelineContext) -> DataFrame:
+        reader = (
+            spark.read.format("xml")
+            .option("rowTag", self.row_tag)
+            .options(**self.params)
+        )
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.load(self.input_uri)
+
+
+@dataclass
+class TextExtract(ExtractStage):
+    """Line-oriented text source (``spark.read.text``): one ``value``
+    string column per line — the raw-ingest entry of a text pipeline
+    (wholetext=true flips to one row per FILE)."""
+
+    stage_type: str = "TextExtract"
+    input_uri: str = ""
+    whole_text: bool = False
+
+    def _read(self, spark: SparkSession, ctx: PipelineContext) -> DataFrame:
+        reader = spark.read.options(**self.params)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.text(self.input_uri, wholetext=self.whole_text)
+
+
+@dataclass
 class CassandraExtract(ExtractStage):
     """Cassandra table scan, schema inferred by the connector
     (``CassandraExtract.scala:95-98``): ``spark.read.format(

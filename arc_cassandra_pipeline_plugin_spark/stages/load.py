@@ -167,6 +167,30 @@ class ParquetLoad(LoadStage):
 
 
 @dataclass
+class XMLLoad(LoadStage):
+    """XML sink via Spark 4's native xml source (one ``rowTag`` element
+    per row under a ``rootTag`` document element)."""
+
+    stage_type: str = "XMLLoad"
+    output_uri: str = ""
+    row_tag: str = "row"
+    root_tag: str = "rows"
+    partition_output: bool = False
+
+    def _write(self, df: DataFrame, spark: SparkSession, ctx: PipelineContext) -> None:
+        writer = (
+            df.write.format("xml")
+            .mode(_SAVE_MODE_MAP[self.save_mode])
+            .option("rowTag", self.row_tag)
+            .option("rootTag", self.root_tag)
+            .options(**self.params)
+        )
+        if self.partition_output and self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.save(self.output_uri)
+
+
+@dataclass
 class ORCLoad(LoadStage):
     """ORC sink."""
 

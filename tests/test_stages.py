@@ -922,3 +922,60 @@ def test_parquet_extract_max_manifest_files_guard(spark, ctx, tmp_path):
     )
     with _pytest.raises(Exception, match="maxManifestFiles"):
         st.execute(spark, ctx)
+
+
+def test_xml_extract_load_roundtrip(spark, ctx, tmp_path):
+    """Spark 4's native XML source as first-class stages: XMLLoad writes
+    rowTag elements, XMLExtract reads them back; the round-trip preserves
+    the data and the config layer maps rowTag/rootTag."""
+    from arc_cassandra_pipeline_plugin_spark.config import parse_config
+    from arc_cassandra_pipeline_plugin_spark.stages import XMLExtract, XMLLoad
+
+    src_df = (
+        spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+        .selectExpr("n_nationkey AS k", "n_name AS name")
+    )
+    src_df.createOrReplaceTempView("nation_src")
+    out = str(tmp_path / "nation_xml")
+
+    XMLLoad(name="w", input_view="nation_src", output_uri=out,
+            row_tag="nation", root_tag="nations").execute(spark, ctx)
+    st = XMLExtract(name="r", input_uri=out, output_view="nation_xml",
+                    row_tag="nation")
+    df = st.execute(spark, ctx)
+    got = {(r["k"], r["name"]) for r in df.collect()}
+    want = {(r["k"], r["name"]) for r in src_df.collect()}
+    assert got == want and len(got) == 25
+
+    # config-layer mapping
+    conf = {
+        "stages": [{
+            "type": "XMLExtract", "name": "x", "environments": ["test"],
+            "inputURI": out, "rowTag": "nation", "outputView": "nx",
+        }]
+    }
+    import json
+    p = parse_config(json.dumps(conf), ctx)
+    p.run(spark, ctx)
+    assert spark.table("nx").count() == 25
+
+
+def test_text_extract_lines_and_wholetext(spark, ctx, tmp_path):
+    """TextExtract: one row per line by default; wholetext=true gives one
+    row per file."""
+    from arc_cassandra_pipeline_plugin_spark.stages import TextExtract
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+
+    lines = TextExtract(name="t", input_uri=str(d), output_view="t1").execute(
+        spark, ctx
+    )
+    assert {r["value"] for r in lines.collect()} == {"alpha", "beta", "gamma"}
+
+    whole = TextExtract(
+        name="t2", input_uri=str(d), output_view="t2", whole_text=True
+    ).execute(spark, ctx)
+    assert whole.count() == 2
