@@ -720,3 +720,164 @@ def xml_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "ml_confusion_f1",
+    category="analytics",
+    oracle="""
+WITH p AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+m AS (
+  SELECT CAST(sum(pred * y) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+         CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+  FROM p)
+SELECT tp, fp, fn, tn,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_micro,
+       CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_micro,
+       CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_micro,
+       CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+         AS accuracy_micro
+FROM m
+""",
+)
+def ml_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier confusion matrix with precision / recall / F1 /
+    accuracy in exact integer micro-units (floor division — identical
+    truncation both engines, no float ever): the fixed-threshold companion
+    to ``ml_auc_rank_sum`` (threshold n_chars >= 300 predicting
+    lang = 'en'). One scan, one 1-row fold — the canonical map-only
+    eval job."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    m = p.agg(
+        F.sum(F.col("pred") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y"))).cast("bigint").alias("tn"),
+    )
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("cast(tp * 1000000 div (tp + fp) as bigint)").alias(
+            "precision_micro"
+        ),
+        F.expr("cast(tp * 1000000 div (tp + fn) as bigint)").alias("recall_micro"),
+        F.expr("cast(2 * tp * 1000000 div (2 * tp + fp + fn) as bigint)").alias(
+            "f1_micro"
+        ),
+        F.expr(
+            "cast((tp + tn) * 1000000 div (tp + fp + fn + tn) as bigint)"
+        ).alias("accuracy_micro"),
+    )
+
+
+@register(
+    "ml_mcnemar_paired",
+    category="analytics",
+    oracle="""
+WITH p AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+d AS (
+  SELECT CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_a_right,
+         CAST(sum(CASE WHEN b = y AND a <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_b_right,
+         CAST(sum(CASE WHEN a = y AND b = y THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_right,
+         CAST(sum(CASE WHEN a <> y AND b <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_wrong
+  FROM p)
+SELECT only_a_right, only_b_right, both_right, both_wrong,
+       CAST((only_a_right - only_b_right) * (only_a_right - only_b_right)
+            * 1000000 // (only_a_right + only_b_right) AS BIGINT)
+         AS mcnemar_chi2_micro
+FROM d
+""",
+)
+def ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-classifier test — the A/B significance check for
+    two models scored on the SAME examples (length-threshold vs a parity
+    baseline, both predicting lang = 'en'): the discordant-pair counts and
+    the chi-square statistic (b-c)²/(b+c) in exact integer micro-units.
+    One scan, one 1-row fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("b"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    d = p.agg(
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1)
+              .otherwise(0)).cast("bigint").alias("only_a_right"),
+        F.sum(F.when((F.col("b") == F.col("y")) & (F.col("a") != F.col("y")), 1)
+              .otherwise(0)).cast("bigint").alias("only_b_right"),
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") == F.col("y")), 1)
+              .otherwise(0)).cast("bigint").alias("both_right"),
+        F.sum(F.when((F.col("a") != F.col("y")) & (F.col("b") != F.col("y")), 1)
+              .otherwise(0)).cast("bigint").alias("both_wrong"),
+    )
+    return d.select(
+        "only_a_right", "only_b_right", "both_right", "both_wrong",
+        F.expr(
+            "cast((only_a_right - only_b_right) * (only_a_right - only_b_right)"
+            " * 1000000 div (only_a_right + only_b_right) as bigint)"
+        ).alias("mcnemar_chi2_micro"),
+    )
+
+
+#: shared power-of-2 bucket ladder for interarrival gaps (seconds) —
+#: generated once, embedded as the identical CASE expression in both
+#: engines (integer comparisons only; no log anywhere)
+_GAP_BUCKET_CASE = "CASE WHEN gap <= 0 THEN 0 WHEN gap < 2 THEN 1 WHEN gap < 4 THEN 2 WHEN gap < 8 THEN 3 WHEN gap < 16 THEN 4 WHEN gap < 32 THEN 5 WHEN gap < 64 THEN 6 WHEN gap < 128 THEN 7 WHEN gap < 256 THEN 8 WHEN gap < 512 THEN 9 WHEN gap < 1024 THEN 10 WHEN gap < 2048 THEN 11 WHEN gap < 4096 THEN 12 WHEN gap < 8192 THEN 13 WHEN gap < 16384 THEN 14 WHEN gap < 32768 THEN 15 WHEN gap < 65536 THEN 16 WHEN gap < 131072 THEN 17 WHEN gap < 262144 THEN 18 WHEN gap < 524288 THEN 19 WHEN gap < 1048576 THEN 20 WHEN gap < 2097152 THEN 21 WHEN gap < 4194304 THEN 22 WHEN gap < 8388608 THEN 23 WHEN gap < 16777216 THEN 24 ELSE 25 END"
+
+
+@register(
+    "events_interarrival_log2",
+    category="timeseries",
+    oracle=f"""
+WITH e AS (
+  -- epoch_us // 1e6 floors like Spark's unix_timestamp; epoch()::BIGINT
+  -- would ROUND the fractional second and disagree on ~half the rows
+  SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events),
+g AS (
+  SELECT user_id,
+         s - lag(s) OVER (PARTITION BY user_id ORDER BY s) AS gap
+  FROM e),
+b AS (SELECT {_GAP_BUCKET_CASE} AS bucket FROM g WHERE gap IS NOT NULL)
+SELECT CAST(bucket AS INT) AS gap_bucket_log2,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY 1
+""",
+)
+def events_interarrival_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time histogram on a power-of-2 (log2) scale — the
+    burstiness fingerprint of an event stream (bots cluster in the
+    low buckets, humans spread across minutes/hours): per-user consecutive
+    gaps in epoch seconds, bucketed by a generated integer CASE ladder
+    (bucket k holds gaps in [2^(k-1), 2^k)) so no logarithm is ever
+    evaluated. The lag window partitions by user (activity-bounded);
+    the histogram aggregation is map-side combinable."""
+    from pyspark.sql.window import Window as _W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("s")
+    )
+    w = _W.partitionBy("user_id").orderBy("s")
+    g = e.select((F.col("s") - F.lag("s").over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return (
+        g.select(F.expr(_GAP_BUCKET_CASE).alias("bucket"))
+        .groupBy(F.col("bucket").cast("int").alias("gap_bucket_log2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+    )
