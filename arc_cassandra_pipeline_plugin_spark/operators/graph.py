@@ -654,6 +654,11 @@ def ktruss_edges(
         .localCheckpoint(eager=True)
     )
     cur = und
+    # early stop at the FIXED POINT: a round that drops no edge makes every
+    # later round recompute identical support — result-identical to running
+    # all `rounds`, and the convergence probe is one count over the freshly
+    # checkpointed (already materialized) edge frame
+    prev_cnt = und.count()
     for _ in range(rounds):
         n1 = cur.select(F.col("a").alias("ea"), F.col("b").alias("c"))
         n2 = cur.select(F.col("a").alias("eb"), F.col("b").alias("c2"))
@@ -671,6 +676,10 @@ def ktruss_edges(
             .localCheckpoint(eager=True)
         )
         last_sup = sup
+        cnt = cur.count()
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
     return last_sup
 
 
@@ -737,6 +746,9 @@ def kcore_vertices(
     )
     cur = und
     keep_deg = None
+    # fixed-point early stop, as in ktruss_edges: an unchanged edge frame
+    # makes every later peel recompute identical degrees
+    prev_cnt = und.count()
     for _ in range(rounds):
         deg = cur.groupBy("a").agg(
             F.count(F.lit(1)).cast("bigint").alias("degree")
@@ -749,6 +761,10 @@ def kcore_vertices(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        cnt = cur.count()
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
     return keep_deg
 
 

@@ -1745,3 +1745,27 @@ def test_label_propagation_fractional_weights_sum_before_cast(spark):
     # w (0) and there is no self vote — v adopts "u". u gets votes from v
     # (1) -> label v... symmetric union doubles: v->u weight also 1.
     assert ("v", "u") in got
+
+
+def test_truss_core_early_stop_is_result_identical(spark):
+    """Fixed-point early stop: running MORE rounds than the peel depth
+    returns exactly the converged result (triangle graph is its own
+    3-truss / 2-core fixed point from round 1, so rounds=5 must equal
+    rounds=1 output)."""
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "src string, dst string"
+    )
+    t1 = {tuple(r) for r in G.ktruss_edges(tri, k=3, rounds=1).collect()}
+    t5 = {tuple(r) for r in G.ktruss_edges(tri, k=3, rounds=5).collect()}
+    assert t1 != set() and t5 == {
+        tuple(r) for r in G.ktruss_edges(tri, k=3, rounds=2).collect()
+    }
+    # after the pendant edge (a, d) peels, rounds 2.. are the fixed point
+    assert {(r[0], r[1]) for r in t5} == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    c1 = {tuple(r) for r in G.kcore_vertices(tri, k=2, rounds=1).collect()}
+    c5 = {tuple(r) for r in G.kcore_vertices(tri, k=2, rounds=5).collect()}
+    assert c5 == {tuple(r) for r in G.kcore_vertices(tri, k=2, rounds=3).collect()}
+    assert {r[0] for r in c5} == {"a", "b", "c"} and len(c1) >= len(c5)
