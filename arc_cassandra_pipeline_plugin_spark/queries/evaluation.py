@@ -881,3 +881,103 @@ def events_interarrival_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("bucket").cast("int").alias("gap_bucket_log2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
     )
+
+
+_TRADE_UND_SQL = """
+  SELECT DISTINCT a, b FROM (
+    SELECT n1.n_name AS a, n2.n_name AS b
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN supplier  ON s_suppkey  = l_suppkey
+    JOIN customer  ON c_custkey  = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    UNION ALL
+    SELECT n2.n_name, n1.n_name
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN supplier  ON s_suppkey  = l_suppkey
+    JOIN customer  ON c_custkey  = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  ) WHERE a <> b
+"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    category="graph",
+    oracle=f"""
+WITH und AS ({_TRADE_UND_SQL}),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS closed_wedges
+  FROM und e
+  JOIN und n1 ON n1.a = e.a
+  JOIN und n2 ON n2.a = e.b AND n2.b = n1.b
+  WHERE e.a < e.b),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST(tri.closed_wedges // 3 AS BIGINT) AS n_triangles,
+       w.n_wedges,
+       CAST(tri.closed_wedges * 1000000 // w.n_wedges AS BIGINT)
+         AS global_cc_micro
+FROM tri, w
+""",
+    plan_shape="scalar_broadcast",
+    plan_reason="final assembly joins the 1-row triangle census to the "
+    "1-row wedge census (two broadcast scalars)",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the undirected
+    nation trade graph: 3 x triangles / wedges, all in exact integers
+    (micro-units via floor division) — the cohesion summary of any
+    graph-quality report. Triangle counting is the one distributed
+    adjacency self-join keyed by the shared neighbor (the k-truss support
+    join); wedges come from one degree aggregation.
+
+    Scale shape: the fact rollup broadcasts the dimensions; the triangle
+    join shuffles on vertex ids; both censuses reduce to 1 row and
+    cross-join as broadcast scalars (declared scalar_broadcast)."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("a"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("b"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    directed = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .select("a", "b")
+    )
+    und = (
+        directed.union(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("a").alias("ea"), F.col("b").alias("c"))
+    e2 = und.select(F.col("a").alias("eb"), F.col("b").alias("c2"))
+    tri = (
+        und.filter(F.col("a") < F.col("b"))
+        .join(e1, F.col("ea") == F.col("a"))
+        .join(e2, (F.col("eb") == F.col("b")) & (F.col("c2") == F.col("c")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("closed_wedges"))
+    )
+    wedges = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        F.expr("cast(closed_wedges div 3 as bigint)").alias("n_triangles"),
+        "n_wedges",
+        F.expr("cast(closed_wedges * 1000000 div n_wedges as bigint)").alias(
+            "global_cc_micro"
+        ),
+    )
