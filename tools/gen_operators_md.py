@@ -12,10 +12,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODULES = [
-    "archive",
+    "archive", "blocking",
     "dedup", "similarity", "text", "timeseries", "ranking", "packing",
     "graph", "linalg", "sketches", "bloom", "layout", "skew", "sampling",
-    "quality", "multimodal",
+    "quality", "multimodal", "spatial",
 ]
 
 
