@@ -677,3 +677,57 @@ def test_blocked_pair_join_identity_any_distribution(
         ).collect()
     )
     assert got == plain
+
+
+@_settings
+@given(
+    tfs=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 500)),  # (tf, doc_id-ish)
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_ndcg_pipeline_matches_python_reference(spark, tfs):
+    """The NDCG@10 shape (graded rel, LUT discounts, (tf DESC, doc) rank,
+    ideal (rel DESC, doc) rank) must equal a plain-Python NDCG on the same
+    posting list — for ANY tf multiset, including ties everywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arc_cassandra_pipeline_plugin_spark.queries.evaluation import _DISC
+
+    df = spark.createDataFrame(
+        [("q", d, t) for t, d in tfs], "term string, doc_id long, tf long"
+    )
+    rel = F.when(F.col("tf") >= 3, 3).when(F.col("tf") == 2, 2).otherwise(1)
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    wi = Window.partitionBy("term").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ranked = df.select("term", "doc_id", "tf", rel.alias("rel")).select(
+        "term", "rel",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(wi).alias("irn"),
+    )
+    disc = F.lit(0)
+    idisc = F.lit(0)
+    for i, d in enumerate(_DISC):
+        disc = F.when(F.col("rn") == i + 1, d).otherwise(disc)
+        idisc = F.when(F.col("irn") == i + 1, d).otherwise(idisc)
+    row = ranked.agg(
+        F.sum(F.when(F.col("rn") <= 10, F.col("rel") * disc).otherwise(0)).alias("dcg"),
+        F.sum(F.when(F.col("irn") <= 10, F.col("rel") * idisc).otherwise(0)).alias(
+            "idcg"
+        ),
+    ).first()
+
+    # plain-Python reference
+    rels_by_rank = [
+        (3 if t >= 3 else 2 if t == 2 else 1)
+        for t, d in sorted(tfs, key=lambda x: (-x[0], x[1]))
+    ][:10]
+    ideal = sorted(
+        ((3 if t >= 3 else 2 if t == 2 else 1) for t, d in tfs), reverse=True
+    )[:10]
+    want_dcg = sum(r * _DISC[i] for i, r in enumerate(rels_by_rank))
+    want_idcg = sum(r * _DISC[i] for i, r in enumerate(ideal))
+    assert (row["dcg"], row["idcg"]) == (want_dcg, want_idcg)
