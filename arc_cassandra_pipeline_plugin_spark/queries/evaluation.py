@@ -981,3 +981,77 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_cc_micro"
         ),
     )
+
+
+@register(
+    "events_max_drawdown",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT a.d, CAST(sum(b.v) AS BIGINT) AS c
+  FROM daily a JOIN daily b ON b.d <= a.d
+  GROUP BY 1),
+peak AS (
+  SELECT a.d, a.c, CAST(max(b.c) AS BIGINT) AS pk
+  FROM cum a JOIN cum b ON b.d <= a.d
+  GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(pk - c) AS BIGINT) AS max_drawdown_cents,
+       CAST(min(CASE WHEN pk - c = (SELECT max(pk - c) FROM peak)
+                     THEN d END) AS DATE) AS trough_day
+FROM peak
+""",
+    plan_shape="dimension_bounded",
+    plan_reason="running sum and running peak are day x day self-joins, "
+    "both sides bounded by the calendar dimension",
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily event-value series — the
+    worst peak-to-trough decline, the canonical health metric for any
+    cumulative KPI (revenue, net token budget): max over days of
+    (running peak − running total), plus the first trough day. All sums
+    are exact integer cents; the running total and running peak are
+    day x day self-joins (both sides bounded by the calendar dimension —
+    the repo's users_cumulative_distinct pattern; no single-partition
+    window)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("d").alias("da"))
+    b = daily.select(F.col("d").alias("db"), "v")
+    cum = (
+        a.join(b, F.col("db") <= F.col("da"))
+        .groupBy(F.col("da").alias("d"))
+        .agg(F.sum("v").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ca = cum.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    cb = cum.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    peak = (
+        ca.join(cb, F.col("db") <= F.col("da"))
+        .groupBy(F.col("da").alias("d"), F.col("ca").alias("c"))
+        .agg(F.max("cb").cast("bigint").alias("pk"))
+    )
+    dd = peak.select("d", (F.col("pk") - F.col("c")).alias("dd"))
+    mx = dd.agg(F.max("dd").cast("bigint").alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("mdd").cast("bigint").alias("max_drawdown_cents"),
+            F.min(F.when(F.col("dd") == F.col("mdd"), F.col("d"))).alias(
+                "trough_day"
+            ),
+        )
+    )
