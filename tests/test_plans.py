@@ -514,3 +514,46 @@ def test_benchmark_contamination_broadcasts_bench_side(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fellegi_sunter_blocks_on_composite_key_and_salt_is_identical(spark):
+    """(a) The FS candidate join must key on BOTH block components
+    (nation AND balance band) — a nation-only join would be the fixed-25-
+    key quadratic shape the composite key exists to prevent; (b) forcing
+    the hot-block path on the real fixture frames (threshold 1) must
+    return exactly the unsalted pair set."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.operators.blocking import (
+        blocked_pair_join,
+    )
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    df = REGISTRY["er_fellegi_sunter"].fn(spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "band_key" in analyzed and "nk" in analyzed, analyzed
+
+    c = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr(
+            "(cast(round(c_acctbal * 100, 0) as bigint) + 100000) div 100000"
+        ).alias("band_key"),
+    )
+    s = load_table(spark, SF_SMALL, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("s_nationkey").alias("nk"),
+        F.expr(
+            "(cast(round(s_acctbal * 100, 0) as bigint) + 100000) div 100000"
+        ).alias("band_key"),
+    )
+    plain = {
+        (r["ck"], r["sk"]) for r in c.join(s, ["nk", "band_key"]).collect()
+    }
+    forced = blocked_pair_join(
+        c, s, ["nk", "band_key"], left_salt_col="ck",
+        salt_buckets=8, skew_threshold=1,  # every block "hot"
+    )
+    assert "_salt" in forced._jdf.queryExecution().executedPlan().toString()
+    assert {(r["ck"], r["sk"]) for r in forced.collect()} == plain
+    assert len(plain) > 0  # sf0.001: sparse composite blocks, few pairs
