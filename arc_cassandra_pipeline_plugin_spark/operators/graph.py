@@ -344,15 +344,18 @@ def label_propagation(
     lineage cut per round via localCheckpoint on the label vector."""
     if rounds < 1:
         raise ValueError(f"label_propagation needs rounds >= 1, got {rounds}")
-    # sum raw weights FIRST, cast the group sum — matching the oracle's
-    # CAST(sum(_w) AS BIGINT); casting each edge weight before the sum
-    # would truncate fractional weights differently per edge
+    # sum weights in DECIMAL(38,12) (exact, partition-order-free — a raw
+    # double sum near an integer boundary could truncate differently
+    # across runs/engines), THEN cast the exact group sum to bigint; the
+    # oracle mirrors CAST(sum(CAST(_w AS DECIMAL(38,12))) AS BIGINT).
+    # Per-edge bigint casts would truncate fractional weights per edge —
+    # a different (wrong) semantic
     und = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"),
-                     F.col(weight).alias("_w"))
+                     F.col(weight).cast("decimal(38,12)").alias("_w"))
         .union(
             edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"),
-                         F.col(weight).alias("_w"))
+                         F.col(weight).cast("decimal(38,12)").alias("_w"))
         )
         .groupBy("_a", "_b")
         .agg(F.sum("_w").cast("bigint").alias("_w"))
@@ -387,9 +390,9 @@ def label_propagation_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
     ctes = [
         f"""ue AS (
   SELECT _a, _b, CAST(sum(_w) AS BIGINT) AS _w FROM (
-    SELECT src AS _a, dst AS _b, w AS _w FROM ({edges_sql})
+    SELECT src AS _a, dst AS _b, CAST(w AS DECIMAL(38,12)) AS _w FROM ({edges_sql})
     UNION ALL
-    SELECT dst AS _a, src AS _b, w AS _w FROM ({edges_sql})
+    SELECT dst AS _a, src AS _b, CAST(w AS DECIMAL(38,12)) AS _w FROM ({edges_sql})
   ) GROUP BY 1, 2)""",
         "l0 AS (SELECT DISTINCT _a AS node, _a AS label FROM ue)",
     ]

@@ -2560,6 +2560,204 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fellegi-Sunter EM weight estimation (round 7)
+# ---------------------------------------------------------------------------
+
+_FS_EM_ITERS = 30
+_FS_EM_SEED = {"lam": 0.1, "mp": 0.8, "up": 0.1, "mc": 0.8, "uc": 0.1}
+
+
+def fs_em_python(n00: float, n01: float, n10: float, n11: float,
+                 iters: int = _FS_EM_ITERS) -> dict[str, float]:
+    """Reference EM fixed point over the 2x2 comparison-pattern histogram
+    (penny-agree x congruence-agree counts of blocked candidate pairs).
+    Every operation is IEEE-double +,-,*,/ in a FIXED order — all four are
+    exactly rounded, so any IEEE engine replaying the same expression
+    shapes produces bit-identical iterates. The generated DuckDB oracle
+    (:func:`_fs_em_oracle_iters`) mirrors each line below 1:1; the
+    hypothesis property test pins the two bit-equal on random histograms.
+
+    E-step: per-pattern match posterior w_ij from current params.
+    M-step: lam / per-field m,u re-estimated from posterior-weighted
+    pattern counts. Fixed ``iters`` (not a tolerance) so both engines run
+    the identical op sequence regardless of convergence speed.
+
+    Counts get +0.5 additive smoothing (MAP with a weak Dirichlet prior,
+    standard in linkage EM): with every cell strictly positive and the
+    seeds strictly inside (0,1), every iterate stays strictly inside
+    (0,1) — no division by zero on any histogram, including sparse
+    small-SF blocks and the empty one (integer-count + 0.5 is exact in
+    IEEE doubles, so smoothing costs no determinism)."""
+    n00, n01, n10, n11 = (
+        float(n00) + 0.5, float(n01) + 0.5, float(n10) + 0.5, float(n11) + 0.5,
+    )
+    ntot = ((n00 + n01) + n10) + n11
+    lam, mp, up, mc, uc = (_FS_EM_SEED[k] for k in ("lam", "mp", "up", "mc", "uc"))
+    for _ in range(iters):
+        # E-step: posterior w_ij = P(match | pattern ij); i = penny agree,
+        # j = congruence agree. Shapes mirror the SQL verbatim.
+        w11 = ((lam * mp) * mc) / (((lam * mp) * mc) + (((1.0 - lam) * up) * uc))
+        w10 = ((lam * mp) * (1.0 - mc)) / (
+            ((lam * mp) * (1.0 - mc)) + (((1.0 - lam) * up) * (1.0 - uc))
+        )
+        w01 = ((lam * (1.0 - mp)) * mc) / (
+            ((lam * (1.0 - mp)) * mc) + (((1.0 - lam) * (1.0 - up)) * uc)
+        )
+        w00 = ((lam * (1.0 - mp)) * (1.0 - mc)) / (
+            ((lam * (1.0 - mp)) * (1.0 - mc))
+            + (((1.0 - lam) * (1.0 - up)) * (1.0 - uc))
+        )
+        # M-step
+        t00 = n00 * w00
+        t01 = n01 * w01
+        t10 = n10 * w10
+        t11 = n11 * w11
+        tt = ((t00 + t01) + t10) + t11
+        lam = tt / ntot
+        mp = (t10 + t11) / tt
+        up = ((n10 - t10) + (n11 - t11)) / (ntot - tt)
+        mc = (t01 + t11) / tt
+        uc = ((n01 - t01) + (n11 - t11)) / (ntot - tt)
+    return {"lambda": lam, "m_penny": mp, "u_penny": up, "m_cong": mc, "u_cong": uc}
+
+
+def _fs_em_oracle_iters(iters: int = _FS_EM_ITERS) -> str:
+    """The EM loop unrolled as DuckDB CTEs, generated to mirror
+    :func:`fs_em_python` expression-for-expression (same parenthesization
+    => same exactly-rounded IEEE op order => bit-identical iterates).
+    Counts/params are cast to DOUBLE up front — bare SQL numeric literals
+    would otherwise parse as DECIMAL and change the arithmetic."""
+    s = _FS_EM_SEED
+    ctes = [
+        f"""it0 AS (
+  SELECT n00, n01, n10, n11, (((n00 + n01) + n10) + n11) AS ntot,
+         CAST({s['lam']} AS DOUBLE) AS lam,
+         CAST({s['mp']} AS DOUBLE) AS mp, CAST({s['up']} AS DOUBLE) AS up,
+         CAST({s['mc']} AS DOUBLE) AS mc, CAST({s['uc']} AS DOUBLE) AS uc
+  FROM cnts)"""
+    ]
+    for k in range(1, iters + 1):
+        p = f"it{k - 1}"
+        ctes.append(
+            f"""e{k} AS (
+  SELECT *,
+    ((lam * mp) * mc) / (((lam * mp) * mc) + (((1.0 - lam) * up) * uc)) AS w11,
+    ((lam * mp) * (1.0 - mc)) / (((lam * mp) * (1.0 - mc)) + (((1.0 - lam) * up) * (1.0 - uc))) AS w10,
+    ((lam * (1.0 - mp)) * mc) / (((lam * (1.0 - mp)) * mc) + (((1.0 - lam) * (1.0 - up)) * uc)) AS w01,
+    ((lam * (1.0 - mp)) * (1.0 - mc)) / (((lam * (1.0 - mp)) * (1.0 - mc)) + (((1.0 - lam) * (1.0 - up)) * (1.0 - uc))) AS w00
+  FROM {p}),
+t{k} AS (
+  SELECT *, n00 * w00 AS t00, n01 * w01 AS t01, n10 * w10 AS t10, n11 * w11 AS t11 FROM e{k}),
+it{k} AS (
+  SELECT n00, n01, n10, n11, ntot,
+    (((t00 + t01) + t10) + t11) / ntot AS lam,
+    (t10 + t11) / (((t00 + t01) + t10) + t11) AS mp,
+    ((n10 - t10) + (n11 - t11)) / (ntot - (((t00 + t01) + t10) + t11)) AS up,
+    (t01 + t11) / (((t00 + t01) + t10) + t11) AS mc,
+    ((n01 - t01) + (n11 - t11)) / (ntot - (((t00 + t01) + t10) + t11)) AS uc
+  FROM t{k})"""
+        )
+    return ",\n".join(ctes)
+
+
+_FS_EM_PAIRS_SQL = """
+c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer),
+s AS (SELECT s_suppkey AS sk, s_nationkey AS nk,
+             CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier),
+pairs AS (
+  SELECT CASE WHEN ((c.cents + 100000) % 100) = ((s.cents + 100000) % 100)
+              THEN 1 ELSE 0 END AS pa,
+         CASE WHEN (c.ck % 10) = (s.sk % 10) THEN 1 ELSE 0 END AS ca
+  FROM c JOIN s ON c.nk = s.nk
+   AND ((c.cents + 100000) // 100000) = ((s.cents + 100000) // 100000)),
+cnts AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN pa = 0 AND ca = 0 THEN 1 ELSE 0 END), 0) AS DOUBLE) + 0.5 AS n00,
+    CAST(coalesce(sum(CASE WHEN pa = 0 AND ca = 1 THEN 1 ELSE 0 END), 0) AS DOUBLE) + 0.5 AS n01,
+    CAST(coalesce(sum(CASE WHEN pa = 1 AND ca = 0 THEN 1 ELSE 0 END), 0) AS DOUBLE) + 0.5 AS n10,
+    CAST(coalesce(sum(CASE WHEN pa = 1 AND ca = 1 THEN 1 ELSE 0 END), 0) AS DOUBLE) + 0.5 AS n11
+  FROM pairs)"""
+
+
+@register(
+    "er_fellegi_sunter_em",
+    category="dedup",
+    oracle=f"""
+WITH {_FS_EM_PAIRS_SQL},
+{_fs_em_oracle_iters()}
+SELECT param, CAST(round(value * 1000000000.0) AS BIGINT) AS nano
+FROM (
+  SELECT 'lambda' AS param, lam AS value FROM it{_FS_EM_ITERS}
+  UNION ALL SELECT 'm_penny', mp FROM it{_FS_EM_ITERS}
+  UNION ALL SELECT 'u_penny', up FROM it{_FS_EM_ITERS}
+  UNION ALL SELECT 'm_cong', mc FROM it{_FS_EM_ITERS}
+  UNION ALL SELECT 'u_cong', uc FROM it{_FS_EM_ITERS}
+)
+""",
+)
+def er_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter EM weight *estimation* — the loop that produces the
+    m/u parameters :func:`er_fellegi_sunter` declares as priors (r6 verdict
+    item 4). Expectation = per-pair match posterior under the current
+    params; maximization = per-field m/u re-estimates — but because the
+    comparison vector is binary per field, the posterior is constant on
+    each of the 2^k patterns, so EM never needs the pairs twice: ONE
+    distributed aggregation folds the blocked candidate pairs (same
+    composite nation x $1000-band block as the scorer, via
+    :func:`~..operators.blocking.blocked_pair_join`) into the 2x2 pattern
+    histogram, and the fixed-point iterates on that O(2^k) state — the
+    same driver-state discipline as k-means centroids (O(k*d)). This is
+    how production linkage engines (e.g. Splink) run EM at scale.
+
+    Determinism: both engines execute 30 identical-op-order IEEE-double
+    iterations (+,-,*,/ only — each exactly rounded; no transcendental
+    crosses the engine boundary) seeded from the same literals; outputs
+    are compared in nano-unit integers. The hypothesis property test pins
+    Python-vs-DuckDB bit-equality on random histograms and EM's
+    monotone-likelihood invariant.
+
+    Scale shape: the only O(pairs) work is the blocked equi-join + one
+    map-side-combinable groupBy to 4 rows; EM itself touches 4 numbers.
+    At 100 TB the histogram fold is the same shuffle the scorer already
+    pays, and re-estimating weights costs nothing extra per iteration."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("c_cents"),
+    ).withColumn("band_key", F.expr("(c_cents + 100000) div 100000"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("s_nationkey").alias("nk"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("s_cents"),
+    ).withColumn("band_key", F.expr("(s_cents + 100000) div 100000"))
+    pa = (
+        F.expr("(c_cents + 100000) % 100") == F.expr("(s_cents + 100000) % 100")
+    ).cast("int")
+    ca = ((F.col("ck") % 10) == (F.col("sk") % 10)).cast("int")
+    hist = (
+        blocked_pair_join(c, s, ["nk", "band_key"], left_salt_col="ck")
+        .select(pa.alias("pa"), ca.alias("ca"))
+        .groupBy("pa", "ca")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # O(2^k) pattern histogram — the EM's entire state
+    )
+    counts = {(r["pa"], r["ca"]): r["n"] for r in hist}
+    est = fs_em_python(
+        counts.get((0, 0), 0), counts.get((0, 1), 0),
+        counts.get((1, 0), 0), counts.get((1, 1), 0),
+    )
+    out = spark.createDataFrame(
+        [(k, float(v)) for k, v in est.items()], "param string, value double"
+    )
+    # nano-unit integers: engine-side rounding (never Python round()),
+    # robust to value-hash float-repr differences
+    return out.select(
+        "param", F.round(F.col("value") * 1000000000.0).cast("bigint").alias("nano")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination by containment ratio (round 6)
 # ---------------------------------------------------------------------------
 

@@ -122,8 +122,6 @@ for _cls in (
     CassandraExtract,
     RateStreamExtract,
     TableExtract,
-    TextExtract,
-    XMLExtract,
     SQLTransform,
     PythonTransform,
     OperatorTransform,

@@ -134,10 +134,33 @@ class ParquetExtract(ExtractStage):
     def _norm_path(uri: str) -> str:
         # _metadata.file_path is a percent-encoded URI (a hive partition
         # value with a space becomes %20); the live listing is a decoded
-        # filesystem path — decode before comparing or re-reading
+        # scheme-less filesystem path — this normalization is ONLY for the
+        # staleness set-comparison, never for the read itself
         from urllib.parse import unquote, urlparse
 
         return unquote(urlparse(uri).path or uri)
+
+    @staticmethod
+    def _read_path(uri: str) -> str:
+        # for the pruned read: percent-decode ONLY the path component while
+        # PRESERVING scheme + authority. Stripping them (the pre-r7 bug)
+        # made s3a://bucket/... and hdfs://nn:8020/... entries resolve
+        # against the default filesystem and escape basePath
+        from urllib.parse import unquote, urlparse, urlunparse
+
+        p = urlparse(uri)
+        if not p.scheme:
+            return unquote(uri)
+        return urlunparse((p.scheme, p.netloc, unquote(p.path), "", "", ""))
+
+    def _qualified_base(self, spark: SparkSession) -> str:
+        """``input_uri`` qualified through its own filesystem (adds the
+        scheme/authority a bare path lacks), so ``basePath`` sits over the
+        pruned file URIs on any FS, not just the default one."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.input_uri)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.makeQualified(path).toString()
 
     def _read(self, spark: SparkSession, ctx: PipelineContext) -> DataFrame:
         reader = spark.read.options(**self.params)
@@ -150,7 +173,7 @@ class ParquetExtract(ExtractStage):
     def _skipping_read(self, spark: SparkSession, reader) -> DataFrame:
         from pyspark.sql import functions as F
 
-        reader = reader.option("basePath", self.input_uri)
+        reader = reader.option("basePath", self._qualified_base(spark))
         col = F.col(self.skip_index_col)
         live = self._list_data_files(spark)
         if len(live) > self.max_manifest_files:
@@ -194,7 +217,7 @@ class ParquetExtract(ExtractStage):
             row_cond = row_cond & (col <= F.lit(self.skip_max))
         # O(files) driver list — the planner's file census, never row data
         rows = manifest.select("file_path", keep_cond.alias("_keep")).collect()
-        keep = [self._norm_path(r["file_path"]) for r in rows if r["_keep"]]
+        keep = [self._read_path(r["file_path"]) for r in rows if r["_keep"]]
         self.stage_detail.set("skipIndexFilesTotal", len(rows))
         self.stage_detail.set("skipIndexFilesRead", len(keep))
         if not keep:

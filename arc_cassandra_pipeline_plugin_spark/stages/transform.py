@@ -187,15 +187,44 @@ class OperatorTransform(PipelineStage):
                 and ann_name.startswith("list")
             ):
                 # a HOCON list arrives stringified by the Map[String,String]
-                # params contract ("['a', 'b']" or "[a, b]") — parse it back
-                # for list-annotated operator parameters
+                # params contract ("['a', 'b']", "[a, b]", "[1, 2]") — parse
+                # it back for list-annotated operator parameters. Proper
+                # literal parsing first (handles commas/brackets/quotes
+                # INSIDE items and non-string elements); naive comma-split
+                # of bare unquoted words only as the fallback
                 body = v.strip()
                 if not (body.startswith("[") and body.endswith("]")):
                     raise ValueError(
                         f"OperatorTransform: param {k!r}={v!r} is not a valid list"
                     )
-                items = [s.strip().strip("'\"") for s in body[1:-1].split(",")]
-                out[k] = [s for s in items if s]
+                import ast as _ast
+
+                try:
+                    items = list(_ast.literal_eval(body))
+                except (ValueError, SyntaxError):
+                    items = [
+                        s.strip().strip("'\"")
+                        for s in body[1:-1].split(",")
+                    ]
+                    items = [s for s in items if s]
+                # coerce per the element annotation: list[int]/list[float]
+                # params would otherwise arrive as strings
+                elem = None
+                if "[" in ann_name and ann_name.endswith("]"):
+                    elem = ann_name[ann_name.index("[") + 1 : -1].strip()
+                try:
+                    if elem == "int":
+                        items = [int(s) for s in items]
+                    elif elem == "float":
+                        items = [float(s) for s in items]
+                    elif elem == "str":
+                        items = [str(s) for s in items]
+                except (TypeError, ValueError) as exc:
+                    raise ValueError(
+                        f"OperatorTransform: param {k!r}={v!r} has elements "
+                        f"that are not valid {elem}"
+                    ) from exc
+                out[k] = items
                 continue
             if isinstance(v, str) and ann_name in ("int", "float", "bool"):
                 try:

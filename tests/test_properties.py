@@ -731,3 +731,79 @@ def test_ndcg_pipeline_matches_python_reference(spark, tfs):
     want_dcg = sum(r * _DISC[i] for i, r in enumerate(rels_by_rank))
     want_idcg = sum(r * _DISC[i] for i, r in enumerate(ideal))
     assert (row["dcg"], row["idcg"]) == (want_dcg, want_idcg)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter EM (round 7): cross-engine bit-equality + EM invariants
+# ---------------------------------------------------------------------------
+
+@_settings
+@given(
+    n00=st.integers(min_value=0, max_value=10**9),
+    n01=st.integers(min_value=0, max_value=10**9),
+    n10=st.integers(min_value=0, max_value=10**9),
+    n11=st.integers(min_value=0, max_value=10**9),
+)
+def test_fs_em_duckdb_bit_identical_to_python(n00, n01, n10, n11):
+    """The generated DuckDB EM unroll and the Python replica execute the
+    same IEEE-double op sequence, so converged params must be BIT-equal on
+    any pattern histogram — the exact cross-engine risk the certified
+    query rides on (no tolerance: == on raw doubles)."""
+    import duckdb
+
+    from arc_cassandra_pipeline_plugin_spark.queries.curation import (
+        _FS_EM_ITERS,
+        _fs_em_oracle_iters,
+        fs_em_python,
+    )
+
+    want = fs_em_python(n00, n01, n10, n11)
+    sql = (
+        "WITH cnts AS (SELECT "
+        f"CAST({n00} AS DOUBLE) + 0.5 AS n00, CAST({n01} AS DOUBLE) + 0.5 AS n01, "
+        f"CAST({n10} AS DOUBLE) + 0.5 AS n10, CAST({n11} AS DOUBLE) + 0.5 AS n11),\n"
+        + _fs_em_oracle_iters()
+        + f"\nSELECT lam, mp, up, mc, uc FROM it{_FS_EM_ITERS}"
+    )
+    lam, mp, up, mc, uc = duckdb.sql(sql).fetchone()
+    assert (lam, mp, up, mc, uc) == (
+        want["lambda"], want["m_penny"], want["u_penny"],
+        want["m_cong"], want["u_cong"],
+    )
+
+
+@_settings
+@given(
+    n00=st.integers(min_value=0, max_value=10**6),
+    n01=st.integers(min_value=0, max_value=10**6),
+    n10=st.integers(min_value=0, max_value=10**6),
+    n11=st.integers(min_value=0, max_value=10**6),
+)
+def test_fs_em_monotone_likelihood_and_bounded(n00, n01, n10, n11):
+    """EM's defining invariant: the observed-data log-likelihood is
+    non-decreasing across iterations (tolerance 1e-9 for float wobble at
+    the converged fixed point), and every iterate stays strictly inside
+    (0,1) thanks to the +0.5 smoothing."""
+    import math
+
+    from arc_cassandra_pipeline_plugin_spark.queries.curation import fs_em_python
+
+    ns = [n00 + 0.5, n01 + 0.5, n10 + 0.5, n11 + 0.5]
+
+    def loglik(lam, mp, up, mc, uc):
+        ll = 0.0
+        for n, (i, j) in zip(ns, [(0, 0), (0, 1), (1, 0), (1, 1)]):
+            pm = lam * (mp if i else 1 - mp) * (mc if j else 1 - mc)
+            pu = (1 - lam) * (up if i else 1 - up) * (uc if j else 1 - uc)
+            ll += n * math.log(pm + pu)
+        return ll
+
+    prev = None
+    for it in range(1, 31):
+        est = fs_em_python(n00, n01, n10, n11, iters=it)
+        vals = list(est.values())
+        assert all(0.0 < v < 1.0 for v in vals), (it, est)
+        ll = loglik(*vals)
+        if prev is not None:
+            assert ll >= prev - 1e-9 * abs(prev), (it, prev, ll)
+        prev = ll
