@@ -1055,3 +1055,207 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PR-AUC (average precision) + Brier decomposition (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ml_pr_auc_average_precision",
+    category="analytics",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS k
+  FROM documents),
+p AS (SELECT k, row_number() OVER (ORDER BY k ASC) AS j FROM r WHERE y = 1)
+SELECT CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(j * 1000000 // k) AS BIGINT) AS sum_prec_micro,
+       CAST(sum(j * 1000000 // k) // count(*) AS BIGINT) AS ap_micro
+FROM p
+""",
+)
+def ml_pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PR-AUC as average precision: AP = (1/P) * sum over positives
+    of precision@rank-of-positive, under the deterministic predicted order
+    (score DESC, doc_id ASC). precision@k for the j-th positive at global
+    rank k is j/k, kept exact as integer micro-units (j*1e6 div k) so no
+    float mean-of-ratios crosses the engine boundary — the retrieval-eval
+    companion to ml_auc_rank_sum (r6 verdict item 8).
+
+    Scale shape: both ranks come from the two-phase bucketed global
+    row_number (operators/ranking.py — partitioned windows only, never a
+    single-partition ORDER BY): the full corpus ranked once on the negated
+    score, the positive subset ranked once on the resulting rank. The
+    final fold is one map-side-combinable aggregation; no pair or
+    prefix materialization anywhere."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (-F.col("n_chars")).cast("bigint").alias("neg_score"),
+    )
+    ranked = global_row_number(docs, "neg_score", ["doc_id"], out_col="k")
+    pos = ranked.filter(F.col("y") == 1).select("k")
+    pranked = global_row_number(pos, "k", [], out_col="j")
+    prec = F.expr("j * CAST(1000000 AS BIGINT) div k")
+    return pranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.sum(prec).cast("bigint").alias("sum_prec_micro"),
+        F.expr(
+            "CAST(sum(j * CAST(1000000 AS BIGINT) div k) div count(*) AS BIGINT)"
+        ).alias("ap_micro"),
+    )
+
+
+def _brier_lut() -> tuple[list[int], list[int]]:
+    """-ln(mid) and -ln(1-mid) in integer micro-units for the 10 fixed
+    forecast-bin midpoints (0.05 .. 0.95). Python-computed once, embedded
+    as identical literals in both engines — the char-entropy-LUT rule: no
+    runtime transcendental ever crosses the engine boundary."""
+    import math
+
+    lp, lq = [], []
+    for b in range(10):
+        mid = (b * 100000 + 50000) / 1000000.0
+        lp.append(round(-math.log(mid) * 1000000))
+        lq.append(round(-math.log(1.0 - mid) * 1000000))
+    return lp, lq
+
+
+_BRIER_LP, _BRIER_LQ = _brier_lut()
+
+
+def _lut_case_sql(col: str, vals: list[int]) -> str:
+    """CASE ladder mapping bin index -> literal, shared verbatim by both
+    engines (Spark F.expr and the DuckDB oracle parse the same string)."""
+    arms = " ".join(f"WHEN {col} = {i} THEN {v}" for i, v in enumerate(vals))
+    return f"CASE {arms} ELSE 0 END"
+
+
+@register(
+    "ml_brier_decomposition",
+    category="analytics",
+    oracle=f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         least(n_chars, 1000) * 1000 AS f_micro
+  FROM documents),
+b AS (
+  SELECT least(f_micro // 100000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(f_micro - 1000000 * y AS HUGEINT)
+             * CAST(f_micro - 1000000 * y AS HUGEINT)) AS sq
+  FROM d GROUP BY 1),
+m AS (
+  SELECT bin, n, sy, sq,
+         n * (bin * 100000 + 50000) - 1000000 * sy AS gap,
+         {_lut_case_sql("bin", _BRIER_LP)} AS lp,
+         {_lut_case_sql("bin", _BRIER_LQ)} AS lq
+  FROM b),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS ssy,
+         sum(sq) AS brier_num,
+         CAST(sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)
+                  // CAST(n * 1000000 AS HUGEINT)) AS BIGINT) AS rel_num,
+         CAST(sum(sy * lp + (n - sy) * lq) AS BIGINT) AS ll_num
+  FROM m)
+SELECT CAST(nn AS BIGINT) AS n, CAST(ssy AS BIGINT) AS n_pos,
+       CAST(brier_num // (CAST(nn AS HUGEINT) * 1000000) AS BIGINT) AS brier_micro,
+       CAST(rel_num // nn AS BIGINT) AS reliability_micro,
+       CAST(CAST(ssy AS HUGEINT) * (nn - ssy) * 1000000
+            // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS uncertainty_micro,
+       CAST(rel_num // nn
+            + CAST(ssy AS HUGEINT) * (nn - ssy) * 1000000 // (CAST(nn AS HUGEINT) * nn)
+            - brier_num // (CAST(nn AS HUGEINT) * 1000000) AS BIGINT) AS resolution_micro,
+       CAST(ll_num // nn AS BIGINT) AS logloss_micro
+FROM t
+""",
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score + binned log-loss for a
+    probability forecast (f = min(n_chars,1000)/1000 predicting
+    lang = 'en'), over 10 fixed-width forecast bins (r6 verdict item 8,
+    completing the r6 calibration machinery): Brier = reliability -
+    resolution + uncertainty. Reliability uses the bin MIDPOINT as the
+    diagram forecast (fixed-width reliability convention); log-loss prices
+    each doc at its bin midpoint through a 10-entry -ln LUT embedded as
+    identical micro-unit literals in both engines.
+
+    Every statistic is exact integer arithmetic end to end — the Brier
+    numerator sums per-doc squares in int128 (DECIMAL(38,0) / HUGEINT),
+    per-bin reliability contributions and the final normalizations use
+    truncating integer division (identical div semantics both engines,
+    all operands positive), and resolution is DEFINED as reliability +
+    uncertainty - brier in micro-units so the published identity holds
+    exactly in integers. No float op exists in either engine's plan.
+
+    Scale shape: one map-side-combinable groupBy to <= 10 bin rows (the
+    per-doc square folds inside the same pass), then a 10-row fold. At
+    100 TB this is a single scan + one tiny shuffle; int128 keeps the
+    square sums exact past 10^12 documents."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.least(F.col("n_chars"), F.lit(1000)) * 1000)
+        .cast("bigint")
+        .alias("f_micro"),
+    )
+    dev = F.col("f_micro") - 1000000 * F.col("y")
+    per_bin = (
+        docs.groupBy(
+            F.least(F.expr("f_micro div 100000"), F.lit(9)).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(
+                (dev.cast("decimal(19,0)") * dev.cast("decimal(19,0)")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sq"),
+        )
+        .withColumn(
+            "gap",
+            F.col("n") * (F.col("bin") * 100000 + 50000) - 1000000 * F.col("sy"),
+        )
+        .withColumn("lp", F.expr(_lut_case_sql("bin", _BRIER_LP)))
+        .withColumn("lq", F.expr(_lut_case_sql("bin", _BRIER_LQ)))
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("sy").cast("bigint").alias("ssy"),
+        F.sum("sq").cast("decimal(38,0)").alias("brier_num"),
+        F.sum(
+            F.expr(
+                "cast(gap as decimal(19,0)) * cast(gap as decimal(19,0)) "
+                "div cast(n * 1000000 as decimal(38,0))"
+            )
+        )
+        .cast("bigint")
+        .alias("rel_num"),
+        F.sum(F.col("sy") * F.col("lp") + (F.col("n") - F.col("sy")) * F.col("lq"))
+        .cast("bigint")
+        .alias("ll_num"),
+    )
+    brier = F.expr("brier_num div (cast(nn as decimal(38,0)) * 1000000)").cast(
+        "bigint"
+    )
+    rel = F.expr("rel_num div nn").cast("bigint")
+    unc = F.expr(
+        "cast(ssy as decimal(38,0)) * (nn - ssy) * 1000000 "
+        "div (cast(nn as decimal(38,0)) * nn)"
+    ).cast("bigint")
+    return tot.select(
+        F.col("nn").alias("n"),
+        F.col("ssy").alias("n_pos"),
+        brier.alias("brier_micro"),
+        rel.alias("reliability_micro"),
+        unc.alias("uncertainty_micro"),
+        (rel + unc - brier).cast("bigint").alias("resolution_micro"),
+        F.expr("ll_num div nn").cast("bigint").alias("logloss_micro"),
+    )
