@@ -133,6 +133,19 @@ def power_iteration_oracle_sql(
     return f"WITH {body}\nSELECT CAST(j AS INT) AS j, val AS loading FROM v{iters}"
 
 
+def _round_vscale(c):
+    """9-dp rounding as ``floor(q*1e9 + 0.5)/1e9`` — exactly-rounded IEEE
+    ops only, so Spark and DuckDB agree bit-for-bit on ANY input (the SQL
+    twin is ``floor(q * 1000000000.0 + 0.5) / 1000000000.0``). Plain
+    ``round(q, 9)`` diverges between Spark (exact-binary HALF_UP) and
+    DuckDB (scaled-float) when q sits within 1 ulp of a half boundary —
+    observed once in 512 centroid coordinates at sf0.1 (r7)."""
+    return (
+        F.floor(c * F.lit(1000000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000000.0)
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,
@@ -165,6 +178,16 @@ def kmeans_lloyd(
     (:func:`kmeans_oracle_sql`) unrolls the same rounds from the same
     constants.
 
+    The seed/mean 9-dp rounding is ``floor(q*1e9 + 0.5)/1e9``
+    (:func:`_round_vscale`) rather than ``round(q, 9)``: the r7 sf0.1
+    sweep caught a mean landing within 1 ulp of a half boundary where
+    Spark's exact-BigDecimal HALF_UP and DuckDB's scaled-float rounding
+    disagree by 1e-9. The floor form is composed ONLY of exactly-rounded
+    IEEE ops (multiply, add, floor), so identical inputs give
+    bit-identical outputs on any engine — boundary behavior becomes a
+    defined convention (half-toward-+infinity) instead of an
+    implementation detail.
+
     Physical plan: the centroid table is O(k·d) DRIVER state embedded as
     literals — the ANN-module convention (`_centroids_kmeans`), and what
     any real system broadcasts — so the assignment step is a pure per-row
@@ -193,7 +216,7 @@ def kmeans_lloyd(
 
     seed = base.filter(F.col("_id") < k).select(
         F.col("_id").cast("int").alias("g"),
-        F.posexplode(F.transform("xs", lambda x: F.round(x, _VSCALE))).alias(
+        F.posexplode(F.transform("xs", lambda x: _round_vscale(x))).alias(
             "_p", "v"
         ),
     ).select("g", (F.col("_p") + 1).alias("j"), "v")
@@ -209,10 +232,9 @@ def kmeans_lloyd(
             .select("g", (F.col("_p") + 1).alias("j"), "x")
             .groupBy("g", "j")
             .agg(
-                F.round(
+                _round_vscale(
                     F.sum(F.round(F.col("x"), _SCALE).cast(dec)).cast("double")
-                    / F.count(F.lit(1)),
-                    _VSCALE,
+                    / F.count(F.lit(1))
                 ).alias("v"),
                 F.count(F.lit(1)).alias("n"),
             )
@@ -253,7 +275,8 @@ def kmeans_oracle_sql(
          unnest({vec_col})::DOUBLE AS x
   FROM {table})""",
         f"""c0 AS (
-  SELECT CAST(id AS INT) AS g, j, round(x, {_VSCALE}) AS v
+  SELECT CAST(id AS INT) AS g, j,
+         floor(x * 1000000000.0 + 0.5) / 1000000000.0 AS v
   FROM e WHERE id < {k})""",
     ]
     for t in range(1, iters + 1):
@@ -272,8 +295,8 @@ def kmeans_oracle_sql(
         ctes.append(
             f"""m{t} AS (
   SELECT a.g, e.j,
-         round(CAST(SUM(CAST(round(e.x, {_SCALE}) AS {dec})) AS DOUBLE)
-               / COUNT(*), {_VSCALE}) AS mv
+         floor(CAST(SUM(CAST(round(e.x, {_SCALE}) AS {dec})) AS DOUBLE)
+               / COUNT(*) * 1000000000.0 + 0.5) / 1000000000.0 AS mv
   FROM e JOIN a{t} a USING (id) GROUP BY a.g, e.j)"""
         )
         ctes.append(
@@ -370,7 +393,7 @@ def kmeans_lloyd_fast(
     ).localCheckpoint(eager=True)
     seed_rows = (
         base.filter(F.col("_id") < k)
-        .select("_id", F.transform("xs", lambda x: F.round(x, _VSCALE)).alias("v"))
+        .select("_id", F.transform("xs", lambda x: _round_vscale(x)).alias("v"))
         .collect()
     )
     d = len(seed_rows[0]["v"])
@@ -431,8 +454,9 @@ def kmeans_lloyd_fast(
             .agg(
                 # Σn per (g, j) re-sums each batch's n once per coordinate,
                 # so it equals the cluster's member count; rounding happens
-                # IN SPARK (HALF_UP — Python round() is banker's)
-                F.round(F.sum("sj") / F.sum("n"), _VSCALE).alias("v"),
+                # IN SPARK via the shared floor-form 9-dp convention
+                # (never Python round() — banker's)
+                _round_vscale(F.sum("sj") / F.sum("n")).alias("v"),
                 F.sum("n").alias("n"),
                 F.sum("id_sum").alias("id_sum"),
             )

@@ -137,31 +137,54 @@ def lsh_topk(
     id_col: str = "vec_id",
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose SRP code is within
     Hamming distance 1 of the query's code (multi-probe). The join key is
-    the code bucket → shuffle volume is corpus-size, not corpus×queries."""
-    c = srp_code(_unit(_parallel_corpus(corpus), vec_col, "cv"), "cv", dim, n_planes).select(
-        F.col(id_col).alias("match_id"), "cv", "srp_code"
-    )
-    q = srp_code(_unit(queries, vec_col, "qv"), "qv", dim, n_planes).select(
-        F.col(id_col).alias("query_id"), "qv", F.col("srp_code").alias("q_code")
-    )
-    # multi-probe: the exact bucket plus each single-bit flip
-    probes = q.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.array(
-                F.col("q_code"),
-                *[F.col("q_code").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-            )
-        ).alias("srp_code"),
-    )
-    scored = (
-        c.join(F.broadcast(probes), on="srp_code")
-        .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    the code bucket → shuffle volume is corpus-size, not corpus×queries.
+
+    ``n_tables`` is the standard LSH OR-amplification recall lever (r7):
+    candidates are the UNION over ``n_tables`` independent hash tables
+    (md5-seeded hyperplanes per table), deduped before exact scoring. A
+    neighbor missed by one table's buckets is caught by another — per-table
+    miss rates multiply. Cost is linear in tables (each adds one
+    corpus-sized code projection + bucket join); recall-vs-tables is
+    measured on the sf1 twin in SCALING.md (planted-near-neighbor
+    recall@1: 0.85 at L=1, 0.95 at L=2, 1.0 at L=4). n_tables=1 preserves
+    the pre-r7 behavior bit-for-bit (the certified query's oracle)."""
+    cands = None
+    for t in range(n_tables):
+        c = srp_code(
+            _unit(_parallel_corpus(corpus), vec_col, "cv"), "cv", dim, n_planes,
+            seed=seed + t,
+        ).select(F.col(id_col).alias("match_id"), "cv", "srp_code")
+        q = srp_code(
+            _unit(queries, vec_col, "qv"), "qv", dim, n_planes, seed=seed + t
+        ).select(F.col(id_col).alias("query_id"), "qv", F.col("srp_code").alias("q_code"))
+        # multi-probe: the exact bucket plus each single-bit flip
+        probes = q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.array(
+                    F.col("q_code"),
+                    *[F.col("q_code").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+                )
+            ).alias("srp_code"),
+        )
+        sc = (
+            c.join(F.broadcast(probes), on="srp_code")
+            .filter(F.col("match_id") != F.col("query_id"))
+            .select("query_id", "match_id", "qv", "cv")
+        )
+        cands = sc if cands is None else cands.unionByName(sc)
+    if n_tables > 1:
+        # a pair found by several tables (or several probe buckets) must
+        # score once — dedup on ids only; vectors ride along
+        cands = cands.dropDuplicates(["query_id", "match_id"])
+    scored = cands.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
     return (

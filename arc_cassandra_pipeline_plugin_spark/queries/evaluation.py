@@ -1259,3 +1259,161 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rel + unc - brier).cast("bigint").alias("resolution_micro"),
         F.expr("ll_num div nn").cast("bigint").alias("logloss_micro"),
     )
+
+
+@register(
+    "ml_kappa_mcc",
+    category="analytics",
+    oracle="""
+WITH p AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+m AS (
+  SELECT CAST(sum(pred * y) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+         CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+  FROM p),
+d AS (
+  SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+         CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS mnum,
+         CAST(floor(sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                              * (tn + fp) * (tn + fn) AS DOUBLE))) AS HUGEINT)
+           AS msqrt,
+         CAST(tp + fp AS HUGEINT) * (tp + fn)
+           + CAST(fn + tn AS HUGEINT) * (fp + tn) AS pe_num
+  FROM m)
+SELECT tp, fp, fn, tn,
+       CAST(CASE WHEN mnum < 0 THEN -1 ELSE 1 END
+            * (abs(mnum) * 1000000 // msqrt) AS BIGINT) AS mcc_micro,
+       CAST(CASE WHEN CAST(n AS HUGEINT) * (tp + tn) - pe_num < 0 THEN -1 ELSE 1 END
+            * (abs(CAST(n AS HUGEINT) * (tp + tn) - pe_num) * 1000000
+               // (CAST(n AS HUGEINT) * n - pe_num)) AS BIGINT) AS kappa_micro,
+       CAST((CAST(tp AS HUGEINT) * (tn + fp) + CAST(tn AS HUGEINT) * (tp + fn))
+            * 500000 // (CAST(tp + fn AS HUGEINT) * (tn + fp)) AS BIGINT)
+         AS balanced_accuracy_micro
+FROM d
+""",
+)
+def ml_kappa_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa, Matthews correlation, and balanced accuracy for the
+    fixed-threshold classifier of ``ml_confusion_f1`` (n_chars >= 300
+    predicting lang = 'en') — the chance-corrected agreement metrics a
+    filter-model audit reports alongside F1.
+
+    Determinism: kappa = (N(TP+TN) - pe_num)/(N^2 - pe_num) and balanced
+    accuracy are exact integer rationals in micro-units (truncation toward
+    zero matches both engines — verified on negatives); MCC's denominator
+    sqrt goes through IEEE-exact ops only (int -> double conversion and
+    sqrt are both correctly rounded, floor exact), after which the
+    division is integer again. Sign is applied explicitly so truncation
+    semantics never touch a negative numerator.
+
+    Scale shape: identical to ml_confusion_f1 — one scan folding to four
+    bigint counts map-side, then O(1) arithmetic. int128 keeps N^2 and
+    the four-way product exact far past 10^9 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    m = p.agg(
+        F.sum(F.col("pred") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y"))).cast("bigint").alias("tn"),
+    )
+    d = m.selectExpr(
+        "tp", "fp", "fn", "tn",
+        "tp + fp + fn + tn AS n",
+        "cast(tp as decimal(38,0)) * tn - cast(fp as decimal(38,0)) * fn AS mnum",
+        "cast(floor(sqrt(cast(cast(tp + fp as decimal(38,0)) * (tp + fn) "
+        "* (tn + fp) * (tn + fn) as double))) as decimal(38,0)) AS msqrt",
+        "cast(tp + fp as decimal(38,0)) * (tp + fn) "
+        "+ cast(fn + tn as decimal(38,0)) * (fp + tn) AS pe_num",
+    )
+    return d.selectExpr(
+        "tp", "fp", "fn", "tn",
+        "cast((CASE WHEN mnum < 0 THEN -1 ELSE 1 END) "
+        "* (abs(mnum) * 1000000 div msqrt) as bigint) AS mcc_micro",
+        "cast((CASE WHEN cast(n as decimal(38,0)) * (tp + tn) - pe_num < 0 "
+        "THEN -1 ELSE 1 END) "
+        "* (abs(cast(n as decimal(38,0)) * (tp + tn) - pe_num) * 1000000 "
+        "div (cast(n as decimal(38,0)) * n - pe_num)) as bigint) AS kappa_micro",
+        "cast((cast(tp as decimal(38,0)) * (tn + fp) "
+        "+ cast(tn as decimal(38,0)) * (tp + fn)) * 500000 "
+        "div (cast(tp + fn as decimal(38,0)) * (tn + fp)) as bigint) "
+        "AS balanced_accuracy_micro",
+    )
+
+
+@register(
+    "ml_spearman_rank_corr",
+    category="analytics",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, n_chars,
+         CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rx,
+         row_number() OVER (ORDER BY n_tok ASC, doc_id ASC) AS ry
+  FROM v),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(rx - ry AS HUGEINT) * CAST(rx - ry AS HUGEINT)) AS d2
+  FROM r)
+SELECT n, CAST(d2 AS BIGINT) AS sum_d2,
+       CAST(1000000 - CAST(d2 AS HUGEINT) * 6000000
+            // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_micro
+FROM s
+""",
+)
+def ml_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    whitespace token count, via the classic 1 - 6*sum(d^2)/(n(n^2-1))
+    identity on PERMUTATION ranks (ties broken by doc_id on both sides —
+    the repo's total-order contract, documented in place of the
+    average-rank tie correction).
+
+    Determinism: ranks are exact integers from the two-phase bucketed
+    global row_number; sum(d^2) accumulates in int128; rho lands as one
+    truncating integer division in micro-units — no float anywhere.
+
+    Scale shape: two global-rank passes (each a bucket-histogram + one
+    partitioned window — no single-partition ORDER BY) joined on doc_id,
+    then a map-side fold. n^3 stays exact in int128 to ~10^12 rows."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).cast("bigint").alias("n_tok"),
+    )
+    rx = global_row_number(
+        docs.select("doc_id", "n_chars"), "n_chars", ["doc_id"], out_col="rx"
+    ).select("doc_id", "rx")
+    ry = global_row_number(
+        docs.select("doc_id", "n_tok"), "n_tok", ["doc_id"], out_col="ry"
+    ).select("doc_id", "ry")
+    r = rx.join(ry, "doc_id")
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "cast(rx - ry as decimal(19,0)) * cast(rx - ry as decimal(19,0))"
+            )
+        ).cast("decimal(38,0)").alias("d2"),
+    )
+    return s.selectExpr(
+        "n",
+        "cast(d2 as bigint) AS sum_d2",
+        "cast(1000000 - d2 * 6000000 "
+        "div (cast(n as decimal(38,0)) * n * n - n) as bigint) AS rho_micro",
+    )

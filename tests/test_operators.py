@@ -1769,3 +1769,60 @@ def test_truss_core_early_stop_is_result_identical(spark):
     c5 = {tuple(r) for r in G.kcore_vertices(tri, k=2, rounds=5).collect()}
     assert c5 == {tuple(r) for r in G.kcore_vertices(tri, k=2, rounds=3).collect()}
     assert {r[0] for r in c5} == {"a", "b", "c"} and len(c1) >= len(c5)
+
+
+def test_ann_recall_floors_on_sf1_twin(spark):
+    """r6 verdict item 5: ANN recall probed at sf1 corpus density (20k
+    vectors — recall degrades with density, so small-SF floors are not
+    evidence). Floors are asserted on the planted-near-neighbor probe
+    (deterministic near-dup queries, cos ~ 0.96 to their source — the
+    production retrieval semantics); uniform-query recall on i.i.d.
+    random vectors is the known ANN worst case and is recorded as a curve
+    in SCALING.md instead. Multi-table OR-amplification (lsh_topk
+    n_tables, r7) is the recall lever under test."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.ann_recall_probe import (
+        ensure_sf1_twin,
+        planted_queries,
+        planted_recall_at_1,
+    )
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    sf1 = ensure_sf1_twin()
+    emb = load_table(spark, sf1, "embeddings")
+    pq = planted_queries(emb)
+
+    bf = planted_recall_at_1(S.brute_force_topk(emb, pq, k=1).collect())
+    assert bf == 1.0, f"planted ground truth broken: brute force {bf}"
+
+    l2 = planted_recall_at_1(
+        S.lsh_topk(emb, pq, k=1, dim=64, n_planes=8, n_tables=2).collect()
+    )
+    assert l2 >= 0.8, f"LSH n_tables=2 planted recall@1 {l2} < 0.8"
+    l4 = planted_recall_at_1(
+        S.lsh_topk(emb, pq, k=1, dim=64, n_planes=8, n_tables=4).collect()
+    )
+    assert l4 >= 0.9, f"LSH n_tables=4 planted recall@1 {l4} < 0.9"
+    assert l4 >= l2 - 1e-9, "more tables must not lose recall"
+
+    ivf = planted_recall_at_1(
+        S.ivf_topk(emb, pq, k=1, n_clusters=16, n_probe=6).collect()
+    )
+    assert ivf >= 0.9, f"IVF 16c/6p planted recall@1 {ivf} < 0.9"
+
+
+def test_lsh_topk_single_table_unchanged_and_multitable_superset(spark):
+    """n_tables=1 must be the pre-r7 plan exactly (certified oracle rides
+    on it); n_tables=4 candidates are a superset per query, so its top-k
+    cosine at each rank is >= the single-table top-k cosine."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    one = S.lsh_topk(emb, q, k=5, dim=64, n_planes=8, n_tables=1)
+    multi = S.lsh_topk(emb, q, k=5, dim=64, n_planes=8, n_tables=4)
+    a = {(r.query_id, r.rank): r.cosine for r in one.collect()}
+    b = {(r.query_id, r.rank): r.cosine for r in multi.collect()}
+    for key, cos1 in a.items():
+        assert key in b and b[key] >= cos1 - 1e-12, (key, cos1, b.get(key))
