@@ -197,3 +197,137 @@ def global_prefix_sum(
         )
         .drop("__bucket", "__offset")
     )
+
+
+def _np_inversions(a) -> int:
+    """Exact inversion count of a sequence (pairs i<j with a[i] > a[j]) by
+    vectorized merge-sort: O(m log^2 m), numpy throughout — the per-group
+    kernel of :func:`count_inversions`. Values must be pairwise distinct
+    within the places it is applied (permutation ranks)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+
+    def rec(x):
+        if len(x) < 2:
+            return 0, x
+        mid = len(x) // 2
+        li, ls = rec(x[:mid])
+        ri, rs = rec(x[mid:])
+        # pairs (i in left, j in right) with left_i > right_j
+        cross = int((len(ls) - np.searchsorted(ls, rs, side="right")).sum())
+        merged = np.empty(len(x), dtype=np.int64)
+        merged[:] = np.sort(x, kind="mergesort")  # values only; order done
+        return li + ri + cross, merged
+
+    return rec(a)[0]
+
+
+def count_inversions(
+    df: DataFrame,
+    rx_col: str,
+    ry_col: str,
+    num_buckets: int = 32,
+) -> int:
+    """Exact global inversion count: pairs with ``rx_i < rx_j`` and
+    ``ry_i > ry_j``, where both columns are PERMUTATION ranks (1..n, each
+    value unique — produce them with :func:`global_row_number`). The
+    primitive behind Kendall's tau: tau_a = 1 - 4*inv / (n(n-1)).
+
+    Never materializes pairs. Grid decomposition — bucket each rank axis
+    into ``num_buckets`` fixed-width ranges, then:
+
+    1. **Coarse term** (driver math): for cell pairs in different rx
+       buckets AND different ry bands, order on both axes is certain, so
+       the inversion count is a product fold over the O(B^2) cell
+       histogram — computed from suffix sums in O(B^2) on the driver.
+    2. **Same-rx-bucket term**: all pairs inside one rx bucket are
+       resolved by a per-bucket merge-sort kernel (``applyInPandas``,
+       ~n/B rows per group — bounded memory).
+    3. **Same-ry-band, different-rx-bucket term**: per-band kernel counts
+       the band's inversions under rx order, minus its within-rx-bucket
+       inversions (those belong to term 2) — again ~n/B rows per group.
+
+    Total: one histogram aggregation + two grouped kernels = three
+    shuffles of (rank, rank) pairs only, O(B^2) driver state. At 10^12
+    rows pick num_buckets ~ n/50M so kernels stay in executor memory."""
+    import math as _math
+
+    # lineage cut FIRST: the (rx, ry) input is typically a self-join of two
+    # global_row_number branches over one source; checkpointing before any
+    # action sidesteps Spark's self-join attribute rebinding (and the
+    # kernels below re-read it anyway)
+    d0 = df.select(
+        F.col(rx_col).alias("rx"), F.col(ry_col).alias("ry")
+    ).localCheckpoint(eager=True)
+    n = d0.count()
+    if n < 2:
+        return 0
+    bw = _math.ceil(n / num_buckets) or 1
+    d = d0.select(
+        "rx",
+        "ry",
+        ((F.col("rx") - 1) / bw).cast("int").alias("bx"),
+        ((F.col("ry") - 1) / bw).cast("int").alias("by"),
+    )
+
+    # 1) coarse: cells H[bx][by]; pairs (cell1, cell2) with bx1 < bx2 and
+    # by1 > by2 are all inversions. fold with suffix sums over by.
+    cells = {(r["bx"], r["by"]): r["n"] for r in
+             d.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("n")).collect()}
+    bxs = sorted({b for b, _ in cells})
+    bys = sorted({b for _, b in cells})
+    coarse = 0
+    # running per-by totals of all buckets with smaller bx; per bx pass,
+    # suffix sums make "seen rows with by strictly greater" an O(1) lookup
+    # (O(B^2) total driver work)
+    by_index = {b: i for i, b in enumerate(bys)}
+    seen = [0] * len(bys)
+    for bx in bxs:
+        suffix = [0] * (len(bys) + 1)
+        for i in range(len(bys) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + seen[i]
+        for by in bys:
+            c = cells.get((bx, by), 0)
+            if c:
+                coarse += c * suffix[by_index[by] + 1]
+        for by in bys:
+            c = cells.get((bx, by), 0)
+            if c:
+                seen[by_index[by]] += c
+
+    # 2) + 3) grouped kernels
+    import pandas as pd  # noqa: F401 — applyInPandas dependency
+
+    def bucket_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("rx")
+        return pd.DataFrame({"inv": [_np_inversions(pdf["ry"].to_numpy())]})
+
+    def band_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("rx")
+        total = _np_inversions(pdf["ry"].to_numpy())
+        within = sum(
+            _np_inversions(g["ry"].to_numpy())
+            for _, g in pdf.groupby("bx", sort=False)
+        )
+        return pd.DataFrame({"inv": [total - within]})
+
+    bucket_inv = (
+        d.groupBy("bx")
+        .applyInPandas(bucket_kernel, "inv long")
+        .agg(F.sum("inv"))
+        .first()[0]
+        or 0
+    )
+    band_inv = (
+        d.groupBy("by")
+        .applyInPandas(band_kernel, "inv long")
+        .agg(F.sum("inv"))
+        .first()[0]
+        or 0
+    )
+    return int(coarse) + int(bucket_inv) + int(band_inv)

@@ -1417,3 +1417,77 @@ def ml_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(1000000 - d2 * 6000000 "
         "div (cast(n as decimal(38,0)) * n * n - n) as bigint) AS rho_micro",
     )
+
+
+@register(
+    "ml_kendall_tau",
+    category="analytics",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, n_chars,
+         CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 20 = 0),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rx,
+         row_number() OVER (ORDER BY n_tok ASC, doc_id ASC) AS ry
+  FROM v),
+inv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_inv
+  FROM r a JOIN r b ON a.rx < b.rx AND a.ry > b.ry),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r)
+SELECT n.n, inv.n_inv,
+       CAST(1000000 - CAST(n_inv AS HUGEINT) * 4000000
+            // (CAST(n.n AS HUGEINT) * (n.n - 1)) AS BIGINT) AS tau_micro
+FROM n, inv
+""",
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a between document length and whitespace token count
+    on PERMUTATION ranks (ties broken by doc_id, as in
+    ``ml_spearman_rank_corr``): tau = 1 - 4*inversions/(n(n-1)), with the
+    inversion count from the grid-decomposed exact counter
+    (operators/ranking.count_inversions — coarse 2D-histogram driver math
+    + per-bucket and per-band merge-sort kernels; never materializes a
+    pair). The 1-in-20 doc_id subsample keeps the oracle's O(n^2) pair
+    join feasible at sweep scale; the Spark side runs the same scalable
+    algorithm it would run on the full corpus.
+
+    Determinism: ranks and the inversion count are exact integers
+    (hypothesis-tested against brute force over bucket granularities);
+    tau lands as one truncating integer division in micro-units.
+
+    Scale shape: two bucketed global ranks, one O(B^2) cell histogram,
+    two grouped Arrow kernels of ~n/B rows each — O(n log n) work,
+    O(B^2) driver state. The oracle's pair join is the one thing this
+    operator exists to avoid."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        count_inversions,
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).cast("bigint").alias("n_tok"),
+    )
+    rx = global_row_number(
+        docs.select("doc_id", "n_chars"), "n_chars", ["doc_id"], out_col="rx"
+    ).select("doc_id", "rx")
+    ry = global_row_number(
+        docs.select("doc_id", "n_tok"), "n_tok", ["doc_id"], out_col="ry"
+    ).select("doc_id", "ry")
+    r = rx.join(ry, "doc_id")
+    n = docs.count()
+    inv = count_inversions(r, "rx", "ry")
+    return spark.createDataFrame(
+        [(n, inv)], "n bigint, n_inv bigint"
+    ).selectExpr(
+        "n", "n_inv",
+        "cast(1000000 - cast(n_inv as decimal(38,0)) * 4000000 "
+        "div (cast(n as decimal(38,0)) * (n - 1)) as bigint) AS tau_micro",
+    )

@@ -807,3 +807,45 @@ def test_fs_em_monotone_likelihood_and_bounded(n00, n01, n10, n11):
         if prev is not None:
             assert ll >= prev - 1e-9 * abs(prev), (it, prev, ll)
         prev = ll
+
+
+@_settings
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([2, 3, 4, 8]),
+)
+def test_count_inversions_matches_brute_force(spark, pairs, buckets):
+    """Grid-decomposed inversion count == O(n^2) brute force on any data
+    and any bucket granularity (coarse term + bucket kernels + band
+    kernels must tile the pair space exactly once)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        count_inversions,
+    )
+
+    # permutation ranks computed in plain Python (ties broken by id — the
+    # repo's total-order contract); the unit under test is the grid
+    # decomposition, global_row_number has its own tests
+    ids = list(range(len(pairs)))
+    rx_order = sorted(ids, key=lambda i: (pairs[i][0], i))
+    ry_order = sorted(ids, key=lambda i: (pairs[i][1], i))
+    rx = {i: r + 1 for r, i in enumerate(rx_order)}
+    ry = {i: r + 1 for r, i in enumerate(ry_order)}
+    df = spark.createDataFrame(
+        [(i, rx[i], ry[i]) for i in ids], "id int, rx long, ry long"
+    ).repartition(4)
+    got = count_inversions(df, "rx", "ry", num_buckets=buckets)
+
+    want = sum(
+        1
+        for a in ids
+        for b in ids
+        if rx[a] < rx[b] and ry[a] > ry[b]
+    )
+    assert got == want, (got, want, buckets)
