@@ -331,3 +331,47 @@ def count_inversions(
         or 0
     )
     return int(coarse) + int(bucket_inv) + int(band_inv)
+
+
+def global_rank_ties(
+    df: DataFrame,
+    key_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact global ``rank()`` / ``dense_rank()`` / ``cume_dist()`` OVER
+    (ORDER BY key) — the ties-respecting window family — computed without
+    a single-partition window, as per-distinct-key results.
+
+    Ties make these pure functions of the KEY HISTOGRAM: rank(key) =
+    1 + rows with a strictly smaller key, dense_rank(key) = position of
+    the key among distinct keys, cume_dist(key) = rows <= key / n. So one
+    map-side-combinable groupBy collapses the corpus to its key domain,
+    the exclusive :func:`global_prefix_sum` over counts gives rank and
+    cume_dist, and :func:`global_row_number` over the (already tiny)
+    distinct-key frame gives dense_rank. Join the result back on the key
+    to decorate rows; the heavy input is scanned ONCE.
+
+    Returns one row per distinct key: (key, n_rows, rank, dense_rank,
+    cume_micro) with cume_dist in truncated integer micro-units."""
+    g = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    ps = global_prefix_sum(
+        g, "__k", "__cnt", out_col="__lt", num_buckets=num_buckets
+    )
+    dr = global_row_number(
+        g.select("__k"), "__k", [], out_col="__dr", num_buckets=num_buckets
+    )
+    n = df.count()
+    return (
+        ps.join(dr, "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__cnt").alias("n_rows"),
+            (F.col("__lt") + 1).cast("long").alias("rank"),
+            F.col("__dr").cast("long").alias("dense_rank"),
+            F.expr(f"cast((__lt + __cnt) * 1000000 div {n} as bigint)").alias(
+                "cume_micro"
+            ),
+        )
+    )

@@ -1491,3 +1491,45 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(1000000 - cast(n_inv as decimal(38,0)) * 4000000 "
         "div (cast(n as decimal(38,0)) * (n - 1)) as bigint) AS tau_micro",
     )
+
+
+@register(
+    "window_rank_ties_global",
+    category="window",
+    oracle="""
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM g)
+SELECT q, n_rows,
+       CAST(1 + coalesce(sum(n_rows) OVER (ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS rank,
+       CAST(row_number() OVER (ORDER BY q) AS BIGINT) AS dense_rank,
+       CAST(sum(n_rows) OVER (ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+            // (SELECT n FROM t) AS BIGINT) AS cume_micro
+FROM g
+""",
+)
+def window_rank_ties_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank() / dense_rank() / cume_dist() over lineitem quantity —
+    the ties-respecting window family, computed scalably per distinct key
+    (operators/ranking.global_rank_ties): ties make these pure functions
+    of the key histogram, so the corpus collapses map-side to its key
+    domain and the rank arithmetic runs on the tiny distinct-key frame via
+    the two-phase prefix machinery. The row_number variant is
+    ``window_rank_global_scalable``; this completes the family.
+
+    Scale shape: ONE scan + one map-side-combinable groupBy to |domain|
+    rows; everything after is O(|domain|). A naive
+    ``rank() OVER (ORDER BY q)`` on the raw rows moves the entire corpus
+    to one partition. cume_dist in truncated integer micro-units."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_rank_ties,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q")
+    )
+    return global_rank_ties(li, "q").orderBy("q")
