@@ -2854,3 +2854,130 @@ def dedup_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters + temperature-scaled mixture (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition_filter",
+    category="text",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM w WHERE len(ws) >= 2),
+cnt AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top
+  FROM cnt GROUP BY 1)
+SELECT CASE WHEN (total - n_distinct) * 5 > total THEN 1 ELSE 0 END AS dup_flag,
+       CASE WHEN top * 20 > total THEN 1 ELSE 0 END AS top_flag,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS example_doc,
+       CAST(sum(total - n_distinct) * 1000000 // sum(total) AS BIGINT)
+         AS dup_frac_micro,
+       CAST(sum(top) * 1000000 // sum(total) AS BIGINT) AS top_frac_micro
+FROM per GROUP BY 1, 2
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (the Gopher/MassiveText rules,
+    adapted to word bigrams): per document, the duplicate-bigram fraction
+    (occurrences beyond each bigram's first) and the top-bigram fraction —
+    the signals that catch boilerplate and degenerate generation loops in
+    a pretraining corpus. Docs are flagged by exact cross-multiplied
+    integer thresholds (dup > 20%%, top > 5%%) and summarized per flag
+    combination with micro-averaged fractions (ratio of exact sums — the
+    registry's no-mean-of-ratios rule).
+
+    Relationship to siblings: ``text_repetition_ratio`` reports the raw
+    per-doc dup-bigram ratio and ``text_repetition_signals`` the unigram
+    dup/top ratios; THIS query is the gate itself — top-bigram dominance
+    (which neither sibling measures) plus the integer-threshold decision
+    and the corpus-level flag summary a filter pipeline actually acts on.
+
+    Scale shape: one explode to (doc, bigram) rows, one map-side-
+    combinable groupBy to per-doc-distinct-bigram counts, one per-doc
+    fold, one <=4-row summary. Bigram construction stays inside JVM array
+    expressions (transform over sequence) — no Python in the hot path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top"),
+    )
+    dup_flag = F.when((F.col("total") - F.col("n_distinct")) * 5 > F.col("total"), 1).otherwise(0)
+    top_flag = F.when(F.col("top") * 20 > F.col("total"), 1).otherwise(0)
+    return per.groupBy(
+        dup_flag.alias("dup_flag"), top_flag.alias("top_flag")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("example_doc"),
+        F.expr(
+            "cast(sum(total - n_distinct) * 1000000 div sum(total) as bigint)"
+        ).alias("dup_frac_micro"),
+        F.expr("cast(sum(top) * 1000000 div sum(total) as bigint)").alias(
+            "top_frac_micro"
+        ),
+    )
+
+
+@register(
+    "sample_temperature_mixture",
+    category="sampling",
+    oracle="""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w
+  FROM c),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+SELECT source, n, w,
+       CAST(w * 1000000 // (SELECT tw FROM t) AS BIGINT) AS share_micro
+FROM w
+""",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (alpha = 0.5, the multilingual /
+    multi-source resampling rule): each source's sampling share is
+    proportional to sqrt(count), flattening the source distribution so
+    small sources are up-weighted — the standard knob for balancing a
+    pretraining mixture. w = floor(sqrt(n * 1e6)) keeps 3 decimal digits
+    of sqrt precision; shares land as truncated integer micro-units.
+
+    Determinism: int -> double conversion (exact below 2^53) and sqrt are
+    both correctly rounded IEEE ops, floor is exact — identical in any
+    engine; everything after is integer arithmetic.
+
+    Scale shape: one map-side-combinable groupBy to |sources| rows; the
+    normalization total is a scalar subquery / O(1) fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = c.select(
+        "source", "n",
+        F.floor(F.sqrt((F.col("n") * 1000000).cast("double"))).cast("bigint").alias("w"),
+    )
+    tw = w.agg(F.sum("w").cast("bigint").alias("tw"))
+    return w.crossJoin(F.broadcast(tw)).selectExpr(
+        "source", "n", "w",
+        "cast(w * 1000000 div tw as bigint) AS share_micro",
+    )
