@@ -2981,3 +2981,4 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n", "w",
         "cast(w * 1000000 div tw as bigint) AS share_micro",
     )
+

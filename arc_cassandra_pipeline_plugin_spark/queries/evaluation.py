@@ -1533,3 +1533,112 @@ def window_rank_ties_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("q")
     )
     return global_rank_ties(li, "q").orderBy("q")
+
+
+def pava_isotonic_micro(bins: list[tuple[int, int, int]]) -> dict[int, int]:
+    """Weighted isotonic (non-decreasing) fit of per-bin positive rates by
+    pool-adjacent-violators on EXACT integers: bins = [(bin, n, sum_y)]
+    in bin order; returns {bin: fitted_micro} where fitted_micro =
+    floor(pooled_mean * 1e6). All comparisons are cross-multiplied Python
+    ints (arbitrary precision — no float, no overflow at any N). Merging
+    on equality is harmless (identical pooled mean).
+
+    Equivalence used by the oracle: the PAVA solution at bin i equals
+    max_{j<=i} min_{k>=i} avg(j..k) (the minimax characterization), and
+    floor is monotone, so max/min commute with truncation — the SQL
+    minimax over pico-truncated averages reproduces these exact values."""
+    blocks: list[list] = []  # [sum_y, n, [bins...]]
+    for b, n, sy in sorted(bins):
+        blocks.append([sy, n, [b]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            sy2, n2, bs2 = blocks.pop()
+            blocks[-1][0] += sy2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(bs2)
+    out: dict[int, int] = {}
+    for sy, n, bs in blocks:
+        v = sy * 1000000 // n
+        for b in bs:
+            out[b] = v
+    return out
+
+
+@register(
+    "ml_isotonic_calibration",
+    category="analytics",
+    oracle="""
+WITH r AS (
+  SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bin
+  FROM documents),
+b AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+  FROM r GROUP BY 1),
+cum AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin) AS cn, sum(sy) OVER (ORDER BY bin) AS cs
+  FROM b),
+vals AS (
+  SELECT t.i, t.j, t.k,
+         CAST(ck.cs - coalesce(cj.cs, 0) AS HUGEINT) * 1000000000000
+           // CAST(ck.cn - coalesce(cj.cn, 0) AS HUGEINT) AS apico
+  FROM (SELECT b1.bin AS i, b2.bin AS j, b3.bin AS k
+        FROM b b1, b b2, b b3
+        WHERE b2.bin <= b1.bin AND b3.bin >= b1.bin) t
+  JOIN cum ck ON ck.bin = t.k
+  LEFT JOIN cum cj ON cj.bin = t.j - 1),
+mins AS (SELECT i, j, min(apico) AS m FROM vals GROUP BY 1, 2),
+fit AS (SELECT i AS bin, max(m) AS fitted_pico FROM mins GROUP BY 1)
+SELECT CAST(b.bin AS INT) AS bin, b.n, b.sy AS n_pos,
+       CAST(b.sy * 1000000 // b.n AS BIGINT) AS raw_rate_micro,
+       CAST(fit.fitted_pico // 1000000 AS BIGINT) AS fitted_micro
+FROM b JOIN fit ON fit.bin = b.bin
+""",
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the score-decile
+    positive rates from ``ml_calibration_bins`` — the non-parametric
+    calibrator (pool-adjacent-violators) every probability-output model
+    audit fits after the reliability diagram. Per decile: raw empirical
+    rate and the PAVA-fitted rate, both integer micro-units.
+
+    Determinism + oracle strategy: Spark folds the corpus to <=10 exact
+    (n, sum_y) bins (the same two-phase global ntile as the calibration
+    query) and runs integer PAVA on the driver (O(bins) state — the
+    k-means-centroid convention; Python ints, cross-multiplied
+    comparisons, no float). The oracle instead evaluates the minimax
+    characterization fitted(i) = max_{j<=i} min_{k>=i} avg(j..k) as a
+    triple join over the 10 bins in int128, exploiting that floor is
+    monotone so truncation commutes with max/min — two completely
+    different algorithms certified to agree exactly (hypothesis-tested
+    on random histograms too).
+
+    Scale shape: all corpus-sized work is one scan + the bucketed ntile +
+    a <=10-row fold; PAVA cost is independent of data size."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    tiled = global_ntile(docs, "n_chars", ["doc_id"], n=10, out_col="bin")
+    rows = (
+        tiled.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+        .collect()  # <=10 bins — calibration state, never data
+    )
+    bins = [(int(r["bin"]), int(r["n"]), int(r["sy"])) for r in rows]
+    fitted = pava_isotonic_micro([(b, n, sy) for b, n, sy in bins])
+    out = [
+        (b, n, sy, sy * 1000000 // n, fitted[b])
+        for b, n, sy in sorted(bins)
+    ]
+    return spark.createDataFrame(
+        out,
+        "bin int, n bigint, n_pos bigint, raw_rate_micro bigint, fitted_micro bigint",
+    )

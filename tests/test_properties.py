@@ -849,3 +849,45 @@ def test_count_inversions_matches_brute_force(spark, pairs, buckets):
         if rx[a] < rx[b] and ry[a] > ry[b]
     )
     assert got == want, (got, want, buckets)
+
+
+@_settings
+@given(
+    bins=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1000),   # n
+            st.integers(min_value=0, max_value=1000),   # sum_y <= n enforced below
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pava_matches_minimax_characterization(bins):
+    """Integer PAVA == the minimax formula max_{j<=i} min_{k>=i} avg(j..k)
+    evaluated in exact fractions — the identity the DuckDB oracle of
+    ml_isotonic_calibration relies on, plus monotonicity of the output."""
+    from fractions import Fraction
+
+    from arc_cassandra_pipeline_plugin_spark.queries.evaluation import (
+        pava_isotonic_micro,
+    )
+
+    data = [(i + 1, n, min(sy, n)) for i, (n, sy) in enumerate(bins)]
+    got = pava_isotonic_micro(data)
+
+    ns = [n for _, n, _ in data]
+    sys_ = [sy for _, _, sy in data]
+    B = len(data)
+    want = {}
+    for i in range(B):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, B):
+                avg = Fraction(sum(sys_[j:k + 1]), sum(ns[j:k + 1]))
+                worst = avg if worst is None or avg < worst else worst
+            best = worst if best is None or worst > best else best
+        want[i + 1] = (best.numerator * 1000000) // best.denominator
+    assert got == want
+    fit = [got[b] for b, _, _ in data]
+    assert fit == sorted(fit), "isotonic output must be non-decreasing"
