@@ -2982,3 +2982,79 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(w * 1000000 div tw as bigint) AS share_micro",
     )
 
+
+
+@register(
+    "er_sorted_neighborhood",
+    category="dedup",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS ck, c_nationkey AS nk,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer),
+r AS (
+  SELECT ck, nk, cents,
+         row_number() OVER (ORDER BY cents ASC, ck ASC) AS rn
+  FROM c),
+pairs AS (
+  SELECT a.ck AS ck_a, b.ck AS ck_b,
+         CASE WHEN a.nk = b.nk THEN 1 ELSE 0 END AS same_nation,
+         abs(a.cents - b.cents) AS gap_cents
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5)
+SELECT same_nation,
+       CASE WHEN gap_cents <= 100 THEN 1 ELSE 0 END AS close_balance,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(ck_a) AS BIGINT) AS example_a,
+       CAST(max(gap_cents) AS BIGINT) AS max_gap_cents
+FROM pairs GROUP BY 1, 2
+""",
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the classic ER candidate generator
+    that hash blocking (er_fellegi_sunter's composite key) cannot
+    replicate: sort records by a fuzzy key (balance cents), compare each
+    record only with its w = 5 successors in the sort order, so
+    near-misses that straddle any hash-block boundary still meet. Pairs
+    are banded by nation agreement and balance gap — the comparison
+    vector a scorer would consume.
+
+    Scale shape: the sort order comes from the two-phase bucketed global
+    row_number (never a single-partition window); the neighborhood join
+    is rank-keyed — each record explodes to w probe ranks and equi-joins
+    the rank column, so shuffle volume is w*n rows, not a range join. At
+    100 TB w*n stays linear and the rank join partitions evenly by
+    construction (ranks are uniform).
+
+    Determinism: ranks are exact; all comparisons integer."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    W = 5
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    r = global_row_number(c, "cents", ["ck"], out_col="rn")
+    right = r.select(
+        F.col("rn").alias("rn2"), F.col("ck").alias("ck_b"),
+        F.col("nk").alias("nk_b"), F.col("cents").alias("cents_b"),
+    )
+    probes = r.select(
+        "ck", "nk", "cents",
+        F.explode(F.expr(f"sequence(rn + 1, rn + {W})")).alias("rn2"),
+    )
+    pairs = probes.join(right, "rn2").select(
+        F.when(F.col("nk") == F.col("nk_b"), 1).otherwise(0).alias("same_nation"),
+        F.abs(F.col("cents") - F.col("cents_b")).alias("gap_cents"),
+        F.col("ck").alias("ck_a"),
+    )
+    return pairs.groupBy(
+        "same_nation",
+        F.when(F.col("gap_cents") <= 100, 1).otherwise(0).alias("close_balance"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("ck_a").cast("bigint").alias("example_a"),
+        F.max("gap_cents").cast("bigint").alias("max_gap_cents"),
+    )
