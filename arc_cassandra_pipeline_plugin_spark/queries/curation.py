@@ -3058,3 +3058,82 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ck_a").cast("bigint").alias("example_a"),
         F.max("gap_cents").cast("bigint").alias("max_gap_cents"),
     )
+
+
+@register(
+    "feature_quantile_normalize",
+    category="analytics",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+s AS (
+  SELECT doc_id, source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x ASC, doc_id ASC) AS rs,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM v),
+g AS (
+  SELECT x AS gx, row_number() OVER (ORDER BY x ASC, doc_id ASC) AS gr FROM v),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM v),
+m AS (
+  SELECT s.doc_id, s.source, s.x,
+         1 + ((rs - 1) * 1000000 // greatest(ns - 1, 1))
+             * ((SELECT nn FROM n) - 1) // 1000000 AS gi
+  FROM s),
+j AS (
+  SELECT m.source, m.x, g.gx AS nx
+  FROM m JOIN g ON g.gr = m.gi)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(nx) AS BIGINT) AS sum_normalized,
+       CAST(min(nx) AS BIGINT) AS min_normalized,
+       CAST(max(nx) AS BIGINT) AS max_normalized,
+       CAST(sum(abs(nx - x)) AS BIGINT) AS total_shift
+FROM j GROUP BY 1
+""",
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — the batch-effect correction a
+    multi-vendor corpus needs before score thresholds mean the same thing
+    everywhere: each document's value is replaced by the GLOBAL value at
+    the same relative rank its value holds within its source. Per-source
+    summary (count, normalized sum/min/max, total shift) certifies the
+    full mapping through exact integers.
+
+    Scale shape: within-source ranks are a PARTITIONED window (source is
+    the partition key — no global sort); the global value ladder comes
+    from the two-phase bucketed global row_number; the mapping is one
+    equi-join on the computed global index (uniform by construction).
+    Relative positions and index arithmetic are truncating integer ops —
+    no float anywhere."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_row_number,
+    )
+    from pyspark.sql.window import Window
+
+    v = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("x")
+    )
+    ws = Window.partitionBy("source").orderBy(F.col("x").asc(), F.col("doc_id").asc())
+    s = v.select(
+        "doc_id", "source", "x",
+        F.row_number().over(ws).alias("rs"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+    )
+    g = global_row_number(v, "x", ["doc_id"], out_col="gr").select(
+        F.col("x").alias("nx"), F.col("gr").alias("gi")
+    )
+    nn = v.count()
+    m = s.select(
+        "source", "x",
+        F.expr(
+            f"1 + ((rs - 1) * 1000000 div greatest(ns - 1, 1)) * ({nn} - 1) div 1000000"
+        ).alias("gi"),
+    )
+    j = m.join(g, "gi")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("nx").cast("bigint").alias("sum_normalized"),
+        F.min("nx").cast("bigint").alias("min_normalized"),
+        F.max("nx").cast("bigint").alias("max_normalized"),
+        F.sum(F.abs(F.col("nx") - F.col("x"))).cast("bigint").alias("total_shift"),
+    )
