@@ -2943,6 +2943,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_temperature_mixture",
     category="sampling",
+    plan_shape="scalar_broadcast",
+    plan_reason="normalization total is a broadcast 1-row frame crossed "
+    "onto the |sources|-row weight table — O(sources) rows, never data",
     oracle="""
 WITH c AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
