@@ -4693,3 +4693,89 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_negatives"),
         F.min("neg_dst").alias("example_negative"),
     )
+
+
+@register(
+    "events_grid_dbscan",
+    category="analytics",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT CAST(floor(value / 10.0) AS BIGINT) AS vb,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hb
+  FROM events),
+cells AS (SELECT vb, hb, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e),
+core AS (
+  SELECT vb * 24 + hb AS cell, vb, hb, cnt
+  FROM cells, tot WHERE cnt * 600 > t),
+edges AS (
+  SELECT a.cell AS ca, b.cell AS cb
+  FROM core a JOIN core b
+    ON abs(a.vb - b.vb) <= 1 AND abs(a.hb - b.hb) <= 1 AND a.cell <> b.cell),
+walk(id, label) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT e2.ca, w.label FROM edges e2 JOIN walk w ON e2.cb = w.id),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT CAST(comp.cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(core.cnt) AS BIGINT) AS n_points
+FROM comp JOIN core ON core.cell = comp.id
+GROUP BY 1
+""",
+)
+def events_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering (the GriDBSCAN family) over the
+    (value decade x hour-of-day) event grid: cells denser than 2x the
+    uniform share are CORE (cross-multiplied integer threshold, so the
+    criterion is scale-relative and SF-robust), 8-neighbor-adjacent core
+    cells merge into clusters via the shared min-label connected
+    components, and each cluster reports its cell and point mass — the
+    hotspot map of a traffic surface. Cell-level convention (clusters =
+    components of core cells) documented in place of per-point border
+    assignment.
+
+    Scale shape: one map-side-combinable groupBy to |grid| cells;
+    everything after runs on the (bounded) core-cell set — neighbor
+    edges come from a +-1-offset explode + equi-join on the value
+    bucket (never an all-pairs cell join at the Spark side), and the
+    component loop is the dedup CC operator (O(diameter) rounds, two
+    cell-keyed shuffles each). Point data is scanned exactly once.
+
+    Determinism: floor(value/10) is an exactly-rounded IEEE op; all
+    thresholds and labels are integers."""
+    from arc_cassandra_pipeline_plugin_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / 10.0).cast("bigint").alias("vb"),
+        F.hour("ts").cast("bigint").alias("hb"),
+    )
+    total = ev.count()
+    cells = ev.groupBy("vb", "hb").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    core = cells.filter(F.col("cnt") * 600 > F.lit(total)).select(
+        (F.col("vb") * 24 + F.col("hb")).alias("cell"), "vb", "hb", "cnt"
+    )
+    probes = core.select(
+        "cell", "hb", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("d"),
+        (F.col("vb") + F.col("d")).alias("vb2"),
+    ).drop("d")
+    right = core.select(
+        F.col("vb").alias("vb2"), F.col("hb").alias("hb2"), F.col("cell").alias("cell2")
+    )
+    pairs = (
+        probes.join(right, "vb2")
+        .filter((F.abs(F.col("hb") - F.col("hb2")) <= 1) & (F.col("cell") < F.col("cell2")))
+        .select("cell", "cell2")
+    )
+    labels = connected_components(pairs, "cell", "cell2").select(
+        F.col("doc_id").alias("cell"), "cluster_id"
+    )
+    labeled = core.join(labels, "cell", "left").select(
+        "cnt", F.coalesce(F.col("cluster_id"), F.col("cell")).alias("cluster_id")
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("cnt").cast("bigint").alias("n_points"),
+    )
