@@ -907,3 +907,65 @@ def personalized_pagerank_oracle_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, rank FROM r{iters}"
     )
+
+
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    etime: str = "et",
+) -> DataFrame:
+    """Earliest-arrival reachability on a TEMPORAL graph: a path is
+    time-respecting when its edge times are non-decreasing, and a node's
+    arrival value is the earliest time any such path from a seed reaches
+    it — the primitive behind influence/contagion analysis on interaction
+    networks (static reachability overstates what temporal order allows).
+
+    ``seeds`` is a (node, t0) frame. Each synchronous round relaxes every
+    edge whose time is >= its source's current arrival and keeps the
+    per-node minimum — the same iterate discipline as
+    :func:`sssp_cheapest` (two node-keyed shuffles per round, lineage cut
+    per round, fixed ``rounds`` so both engines run the identical
+    schedule). Arrival times are exact integers."""
+    if rounds < 1:
+        raise ValueError(f"temporal_earliest_arrival needs rounds >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"),
+        F.col(etime).cast("bigint").alias("_t"),
+    )
+    arr = seeds.select(F.col("node"), F.col("t0").cast("bigint").alias("at"))
+    for _ in range(rounds):
+        relaxed = (
+            e.join(arr.select(F.col("node").alias("_s"), "at"), "_s")
+            .filter(F.col("_t") >= F.col("at"))
+            .select(F.col("_d").alias("node"), F.col("_t").alias("at"))
+        )
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("at").alias("at"))
+            .localCheckpoint(eager=False)
+        )
+    return arr
+
+
+def temporal_earliest_arrival_oracle_sql(
+    edges_sql: str, seed_sql: str, rounds: int = 3
+) -> str:
+    """DuckDB oracle for :func:`temporal_earliest_arrival`: the same
+    synchronous rounds unrolled as CTEs over integer times."""
+    ctes = [f"te AS ({edges_sql})", f"a0 AS ({seed_sql})"]
+    for k in range(1, rounds + 1):
+        p = f"a{k - 1}"
+        ctes.append(
+            f"""a{k} AS (
+  SELECT node, CAST(min(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM {p}
+    UNION ALL
+    SELECT e.dst AS node, e.et AS at
+    FROM te e JOIN {p} q ON e.src = q.node AND e.et >= q.at
+  ) GROUP BY 1)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, at FROM a{rounds}"

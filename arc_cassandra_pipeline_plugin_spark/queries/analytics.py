@@ -4779,3 +4779,83 @@ def events_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("cnt").cast("bigint").alias("n_points"),
     )
+
+
+_TEMPORAL_EDGES_SQL = """
+SELECT n1.n_name AS src, n2.n_name AS dst,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS et
+FROM lineitem
+JOIN orders    ON o_orderkey = l_orderkey
+JOIN supplier  ON s_suppkey  = l_suppkey
+JOIN customer  ON c_custkey  = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name AND l_quantity >= 48
+GROUP BY 1, 2, 3
+"""
+
+
+def _temporal_reach_oracle() -> str:
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        temporal_earliest_arrival_oracle_sql,
+    )
+
+    sql = temporal_earliest_arrival_oracle_sql(
+        _TEMPORAL_EDGES_SQL,
+        """SELECT n_name AS node, CAST(1996 AS BIGINT) AS at
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey = 1""",
+        rounds=3,
+    )
+    return f"SELECT node AS nation, CAST(at AS BIGINT) AS arrival_year FROM ({sql})"
+
+
+@register("graph_temporal_reachability", category="graph", oracle=_temporal_reach_oracle())
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival reachability on the TEMPORAL trade graph (edge =
+    supplier-nation -> customer-nation active in a given order year):
+    from supplier #1's nation @ 1996 (data-derived seed so every SF has
+    outgoing edges), the earliest year each nation can be reached by a
+    time-RESPECTING path (edge years non-decreasing along the path) — the
+    contagion/influence primitive where static reachability would
+    overstate what temporal order allows (a 1999 edge cannot feed a 1998
+    one).
+
+    Scale shape: the edge build is the same multi-join as the trade
+    graph RESTRICTED to rare high-quantity lineitems (sparse edges, so
+    multi-hop time-respecting paths actually differ from 1-hop
+    reachability), grouped map-side to (src, dst, year) triples; each of the 3
+    relax rounds is one node-keyed join + min-aggregation
+    (operators/graph.temporal_earliest_arrival — the sssp discipline:
+    fixed round count, lineage cut per round, integer arrival times)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        temporal_earliest_arrival,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 48
+    ).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.year("o_orderdate").cast("bigint").alias("et"))
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") == 1)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("node"), F.lit(1996).cast("bigint").alias("t0"))
+    )
+    arr = temporal_earliest_arrival(edges, seeds, rounds=3)
+    return arr.select(F.col("node").alias("nation"), F.col("at").cast("bigint").alias("arrival_year"))

@@ -1642,3 +1642,62 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "bin int, n bigint, n_pos bigint, raw_rate_micro bigint, fitted_micro bigint",
     )
+
+
+@register(
+    "ml_expected_calibration_error",
+    category="analytics",
+    oracle="""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         least(n_chars, 1000) * 1000 AS f_micro
+  FROM documents),
+b AS (
+  SELECT least(f_micro // 100000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM d GROUP BY 1),
+g AS (
+  SELECT bin, n, sy,
+         abs(n * (bin * 100000 + 50000) - 1000000 * sy) AS agap
+  FROM b)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins_occupied,
+       CAST(sum(agap) // sum(n) AS BIGINT) AS ece_micro,
+       CAST(max(agap // n) AS BIGINT) AS mce_micro
+FROM g
+""",
+)
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error over the same 10 fixed-width
+    forecast bins as ``ml_brier_decomposition`` (midpoint forecast
+    convention): ECE = count-weighted mean |forecast - observed rate|,
+    MCE = the worst bin — the two headline numbers of a reliability
+    audit. Pure integers: the per-bin gap |n*mid - 1e6*sy| needs no
+    per-bin division for ECE (weights cancel), one truncating div per
+    bin for MCE.
+
+    Scale shape: one map-side-combinable groupBy to <=10 bins + a 1-row
+    fold — the canonical map-only eval job."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.least(F.col("n_chars"), F.lit(1000)) * 1000)
+        .cast("bigint")
+        .alias("f_micro"),
+    )
+    b = docs.groupBy(
+        F.least(F.expr("f_micro div 100000"), F.lit(9)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    g = b.withColumn(
+        "agap",
+        F.abs(F.col("n") * (F.col("bin") * 100000 + 50000) - 1000000 * F.col("sy")),
+    )
+    return g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+        F.expr("cast(sum(agap) div sum(n) as bigint)").alias("ece_micro"),
+        F.expr("cast(max(agap div n) as bigint)").alias("mce_micro"),
+    )
