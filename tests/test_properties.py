@@ -891,3 +891,86 @@ def test_pava_matches_minimax_characterization(bins):
     assert got == want
     fit = [got[b] for b, _, _ in data]
     assert fit == sorted(fit), "isotonic output must be non-decreasing"
+
+
+@_settings
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # src
+            st.integers(min_value=0, max_value=6),   # dst
+            st.integers(min_value=0, max_value=5),   # time
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    t0=st.integers(min_value=0, max_value=3),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+def test_temporal_earliest_arrival_matches_bruteforce(spark, edges, t0, rounds):
+    """Earliest time-respecting arrival == brute-force dynamic program on
+    any random temporal graph, seed time, and round budget (within the
+    same number of synchronous relaxations)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        temporal_earliest_arrival,
+    )
+
+    edges = [(s, d, t) for s, d, t in edges if s != d]
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, "src int, dst int, et long")
+    seeds = spark.createDataFrame([(0, t0)], "node int, t0 long")
+    got = {
+        r["node"]: r["at"]
+        for r in temporal_earliest_arrival(e, seeds, rounds=rounds).collect()
+    }
+
+    want = {0: t0}
+    for _ in range(rounds):
+        nxt = dict(want)
+        for s, d, t in edges:
+            if s in want and t >= want[s]:
+                if d not in nxt or t < nxt[d]:
+                    nxt[d] = t
+        want = nxt
+    assert got == want, (got, want)
+
+
+@_settings
+@given(
+    keys=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=40)
+)
+def test_global_rank_ties_matches_sql_windows(spark, keys):
+    """global_rank_ties == naive rank()/dense_rank()/cume_dist windows on
+    arbitrary tie structures (cume_dist compared in the same truncated
+    micro-units)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_rank_ties,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: (r["rank"], r["dense_rank"], r["cume_micro"], r["n_rows"])
+        for r in global_rank_ties(df, "k", num_buckets=3).collect()
+    }
+    w = Window.orderBy("k")
+    naive = df.select(
+        "k",
+        F.rank().over(w).alias("r"),
+        F.dense_rank().over(w).alias("dr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).collect()
+    n = len(keys)
+    want = {}
+    for row in naive:
+        cnt = keys.count(row["k"])
+        want[row["k"]] = (
+            row["r"], row["dr"],
+            # cume_dist == rows<=k / n; reproduce the truncated micro form
+            ((row["r"] - 1 + cnt) * 1000000) // n,
+            cnt,
+        )
+    assert got == want, (got, want)
