@@ -78,6 +78,9 @@ _KEY_TO_FIELD = {
     "skipMax": "skip_max",
     "skipManifestURI": "skip_manifest_uri",
     "skipSortOutput": "skip_sort_output",
+    "skipBloomColumn": "skip_bloom_col",
+    "skipBloomValue": "skip_bloom_value",
+    "skipBloomManifestURI": "skip_bloom_manifest_uri",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 

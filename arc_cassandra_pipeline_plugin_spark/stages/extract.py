@@ -112,6 +112,14 @@ class ParquetExtract(ExtractStage):
     skip_max: object = None
     skip_manifest_uri: str = ""
     max_manifest_files: int = 100_000
+    #: Bloom-filter file index for EQUALITY probes — the complement of the
+    #: min/max index (which cannot prune high-cardinality uniform columns):
+    #: per file, the set of md5-derived bit positions of its values; a probe
+    #: keeps only files whose set contains ALL the probe value's positions.
+    #: False positives read an extra file; false negatives are impossible.
+    skip_bloom_col: str = ""
+    skip_bloom_value: object = None
+    skip_bloom_manifest_uri: str = ""
 
     def _list_data_files(self, spark: SparkSession) -> set:
         """Live recursive listing of the layout's data files as normalized
@@ -168,7 +176,104 @@ class ParquetExtract(ExtractStage):
             reader = reader.schema(self.schema)
         if self.skip_index_col and (self.skip_min is not None or self.skip_max is not None):
             return self._skipping_read(spark, reader)
+        if self.skip_bloom_col and self.skip_bloom_value is not None:
+            return self._bloom_skipping_read(spark, reader)
         return reader.parquet(self.input_uri)
+
+    #: bloom geometry: 4096 bits x 5 hashes holds the false-positive rate
+    #: under ~1% to ~400 distinct values per file; saturated files simply
+    #: stop pruning (never lose rows)
+    _BLOOM_BITS = 4096
+    _BLOOM_K = 5
+
+    @classmethod
+    def _bloom_positions_py(cls, value) -> list[int]:
+        """The probe value's bit positions — md5-prefix hashing, the repo's
+        deterministic-randomness convention, mirrored exactly by the
+        engine-side expression in :meth:`_bloom_pos_cols`."""
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{k}:{value}".encode()).hexdigest()[:8], 16)
+            % cls._BLOOM_BITS
+            for k in range(cls._BLOOM_K)
+        ]
+
+    @classmethod
+    def _bloom_pos_cols(cls, col_name: str) -> list:
+        from pyspark.sql import functions as F
+
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{k}:"), F.col(col_name).cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % cls._BLOOM_BITS
+            ).cast("int")
+            for k in range(cls._BLOOM_K)
+        ]
+
+    def _bloom_skipping_read(self, spark: SparkSession, reader) -> DataFrame:
+        """Equality-probe file skipping via a per-file Bloom index: the
+        manifest holds each file's SORTED set of bit positions; the pruned
+        read keeps files containing ALL the probe's positions, then
+        re-applies the equality predicate (pruning is a pure optimization
+        — results are exactly the full scan's). Same staleness discipline
+        as the min/max manifest: validated against the live O(files)
+        listing, rebuilt when the layout changed.
+        Metrics: ``bloomFilesTotal`` / ``bloomFilesRead``."""
+        from pyspark.sql import functions as F
+
+        reader = reader.option("basePath", self._qualified_base(spark))
+        live = self._list_data_files(spark)
+        if len(live) > self.max_manifest_files:
+            raise ValueError(
+                f"bloom index refused: {len(live)} data files exceed "
+                f"maxManifestFiles={self.max_manifest_files}"
+            )
+        manifest = None
+        if self.skip_bloom_manifest_uri:
+            try:
+                persisted = spark.read.parquet(self.skip_bloom_manifest_uri)
+                mpaths = {
+                    self._norm_path(r["file_path"])
+                    for r in persisted.select("file_path").collect()
+                }
+                if mpaths == live:
+                    manifest = persisted
+            except Exception:
+                manifest = None  # not built yet
+        if manifest is None:
+            pos = F.explode(F.array(*self._bloom_pos_cols(self.skip_bloom_col)))
+            manifest = (
+                reader.parquet(self.input_uri)
+                .select(
+                    F.col("_metadata.file_path").alias("file_path"),
+                    pos.alias("pos"),
+                )
+                .groupBy("file_path")
+                .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+            )
+            if self.skip_bloom_manifest_uri:
+                manifest.write.mode("overwrite").parquet(self.skip_bloom_manifest_uri)
+                manifest = spark.read.parquet(self.skip_bloom_manifest_uri)
+
+        probe = self._bloom_positions_py(self.skip_bloom_value)
+        keep_cond = F.lit(True)
+        for p in probe:
+            keep_cond = keep_cond & F.array_contains(F.col("bloom"), p)
+        rows = manifest.select("file_path", keep_cond.alias("_keep")).collect()
+        keep = [self._read_path(r["file_path"]) for r in rows if r["_keep"]]
+        self.stage_detail.set("bloomFilesTotal", len(rows))
+        self.stage_detail.set("bloomFilesRead", len(keep))
+        eq = F.col(self.skip_bloom_col) == F.lit(self.skip_bloom_value)
+        if not keep:
+            return reader.parquet(self.input_uri).filter(F.lit(False))
+        return reader.parquet(*keep).filter(eq)
 
     def _skipping_read(self, spark: SparkSession, reader) -> DataFrame:
         from pyspark.sql import functions as F

@@ -979,3 +979,76 @@ def test_text_extract_lines_and_wholetext(spark, ctx, tmp_path):
         name="t2", input_uri=str(d), output_view="t2", whole_text=True
     ).execute(spark, ctx)
     assert whole.count() == 2
+
+
+def test_parquet_extract_bloom_index_equality_probe(spark, ctx, tmp_path):
+    """The Bloom file index must (a) never lose rows (bloom-pruned read ==
+    full-scan equality filter for EVERY probed key, hit or miss), (b)
+    prune files a min/max index cannot (hash-distributed high-cardinality
+    keys overlap every file's range), (c) reuse a persisted manifest, and
+    (d) rebuild a stale manifest after the layout changes."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.stages import ParquetExtract
+
+    # hash layout: every file's o_custkey RANGE overlaps — min/max skipping
+    # would read everything; the bloom index keys on VALUES instead
+    src = str(tmp_path / "orders_hashed")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .repartition(8, "o_custkey")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    keys = [r["o_custkey"] for r in spark.read.parquet(src).select("o_custkey").distinct().limit(3).collect()]
+    keys.append(-12345)  # guaranteed miss
+    manifest = str(tmp_path / "bloom_manifest")
+
+    pruned_somewhere = False
+    for i, key in enumerate(keys):
+        st = ParquetExtract(
+            name=f"bloom{i}",
+            input_uri=src,
+            output_view=f"orders_bloom{i}",
+            skip_bloom_col="o_custkey",
+            skip_bloom_value=key,
+            skip_bloom_manifest_uri=manifest,
+        )
+        df = st.execute(spark, ctx)
+        got = {tuple(r) for r in df.collect()}
+        want = {
+            tuple(r)
+            for r in spark.read.parquet(src).filter(F.col("o_custkey") == key).collect()
+        }
+        assert got == want, f"bloom read lost/invented rows for key {key}"
+        d = st.stage_detail.as_dict()
+        assert d["bloomFilesTotal"] == 8
+        if d["bloomFilesRead"] < d["bloomFilesTotal"]:
+            pruned_somewhere = True
+        if key == -12345:
+            assert got == set()
+    assert pruned_somewhere, "bloom index never pruned a file"
+
+    # stale manifest: append more files -> set comparison fails -> rebuild
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .limit(10)
+        .repartition(2, "o_custkey")
+        .write.mode("append")
+        .parquet(src)
+    )
+    st_stale = ParquetExtract(
+        name="bloom_stale",
+        input_uri=src,
+        output_view="orders_bloom_stale",
+        skip_bloom_col="o_custkey",
+        skip_bloom_value=keys[0],
+        skip_bloom_manifest_uri=manifest,
+    )
+    df2 = st_stale.execute(spark, ctx)
+    want2 = {
+        tuple(r)
+        for r in spark.read.parquet(src).filter(F.col("o_custkey") == keys[0]).collect()
+    }
+    assert {tuple(r) for r in df2.collect()} == want2
+    assert st_stale.stage_detail.as_dict()["bloomFilesTotal"] == 10
