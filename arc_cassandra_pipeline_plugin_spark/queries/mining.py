@@ -2939,3 +2939,52 @@ def agg_count_sketch_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.groupBy(F.col("k").alias("event_type"), "n_exact").agg(
         F.max(F.when(F.col("rn") == 3, F.col("est"))).cast("bigint").alias("cs_estimate")
     )
+
+
+@register(
+    "scan_bloom_index_extract",
+    category="scan",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders WHERE o_custkey = 7
+GROUP BY 1
+""",
+)
+def scan_bloom_index_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ParquetExtract BLOOM file index driven end-to-end as a certified
+    query: orders are written hash-distributed by customer (every file's
+    o_custkey RANGE overlaps, so the min/max index could prune NOTHING),
+    then read back through the stage with skipBloomColumn + an equality
+    probe — the stage consults the per-file bit-position manifest, reads
+    only files whose Bloom set contains all the probe's positions, and
+    re-applies the predicate, so the result is provably the full scan's.
+    At 100 TB this is the value-skipping complement of min/max stats
+    (Delta/Iceberg bloom columns): O(files) planner work for point
+    lookups on high-cardinality keys. Oracle is the plain filtered
+    aggregate."""
+    from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+    from arc_cassandra_pipeline_plugin_spark.queries import scratch_dir, session_suffix
+    from arc_cassandra_pipeline_plugin_spark.stages import ParquetExtract
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = scratch_dir("bloomstage")
+    o.repartition(8, "o_custkey").write.mode("overwrite").parquet(path)
+    st = ParquetExtract(
+        name="bloom_scan",
+        input_uri=path,
+        output_view=f"bloom_scan_{session_suffix()}",
+        skip_bloom_col="o_custkey",
+        skip_bloom_value=7,
+    )
+    df = st.execute(spark, PipelineContext())
+    return df.groupBy(F.col("o_custkey").cast("bigint").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
