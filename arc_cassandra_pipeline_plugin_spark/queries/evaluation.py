@@ -1701,3 +1701,69 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("cast(sum(agap) div sum(n) as bigint)").alias("ece_micro"),
         F.expr("cast(max(agap div n) as bigint)").alias("mce_micro"),
     )
+
+
+@register(
+    "dq_wilson_bounds",
+    category="dq",
+    oracle="""
+WITH c AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n, s,
+         (CAST(s AS DOUBLE) / n) AS ph,
+         (1.0 + CAST(3.8416 AS DOUBLE) / n) AS d
+  FROM c),
+b AS (
+  SELECT source, n, s,
+         ((ph + CAST(3.8416 AS DOUBLE) / (2.0 * n)) / d) AS center,
+         ((CAST(1.96 AS DOUBLE) * sqrt(((ph * (1.0 - ph)) / n)
+            + (CAST(3.8416 AS DOUBLE) / ((4.0 * n) * n)))) / d) AS half
+  FROM w)
+SELECT source, n, s AS n_pos,
+       CAST(floor((center - half) * 1000000.0 + 0.5) AS BIGINT) AS lower_micro,
+       CAST(floor((center + half) * 1000000.0 + 0.5) AS BIGINT) AS upper_micro
+FROM b
+""",
+)
+def dq_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95%% confidence interval for each source's positive
+    (lang = 'en') rate — the binomial CI a data-quality review quotes when
+    comparing vendor rates at very different sample sizes (unlike the
+    normal approximation it never escapes [0,1] and behaves at small n).
+
+    Determinism: after the exact integer (n, s) fold, every op in the
+    interval formula is exactly-rounded IEEE (+, -, *, /, sqrt) with the
+    SAME expression shape and literal forms in both engines (z = 1.96 and
+    z^2 = 3.8416 as literals parse to the identical nearest double), so
+    the bounds are bit-identical before the floor-form micro rounding.
+
+    Scale shape: one map-side-combinable groupBy to |sources| rows; the
+    interval arithmetic is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    ph = F.col("s").cast("double") / F.col("n")
+    d = F.lit(1.0) + F.lit(3.8416) / F.col("n")
+    center = (ph + F.lit(3.8416) / (F.lit(2.0) * F.col("n"))) / d
+    half = (
+        F.lit(1.96)
+        * F.sqrt(
+            ((ph * (F.lit(1.0) - ph)) / F.col("n"))
+            + (F.lit(3.8416) / ((F.lit(4.0) * F.col("n")) * F.col("n")))
+        )
+    ) / d
+    def _micro(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return c.select(
+        "source", "n", F.col("s").alias("n_pos"),
+        _micro(center - half).alias("lower_micro"),
+        _micro(center + half).alias("upper_micro"),
+    )
