@@ -15,6 +15,8 @@ partitioning, on Spark and DuckDB alike.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -346,10 +348,14 @@ def label_propagation(
         raise ValueError(f"label_propagation needs rounds >= 1, got {rounds}")
     # sum weights in DECIMAL(38,12) (exact, partition-order-free — a raw
     # double sum near an integer boundary could truncate differently
-    # across runs/engines), THEN cast the exact group sum to bigint; the
-    # oracle mirrors CAST(sum(CAST(_w AS DECIMAL(38,12))) AS BIGINT).
-    # Per-edge bigint casts would truncate fractional weights per edge —
-    # a different (wrong) semantic
+    # across runs/engines), then project the exact group sum to bigint
+    # via the repo's floor-form half-toward-+inf convention:
+    # floor(sum + 0.5). A bare decimal->bigint cast is NOT portable —
+    # Spark truncates while DuckDB rounds (CAST(1.6) -> 1 vs 2), so
+    # fractional group sums would disagree; floor over exact decimals is
+    # a defined convention on both engines. Per-edge bigint casts would
+    # truncate fractional weights per edge — a different (wrong) semantic
+    half = F.lit(decimal.Decimal("0.5"))
     und = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"),
                      F.col(weight).cast("decimal(38,12)").alias("_w"))
@@ -358,7 +364,7 @@ def label_propagation(
                          F.col(weight).cast("decimal(38,12)").alias("_w"))
         )
         .groupBy("_a", "_b")
-        .agg(F.sum("_w").cast("bigint").alias("_w"))
+        .agg(F.floor(F.sum("_w") + half).cast("bigint").alias("_w"))
         .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("_a").alias("node")).distinct().select(
@@ -389,7 +395,8 @@ def label_propagation_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
     (votes DESC, label ASC) via row_number, keep-own-label on no votes."""
     ctes = [
         f"""ue AS (
-  SELECT _a, _b, CAST(sum(_w) AS BIGINT) AS _w FROM (
+  SELECT _a, _b,
+         CAST(floor(sum(_w) + CAST(0.5 AS DECIMAL(2,1))) AS BIGINT) AS _w FROM (
     SELECT src AS _a, dst AS _b, CAST(w AS DECIMAL(38,12)) AS _w FROM ({edges_sql})
     UNION ALL
     SELECT dst AS _a, src AS _b, CAST(w AS DECIMAL(38,12)) AS _w FROM ({edges_sql})

@@ -3079,8 +3079,8 @@ g AS (
 n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM v),
 m AS (
   SELECT s.doc_id, s.source, s.x,
-         1 + ((rs - 1) * 1000000 // greatest(ns - 1, 1))
-             * ((SELECT nn FROM n) - 1) // 1000000 AS gi
+         1 + CAST((CAST(rs AS HUGEINT) - 1) * ((SELECT nn FROM n) - 1)
+                  // greatest(ns - 1, 1) AS BIGINT) AS gi
   FROM s),
 j AS (
   SELECT m.source, m.x, g.gx AS nx
@@ -3126,10 +3126,16 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("nx"), F.col("gr").alias("gi")
     )
     nn = v.count()
+    # rank arithmetic in DECIMAL(38,0) (oracle: HUGEINT): the int64 form
+    # (rs-1)*(nn-1) wraps silently under non-ANSI Spark once per-source
+    # rank times corpus size passes 2^63 (~3e9 rows squared), while DuckDB
+    # promotes — wide types keep both engines exact at any corpus size;
+    # div truncates identically on both (operands are nonnegative)
     m = s.select(
         "source", "x",
         F.expr(
-            f"1 + ((rs - 1) * 1000000 div greatest(ns - 1, 1)) * ({nn} - 1) div 1000000"
+            "1 + CAST((CAST(rs AS DECIMAL(38,0)) - 1) * "
+            f"({nn} - 1) div greatest(ns - 1, 1) AS BIGINT)"
         ).alias("gi"),
     )
     j = m.join(g, "gi")

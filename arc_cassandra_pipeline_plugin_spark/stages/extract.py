@@ -186,18 +186,25 @@ class ParquetExtract(ExtractStage):
     _BLOOM_BITS = 4096
     _BLOOM_K = 5
 
-    @classmethod
-    def _bloom_positions_py(cls, value) -> list[int]:
-        """The probe value's bit positions — md5-prefix hashing, the repo's
-        deterministic-randomness convention, mirrored exactly by the
-        engine-side expression in :meth:`_bloom_pos_cols`."""
-        import hashlib
+    def _bloom_positions_probe(self, spark: SparkSession, dtype) -> list[int]:
+        """The probe value's bit positions, computed ENGINE-side: the same
+        :meth:`_bloom_pos_cols` expression the index was built with is
+        evaluated on a one-row frame holding the probe value cast to the
+        column's actual type. This guarantees the probe hashes the exact
+        string rendering Spark's ``CAST(col AS STRING)`` produced at index
+        time — a Python ``f"{value}"`` rendering differs for double
+        (``0.0001`` vs ``1.0E-4``), boolean (``True`` vs ``true``) and
+        date/timestamp values, which would prune files containing real
+        matches (silent row loss). One-row local job, O(1)."""
+        from pyspark.sql import functions as F
 
-        return [
-            int(hashlib.md5(f"{k}:{value}".encode()).hexdigest()[:8], 16)
-            % cls._BLOOM_BITS
-            for k in range(cls._BLOOM_K)
-        ]
+        row = (
+            spark.range(1)
+            .select(F.lit(self.skip_bloom_value).cast(dtype).alias("_probe"))
+            .select(F.array(*self._bloom_pos_cols("_probe")).alias("pos"))
+            .collect()[0]
+        )
+        return list(row["pos"])
 
     @classmethod
     def _bloom_pos_cols(cls, col_name: str) -> list:
@@ -235,34 +242,59 @@ class ParquetExtract(ExtractStage):
                 f"bloom index refused: {len(live)} data files exceed "
                 f"maxManifestFiles={self.max_manifest_files}"
             )
+        base = reader.parquet(self.input_uri)
+        dtype = base.schema[self.skip_bloom_col].dataType
         manifest = None
         if self.skip_bloom_manifest_uri:
             try:
                 persisted = spark.read.parquet(self.skip_bloom_manifest_uri)
-                mpaths = {
-                    self._norm_path(r["file_path"])
-                    for r in persisted.select("file_path").collect()
-                }
-                if mpaths == live:
-                    manifest = persisted
+                # geometry + column validity: a manifest built for a
+                # different column or bloom geometry would prune with the
+                # wrong bit sets (silent row loss) — treat it as stale
+                # exactly like a changed file layout
+                meta_ok = {"bloom_col", "bloom_bits", "bloom_k"} <= set(
+                    persisted.columns
+                )
+                if meta_ok:
+                    head = persisted.select(
+                        "bloom_col", "bloom_bits", "bloom_k"
+                    ).first()
+                    meta_ok = head is not None and (
+                        head["bloom_col"] == self.skip_bloom_col
+                        and head["bloom_bits"] == self._BLOOM_BITS
+                        and head["bloom_k"] == self._BLOOM_K
+                    )
+                if meta_ok:
+                    mpaths = {
+                        self._norm_path(r["file_path"])
+                        for r in persisted.select("file_path").collect()
+                    }
+                    if mpaths == live:
+                        manifest = persisted
             except Exception:
                 manifest = None  # not built yet
         if manifest is None:
             pos = F.explode(F.array(*self._bloom_pos_cols(self.skip_bloom_col)))
             manifest = (
-                reader.parquet(self.input_uri)
-                .select(
+                base.select(
                     F.col("_metadata.file_path").alias("file_path"),
                     pos.alias("pos"),
                 )
                 .groupBy("file_path")
                 .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+                .select(
+                    "file_path",
+                    "bloom",
+                    F.lit(self.skip_bloom_col).alias("bloom_col"),
+                    F.lit(self._BLOOM_BITS).alias("bloom_bits"),
+                    F.lit(self._BLOOM_K).alias("bloom_k"),
+                )
             )
             if self.skip_bloom_manifest_uri:
                 manifest.write.mode("overwrite").parquet(self.skip_bloom_manifest_uri)
                 manifest = spark.read.parquet(self.skip_bloom_manifest_uri)
 
-        probe = self._bloom_positions_py(self.skip_bloom_value)
+        probe = self._bloom_positions_probe(spark, dtype)
         keep_cond = F.lit(True)
         for p in probe:
             keep_cond = keep_cond & F.array_contains(F.col("bloom"), p)
@@ -270,7 +302,7 @@ class ParquetExtract(ExtractStage):
         keep = [self._read_path(r["file_path"]) for r in rows if r["_keep"]]
         self.stage_detail.set("bloomFilesTotal", len(rows))
         self.stage_detail.set("bloomFilesRead", len(keep))
-        eq = F.col(self.skip_bloom_col) == F.lit(self.skip_bloom_value)
+        eq = F.col(self.skip_bloom_col) == F.lit(self.skip_bloom_value).cast(dtype)
         if not keep:
             return reader.parquet(self.input_uri).filter(F.lit(False))
         return reader.parquet(*keep).filter(eq)

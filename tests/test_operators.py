@@ -1728,23 +1728,53 @@ def test_graph_degenerate_iteration_guards(spark):
 
 
 def test_label_propagation_fractional_weights_sum_before_cast(spark):
-    """Fractional edge weights must sum BEFORE the bigint cast (the
-    oracle's shape): three 0.4-weight parallel votes total 1.2 -> 1, not
-    0+0+0 from per-edge truncation. Compared against a plain-Python
-    synchronous LPA over the same rule."""
+    """Fractional edge weights must sum BEFORE the bigint projection (the
+    oracle's shape), and the projection is the floor-form half-toward-+inf
+    convention floor(sum + 0.5): three 0.4-weight parallel votes total
+    1.2 -> 1; a single 0.4 edge -> floor(0.9) = 0."""
     from arc_cassandra_pipeline_plugin_spark.operators.graph import label_propagation
 
-    # x-y is a 0.9 edge (per-edge cast would zero it; summed dual
-    # direction stays 0.9 -> 0 after group cast... so use parallel edges);
-    # u votes for v via three 0.4 edges (sum 1.2 -> 1), while w votes via
-    # one 0.5 edge (-> 0 after cast): v must adopt u's label
-    rows = [("u", "v", 0.4), ("u", "v", 0.4), ("u", "v", 0.4), ("w", "v", 0.5)]
+    # u votes for v via three 0.4 edges (sum 1.2 -> floor(1.7) = 1), while
+    # w votes via one 0.4 edge (floor(0.9) -> 0): v must adopt u's label
+    rows = [("u", "v", 0.4), ("u", "v", 0.4), ("u", "v", 0.4), ("w", "v", 0.4)]
     df = spark.createDataFrame(rows, "src string, dst string, w double")
     got = {tuple(r) for r in label_propagation(df, rounds=1).collect()}
-    # ue: u->v 1.2->1, w->v 0.5->0; v's argmax: label u with 1 vote beats
-    # w (0) and there is no self vote — v adopts "u". u gets votes from v
-    # (1) -> label v... symmetric union doubles: v->u weight also 1.
     assert ("v", "u") in got
+
+
+def test_label_propagation_fractional_weights_cross_engine(spark):
+    """Regression (r8 advisor): Spark truncates decimal->bigint while
+    DuckDB rounds (CAST(1.6) -> 1 vs 2), so a bare cast broke cross-engine
+    agreement on any non-integral group weight sum. The floor(sum + 0.5)
+    convention must make both engines agree on weights engineered to land
+    on 1.6, 1.5 (the half boundary) and 0.4 group sums."""
+    import duckdb
+
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        label_propagation,
+        label_propagation_oracle_sql,
+    )
+
+    rows = [
+        ("a", "b", 0.8), ("a", "b", 0.8),          # sum 1.6 -> 2
+        ("b", "c", 1.5),                            # half boundary -> 2
+        ("c", "d", 0.4),                            # -> 0
+        ("d", "e", 2.3), ("a", "e", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, w double")
+    got = sorted(tuple(r) for r in label_propagation(df, rounds=3).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges(src VARCHAR, dst VARCHAR, w DOUBLE);"
+    )
+    con.executemany("INSERT INTO edges VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            label_propagation_oracle_sql("SELECT src, dst, w FROM edges", rounds=3)
+        ).fetchall()
+    )
+    assert got == want
 
 
 def test_truss_core_early_stop_is_result_identical(spark):

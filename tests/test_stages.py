@@ -1052,3 +1052,102 @@ def test_parquet_extract_bloom_index_equality_probe(spark, ctx, tmp_path):
     }
     assert {tuple(r) for r in df2.collect()} == want2
     assert st_stale.stage_detail.as_dict()["bloomFilesTotal"] == 10
+
+
+def test_parquet_extract_bloom_index_nonstring_types(spark, ctx, tmp_path):
+    """Regression (r8 advisor): probe positions must hash Spark's own
+    CAST(col AS STRING) rendering, not Python's str(). The renderings
+    diverge for double ('0.0001' vs '1.0E-4'), boolean ('True' vs 'true')
+    and date values — a Python-side probe pruned files containing real
+    matches (silent row loss). Probe one of each type and require exact
+    full-scan equality, including at least one non-empty result set."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.stages import ParquetExtract
+
+    src = str(tmp_path / "typed")
+    (
+        spark.range(400)
+        .select(
+            F.col("id"),
+            # 1e-4 * id: small doubles whose Spark rendering is E-notation
+            (F.col("id").cast("double") * F.lit(0.0001)).alias("dval"),
+            (F.col("id") % 2 == 0).alias("bval"),
+            F.date_add(F.lit(datetime.date(2024, 1, 1)), (F.col("id") % 7).cast("int")).alias("dt"),
+        )
+        .repartition(6, "id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    probes = [
+        ("dval", 0.0001),                      # Spark renders 1.0E-4
+        ("dval", 0.0003),                      # 3.0E-4
+        ("bval", True),                        # Spark renders 'true'
+        ("dt", datetime.date(2024, 1, 3)),
+        ("dval", 123456.789),                  # miss
+    ]
+    saw_rows = False
+    for i, (col, val) in enumerate(probes):
+        st = ParquetExtract(
+            name=f"bloomtyped{i}",
+            input_uri=src,
+            output_view=f"typed_bloom{i}",
+            skip_bloom_col=col,
+            skip_bloom_value=val,
+            skip_bloom_manifest_uri=str(tmp_path / f"manifest_{col}"),
+        )
+        got = {tuple(r) for r in st.execute(spark, ctx).collect()}
+        want = {
+            tuple(r)
+            for r in spark.read.parquet(src).filter(F.col(col) == F.lit(val)).collect()
+        }
+        assert got == want, f"bloom read lost/invented rows for {col}={val!r}"
+        saw_rows = saw_rows or bool(got)
+    assert saw_rows, "every probe missed — test fixture is not exercising hits"
+
+
+def test_parquet_extract_bloom_manifest_geometry_staleness(spark, ctx, tmp_path):
+    """Regression (r8 advisor): a persisted manifest built for a DIFFERENT
+    column must be treated as stale (rebuilt), never reused — reusing it
+    would prune with the wrong bit sets and silently drop rows."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.stages import ParquetExtract
+
+    src = str(tmp_path / "orders_geo")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .repartition(4, "o_custkey")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    manifest = str(tmp_path / "geo_manifest")
+    key = spark.read.parquet(src).select("o_custkey").first()["o_custkey"]
+    ParquetExtract(
+        name="geo_build",
+        input_uri=src,
+        output_view="geo_build_v",
+        skip_bloom_col="o_custkey",
+        skip_bloom_value=key,
+        skip_bloom_manifest_uri=manifest,
+    ).execute(spark, ctx)
+    # same manifest URI, different column: must rebuild, not reuse
+    okey = spark.read.parquet(src).select("o_orderkey").first()["o_orderkey"]
+    st = ParquetExtract(
+        name="geo_swap",
+        input_uri=src,
+        output_view="geo_swap_v",
+        skip_bloom_col="o_orderkey",
+        skip_bloom_value=okey,
+        skip_bloom_manifest_uri=manifest,
+    )
+    got = {tuple(r) for r in st.execute(spark, ctx).collect()}
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(src).filter(F.col("o_orderkey") == okey).collect()
+    }
+    assert got == want
+    rebuilt = spark.read.parquet(manifest)
+    assert rebuilt.select("bloom_col").first()["bloom_col"] == "o_orderkey"
