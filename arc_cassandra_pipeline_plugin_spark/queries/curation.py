@@ -3146,3 +3146,291 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nx").cast("bigint").alias("max_normalized"),
         F.sum(F.abs(F.col("nx") - F.col("x"))).cast("bigint").alias("total_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition completeness: n-gram char-coverage signals (round 8)
+# ---------------------------------------------------------------------------
+
+def _rep_ngram_sql(n: int) -> str:
+    """DuckDB CTE chain computing per-doc char-mass repetition stats for
+    word ``n``-grams (mirrors the Spark expressions in
+    :func:`text_repetition_ngrams`)."""
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+w{n} AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g{n} AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {n - 2}), i -> {gram})) AS gram
+  FROM w{n} WHERE len(ws) >= {n}),
+c{n} AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c,
+         CAST(length(gram) AS BIGINT) AS glen
+  FROM g{n} GROUP BY 1, 2),
+p{n} AS (
+  SELECT CAST({n} AS BIGINT) AS n, doc_id,
+         CAST(sum(c * glen) AS BIGINT) AS mass,
+         CAST(sum((c - 1) * glen) AS BIGINT) AS dup_chars,
+         CAST(max(c * glen) AS BIGINT) AS top_chars
+  FROM c{n} GROUP BY 1, 2)"""
+
+
+@register(
+    "text_repetition_ngrams",
+    category="text",
+    oracle=f"""
+WITH {_rep_ngram_sql(3)},
+{_rep_ngram_sql(4)},
+per AS (SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+SELECT n,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup_chars * 10 > mass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_dup,
+       CAST(sum(CASE WHEN top_chars * 20 > mass * 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_top,
+       CAST(CAST(sum(dup_chars) AS HUGEINT) * 1000000
+            // CAST(sum(mass) AS HUGEINT) AS BIGINT) AS dup_chars_micro,
+       CAST(CAST(sum(top_chars) AS HUGEINT) * 1000000
+            // CAST(sum(mass) AS HUGEINT) AS BIGINT) AS top_cover_micro
+FROM per GROUP BY 1
+""",
+)
+def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher/MassiveText repetition signals, by CHARACTER
+    coverage: for word 3-grams and 4-grams, the fraction of n-gram
+    character mass inside DUPLICATE occurrences (occurrences beyond each
+    gram's first, weighted by gram length) and inside the single most
+    dominant gram — char weighting is what distinguishes a looped 40-char
+    slogan from a looped stopword pair, which the count-based
+    ``text_repetition_filter`` cannot tell apart.
+
+    Per doc and n: ``mass = sum(c*len)``, ``dup = sum((c-1)*len)``,
+    ``top = max(c*len)`` over the (gram, count c) table; docs are flagged
+    by exact cross-multiplication (dup > 10% of mass, top > 15%), and the
+    corpus roll-up micro-averages with DECIMAL(38,0)/HUGEINT products (an
+    int64 ``sum*1e6`` wraps once total gram mass passes ~9.2 TB of text —
+    exactly the corpus size this engine targets).
+
+    Scale shape: one explode per n to (doc, gram) rows, one map-side-
+    combinable (doc, gram) count, one per-doc fold, a 2-row summary; gram
+    construction stays inside JVM array expressions."""
+    per_frames = []
+    for n in (3, 4):
+        gram_expr = F.expr(
+            f"transform(sequence(1, size(ws) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(ws, i, {n})))"
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("ws")
+        ).filter(F.size("ws") >= n)
+        cnt = (
+            docs.select("doc_id", F.explode(gram_expr).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .select(
+                "doc_id", "c",
+                F.length("gram").cast("bigint").alias("glen"),
+            )
+        )
+        per_frames.append(
+            cnt.groupBy("doc_id").agg(
+                F.sum(F.col("c") * F.col("glen")).cast("bigint").alias("mass"),
+                F.sum((F.col("c") - 1) * F.col("glen")).cast("bigint").alias("dup_chars"),
+                F.max(F.col("c") * F.col("glen")).cast("bigint").alias("top_chars"),
+            ).select(F.lit(n).cast("bigint").alias("n"), "mass", "dup_chars", "top_chars")
+        )
+    per = per_frames[0].unionByName(per_frames[1])
+    return per.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("dup_chars") * 10 > F.col("mass"), 1).otherwise(0)
+        ).cast("bigint").alias("n_flagged_dup"),
+        F.sum(
+            F.when(F.col("top_chars") * 20 > F.col("mass") * 3, 1).otherwise(0)
+        ).cast("bigint").alias("n_flagged_top"),
+        F.expr(
+            "cast(cast(sum(dup_chars) as decimal(38,0)) * 1000000"
+            " div cast(sum(mass) as decimal(38,0)) as bigint)"
+        ).alias("dup_chars_micro"),
+        F.expr(
+            "cast(cast(sum(top_chars) as decimal(38,0)) * 1000000"
+            " div cast(sum(mass) as decimal(38,0)) as bigint)"
+        ).alias("top_cover_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER candidate-generator quality audit (round 8)
+# ---------------------------------------------------------------------------
+
+_SN_AUDIT_W = 8  # sorted-neighborhood window width in the audit
+
+
+@register(
+    "er_candidate_generator_audit",
+    category="dedup",
+    plan_shape="scalar_broadcast",
+    plan_reason="the 1-row truth count crosses onto the 4-row generator "
+    "summary — a broadcast scalar, O(generators) rows, never data",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey AS ck, c_nationkey AS nk,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer),
+s AS (
+  SELECT s_suppkey AS sk, s_nationkey AS nk,
+         CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM supplier),
+truth AS (
+  SELECT c.ck, s.sk FROM c JOIN s ON c.nk = s.nk
+  WHERE abs(c.cents - s.cents) <= 100),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+gh AS (
+  SELECT 'hash_block' AS gen, c.ck, s.sk FROM c JOIN s ON c.nk = s.nk
+   AND ((c.cents + 100000) // 100000) = ((s.cents + 100000) // 100000)),
+gp AS (
+  SELECT 'penny_block' AS gen, c.ck, s.sk FROM c JOIN s ON c.nk = s.nk
+   AND ((c.cents + 100000) % 100) = ((s.cents + 100000) % 100)),
+gc AS (
+  SELECT 'congruence_block' AS gen, c.ck, s.sk FROM c JOIN s ON c.nk = s.nk
+   AND (c.ck % 10) = (s.sk % 10)),
+comb AS (
+  SELECT ck AS k, CAST(0 AS BIGINT) AS typ, cents FROM c
+  UNION ALL SELECT sk AS k, CAST(1 AS BIGINT) AS typ, cents FROM s),
+r AS (
+  SELECT k, typ, row_number() OVER (ORDER BY cents ASC, typ ASC, k ASC) AS rn
+  FROM comb),
+gs AS (
+  SELECT 'sorted_neighborhood' AS gen,
+         CASE WHEN a.typ = 0 THEN a.k ELSE b.k END AS ck,
+         CASE WHEN a.typ = 0 THEN b.k ELSE a.k END AS sk
+  FROM r a JOIN r b
+    ON b.rn > a.rn AND b.rn <= a.rn + {_SN_AUDIT_W} AND a.typ <> b.typ),
+cand AS (
+  SELECT * FROM gh UNION ALL SELECT * FROM gp
+  UNION ALL SELECT * FROM gc UNION ALL SELECT * FROM gs),
+j AS (
+  SELECT cand.gen,
+         CASE WHEN t.ck IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM cand LEFT JOIN truth t ON t.ck = cand.ck AND t.sk = cand.sk)
+SELECT gen,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       (SELECT n_true FROM nt) AS n_true,
+       CAST(CAST(sum(hit) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         AS precision_micro,
+       CASE WHEN (SELECT n_true FROM nt) = 0 THEN NULL
+            ELSE CAST(CAST(sum(hit) AS HUGEINT) * 1000000
+                      // (SELECT n_true FROM nt) AS BIGINT) END AS recall_micro
+FROM j GROUP BY 1
+""",
+)
+def er_candidate_generator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality readout for the repo's FOUR ER candidate generators against
+    one labeled truth — the audit that closes the ER family: generating
+    candidates (er_fellegi_sunter's hash block, er_sorted_neighborhood's
+    rank window, penny- and congruence-blocks) is cheap; knowing each
+    generator's precision/recall BEFORE spending a 100 TB scoring pass is
+    what the audit buys. Truth: customer-supplier pairs in the same
+    nation within $1 of balance (the fixture's planted-match criterion).
+
+    Per generator: candidate count, hits, micro-precision/recall as exact
+    HUGEINT/DECIMAL(38,0) integer ratios (int64 ``hits*1e6`` wraps at
+    corpus scale), recall NULL-guarded when the truth set is empty (tiny
+    SFs) — identically on both engines.
+
+    Scale shape: each block generator is one equi-join on its composite
+    key; sorted-neighborhood reuses the two-phase bucketed global
+    row_number + rank-keyed window join (w*n rows, never a range join);
+    truth is nation-blocked (audit-scale — production audits run it on a
+    deterministic sample, the dedup_lsh_quality_audit discipline); the
+    hit check is one equi-join of candidates onto truth; summary is a
+    4-row aggregate crossed with the 1-row truth count."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("c_cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("s_nationkey").alias("nk"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("s_cents"),
+    )
+    truth = (
+        c.join(s, "nk")
+        .filter(F.abs(F.col("c_cents") - F.col("s_cents")) <= 100)
+        .select("ck", "sk")
+        .localCheckpoint(eager=False)
+    )
+
+    def block(gen: str, key_c, key_s) -> DataFrame:
+        return (
+            c.withColumn("bk", key_c)
+            .join(s.withColumn("bk", key_s), ["nk", "bk"])
+            .select(F.lit(gen).alias("gen"), "ck", "sk")
+        )
+
+    gh = block(
+        "hash_block",
+        F.expr("(c_cents + 100000) div 100000"),
+        F.expr("(s_cents + 100000) div 100000"),
+    )
+    gp = block(
+        "penny_block",
+        F.expr("(c_cents + 100000) % 100"),
+        F.expr("(s_cents + 100000) % 100"),
+    )
+    gc = block("congruence_block", F.col("ck") % 10, F.col("sk") % 10)
+
+    comb = c.select(
+        F.col("ck").alias("k"), F.lit(0).cast("bigint").alias("typ"),
+        F.col("c_cents").alias("cents"),
+    ).unionByName(
+        s.select(
+            F.col("sk").alias("k"), F.lit(1).cast("bigint").alias("typ"),
+            F.col("s_cents").alias("cents"),
+        )
+    )
+    r = global_row_number(comb, "cents", ["typ", "k"], out_col="rn")
+    right = r.select(
+        F.col("rn").alias("rn2"), F.col("k").alias("k_b"), F.col("typ").alias("typ_b")
+    )
+    gs = (
+        r.select(
+            "k", "typ",
+            F.explode(F.expr(f"sequence(rn + 1, rn + {_SN_AUDIT_W})")).alias("rn2"),
+        )
+        .join(right, "rn2")
+        .filter(F.col("typ") != F.col("typ_b"))
+        .select(
+            F.lit("sorted_neighborhood").alias("gen"),
+            F.when(F.col("typ") == 0, F.col("k")).otherwise(F.col("k_b")).alias("ck"),
+            F.when(F.col("typ") == 0, F.col("k_b")).otherwise(F.col("k")).alias("sk"),
+        )
+    )
+    cand = gh.unionByName(gp).unionByName(gc).unionByName(gs)
+    j = cand.join(
+        truth.withColumn("hit", F.lit(1)), ["ck", "sk"], "left"
+    ).select("gen", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    per = j.groupBy("gen").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    return per.crossJoin(F.broadcast(nt)).select(
+        "gen", "n_candidates", "n_hit", "n_true",
+        F.expr(
+            "cast(cast(n_hit as decimal(38,0)) * 1000000"
+            " div n_candidates as bigint)"
+        ).alias("precision_micro"),
+        F.when(F.col("n_true") == 0, F.lit(None).cast("bigint")).otherwise(
+            F.expr(
+                "cast(cast(n_hit as decimal(38,0)) * 1000000 div n_true as bigint)"
+            )
+        ).alias("recall_micro"),
+    )

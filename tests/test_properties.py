@@ -974,3 +974,54 @@ def test_global_rank_ties_matches_sql_windows(spark, keys):
             cnt,
         )
     assert got == want, (got, want)
+
+
+@_settings
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # src
+            st.integers(min_value=0, max_value=6),   # dst
+            st.integers(min_value=0, max_value=5),   # time
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    t0=st.integers(min_value=0, max_value=3),
+    split=st.integers(min_value=0, max_value=5),
+)
+def test_temporal_incremental_equals_full_fixpoint(spark, edges, t0, split):
+    """Incremental maintenance contract (graph_temporal_reachability_
+    incremental): base fixpoint (et <= split) then relaxing ONLY delta
+    edges (et > split) equals the full-recompute fixpoint — on any random
+    temporal graph, seed time, and split year. Both run to fixpoint
+    (rounds = node count bounds the hop diameter: optimal earliest-arrival
+    paths are simple)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import (
+        temporal_earliest_arrival,
+    )
+
+    edges = [(s, d, t) for s, d, t in edges if s != d]
+    if not edges:
+        return
+    rounds = 7  # max 7 distinct nodes -> simple paths have <= 6 edges
+    e = spark.createDataFrame(edges, "src int, dst int, et long")
+    seeds = spark.createDataFrame([(0, t0)], "node int, t0 long")
+    full = {
+        r["node"]: r["at"]
+        for r in temporal_earliest_arrival(e, seeds, rounds=rounds).collect()
+    }
+    from pyspark.sql import functions as F
+
+    base = e.filter(F.col("et") <= split)
+    delta = e.filter(F.col("et") > split)
+    arr_base = temporal_earliest_arrival(base, seeds, rounds=rounds) if base.count() else seeds.select("node", F.col("t0").alias("at"))
+    inc = {
+        r["node"]: r["at"]
+        for r in (
+            temporal_earliest_arrival(
+                delta, arr_base.select("node", F.col("at").alias("t0")), rounds=rounds
+            ) if delta.count() else arr_base
+        ).collect()
+    }
+    assert inc == full, (inc, full, split)
