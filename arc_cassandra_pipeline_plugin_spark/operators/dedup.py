@@ -877,6 +877,7 @@ def editdist_join_prefix(
     q: int = 3,
     text_col: str = "s",
     id_col: str = "id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """All string pairs within Levenshtein distance ``max_dist``, found by
     blocked candidate generation instead of an all-pairs sweep. Two
@@ -948,6 +949,11 @@ def editdist_join_prefix(
     """
     from pyspark.sql.window import Window
 
+    if strategy not in ("auto", "deletion", "gram"):
+        raise ValueError(f"unknown editdist strategy {strategy!r}")
+    if strategy == "deletion" and max_dist != 1:
+        raise ValueError("deletion-neighborhood strategy supports max_dist=1 only")
+
     k = max_dist * q
     strs = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
@@ -959,7 +965,10 @@ def editdist_join_prefix(
         )
         .localCheckpoint(eager=True)
     )
-    if max_dist == 1:
+    # strategy="gram" forces the Ed-Join path at max_dist=1 (result-
+    # identical — used by the sf1 A/B probe); "auto" keeps the measured
+    # dispatch: deletion neighborhoods for d=1, q-gram prefixes for d>=2
+    if max_dist == 1 and strategy != "gram":
         return _editdist_join_deletion(strs, max_dist)
     grams = strs.select(
         "rid",

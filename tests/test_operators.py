@@ -1261,6 +1261,25 @@ def test_editdist_join_prefix_complete_vs_bruteforce(spark):
         }
         assert got == want, f"d={d}: missing {want - got}, extra {got - want}"
 
+    # strategy dispatch parity (r8): the forced gram path at d=1 must be
+    # result-identical to the deletion-neighborhood auto path — the sf1
+    # A/B probe relies on this equivalence
+    want1 = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in editdist_join_prefix(df, max_dist=1).collect()
+    }
+    got_gram = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in editdist_join_prefix(df, max_dist=1, strategy="gram").collect()
+    }
+    assert got_gram == want1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_dist=1 only"):
+        editdist_join_prefix(df, max_dist=2, strategy="deletion")
+    with _pytest.raises(ValueError, match="unknown editdist strategy"):
+        editdist_join_prefix(df, max_dist=1, strategy="bogus")
+
 
 def test_gif_lzw_roundtrip_properties():
     """GIF LZW self-consistency across code widths, the KwKwK case, and a
