@@ -775,7 +775,12 @@ def bm25_scores(
     repo's log convention — JVM vs libm differ by 1 ulp at boundaries),
     every other op is IEEE-deterministic given identical expression shape,
     each term's contribution is rounded to 6 dp and summed as an exact
-    DECIMAL, and the final score is rounded to 4 dp.
+    DECIMAL, and the final 4-dp round happens ON THE DECIMAL (exact
+    half-away-from-zero on both engines, verified incl. negatives) BEFORE
+    the double cast. Rounding after the cast was a real bug (caught by the
+    r8 sf0.1 rotation): a 6-dp-grid sum lands exactly on a 4-dp half
+    boundary with probability ~1e-2 per row, where Spark (shortest-decimal
+    HALF_UP) and DuckDB (scaled-float) disagree by 1e-4.
     """
     spark = df.sparkSession
     toks = df.select(
@@ -835,6 +840,6 @@ def bm25_scores(
         .select(
             id_col,
             F.col("n_hit").cast("int").alias("n_hit"),
-            F.round(F.col("__s").cast("double"), 4).alias("bm25"),
+            F.round(F.col("__s"), 4).cast("double").alias("bm25"),
         )
     )

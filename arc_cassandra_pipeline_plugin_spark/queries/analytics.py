@@ -2456,7 +2456,7 @@ credited AS (
          CAST(round(CAST(1 AS DOUBLE) / n, 9) AS DECIMAL(12,9)) AS credit
   FROM touches tc JOIN szs USING (user_id, segment))
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
-       round(CAST(sum(credit) AS DOUBLE), 6) AS total_credit
+       CAST(round(sum(credit), 6) AS DOUBLE) AS total_credit
 FROM credited GROUP BY event_type
 """,
 )
@@ -2497,7 +2497,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return credited.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-        F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
+        F.round(F.sum("credit"), 6).cast("double").alias("total_credit"),
     )
 
 
@@ -2772,7 +2772,7 @@ terms AS (
            (obs - CAST(r * c AS DOUBLE) / nn) * (obs - CAST(r * c AS DOUBLE) / nn)
              / (CAST(r * c AS DOUBLE) / nn), 9) AS DECIMAL(20,9)) AS t
   FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
-SELECT round(CAST(sum(t) AS DOUBLE), 6) AS chi_sq,
+SELECT CAST(round(sum(t), 6) AS DOUBLE) AS chi_sq,
        CAST((SELECT (count(DISTINCT lang) - 1) FROM o)
             * (SELECT (count(DISTINCT source) - 1) FROM o) AS BIGINT) AS dof
 FROM terms
@@ -2811,7 +2811,7 @@ def dq_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof")
     )
     return (
-        terms.agg(F.round(F.sum("t").cast("double"), 6).alias("chi_sq"))
+        terms.agg(F.round(F.sum("t"), 6).cast("double").alias("chi_sq"))
         .crossJoin(F.broadcast(dof))
     )
 
@@ -3157,8 +3157,8 @@ shares AS (
          CAST(round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 9) AS DECIMAL(12,9)) AS share
   FROM rev CROSS JOIN tot)
 SELECT CAST(count(*) AS BIGINT) AS n_participants,
-       round(CAST(sum(share * share) AS DOUBLE) * 10000, 4) AS hhi,
-       round(CAST(max(share) AS DOUBLE), 6) AS top_share
+       CAST(round(sum(share * share) * 10000, 4) AS DOUBLE) AS hhi,
+       CAST(round(max(share), 6) AS DOUBLE) AS top_share
 FROM shares
 """,
 )
@@ -3189,9 +3189,9 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shares.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_participants"),
         F.round(
-            F.sum(F.col("share") * F.col("share")).cast("double") * 10000, 4
-        ).alias("hhi"),
-        F.round(F.max("share").cast("double"), 6).alias("top_share"),
+            F.sum(F.col("share") * F.col("share")) * 10000, 4
+        ).cast("double").alias("hhi"),
+        F.round(F.max("share"), 6).cast("double").alias("top_share"),
     )
 
 

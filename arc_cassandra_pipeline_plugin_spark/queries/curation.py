@@ -1032,7 +1032,8 @@ terms AS (
   JOIN corpus co ON co.lang = g.lang
   CROSS JOIN tot)
 SELECT source,
-       round(CAST(sum(d) AS DOUBLE) / 2, 6) AS tv_distance
+       CAST((CAST(sum(d) * 1000000000 AS BIGINT) + 1000) // 2000 AS DOUBLE)
+         / 1000000.0 AS tv_distance
 FROM terms GROUP BY source
 """,
 )
@@ -1074,7 +1075,14 @@ def dq_source_lang_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return terms.groupBy("source").agg(
-        F.round(F.sum("d").cast("double") / 2, 6).alias("tv_distance")
+        # sum(d) is on the 1e-9 grid; /2 puts halves exactly on 6-dp
+        # boundaries with P~1e-3 per row, where double-round diverges
+        # across engines — so the 6-dp half-up happens in exact integer
+        # nano-units: (units + 1000) div 2000, then one exact double div
+        F.expr(
+            "cast((cast(sum(d) * 1000000000 as bigint) + 1000) div 2000"
+            " as double) / 1000000.0"
+        ).alias("tv_distance")
     )
 
 
@@ -2219,7 +2227,7 @@ contrib AS (
   CROSS JOIN stats s)
 SELECT doc_id,
        CAST(count(*) AS INT) AS n_hit,
-       round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+       CAST(round(sum(c), 4) AS DOUBLE) AS bm25
 FROM contrib GROUP BY doc_id
 """,
 )
