@@ -2590,12 +2590,18 @@ def fs_em_python(n00: float, n01: float, n10: float, n11: float,
     pattern counts. Fixed ``iters`` (not a tolerance) so both engines run
     the identical op sequence regardless of convergence speed.
 
-    Counts get +0.5 additive smoothing (MAP with a weak Dirichlet prior,
-    standard in linkage EM): with every cell strictly positive and the
-    seeds strictly inside (0,1), every iterate stays strictly inside
-    (0,1) — no division by zero on any histogram, including sparse
-    small-SF blocks and the empty one (integer-count + 0.5 is exact in
-    IEEE doubles, so smoothing costs no determinism)."""
+    Counts get +0.5 additive smoothing, and the M-step itself is MAP
+    under a Beta(1.5, 1.5) prior per parameter — each estimate is
+    (weighted count + 0.5) / (weighted total + 1.0), the standard
+    regularized linkage EM. The MAP form is what makes the interior
+    guarantee hold IN FLOATING POINT, not just exact arithmetic: every
+    iterate is pinned to [0.5/(ntot+1), 1 - 0.5/(ntot+1)], so no
+    estimate can saturate to exactly 0.0/1.0 and no E-step denominator
+    can reach 0/0 on ANY histogram (an adversarial single-cell histogram
+    drove the pre-r8 count-smoothing-only form to u_penny == 1.0 after
+    ~30 float iterations — caught by the hypothesis invariant test).
+    Smoothing constants are exact in IEEE doubles, so the MAP form costs
+    no determinism."""
     n00, n01, n10, n11 = (
         float(n00) + 0.5, float(n01) + 0.5, float(n10) + 0.5, float(n11) + 0.5,
     )
@@ -2621,11 +2627,11 @@ def fs_em_python(n00: float, n01: float, n10: float, n11: float,
         t10 = n10 * w10
         t11 = n11 * w11
         tt = ((t00 + t01) + t10) + t11
-        lam = tt / ntot
-        mp = (t10 + t11) / tt
-        up = ((n10 - t10) + (n11 - t11)) / (ntot - tt)
-        mc = (t01 + t11) / tt
-        uc = ((n01 - t01) + (n11 - t11)) / (ntot - tt)
+        lam = (tt + 0.5) / (ntot + 1.0)
+        mp = ((t10 + t11) + 0.5) / (tt + 1.0)
+        up = (((n10 - t10) + (n11 - t11)) + 0.5) / ((ntot - tt) + 1.0)
+        mc = ((t01 + t11) + 0.5) / (tt + 1.0)
+        uc = (((n01 - t01) + (n11 - t11)) + 0.5) / ((ntot - tt) + 1.0)
     return {"lambda": lam, "m_penny": mp, "u_penny": up, "m_cong": mc, "u_cong": uc}
 
 
@@ -2658,11 +2664,13 @@ t{k} AS (
   SELECT *, n00 * w00 AS t00, n01 * w01 AS t01, n10 * w10 AS t10, n11 * w11 AS t11 FROM e{k}),
 it{k} AS (
   SELECT n00, n01, n10, n11, ntot,
-    (((t00 + t01) + t10) + t11) / ntot AS lam,
-    (t10 + t11) / (((t00 + t01) + t10) + t11) AS mp,
-    ((n10 - t10) + (n11 - t11)) / (ntot - (((t00 + t01) + t10) + t11)) AS up,
-    (t01 + t11) / (((t00 + t01) + t10) + t11) AS mc,
-    ((n01 - t01) + (n11 - t11)) / (ntot - (((t00 + t01) + t10) + t11)) AS uc
+    ((((t00 + t01) + t10) + t11) + 0.5) / (ntot + 1.0) AS lam,
+    ((t10 + t11) + 0.5) / ((((t00 + t01) + t10) + t11) + 1.0) AS mp,
+    (((n10 - t10) + (n11 - t11)) + 0.5)
+      / ((ntot - (((t00 + t01) + t10) + t11)) + 1.0) AS up,
+    ((t01 + t11) + 0.5) / ((((t00 + t01) + t10) + t11) + 1.0) AS mc,
+    (((n01 - t01) + (n11 - t11)) + 0.5)
+      / ((ntot - (((t00 + t01) + t10) + t11)) + 1.0) AS uc
   FROM t{k})"""
         )
     return ",\n".join(ctes)

@@ -780,22 +780,28 @@ def test_fs_em_duckdb_bit_identical_to_python(n00, n01, n10, n11):
     n11=st.integers(min_value=0, max_value=10**6),
 )
 def test_fs_em_monotone_likelihood_and_bounded(n00, n01, n10, n11):
-    """EM's defining invariant: the observed-data log-likelihood is
-    non-decreasing across iterations (tolerance 1e-9 for float wobble at
-    the converged fixed point), and every iterate stays strictly inside
-    (0,1) thanks to the +0.5 smoothing."""
+    """MAP-EM's defining invariant: the PENALIZED observed-data
+    log-likelihood (loglik + Beta(1.5,1.5) log-prior per parameter — the
+    objective whose M-step is (count+0.5)/(total+1)) is non-decreasing
+    across iterations (tolerance 1e-9 for float wobble at the converged
+    fixed point), and every iterate is pinned strictly inside (0,1) by
+    the MAP denominators — including the adversarial single-cell
+    histograms (e.g. (0,1,242,0)) that drove the pre-r8
+    count-smoothing-only form to a saturated u_penny == 1.0."""
     import math
 
     from arc_cassandra_pipeline_plugin_spark.queries.curation import fs_em_python
 
     ns = [n00 + 0.5, n01 + 0.5, n10 + 0.5, n11 + 0.5]
 
-    def loglik(lam, mp, up, mc, uc):
+    def penalized_loglik(lam, mp, up, mc, uc):
         ll = 0.0
         for n, (i, j) in zip(ns, [(0, 0), (0, 1), (1, 0), (1, 1)]):
             pm = lam * (mp if i else 1 - mp) * (mc if j else 1 - mc)
             pu = (1 - lam) * (up if i else 1 - up) * (uc if j else 1 - uc)
             ll += n * math.log(pm + pu)
+        for v in (lam, mp, up, mc, uc):  # Beta(1.5,1.5) log-prior
+            ll += 0.5 * (math.log(v) + math.log(1.0 - v))
         return ll
 
     prev = None
@@ -803,10 +809,28 @@ def test_fs_em_monotone_likelihood_and_bounded(n00, n01, n10, n11):
         est = fs_em_python(n00, n01, n10, n11, iters=it)
         vals = list(est.values())
         assert all(0.0 < v < 1.0 for v in vals), (it, est)
-        ll = loglik(*vals)
+        ll = penalized_loglik(*vals)
         if prev is not None:
             assert ll >= prev - 1e-9 * abs(prev), (it, prev, ll)
         prev = ll
+
+
+def test_fs_em_adversarial_histograms_stay_interior():
+    """Pinned regressions for the float-saturation class: single-cell and
+    near-single-cell histograms run 60 iterations (double the production
+    schedule) and every parameter stays strictly inside (0,1)."""
+    from arc_cassandra_pipeline_plugin_spark.queries.curation import fs_em_python
+
+    for hist in [
+        (0, 1, 242, 0),          # the hypothesis-found example
+        (0, 0, 10**9, 0),
+        (10**9, 0, 0, 0),
+        (0, 0, 0, 10**9),
+        (0, 0, 0, 0),
+        (1, 0, 10**6, 0),
+    ]:
+        est = fs_em_python(*hist, iters=60)
+        assert all(0.0 < v < 1.0 for v in est.values()), (hist, est)
 
 
 @_settings
