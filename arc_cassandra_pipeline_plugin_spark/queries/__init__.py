@@ -169,6 +169,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         curation,
         evaluation,
+        experiment,
         extensions,
         mining,
         relational,

@@ -1,0 +1,662 @@
+"""Experimentation / A-B analysis certified queries (round-8 batch).
+
+The missing family between the data-quality audits and the ML evaluation
+battery: the statistics an experimentation platform computes over an
+exposure log at corpus scale. Treatment assignment is the registry's
+md5-bucket convention (content-deterministic: the same user lands in the
+same arm on any cluster layout, and the DuckDB oracle reproduces the
+assignment bit-for-bit), the unit of analysis is the USER (per-user
+aggregation before any statistic — the correct randomization unit, and
+the step that collapses 100 TB of events to |users| rows), and every
+statistic follows the registry's determinism rules: DECIMAL-exact sums,
+then one fixed-order double expression tree written with identical shape
+in both engines, rounded once at the end.
+
+- ``exp_welch_t2`` — Welch's unequal-variance t² + Satterthwaite df.
+- ``exp_conversion_z2`` — two-proportion conversion z² plus the
+  sample-ratio-mismatch chi-square (the guardrail you check FIRST).
+- ``exp_cuped_adjustment`` — CUPED variance reduction from a pre-period
+  covariate; θ, adjusted lift, and ρ² from one aggregate pass.
+- ``exp_permutation_test`` — 64 deterministic hash permutations of the
+  arm labels; exact-count p-value, no distributional assumption.
+- ``exp_poisson_bootstrap`` — 32 Poisson(1)-weighted replicates (the
+  scale-canonical bootstrap: no resampling shuffle, just a weight column
+  from the row hash); order-statistic CI over the replicate means.
+
+Scale shape shared by all five: one events-scan → groupBy(user) shuffle
+to |users| rows, then constant-factor explodes (×64 / ×32) of the USER
+frame — never of raw events — and O(1)-row final aggregates. At 100 TB
+the only corpus-sized stage is the first groupBy, which is map-side
+combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arc_cassandra_pipeline_plugin_spark.queries import register
+from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+# md5-bucket arm assignment (operators/sampling.py convention): 32-bit hex
+# prefix of md5("salt:key") — reproduced verbatim in every oracle below.
+_ASSIGN_SALT = "expassign"
+
+# Pre/post split for CUPED: the synthetic events table spans 2024-01-01 ..
+# 2024-01-30 at every SF, so mid-month is a stable covariate boundary.
+_CUPED_CUTOFF = "2024-01-15 00:00:00"
+
+# Poisson(1) inverse-CDF thresholds on the [0, 1e6) bucket space:
+# floor(1e6 * CDF(k)) for k = 0..8 with CDF(k) = e^-1 * sum_{i<=k} 1/i!.
+# Hardcoded literals shared by both engines (the char-entropy LUT rule:
+# never trust two libms to agree on a transcendental to the last ulp).
+_POISSON_CUM_1M = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989, 999998]
+
+_N_PERM = 64
+_N_BOOT = 32
+
+# Conversion event for the two-proportion test: a purchase with value at or
+# above this cut. Calibrated so the per-user conversion rate is interior
+# (~20-27%) at every shipped SF — per-user event counts are roughly
+# SF-invariant in the synthetic generator, so the rate stays interior as
+# data scales; the z² NULL-guards the degenerate all/none pool anyway.
+_CONV_VALUE = "200.0"
+
+
+def _hash_bucket(col: F.Column, salt: F.Column, modulus: int) -> F.Column:
+    """32-bit md5-prefix bucket of ``salt || ':' || col`` in [0, modulus)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(salt, F.lit(":"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h % modulus
+
+
+def _per_user_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (u, s DECIMAL(18,2), g ∈ {0,1}): per-user value sum and arm."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("s")
+    )
+    return users.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+
+
+_PER_USER_CTE = f"""
+peruser AS (
+  SELECT user_id AS u,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Welch's t² (unequal variances) + Satterthwaite degrees of freedom
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_welch_t2",
+    category="experiment",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+gs AS (
+  SELECT count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(s)   FILTER (WHERE g = 0) AS s_a,
+         sum(s * s) FILTER (WHERE g = 0) AS q_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(s)   FILTER (WHERE g = 1) AS s_b,
+         sum(s * s) FILTER (WHERE g = 1) AS q_b
+  FROM peruser),
+d AS (
+  SELECT CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa, CAST(q_a AS DOUBLE) AS qa,
+         CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb, CAST(q_b AS DOUBLE) AS qb,
+         n_a, n_b
+  FROM gs),
+v AS (
+  SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+         (qa - sa * sa / na) / (na - 1.0) AS va,
+         (qb - sb * sb / nb) / (nb - 1.0) AS vb
+  FROM d)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a,
+       round(mb, 6) AS mean_b,
+       round((ma - mb) * (ma - mb) / (va / na + vb / nb), 6) AS welch_t2,
+       round((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1.0)
+                + (vb / nb) * (vb / nb) / (nb - 1.0)), 4) AS welch_df
+FROM v
+""",
+)
+def exp_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t² between the two hash-assigned arms of
+    the per-user value metric, with the Welch–Satterthwaite df. The t²
+    form (like the ANOVA F and the χ² audits) keeps the statistic free of
+    sqrt — the whole chain is DECIMAL-exact sums (n, Σs, Σs² per arm)
+    followed by one fixed-order double expression tree mirrored verbatim
+    in the oracle; the p-value lookup belongs to the caller.
+
+    Scale: one map-side-combinable groupBy(user) to |users| rows, one
+    6-column single-row aggregate, then scalar math. No other shuffle."""
+    users = _per_user_metric(spark, sf_dir)
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = users.agg(
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("s"))).alias("s_a"),
+        F.sum(F.when(g0, F.col("s") * F.col("s"))).alias("q_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("s"))).alias("s_b"),
+        F.sum(F.when(g1, F.col("s") * F.col("s"))).alias("q_b"),
+    )
+    d = gs.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("n_a").cast("double").alias("na"),
+        F.col("s_a").cast("double").alias("sa"),
+        F.col("q_a").cast("double").alias("qa"),
+        F.col("n_b").cast("double").alias("nb"),
+        F.col("s_b").cast("double").alias("sb"),
+        F.col("q_b").cast("double").alias("qb"),
+    )
+    v = d.select(
+        "n_a",
+        "n_b",
+        "na",
+        "nb",
+        (F.col("sa") / F.col("na")).alias("ma"),
+        (F.col("sb") / F.col("nb")).alias("mb"),
+        (
+            (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"))
+            / (F.col("na") - F.lit(1.0))
+        ).alias("va"),
+        (
+            (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"))
+            / (F.col("nb") - F.lit(1.0))
+        ).alias("vb"),
+    )
+    se_a = F.col("va") / F.col("na")
+    se_b = F.col("vb") / F.col("nb")
+    se2 = se_a + se_b
+    diff = F.col("ma") - F.col("mb")
+    return v.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("ma"), 6).alias("mean_a"),
+        F.round(F.col("mb"), 6).alias("mean_b"),
+        F.round(diff * diff / se2, 6).alias("welch_t2"),
+        F.round(
+            se2 * se2
+            / (
+                se_a * se_a / (F.col("na") - F.lit(1.0))
+                + se_b * se_b / (F.col("nb") - F.lit(1.0))
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion conversion z² + sample-ratio-mismatch guardrail
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_conversion_z2",
+    category="experiment",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         max(CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE} THEN 1 ELSE 0 END) AS conv,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id),
+gs AS (
+  SELECT count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(conv) FILTER (WHERE g = 0) AS x_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(conv) FILTER (WHERE g = 1) AS x_b
+  FROM pu),
+d AS (
+  SELECT n_a, x_a, n_b, x_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(x_a AS DOUBLE) AS xa,
+         CAST(n_b AS DOUBLE) AS nb, CAST(x_b AS DOUBLE) AS xb
+  FROM gs),
+p AS (
+  SELECT n_a, x_a, n_b, x_b, na, nb,
+         xa / na AS pa, xb / nb AS pb,
+         (xa + xb) / (na + nb) AS pp
+  FROM d)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(x_b AS BIGINT) AS x_b,
+       round(pa, 6) AS p_a,
+       round(pb, 6) AS p_b,
+       CASE WHEN pp * (1.0 - pp) = 0.0 THEN NULL
+            ELSE round((pa - pb) * (pa - pb)
+                       / (pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) END AS z2,
+       round((na - nb) * (na - nb) / (na + nb), 6) AS srm_chi2
+FROM p
+""",
+)
+def exp_conversion_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z² on user-level conversion (did the user
+    ever fire a high-value ``purchase`` event) between the hash-assigned
+    arms, plus
+    the sample-ratio-mismatch χ² against the designed 50/50 split — the
+    guardrail every experiment readout checks before the treatment stat.
+    Arm counts and converter counts are exact integers; the two squared
+    statistics are fixed-order double chains over those four counts.
+
+    Scale: conversion is a per-user max — same single map-side-combinable
+    groupBy(user) as the metric queries, then a 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= float(_CONV_VALUE)),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    pu = pu.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = pu.agg(
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("conv"))).alias("x_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("conv"))).alias("x_b"),
+    )
+    d = gs.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.col("n_a").cast("double").alias("na"),
+        F.col("x_a").cast("double").alias("xa"),
+        F.col("n_b").cast("double").alias("nb"),
+        F.col("x_b").cast("double").alias("xb"),
+    )
+    p = d.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        "na",
+        "nb",
+        (F.col("xa") / F.col("na")).alias("pa"),
+        (F.col("xb") / F.col("nb")).alias("pb"),
+        ((F.col("xa") + F.col("xb")) / (F.col("na") + F.col("nb"))).alias("pp"),
+    )
+    dp = F.col("pa") - F.col("pb")
+    return p.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_a").cast("bigint").alias("x_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("x_b").cast("bigint").alias("x_b"),
+        F.round(F.col("pa"), 6).alias("p_a"),
+        F.round(F.col("pb"), 6).alias("p_b"),
+        F.when(
+            F.col("pp") * (F.lit(1.0) - F.col("pp")) == F.lit(0.0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                dp * dp
+                / (
+                    F.col("pp")
+                    * (F.lit(1.0) - F.col("pp"))
+                    * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+                ),
+                6,
+            )
+        )
+        .alias("z2"),
+        F.round(
+            (F.col("na") - F.col("nb"))
+            * (F.col("na") - F.col("nb"))
+            / (F.col("na") + F.col("nb")),
+            6,
+        ).alias("srm_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_cuped_adjustment",
+    category="experiment",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id),
+gs AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+         count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(x) FILTER (WHERE g = 0) AS sx_a,
+         sum(y) FILTER (WHERE g = 0) AS sy_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(x) FILTER (WHERE g = 1) AS sx_b,
+         sum(y) FILTER (WHERE g = 1) AS sy_b
+  FROM pu),
+d AS (
+  SELECT n,
+         CAST(n AS DOUBLE) AS nn, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy, CAST(syy AS DOUBLE) AS syy,
+         CAST(n_a AS DOUBLE) AS na, CAST(sx_a AS DOUBLE) AS sxa, CAST(sy_a AS DOUBLE) AS sya,
+         CAST(n_b AS DOUBLE) AS nb, CAST(sx_b AS DOUBLE) AS sxb, CAST(sy_b AS DOUBLE) AS syb
+  FROM gs),
+c AS (
+  SELECT n, nn, na, nb, sxa, sya, sxb, syb,
+         sx / nn AS xbar,
+         sxy - sx * sy / nn AS cxy,
+         sxx - sx * sx / nn AS cxx,
+         syy - sy * sy / nn AS cyy
+  FROM d)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(cxy / cxx, 6) AS theta,
+       round(sya / na - syb / nb, 6) AS raw_diff,
+       round((sya / na - (cxy / cxx) * (sxa / na - xbar))
+             - (syb / nb - (cxy / cxx) * (sxb / nb - xbar)), 6) AS cuped_diff,
+       round(cxy * cxy / (cxx * cyy), 6) AS var_reduction
+FROM c
+""",
+)
+def exp_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment-using-pre-experiment-data) adjustment:
+    the pre-period per-user value sum (events before mid-month) is the
+    covariate, the post-period sum is the metric; θ = cov(x,y)/var(x),
+    the adjusted lift substitutes ŷ = y − θ(x − x̄), and ρ² is the
+    variance fraction CUPED removes. Group-level identity means NO second
+    pass is needed: the adjusted arm means are linear in the arm sums, so
+    one aggregate row carries the entire readout.
+
+    Scale: one groupBy(user) with two conditional sums, one 12-column
+    single-row aggregate, scalar math. The ×1 corpus pass is shared with
+    every other stat here at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    val = F.col("value").cast("decimal(18,2)")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum(F.when(F.col("ts") < cutoff, val).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, val).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    pu = pu.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("x"))).alias("sx_a"),
+        F.sum(F.when(g0, F.col("y"))).alias("sy_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("x"))).alias("sx_b"),
+        F.sum(F.when(g1, F.col("y"))).alias("sy_b"),
+    )
+    d = gs.select(
+        "n",
+        F.col("n").cast("double").alias("nn"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("syy").cast("double").alias("syy"),
+        F.col("n_a").cast("double").alias("na"),
+        F.col("sx_a").cast("double").alias("sxa"),
+        F.col("sy_a").cast("double").alias("sya"),
+        F.col("n_b").cast("double").alias("nb"),
+        F.col("sx_b").cast("double").alias("sxb"),
+        F.col("sy_b").cast("double").alias("syb"),
+    )
+    c = d.select(
+        "n",
+        "nn",
+        "na",
+        "nb",
+        "sxa",
+        "sya",
+        "sxb",
+        "syb",
+        (F.col("sxd") / F.col("nn")).alias("xbar"),
+        (F.col("sxy") - F.col("sxd") * F.col("syd") / F.col("nn")).alias("cxy"),
+        (F.col("sxx") - F.col("sxd") * F.col("sxd") / F.col("nn")).alias("cxx"),
+        (F.col("syy") - F.col("syd") * F.col("syd") / F.col("nn")).alias("cyy"),
+    )
+    theta = F.col("cxy") / F.col("cxx")
+    return c.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("sya") / F.col("na") - F.col("syb") / F.col("nb"), 6).alias(
+            "raw_diff"
+        ),
+        F.round(
+            (
+                F.col("sya") / F.col("na")
+                - theta * (F.col("sxa") / F.col("na") - F.col("xbar"))
+            )
+            - (
+                F.col("syb") / F.col("nb")
+                - theta * (F.col("sxb") / F.col("nb") - F.col("xbar"))
+            ),
+            6,
+        ).alias("cuped_diff"),
+        F.round(
+            F.col("cxy") * F.col("cxy") / (F.col("cxx") * F.col("cyy")), 6
+        ).alias("var_reduction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-permutation test (distribution-free p-value)
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_permutation_test",
+    category="experiment",
+    plan_shape="scalar_broadcast",
+    plan_reason="64-row permutation stats joined against the 1-row observed statistic",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+obs AS (
+  SELECT abs(CAST(sum(s) FILTER (WHERE g = 0) AS DOUBLE)
+               / CAST(count(*) FILTER (WHERE g = 0) AS DOUBLE)
+             - CAST(sum(s) FILTER (WHERE g = 1) AS DOUBLE)
+               / CAST(count(*) FILTER (WHERE g = 1) AS DOUBLE)) AS t_obs
+  FROM peruser),
+perms AS (
+  SELECT p.u, p.s, r.b,
+         (('0x' || substr(md5('perm' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 8))::BIGINT) % 2 AS gp
+  FROM peruser p CROSS JOIN (SELECT range AS b FROM range(0, {_N_PERM})) r),
+pstat AS (
+  SELECT b,
+         abs(CAST(sum(s) FILTER (WHERE gp = 0) AS DOUBLE)
+               / CAST(count(*) FILTER (WHERE gp = 0) AS DOUBLE)
+             - CAST(sum(s) FILTER (WHERE gp = 1) AS DOUBLE)
+               / CAST(count(*) FILTER (WHERE gp = 1) AS DOUBLE)) AS t_b
+  FROM perms GROUP BY b)
+SELECT round(any_value(t_obs), 6) AS t_obs,
+       CAST({_N_PERM} AS BIGINT) AS n_perm,
+       CAST(sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       round((1.0 + sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END))
+             / (1.0 + {_N_PERM}), 6) AS p_value
+FROM pstat CROSS JOIN obs
+""",
+)
+def exp_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the arm mean difference: 64 deterministic hash
+    relabelings of the users (md5 of perm-id + user — reproducible on any
+    cluster and in the oracle), the |mean₀ − mean₁| statistic per
+    relabeling, and the standard add-one permutation p-value. Exact
+    counting, no normality assumption — the readout to trust when the
+    metric is heavy-tailed and t² is fragile.
+
+    Scale: the ×64 explode multiplies the |users| frame, never raw
+    events; each permutation's stat is two DECIMAL sums in one
+    groupBy(b); the observed stat is a broadcast 1-row join."""
+    users = _per_user_metric(spark, sf_dir)
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    obs = users.agg(
+        F.abs(
+            F.sum(F.when(g0, F.col("s"))).cast("double")
+            / F.count(F.when(g0, 1)).cast("double")
+            - F.sum(F.when(g1, F.col("s"))).cast("double")
+            / F.count(F.when(g1, 1)).cast("double")
+        ).alias("t_obs")
+    )
+    perms = users.select(
+        "u",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_PERM - 1))).alias("b"),
+    ).withColumn(
+        "gp",
+        _hash_bucket(
+            F.col("u"), F.concat(F.lit("perm"), F.col("b").cast("string")), 2
+        ),
+    )
+    p0 = F.col("gp") == 0
+    p1 = F.col("gp") == 1
+    pstat = perms.groupBy("b").agg(
+        F.abs(
+            F.sum(F.when(p0, F.col("s"))).cast("double")
+            / F.count(F.when(p0, 1)).cast("double")
+            - F.sum(F.when(p1, F.col("s"))).cast("double")
+            / F.count(F.when(p1, 1)).cast("double")
+        ).alias("t_b")
+    )
+    ge = F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)
+    return (
+        pstat.crossJoin(F.broadcast(obs))
+        .agg(
+            F.round(F.any_value(F.col("t_obs")), 6).alias("t_obs"),
+            F.lit(_N_PERM).cast("bigint").alias("n_perm"),
+            F.sum(ge).cast("bigint").alias("n_ge"),
+            F.round(
+                (F.lit(1.0) + F.sum(ge)) / F.lit(1.0 + _N_PERM), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (the at-scale bootstrap)
+# --------------------------------------------------------------------------
+
+def _poisson_weight_sql(bucket_expr: str) -> str:
+    clauses = " ".join(
+        f"WHEN {bucket_expr} < {t} THEN {k}" for k, t in enumerate(_POISSON_CUM_1M)
+    )
+    return f"CASE {clauses} ELSE {len(_POISSON_CUM_1M)} END"
+
+
+def _poisson_weight_col(bucket: F.Column) -> F.Column:
+    w = F.when(bucket < _POISSON_CUM_1M[0], 0)
+    for k, t in enumerate(_POISSON_CUM_1M[1:], start=1):
+        w = w.when(bucket < t, k)
+    return w.otherwise(len(_POISSON_CUM_1M))
+
+
+@register(
+    "exp_poisson_bootstrap",
+    category="experiment",
+    plan_shape="scalar_broadcast",
+    plan_reason="32-row replicate means joined against the 1-row point estimate",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+reps AS (
+  SELECT p.u, p.s, r.b,
+         {_poisson_weight_sql("(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 8))::BIGINT) % 1000000")} AS w
+  FROM peruser p CROSS JOIN (SELECT range AS b FROM range(0, {_N_BOOT})) r),
+rmean AS (
+  SELECT b, CAST(sum(w * s) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+  FROM reps GROUP BY b),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC NULLS LAST, b ASC) AS rn
+  FROM rmean),
+pt AS (
+  SELECT CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm FROM peruser)
+SELECT round(any_value(pm), 6) AS point_mean,
+       round(max(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+       round(max(CASE WHEN rn = {_N_BOOT - 1} THEN m END), 6) AS ci_hi,
+       CAST({_N_BOOT} AS BIGINT) AS n_replicates
+FROM ranked CROSS JOIN pt
+""",
+)
+def exp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the per-user mean: each of 32 replicates gives
+    every user a Poisson(1) weight via the inverse CDF of its md5 bucket
+    (the resampling-free bootstrap that actually runs at corpus scale —
+    a weight column, not a shuffle), the replicate means are ordered, and
+    the 2nd/31st order statistics bracket the ≈94% CI.
+
+    The Poisson thresholds are shared integer literals on the [0,1e6)
+    bucket grid, so the weights are engine-exact; each replicate mean is
+    one DECIMAL-exact weighted sum and one double division. The 32-row
+    ranking is an empty-partition window on a constant-size frame (the
+    kmv precedent), not a corpus sort.
+
+    Scale: ×32 explode of the |users| frame, one groupBy(b), then 32
+    rows. At 100 TB the bootstrap costs 32 weighted sums — no resample
+    materialization, no per-replicate pass over raw events."""
+    users = _per_user_metric(spark, sf_dir)
+    pt = users.agg(
+        (
+            F.sum("s").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("pm")
+    )
+    reps = users.select(
+        "u",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("b"),
+    ).withColumn(
+        "w",
+        _poisson_weight_col(
+            _hash_bucket(
+                F.col("u"),
+                F.concat(F.lit("boot"), F.col("b").cast("string")),
+                1_000_000,
+            )
+        ),
+    )
+    rmean = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("s")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("m")
+    )
+    w_all = Window.partitionBy().orderBy(F.col("m").asc_nulls_last(), F.col("b").asc())
+    ranked = rmean.select("m", F.row_number().over(w_all).alias("rn"))
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .agg(
+            F.round(F.any_value(F.col("pm")), 6).alias("point_mean"),
+            F.round(F.max(F.when(F.col("rn") == 2, F.col("m"))), 6).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == _N_BOOT - 1, F.col("m"))), 6
+            ).alias("ci_hi"),
+            F.lit(_N_BOOT).cast("bigint").alias("n_replicates"),
+        )
+    )

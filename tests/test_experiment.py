@@ -1,0 +1,175 @@
+"""Semantic tests for the experimentation family: every statistic is
+recomputed independently in Python (hashlib md5 + float arithmetic) from
+the raw parquet and compared to the query output — the oracle hash-match
+proves Spark ≡ DuckDB, these prove both match the textbook formulas."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from arc_cassandra_pipeline_plugin_spark.queries import load_all
+from arc_cassandra_pipeline_plugin_spark.queries.experiment import (
+    _N_BOOT,
+    _N_PERM,
+    _POISSON_CUM_1M,
+)
+from tests.conftest import SF_SMALL
+
+REGISTRY = load_all()
+
+
+def _bucket(salt: str, key, modulus: int) -> int:
+    h = int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16)
+    return h % modulus
+
+
+def _per_user(spark):
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    users: dict[int, float] = {}
+    for r in rows:
+        users[r["user_id"]] = users.get(r["user_id"], 0.0) + round(r["value"], 2)
+    return {u: (s, _bucket("expassign", u, 2)) for u, s in users.items()}
+
+
+def test_welch_t2_matches_textbook_formula(spark):
+    out = REGISTRY["exp_welch_t2"].fn(spark, SF_SMALL).collect()[0]
+    users = _per_user(spark)
+    a = [s for s, g in users.values() if g == 0]
+    b = [s for s, g in users.values() if g == 1]
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    se2 = va / len(a) + vb / len(b)
+    t2 = (ma - mb) ** 2 / se2
+    df = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert math.isclose(out["welch_t2"], t2, rel_tol=1e-4, abs_tol=1e-5)
+    assert math.isclose(out["welch_df"], df, rel_tol=1e-4, abs_tol=1e-3)
+    assert math.isclose(out["mean_a"], ma, rel_tol=1e-6, abs_tol=1e-5)
+
+
+def test_conversion_z2_counts_and_srm_exact(spark):
+    out = REGISTRY["exp_conversion_z2"].fn(spark, SF_SMALL).collect()[0]
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    conv: dict[int, int] = {}
+    for r in rows:
+        hit = 1 if (r["event_type"] == "purchase" and r["value"] >= 200.0) else 0
+        conv[r["user_id"]] = max(conv.get(r["user_id"], 0), hit)
+    n = [0, 0]
+    x = [0, 0]
+    for u, c in conv.items():
+        g = _bucket("expassign", u, 2)
+        n[g] += 1
+        x[g] += c
+    assert (out["n_a"], out["x_a"], out["n_b"], out["x_b"]) == (
+        n[0],
+        x[0],
+        n[1],
+        x[1],
+    )
+    srm = (n[0] - n[1]) ** 2 / (n[0] + n[1])
+    assert math.isclose(out["srm_chi2"], srm, rel_tol=1e-9, abs_tol=5e-7)
+    pa, pb = x[0] / n[0], x[1] / n[1]
+    pp = (x[0] + x[1]) / (n[0] + n[1])
+    if 0 < pp < 1:
+        z2 = (pa - pb) ** 2 / (pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+        assert math.isclose(out["z2"], z2, rel_tol=1e-4, abs_tol=1e-5)
+    else:
+        assert out["z2"] is None
+
+
+def test_cuped_theta_is_the_regression_slope_and_rho2_bounded(spark):
+    out = REGISTRY["exp_cuped_adjustment"].fn(spark, SF_SMALL).collect()[0]
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    cutoff = "2024-01-15"
+    pu: dict[int, list[float]] = {}
+    for r in rows:
+        xy = pu.setdefault(r["user_id"], [0.0, 0.0])
+        v = round(r["value"], 2)
+        if str(r["ts"]) < cutoff:
+            xy[0] += v
+        else:
+            xy[1] += v
+    xs = [v[0] for v in pu.values()]
+    ys = [v[1] for v in pu.values()]
+    n = len(xs)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    cxy = sum(x * y for x, y in zip(xs, ys)) - n * xbar * ybar
+    cxx = sum(x * x for x in xs) - n * xbar * xbar
+    cyy = sum(y * y for y in ys) - n * ybar * ybar
+    assert out["n_users"] == n
+    assert math.isclose(out["theta"], cxy / cxx, rel_tol=1e-4, abs_tol=1e-5)
+    rho2 = cxy * cxy / (cxx * cyy)
+    assert math.isclose(out["var_reduction"], rho2, rel_tol=1e-4, abs_tol=1e-6)
+    assert 0.0 <= out["var_reduction"] <= 1.0
+    # the adjusted lift is the raw lift minus theta times the pre-period
+    # arm imbalance — verify the identity on group sums
+    arm = {u: _bucket("expassign", u, 2) for u in pu}
+    theta = cxy / cxx
+    means = {}
+    for g in (0, 1):
+        us = [u for u in pu if arm[u] == g]
+        means[g] = (
+            sum(pu[u][1] for u in us) / len(us)
+            - theta * (sum(pu[u][0] for u in us) / len(us) - xbar)
+        )
+    assert math.isclose(
+        out["cuped_diff"], means[0] - means[1], rel_tol=1e-4, abs_tol=1e-5
+    )
+
+
+def test_permutation_pvalue_is_the_addone_count(spark):
+    out = REGISTRY["exp_permutation_test"].fn(spark, SF_SMALL).collect()[0]
+    assert out["n_perm"] == _N_PERM
+    assert 0 <= out["n_ge"] <= _N_PERM
+    assert math.isclose(
+        out["p_value"], round((1 + out["n_ge"]) / (1 + _N_PERM), 6), abs_tol=5e-7
+    )
+    # independent recompute of the permutation distribution
+    users = _per_user(spark)
+    ms = []
+    for b in range(_N_PERM):
+        g0 = [s for u, (s, _) in users.items() if _bucket(f"perm{b}", u, 2) == 0]
+        g1 = [s for u, (s, _) in users.items() if _bucket(f"perm{b}", u, 2) == 1]
+        ms.append(abs(sum(g0) / len(g0) - sum(g1) / len(g1)))
+    a = [s for s, g in users.values() if g == 0]
+    b_ = [s for s, g in users.values() if g == 1]
+    tobs = abs(sum(a) / len(a) - sum(b_) / len(b_))
+    n_ge = sum(1 for m in ms if m >= tobs - 1e-9)
+    assert abs(n_ge - out["n_ge"]) <= 1  # float-boundary slack on >= compares
+    assert math.isclose(out["t_obs"], tobs, rel_tol=1e-6, abs_tol=1e-5)
+
+
+def test_poisson_bootstrap_order_statistics(spark):
+    out = REGISTRY["exp_poisson_bootstrap"].fn(spark, SF_SMALL).collect()[0]
+    assert out["n_replicates"] == _N_BOOT
+    assert out["ci_lo"] <= out["ci_hi"]
+    users = _per_user(spark)
+
+    def weight(b, u):
+        bucket = _bucket(f"boot{b}", u, 1_000_000)
+        for k, t in enumerate(_POISSON_CUM_1M):
+            if bucket < t:
+                return k
+        return len(_POISSON_CUM_1M)
+
+    ms = []
+    for b in range(_N_BOOT):
+        ws = {u: weight(b, u) for u in users}
+        tot = sum(ws.values())
+        ms.append(sum(ws[u] * s for u, (s, _) in users.items()) / tot)
+    ms.sort()
+    assert math.isclose(out["ci_lo"], ms[1], rel_tol=1e-6, abs_tol=1e-5)
+    assert math.isclose(out["ci_hi"], ms[_N_BOOT - 2], rel_tol=1e-6, abs_tol=1e-5)
+    pm = sum(s for s, _ in users.values()) / len(users)
+    assert math.isclose(out["point_mean"], pm, rel_tol=1e-6, abs_tol=1e-5)
+    # the Poisson(1) thresholds are the inverse-CDF grid they claim to be
+    acc, fact, total = 0.0, 1.0, 0.0
+    for k, t in enumerate(_POISSON_CUM_1M):
+        if k > 0:
+            fact *= k
+        total += math.exp(-1.0) / fact
+        assert t == math.floor(total * 1_000_000)
