@@ -660,3 +660,279 @@ def exp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_N_BOOT).cast("bigint").alias("n_replicates"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences across the mid-month boundary
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_did_midmonth",
+    category="experiment",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id),
+gs AS (
+  SELECT CAST(count(*) FILTER (WHERE g = 0) AS DOUBLE) AS na,
+         CAST(sum(x) FILTER (WHERE g = 0) AS DOUBLE) AS sxa,
+         CAST(sum(y) FILTER (WHERE g = 0) AS DOUBLE) AS sya,
+         CAST(count(*) FILTER (WHERE g = 1) AS DOUBLE) AS nb,
+         CAST(sum(x) FILTER (WHERE g = 1) AS DOUBLE) AS sxb,
+         CAST(sum(y) FILTER (WHERE g = 1) AS DOUBLE) AS syb,
+         count(*) AS n
+  FROM pu)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(sxa / na, 6) AS pre_mean_a,
+       round(sya / na, 6) AS post_mean_a,
+       round(sxb / nb, 6) AS pre_mean_b,
+       round(syb / nb, 6) AS post_mean_b,
+       round((sya / na - sxa / na) - (syb / nb - sxb / nb), 6) AS did
+FROM gs
+""",
+)
+def exp_did_midmonth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: each arm's post-period minus pre-period
+    per-user mean, differenced across arms — the estimator that nets out
+    any shared temporal shift (seasonality, traffic mix) the raw lift
+    would absorb. Same per-user pre/post frame as CUPED; four DECIMAL
+    sums and two counts carry the whole readout.
+
+    Scale: one groupBy(user) corpus pass, one 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    val = F.col("value").cast("decimal(18,2)")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum(F.when(F.col("ts") < cutoff, val).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, val).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    pu = pu.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = pu.agg(
+        F.count(F.when(g0, 1)).cast("double").alias("na"),
+        F.sum(F.when(g0, F.col("x"))).cast("double").alias("sxa"),
+        F.sum(F.when(g0, F.col("y"))).cast("double").alias("sya"),
+        F.count(F.when(g1, 1)).cast("double").alias("nb"),
+        F.sum(F.when(g1, F.col("x"))).cast("double").alias("sxb"),
+        F.sum(F.when(g1, F.col("y"))).cast("double").alias("syb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return gs.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("sxa") / F.col("na"), 6).alias("pre_mean_a"),
+        F.round(F.col("sya") / F.col("na"), 6).alias("post_mean_a"),
+        F.round(F.col("sxb") / F.col("nb"), 6).alias("pre_mean_b"),
+        F.round(F.col("syb") / F.col("nb"), 6).alias("post_mean_b"),
+        F.round(
+            (F.col("sya") / F.col("na") - F.col("sxa") / F.col("na"))
+            - (F.col("syb") / F.col("nb") - F.col("sxb") / F.col("nb")),
+            6,
+        ).alias("did"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile treatment effects (per-arm exact discrete quantiles)
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_quantile_lift",
+    category="experiment",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+d AS (SELECT g, CAST(s AS DOUBLE) AS sv FROM peruser)
+SELECT CAST(g AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       quantile_disc(sv, 0.25) AS q25,
+       quantile_disc(sv, 0.50) AS q50,
+       quantile_disc(sv, 0.75) AS q75,
+       quantile_disc(sv, 0.90) AS q90
+FROM d GROUP BY g
+""",
+)
+def exp_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-arm exact discrete quartiles
+    (plus p90) of the per-user metric — where in the distribution the
+    treatment moves mass, which a mean-only readout hides entirely.
+    Certified via the registry's lossless-sketch equivalence:
+    ``approx_percentile`` with accuracy ≥ |arm| returns the exact stored
+    discrete quantile ≡ DuckDB ``quantile_disc`` (stored doubles compared
+    verbatim, no interpolation, no rounding).
+
+    Scale: groupBy(arm) over the user frame — two mergeable GK sketches;
+    at 100 TB accuracy becomes the recall lever, the call shape holds."""
+    users = _per_user_metric(spark, sf_dir)
+    d = users.select("g", F.col("s").cast("double").alias("sv"))
+    return d.groupBy(F.col("g").cast("bigint").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("approx_percentile(sv, 0.25, 1000000)").alias("q25"),
+        F.expr("approx_percentile(sv, 0.50, 1000000)").alias("q50"),
+        F.expr("approx_percentile(sv, 0.75, 1000000)").alias("q75"),
+        F.expr("approx_percentile(sv, 0.90, 1000000)").alias("q90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Group-sequential readout: the z² trajectory at weekly checkpoints
+# --------------------------------------------------------------------------
+
+_SEQ_CUTOFFS = [
+    "2024-01-08 00:00:00",
+    "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00",
+    "2024-01-29 00:00:00",
+]
+
+
+def _seq_cutoff_sql() -> str:
+    rows = ", ".join(
+        f"({i + 1}, TIMESTAMP '{c}')" for i, c in enumerate(_SEQ_CUTOFFS)
+    )
+    return f"(VALUES {rows}) AS cp(week, cutoff)"
+
+
+@register(
+    "exp_sequential_z2",
+    category="experiment",
+    plan_shape="dimension_bounded",
+    plan_reason="4-row checkpoint dimension joined against per-user first-times",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         min(ts) AS first_seen,
+         min(CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE}
+                  THEN ts END) AS first_conv,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id),
+cw AS (
+  SELECT cp.week, pu.g,
+         CASE WHEN pu.first_seen < cp.cutoff THEN 1 ELSE 0 END AS seen,
+         CASE WHEN pu.first_conv < cp.cutoff THEN 1 ELSE 0 END AS conv
+  FROM pu CROSS JOIN {_seq_cutoff_sql()}),
+gs AS (
+  SELECT week,
+         sum(seen) FILTER (WHERE g = 0) AS n_a,
+         sum(conv) FILTER (WHERE g = 0) AS x_a,
+         sum(seen) FILTER (WHERE g = 1) AS n_b,
+         sum(conv) FILTER (WHERE g = 1) AS x_b
+  FROM cw GROUP BY week),
+d AS (
+  SELECT week, n_a, x_a, n_b, x_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(x_a AS DOUBLE) AS xa,
+         CAST(n_b AS DOUBLE) AS nb, CAST(x_b AS DOUBLE) AS xb
+  FROM gs),
+p AS (
+  SELECT week, n_a, x_a, n_b, x_b, na, nb,
+         xa / na AS pa, xb / nb AS pb,
+         (xa + xb) / (na + nb) AS pp
+  FROM d)
+SELECT CAST(week AS INT) AS week,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(x_b AS BIGINT) AS x_b,
+       CASE WHEN pp * (1.0 - pp) = 0.0 THEN NULL
+            ELSE round((pa - pb) * (pa - pb)
+                       / (pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) END AS z2
+FROM p
+""",
+)
+def exp_sequential_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential (peeking) readout: the conversion z² recomputed at
+    four weekly checkpoints from each user's FIRST exposure and FIRST
+    conversion timestamps — the trajectory an alpha-spending boundary
+    (O'Brien-Fleming etc.) is applied to. One corpus pass collapses
+    events to per-user first-times; every checkpoint is then a CASE over
+    the 4-row cutoff dimension, so adding checkpoints costs nothing.
+
+    Scale: groupBy(user) with two min aggregates, a ×4 dimension join on
+    the user frame, one groupBy(week) to 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.min("ts").alias("first_seen"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= float(_CONV_VALUE)),
+                F.col("ts"),
+            )
+        ).alias("first_conv"),
+    )
+    pu = pu.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    cp = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_SEQ_CUTOFFS)], "week INT, cutoff_s STRING"
+    ).select("week", F.col("cutoff_s").cast("timestamp").alias("cutoff"))
+    cw = pu.crossJoin(F.broadcast(cp)).select(
+        "week",
+        "g",
+        F.when(F.col("first_seen") < F.col("cutoff"), 1).otherwise(0).alias("seen"),
+        F.when(F.col("first_conv") < F.col("cutoff"), 1).otherwise(0).alias("conv"),
+    )
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = cw.groupBy("week").agg(
+        F.sum(F.when(g0, F.col("seen"))).alias("n_a"),
+        F.sum(F.when(g0, F.col("conv"))).alias("x_a"),
+        F.sum(F.when(g1, F.col("seen"))).alias("n_b"),
+        F.sum(F.when(g1, F.col("conv"))).alias("x_b"),
+    )
+    d = gs.select(
+        "week",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.col("n_a").cast("double").alias("na"),
+        F.col("x_a").cast("double").alias("xa"),
+        F.col("n_b").cast("double").alias("nb"),
+        F.col("x_b").cast("double").alias("xb"),
+    )
+    p = d.select(
+        "week",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        "na",
+        "nb",
+        (F.col("xa") / F.col("na")).alias("pa"),
+        (F.col("xb") / F.col("nb")).alias("pb"),
+        ((F.col("xa") + F.col("xb")) / (F.col("na") + F.col("nb"))).alias("pp"),
+    )
+    dp = F.col("pa") - F.col("pb")
+    return p.select(
+        F.col("week").cast("int").alias("week"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_a").cast("bigint").alias("x_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("x_b").cast("bigint").alias("x_b"),
+        F.when(
+            F.col("pp") * (F.lit(1.0) - F.col("pp")) == F.lit(0.0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                dp * dp
+                / (
+                    F.col("pp")
+                    * (F.lit(1.0) - F.col("pp"))
+                    * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+                ),
+                6,
+            )
+        )
+        .alias("z2"),
+    )

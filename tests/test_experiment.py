@@ -173,3 +173,77 @@ def test_poisson_bootstrap_order_statistics(spark):
             fact *= k
         total += math.exp(-1.0) / fact
         assert t == math.floor(total * 1_000_000)
+
+
+def test_did_is_the_double_difference_of_means(spark):
+    out = REGISTRY["exp_did_midmonth"].fn(spark, SF_SMALL).collect()[0]
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    pu: dict[int, list[float]] = {}
+    for r in rows:
+        xy = pu.setdefault(r["user_id"], [0.0, 0.0])
+        xy[0 if str(r["ts"]) < "2024-01-15" else 1] += round(r["value"], 2)
+    arms = {u: _bucket("expassign", u, 2) for u in pu}
+    means = {}
+    for g in (0, 1):
+        us = [u for u in pu if arms[u] == g]
+        means[g] = (
+            sum(pu[u][0] for u in us) / len(us),
+            sum(pu[u][1] for u in us) / len(us),
+        )
+    did = (means[0][1] - means[0][0]) - (means[1][1] - means[1][0])
+    assert math.isclose(out["did"], did, rel_tol=1e-5, abs_tol=1e-4)
+    assert math.isclose(out["pre_mean_a"], means[0][0], rel_tol=1e-6, abs_tol=1e-5)
+    assert math.isclose(out["post_mean_b"], means[1][1], rel_tol=1e-6, abs_tol=1e-5)
+
+
+def test_quantile_lift_returns_stored_order_statistics(spark):
+    rows = {
+        r["arm"]: r
+        for r in REGISTRY["exp_quantile_lift"].fn(spark, SF_SMALL).collect()
+    }
+    users = _per_user(spark)
+    for arm, r in rows.items():
+        vals = sorted(s for s, g in users.values() if g == arm)
+        assert r["n_users"] == len(vals)
+        assert r["q25"] <= r["q50"] <= r["q75"] <= r["q90"]
+        for p, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")):
+            # exact discrete quantile: a stored element with the right rank
+            # (lossless-accuracy sketch), allow the floor/ceil boundary pair
+            k = max(0, min(len(vals) - 1, math.ceil(p * len(vals)) - 1))
+            candidates = {vals[k], vals[min(len(vals) - 1, k + 1)]}
+            assert any(math.isclose(r[col], c, rel_tol=1e-9) for c in candidates)
+
+
+def test_sequential_z2_counts_monotone_and_exact(spark):
+    out = sorted(
+        REGISTRY["exp_sequential_z2"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["week"],
+    )
+    assert [r["week"] for r in out] == [1, 2, 3, 4]
+    for a, b in zip(out, out[1:]):
+        assert a["n_a"] <= b["n_a"] and a["n_b"] <= b["n_b"]
+        assert a["x_a"] <= b["x_a"] and a["x_b"] <= b["x_b"]
+    # independent recompute of the week-2 checkpoint
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    first_seen: dict[int, str] = {}
+    first_conv: dict[int, str] = {}
+    for r in rows:
+        ts = str(r["ts"])
+        u = r["user_id"]
+        first_seen[u] = min(first_seen.get(u, ts), ts)
+        if r["event_type"] == "purchase" and r["value"] >= 200.0:
+            first_conv[u] = min(first_conv.get(u, ts), ts)
+    cut = "2024-01-15"
+    n = [0, 0]
+    x = [0, 0]
+    for u in first_seen:
+        g = _bucket("expassign", u, 2)
+        n[g] += 1 if first_seen[u] < cut else 0
+        x[g] += 1 if first_conv.get(u, "9999") < cut else 0
+    wk2 = out[1]
+    assert (wk2["n_a"], wk2["x_a"], wk2["n_b"], wk2["x_b"]) == (
+        n[0],
+        x[0],
+        n[1],
+        x[1],
+    )
