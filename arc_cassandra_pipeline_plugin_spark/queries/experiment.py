@@ -936,3 +936,56 @@ def exp_sequential_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: incremental per-arm readout over the event stream
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_experiment_readout",
+    category="streaming",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+gs AS (
+  SELECT g, count(*) AS n_users, sum(s) AS total
+  FROM peruser GROUP BY g)
+SELECT CAST(g AS BIGINT) AS arm,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(total AS DECIMAL(38,2)) AS total_value,
+       round(CAST(total AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_value
+FROM gs
+""",
+)
+def streaming_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout maintained INCREMENTALLY over the event
+    stream: per-user value sums accumulate via ``run_stream_accumulate``
+    (foreachBatch additive state — associative sum-merge, so the final
+    state is micro-batch-boundary independent), then the drained user
+    frame is assigned to arms and folded to per-arm totals. Certified ≡
+    the batch recompute — the streaming production shape of every
+    ``exp_*`` statistic, whose inputs are exactly these running per-user
+    sums.
+
+    Scale: streaming state is |users| rows of (key, decimal sum) —
+    bounded by the entity space, not the stream length; each micro-batch
+    costs one partial aggregation of its own rows."""
+    from arc_cassandra_pipeline_plugin_spark import streaming as ST
+
+    ev = ST.events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("u"), F.col("value").cast("decimal(18,2)").alias("s")
+    )
+    users = ST.run_stream_accumulate(ev, key_cols=("u",), sum_cols=("s",))
+    users = users.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    gs = users.groupBy(F.col("g").cast("bigint").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("s").cast("decimal(18,2)")).alias("total"),
+    )
+    return gs.select(
+        "arm",
+        "n_users",
+        F.col("total").cast("decimal(38,2)").alias("total_value"),
+        F.round(
+            F.col("total").cast("double") / F.col("n_users").cast("double"), 6
+        ).alias("mean_value"),
+    )

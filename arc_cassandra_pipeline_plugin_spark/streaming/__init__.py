@@ -432,3 +432,65 @@ def events_stream_flushed(
     elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def run_stream_accumulate(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming ADDITIVE state via ``foreachBatch``: each micro-batch is
+    pre-aggregated to per-key partial sums, then merged into the running
+    state with an outer join and coalesced addition. Sum-merge is
+    associative and commutative, so the final state is independent of
+    micro-batch boundaries — the incremental form of any
+    groupBy(key).sum() readout (experiment arm totals, per-source token
+    counts) over an unbounded stream, with state bounded by |keys|, not
+    rows. Drains with availableNow; raises loudly on drain timeout."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import types as T
+
+    state: dict[str, Optional[DataFrame]] = {"df": None}
+    keys = list(key_cols)
+    sums = list(sum_cols)
+
+    def _acc_type(dt: T.DataType) -> str:
+        # pin every merge round to ONE accumulated type so unionByName
+        # between the running state and a fresh partial never widens
+        if isinstance(dt, T.DecimalType):
+            return f"decimal(38,{dt.scale})"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "bigint"
+        return "double"
+
+    acc_types = {f.name: _acc_type(f.dataType) for f in df.schema if f.name in sums}
+
+    def partials(frame: DataFrame) -> DataFrame:
+        return frame.groupBy(*keys).agg(
+            *[F.sum(F.col(c)).cast(acc_types[c]).alias(c) for c in sums]
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        p = partials(batch_df)
+        prev = state["df"]
+        merged = p if prev is None else partials(prev.unionByName(p))
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_accum_"))
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"run_stream_accumulate: drain did not finish in {timeout_s} s"
+        )
+    if state["df"] is None:
+        raise RuntimeError("run_stream_accumulate: no micro-batches arrived")
+    return state["df"]

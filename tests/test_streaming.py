@@ -763,3 +763,38 @@ def test_stream_stream_outer_beyond_watermark_row_semantics(spark, tmp_path):
     # (50, 9, None): click 50 null-pads — error 51 shares its timestamp and
     # the interval lower bound is STRICT, so they cannot pair.
     assert got == [(1, 7, 2), (50, 9, None)]
+
+
+def test_stream_accumulate_sums_across_micro_batches(spark, tmp_path):
+    """run_stream_accumulate with maxFilesPerTrigger=1 over a multi-file
+    source: several micro-batches MUST occur, and the additive state must
+    equal the batch groupBy sum exactly (sum-merge associativity ==
+    micro-batch-boundary independence), decimals included."""
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from arc_cassandra_pipeline_plugin_spark.streaming import run_stream_accumulate
+
+    src = str(tmp_path / "events_accum")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("v"),
+        F.lit(1).alias("one"),
+    )
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    n_files = len([f for f in __import__("os").listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 5
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    final = run_stream_accumulate(
+        stream, key_cols=("user_id",), sum_cols=("v", "one")
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.sum("v").cast("decimal(38,2)").alias("v"),
+        F.sum("one").cast("bigint").alias("one"),
+    )
+    got = {(r["user_id"], r["v"], r["one"]) for r in final.collect()}
+    want = {(r["user_id"], r["v"], r["one"]) for r in expected.collect()}
+    assert got == want
