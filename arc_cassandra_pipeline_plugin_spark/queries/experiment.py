@@ -989,3 +989,173 @@ def streaming_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("double") / F.col("n_users").cast("double"), 6
         ).alias("mean_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Randomized response (local-DP conversion telemetry) with exact debiasing
+# --------------------------------------------------------------------------
+
+@register(
+    "privacy_randomized_response",
+    category="experiment",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         max(CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE} THEN 1 ELSE 0 END) AS t,
+         (('0x' || substr(md5('rrcoin1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS c1,
+         (('0x' || substr(md5('rrcoin2:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS c2
+  FROM events GROUP BY user_id),
+rr AS (
+  SELECT u, t, CASE WHEN c1 = 0 THEN t ELSE c2 END AS r FROM pu),
+gs AS (
+  SELECT count(*) AS n, sum(t) AS true_x, sum(r) AS rep_x FROM rr)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(true_x AS BIGINT) AS true_converters,
+       CAST(rep_x AS BIGINT) AS reported_ones,
+       round(CAST(true_x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS true_rate,
+       round((CAST(rep_x AS DOUBLE) / CAST(n AS DOUBLE) - 0.25) / 0.5, 6) AS debiased_rate
+FROM gs
+""",
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response, the local-DP collection mechanism: each
+    user reports the TRUTH on heads (deterministic md5 coin 1) and a
+    random bit (coin 2) on tails — ε = ln 3 local differential privacy —
+    and the aggregate debiases with p̂ = (mean(report) − ¼)/½. Both coins
+    are content-deterministic hash bits, so the privatized channel and
+    its debiasing certify exactly against the oracle; the readout pairs
+    the true rate (available here because this is the pipeline's own
+    audit) with the estimate, exposing the privacy-accuracy gap.
+
+    Scale: same single groupBy(user) pass; the mechanism itself is two
+    hash bits per user — no extra shuffle, no state."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= float(_CONV_VALUE)),
+                1,
+            ).otherwise(0)
+        ).alias("t")
+    )
+    pu = pu.withColumn("c1", _hash_bucket(F.col("u"), F.lit("rrcoin1"), 2))
+    pu = pu.withColumn("c2", _hash_bucket(F.col("u"), F.lit("rrcoin2"), 2))
+    rr = pu.select(
+        "u",
+        "t",
+        F.when(F.col("c1") == 0, F.col("t")).otherwise(F.col("c2")).alias("r"),
+    )
+    gs = rr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("true_x"),
+        F.sum("r").alias("rep_x"),
+    )
+    return gs.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("true_x").cast("bigint").alias("true_converters"),
+        F.col("rep_x").cast("bigint").alias("reported_ones"),
+        F.round(
+            F.col("true_x").cast("double") / F.col("n").cast("double"), 6
+        ).alias("true_rate"),
+        F.round(
+            (F.col("rep_x").cast("double") / F.col("n").cast("double") - F.lit(0.25))
+            / F.lit(0.5),
+            6,
+        ).alias("debiased_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Power analysis: minimum detectable effect at the current sample size
+# --------------------------------------------------------------------------
+
+# Standard-normal quantiles as shared literals (the LUT rule): z for
+# two-sided alpha=0.05 and for power=0.80.
+_Z_ALPHA = "1.959963984540054"
+_Z_BETA = "0.8416212335729143"
+
+
+@register(
+    "exp_power_mde",
+    category="experiment",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+conv AS (
+  SELECT user_id AS u,
+         max(CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE} THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY user_id),
+gs AS (
+  SELECT count(*) AS n,
+         CAST(count(*) FILTER (WHERE p.g = 0) AS DOUBLE) AS na,
+         CAST(count(*) FILTER (WHERE p.g = 1) AS DOUBLE) AS nb,
+         CAST(sum(c) AS DOUBLE) AS x,
+         CAST(sum(p.s) AS DOUBLE) AS sv,
+         CAST(sum(p.s * p.s) AS DOUBLE) AS qv
+  FROM peruser p JOIN conv USING (u)),
+d AS (
+  SELECT n, na, nb,
+         x / (na + nb) AS pp,
+         (qv - sv * sv / (na + nb)) / (na + nb - 1.0) AS var_s
+  FROM gs)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(pp, 6) AS base_rate,
+       round(({_Z_ALPHA} + {_Z_BETA})
+             * sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) AS mde_conversion,
+       round(({_Z_ALPHA} + {_Z_BETA})
+             * sqrt(var_s * (1.0 / na + 1.0 / nb)), 6) AS mde_mean
+FROM d
+""",
+)
+def exp_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample size (two-sided
+    α=0.05, power 0.80): the experiment-design readout — how small a
+    conversion-rate or mean-value lift this exposure log could confirm.
+    The normal quantiles are shared 17-digit literals (the LUT rule) and
+    ``sqrt`` is IEEE-754 correctly rounded, so the whole chain stays
+    engine-exact despite the irrational constants.
+
+    Scale: one groupBy(user) pass + a 1-row aggregate, like every other
+    design statistic here."""
+    users = _per_user_metric(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= float(_CONV_VALUE)),
+                1,
+            ).otherwise(0)
+        ).alias("c")
+    )
+    j = users.join(conv, "u")
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(g0, 1)).cast("double").alias("na"),
+        F.count(F.when(g1, 1)).cast("double").alias("nb"),
+        F.sum("c").cast("double").alias("x"),
+        F.sum("s").cast("double").alias("sv"),
+        F.sum(F.col("s") * F.col("s")).cast("double").alias("qv"),
+    )
+    d = gs.select(
+        "n",
+        "na",
+        "nb",
+        (F.col("x") / (F.col("na") + F.col("nb"))).alias("pp"),
+        (
+            (F.col("qv") - F.col("sv") * F.col("sv") / (F.col("na") + F.col("nb")))
+            / (F.col("na") + F.col("nb") - F.lit(1.0))
+        ).alias("var_s"),
+    )
+    zsum = F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_BETA))
+    inv_n = F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")
+    return d.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("pp"), 6).alias("base_rate"),
+        F.round(
+            zsum * F.sqrt(F.col("pp") * (F.lit(1.0) - F.col("pp")) * inv_n), 6
+        ).alias("mde_conversion"),
+        F.round(zsum * F.sqrt(F.col("var_s") * inv_n), 6).alias("mde_mean"),
+    )

@@ -247,3 +247,48 @@ def test_sequential_z2_counts_monotone_and_exact(spark):
         n[1],
         x[1],
     )
+
+
+def test_randomized_response_coins_and_debias(spark):
+    out = REGISTRY["privacy_randomized_response"].fn(spark, SF_SMALL).collect()[0]
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    truth: dict[int, int] = {}
+    for r in rows:
+        hit = 1 if (r["event_type"] == "purchase" and r["value"] >= 200.0) else 0
+        truth[r["user_id"]] = max(truth.get(r["user_id"], 0), hit)
+    rep = 0
+    for u, t in truth.items():
+        c1 = _bucket("rrcoin1", u, 2)
+        c2 = _bucket("rrcoin2", u, 2)
+        rep += t if c1 == 0 else c2
+    n = len(truth)
+    assert out["n_users"] == n
+    assert out["true_converters"] == sum(truth.values())
+    assert out["reported_ones"] == rep
+    assert math.isclose(
+        out["debiased_rate"], (rep / n - 0.25) / 0.5, rel_tol=1e-6, abs_tol=1e-5
+    )
+
+
+def test_power_mde_matches_textbook_formula(spark):
+    out = REGISTRY["exp_power_mde"].fn(spark, SF_SMALL).collect()[0]
+    users = _per_user(spark)
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    conv: dict[int, int] = {}
+    for r in rows:
+        hit = 1 if (r["event_type"] == "purchase" and r["value"] >= 200.0) else 0
+        conv[r["user_id"]] = max(conv.get(r["user_id"], 0), hit)
+    na = sum(1 for _, g in users.values() if g == 0)
+    nb = sum(1 for _, g in users.values() if g == 1)
+    n = na + nb
+    pp = sum(conv.values()) / n
+    vals = [s for s, _ in users.values()]
+    mean = sum(vals) / n
+    var_s = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    z = 1.959963984540054 + 0.8416212335729143
+    mde_conv = z * math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    mde_mean = z * math.sqrt(var_s * (1 / na + 1 / nb))
+    assert out["n_users"] == n
+    assert math.isclose(out["base_rate"], pp, rel_tol=1e-6, abs_tol=1e-5)
+    assert math.isclose(out["mde_conversion"], mde_conv, rel_tol=1e-5, abs_tol=1e-5)
+    assert math.isclose(out["mde_mean"], mde_mean, rel_tol=1e-5, abs_tol=1e-4)
