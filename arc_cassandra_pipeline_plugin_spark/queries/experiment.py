@@ -476,33 +476,32 @@ def exp_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "exp_permutation_test",
     category="experiment",
-    plan_shape="scalar_broadcast",
-    plan_reason="64-row permutation stats joined against the 1-row observed statistic",
     oracle=f"""
 WITH {_PER_USER_CTE},
-obs AS (
-  SELECT abs(CAST(sum(s) FILTER (WHERE g = 0) AS DOUBLE)
-               / CAST(count(*) FILTER (WHERE g = 0) AS DOUBLE)
-             - CAST(sum(s) FILTER (WHERE g = 1) AS DOUBLE)
-               / CAST(count(*) FILTER (WHERE g = 1) AS DOUBLE)) AS t_obs
-  FROM peruser),
 perms AS (
   SELECT p.u, p.s, r.b,
-         (('0x' || substr(md5('perm' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 8))::BIGINT) % 2 AS gp
-  FROM peruser p CROSS JOIN (SELECT range AS b FROM range(0, {_N_PERM})) r),
+         CASE WHEN r.b = {_N_PERM} THEN p.g
+              ELSE (('0x' || substr(md5('perm' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 8))::BIGINT) % 2
+         END AS gp
+  FROM peruser p CROSS JOIN (SELECT range AS b FROM range(0, {_N_PERM + 1})) r),
 pstat AS (
   SELECT b,
          abs(CAST(sum(s) FILTER (WHERE gp = 0) AS DOUBLE)
                / CAST(count(*) FILTER (WHERE gp = 0) AS DOUBLE)
              - CAST(sum(s) FILTER (WHERE gp = 1) AS DOUBLE)
                / CAST(count(*) FILTER (WHERE gp = 1) AS DOUBLE)) AS t_b
-  FROM perms GROUP BY b)
+  FROM perms GROUP BY b),
+pstat2 AS (
+  SELECT b, t_b,
+         max(CASE WHEN b = {_N_PERM} THEN t_b END) OVER () AS t_obs
+  FROM pstat)
 SELECT round(any_value(t_obs), 6) AS t_obs,
        CAST({_N_PERM} AS BIGINT) AS n_perm,
        CAST(sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
        round((1.0 + sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END))
              / (1.0 + {_N_PERM}), 6) AS p_value
-FROM pstat CROSS JOIN obs
+FROM pstat2
+WHERE b < {_N_PERM}
 """,
 )
 def exp_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,28 +512,23 @@ def exp_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting, no normality assumption — the readout to trust when the
     metric is heavy-tailed and t² is fragile.
 
-    Scale: the ×64 explode multiplies the |users| frame, never raw
-    events; each permutation's stat is two DECIMAL sums in one
-    groupBy(b); the observed stat is a broadcast 1-row join."""
+    Scale: ONE events scan — the observed statistic rides the same
+    explode as permutation b = 64 with the REAL assignment substituted
+    (the groupBy(b) exchange is computed once and reused for both the
+    observed row and the null distribution); the ×65 explode multiplies
+    the |users| frame, never raw events."""
     users = _per_user_metric(spark, sf_dir)
-    g0 = F.col("g") == 0
-    g1 = F.col("g") == 1
-    obs = users.agg(
-        F.abs(
-            F.sum(F.when(g0, F.col("s"))).cast("double")
-            / F.count(F.when(g0, 1)).cast("double")
-            - F.sum(F.when(g1, F.col("s"))).cast("double")
-            / F.count(F.when(g1, 1)).cast("double")
-        ).alias("t_obs")
-    )
     perms = users.select(
         "u",
         "s",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_PERM - 1))).alias("b"),
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_PERM))).alias("b"),
     ).withColumn(
         "gp",
-        _hash_bucket(
-            F.col("u"), F.concat(F.lit("perm"), F.col("b").cast("string")), 2
+        F.when(F.col("b") == _N_PERM, F.col("g")).otherwise(
+            _hash_bucket(
+                F.col("u"), F.concat(F.lit("perm"), F.col("b").cast("string")), 2
+            )
         ),
     )
     p0 = F.col("gp") == 0
@@ -547,9 +541,14 @@ def exp_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.when(p1, 1)).cast("double")
         ).alias("t_b")
     )
+    w_all = Window.partitionBy()
+    pstat2 = pstat.withColumn(
+        "t_obs",
+        F.max(F.when(F.col("b") == _N_PERM, F.col("t_b"))).over(w_all),
+    )
     ge = F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)
     return (
-        pstat.crossJoin(F.broadcast(obs))
+        pstat2.filter(F.col("b") < _N_PERM)
         .agg(
             F.round(F.any_value(F.col("t_obs")), 6).alias("t_obs"),
             F.lit(_N_PERM).cast("bigint").alias("n_perm"),
@@ -582,27 +581,29 @@ def _poisson_weight_col(bucket: F.Column) -> F.Column:
 @register(
     "exp_poisson_bootstrap",
     category="experiment",
-    plan_shape="scalar_broadcast",
-    plan_reason="32-row replicate means joined against the 1-row point estimate",
     oracle=f"""
 WITH {_PER_USER_CTE},
 reps AS (
   SELECT p.u, p.s, r.b,
-         {_poisson_weight_sql("(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 8))::BIGINT) % 1000000")} AS w
-  FROM peruser p CROSS JOIN (SELECT range AS b FROM range(0, {_N_BOOT})) r),
+         CASE WHEN r.b = {_N_BOOT} THEN 1
+              ELSE {_poisson_weight_sql("(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 8))::BIGINT) % 1000000")}
+         END AS w
+  FROM peruser p CROSS JOIN (SELECT range AS b FROM range(0, {_N_BOOT + 1})) r),
 rmean AS (
   SELECT b, CAST(sum(w * s) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
   FROM reps GROUP BY b),
-ranked AS (
-  SELECT m, row_number() OVER (ORDER BY m ASC NULLS LAST, b ASC) AS rn
+rmean2 AS (
+  SELECT b, m,
+         max(CASE WHEN b = {_N_BOOT} THEN m END) OVER () AS pm
   FROM rmean),
-pt AS (
-  SELECT CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm FROM peruser)
+ranked AS (
+  SELECT m, pm, row_number() OVER (ORDER BY m ASC NULLS LAST, b ASC) AS rn
+  FROM rmean2 WHERE b < {_N_BOOT})
 SELECT round(any_value(pm), 6) AS point_mean,
        round(max(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
        round(max(CASE WHEN rn = {_N_BOOT - 1} THEN m END), 6) AS ci_hi,
        CAST({_N_BOOT} AS BIGINT) AS n_replicates
-FROM ranked CROSS JOIN pt
+FROM ranked
 """,
 )
 def exp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,26 +619,25 @@ def exp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is an empty-partition window on a constant-size frame (the
     kmv precedent), not a corpus sort.
 
-    Scale: ×32 explode of the |users| frame, one groupBy(b), then 32
-    rows. At 100 TB the bootstrap costs 32 weighted sums — no resample
+    Scale: ONE events scan — the point estimate rides the same explode
+    as replicate b = 32 with unit weights (the groupBy(b) exchange is
+    shared); ×33 explode of the |users| frame, one groupBy(b), then 33
+    rows. At 100 TB the bootstrap costs 33 weighted sums — no resample
     materialization, no per-replicate pass over raw events."""
     users = _per_user_metric(spark, sf_dir)
-    pt = users.agg(
-        (
-            F.sum("s").cast("double") / F.count(F.lit(1)).cast("double")
-        ).alias("pm")
-    )
     reps = users.select(
         "u",
         "s",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT))).alias("b"),
     ).withColumn(
         "w",
-        _poisson_weight_col(
-            _hash_bucket(
-                F.col("u"),
-                F.concat(F.lit("boot"), F.col("b").cast("string")),
-                1_000_000,
+        F.when(F.col("b") == _N_BOOT, 1).otherwise(
+            _poisson_weight_col(
+                _hash_bucket(
+                    F.col("u"),
+                    F.concat(F.lit("boot"), F.col("b").cast("string")),
+                    1_000_000,
+                )
             )
         ),
     )
@@ -647,10 +647,16 @@ def exp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w").cast("double")
         ).alias("m")
     )
+    w_pm = Window.partitionBy()
+    rmean2 = rmean.withColumn(
+        "pm", F.max(F.when(F.col("b") == _N_BOOT, F.col("m"))).over(w_pm)
+    )
     w_all = Window.partitionBy().orderBy(F.col("m").asc_nulls_last(), F.col("b").asc())
-    ranked = rmean.select("m", F.row_number().over(w_all).alias("rn"))
+    ranked = rmean2.filter(F.col("b") < _N_BOOT).select(
+        "m", "pm", F.row_number().over(w_all).alias("rn")
+    )
     return (
-        ranked.crossJoin(F.broadcast(pt))
+        ranked
         .agg(
             F.round(F.any_value(F.col("pm")), 6).alias("point_mean"),
             F.round(F.max(F.when(F.col("rn") == 2, F.col("m"))), 6).alias("ci_lo"),
@@ -1080,19 +1086,20 @@ _Z_BETA = "0.8416212335729143"
     "exp_power_mde",
     category="experiment",
     oracle=f"""
-WITH {_PER_USER_CTE},
-conv AS (
+WITH pu AS (
   SELECT user_id AS u,
-         max(CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE} THEN 1 ELSE 0 END) AS c
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+         max(CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE} THEN 1 ELSE 0 END) AS c,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
   FROM events GROUP BY user_id),
 gs AS (
   SELECT count(*) AS n,
-         CAST(count(*) FILTER (WHERE p.g = 0) AS DOUBLE) AS na,
-         CAST(count(*) FILTER (WHERE p.g = 1) AS DOUBLE) AS nb,
+         CAST(count(*) FILTER (WHERE g = 0) AS DOUBLE) AS na,
+         CAST(count(*) FILTER (WHERE g = 1) AS DOUBLE) AS nb,
          CAST(sum(c) AS DOUBLE) AS x,
-         CAST(sum(p.s) AS DOUBLE) AS sv,
-         CAST(sum(p.s * p.s) AS DOUBLE) AS qv
-  FROM peruser p JOIN conv USING (u)),
+         CAST(sum(s) AS DOUBLE) AS sv,
+         CAST(sum(s * s) AS DOUBLE) AS qv
+  FROM pu),
 d AS (
   SELECT n, na, nb,
          x / (na + nb) AS pp,
@@ -1115,20 +1122,21 @@ def exp_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sqrt`` is IEEE-754 correctly rounded, so the whole chain stays
     engine-exact despite the irrational constants.
 
-    Scale: one groupBy(user) pass + a 1-row aggregate, like every other
-    design statistic here."""
-    users = _per_user_metric(spark, sf_dir)
+    Scale: ONE events scan — metric sums and the conversion flag come
+    from the same groupBy(user) — plus a 1-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    conv = ev.groupBy(F.col("user_id").alias("u")).agg(
+    j = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("s"),
         F.max(
             F.when(
                 (F.col("event_type") == "purchase")
                 & (F.col("value") >= float(_CONV_VALUE)),
                 1,
             ).otherwise(0)
-        ).alias("c")
-    )
-    j = users.join(conv, "u")
+        ).alias("c"),
+    ).withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
     g0 = F.col("g") == 0
     g1 = F.col("g") == 1
     gs = j.agg(
