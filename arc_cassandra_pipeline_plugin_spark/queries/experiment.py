@@ -1167,3 +1167,85 @@ def exp_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mde_conversion"),
         F.round(zsum * F.sqrt(F.col("var_s") * inv_n), 6).alias("mde_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous treatment effects: per-region lift via the dimension chain
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_lift_by_region",
+    category="experiment",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+seg AS (
+  SELECT p.u, p.s, p.g, r.r_name
+  FROM peruser p
+  JOIN customer c ON c.c_custkey = p.u
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey),
+gs AS (
+  SELECT r_name,
+         count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(s)   FILTER (WHERE g = 0) AS s_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(s)   FILTER (WHERE g = 1) AS s_b
+  FROM seg GROUP BY r_name)
+SELECT r_name,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a = 0 THEN NULL
+            ELSE round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS mean_a,
+       CASE WHEN n_b = 0 THEN NULL
+            ELSE round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS mean_b,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            ELSE round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS lift
+FROM gs
+""",
+)
+def exp_lift_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects: the arm lift sliced by the user's
+    region through the customer → nation → region dimension chain — the
+    readout that localizes where a global null hides offsetting segment
+    effects. Segments whose arm is empty report NULL (guarded identically
+    on both engines) rather than dividing by zero.
+
+    Scale: the user frame joins three BROADCAST dimensions (customer is
+    the largest at |users|-scale; nation/region are constants) — no
+    second corpus shuffle; the final groupBy lands on |regions| rows."""
+    users = _per_user_metric(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    seg = (
+        users.join(F.broadcast(cust), users["u"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = seg.groupBy("r_name").agg(
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("s"))).alias("s_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("s"))).alias("s_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    return gs.select(
+        "r_name",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when(F.col("n_a") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(mean_a, 6))
+        .alias("mean_a"),
+        F.when(F.col("n_b") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(mean_b, 6))
+        .alias("mean_b"),
+        F.when(
+            (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(F.round(mean_a - mean_b, 6))
+        .alias("lift"),
+    )

@@ -292,3 +292,39 @@ def test_power_mde_matches_textbook_formula(spark):
     assert math.isclose(out["base_rate"], pp, rel_tol=1e-6, abs_tol=1e-5)
     assert math.isclose(out["mde_conversion"], mde_conv, rel_tol=1e-5, abs_tol=1e-5)
     assert math.isclose(out["mde_mean"], mde_mean, rel_tol=1e-5, abs_tol=1e-4)
+
+
+def test_lift_by_region_segments_partition_the_users(spark):
+    rows = REGISTRY["exp_lift_by_region"].fn(spark, SF_SMALL).collect()
+    users = _per_user(spark)
+    # every user joins exactly one region, so segment counts partition n
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == len(users)
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/nation.parquet").collect()
+    }
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in spark.read.parquet(f"{SF_SMALL}/region.parquet").collect()
+    }
+    by_region: dict[str, list] = {}
+    for u, (s, g) in users.items():
+        by_region.setdefault(reg[nat[cust[u]]], []).append((s, g))
+    for r in rows:
+        seg = by_region[r["r_name"]]
+        a = [s for s, g in seg if g == 0]
+        b = [s for s, g in seg if g == 1]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        if a and b:
+            assert math.isclose(
+                r["lift"],
+                sum(a) / len(a) - sum(b) / len(b),
+                rel_tol=1e-5,
+                abs_tol=1e-4,
+            )
+        else:
+            assert r["lift"] is None
