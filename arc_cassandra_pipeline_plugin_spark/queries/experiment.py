@@ -1249,3 +1249,188 @@ def exp_lift_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(mean_a - mean_b, 6))
         .alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Switchback design: time-block (daily) randomization
+# --------------------------------------------------------------------------
+
+def _unit_welch_sql(unit_cte: str) -> str:
+    """Shared oracle tail: Welch t² over randomized UNITS (days/clusters)
+    whose per-unit means are projected to the DECIMAL(18,6) grid first, so
+    the variance sums are order-free on both engines."""
+    return f"""
+gs AS (
+  -- DECIMAL(19,6) forces DuckDB's product onto the hugeint path (the
+  -- int64-backed DECIMAL(18) square overflows at |m| > ~3e3); Spark keeps
+  -- (18,6)^2 = (37,12) — both exact, identical values
+  SELECT count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(m)   FILTER (WHERE g = 0) AS s_a,
+         sum(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6))) FILTER (WHERE g = 0) AS q_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(m)   FILTER (WHERE g = 1) AS s_b,
+         sum(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6))) FILTER (WHERE g = 1) AS q_b
+  FROM {unit_cte}),
+d AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa, CAST(q_a AS DOUBLE) AS qa,
+         CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb, CAST(q_b AS DOUBLE) AS qb
+  FROM gs),
+v AS (
+  SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+         (qa - sa * sa / na) / (na - 1.0) AS va,
+         (qb - sb * sb / nb) / (nb - 1.0) AS vb
+  FROM d)
+SELECT CAST(n_a AS BIGINT) AS n_units_a,
+       CAST(n_b AS BIGINT) AS n_units_b,
+       round(ma, 6) AS mean_a,
+       round(mb, 6) AS mean_b,
+       round(ma - mb, 6) AS lift,
+       round((ma - mb) * (ma - mb) / (va / na + vb / nb), 6) AS welch_t2
+FROM v
+"""
+
+
+@register(
+    "exp_switchback_daily",
+    category="experiment",
+    oracle=f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS m,
+         (('0x' || substr(md5('swb:' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY CAST(ts AS DATE)),
+{_unit_welch_sql("days")}
+""",
+)
+def exp_switchback_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Switchback (time-block randomized) design: each DAY is assigned
+    whole to an arm by hashing its date — the design for marketplace/
+    pricing experiments where user-level assignment leaks through shared
+    inventory. The estimator treats days as the randomization units:
+    per-day mean event value (projected to the DECIMAL(18,6) grid so the
+    unit-level variance sums are order-free), then the across-day lift
+    and a day-level Welch t².
+
+    Scale: one groupBy(day) corpus pass — at 100 TB the unit frame is
+    |days| rows; everything after is O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    days = days.withColumn("g", _hash_bucket(F.col("d"), F.lit("swb"), 2))
+    return _unit_welch_frame(days)
+
+
+def _unit_welch_frame(units: DataFrame) -> DataFrame:
+    """Spark mirror of :func:`_unit_welch_sql` over a (unit, m, g) frame."""
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = units.agg(
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("m"))).alias("s_a"),
+        F.sum(F.when(g0, F.col("m") * F.col("m"))).alias("q_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("m"))).alias("s_b"),
+        F.sum(F.when(g1, F.col("m") * F.col("m"))).alias("q_b"),
+    )
+    d = gs.select(
+        "n_a",
+        "n_b",
+        F.col("n_a").cast("double").alias("na"),
+        F.col("s_a").cast("double").alias("sa"),
+        F.col("q_a").cast("double").alias("qa"),
+        F.col("n_b").cast("double").alias("nb"),
+        F.col("s_b").cast("double").alias("sb"),
+        F.col("q_b").cast("double").alias("qb"),
+    )
+    v = d.select(
+        "n_a",
+        "n_b",
+        "na",
+        "nb",
+        (F.col("sa") / F.col("na")).alias("ma"),
+        (F.col("sb") / F.col("nb")).alias("mb"),
+        (
+            (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"))
+            / (F.col("na") - F.lit(1.0))
+        ).alias("va"),
+        (
+            (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"))
+            / (F.col("nb") - F.lit(1.0))
+        ).alias("vb"),
+    )
+    diff = F.col("ma") - F.col("mb")
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return v.select(
+        F.col("n_a").cast("bigint").alias("n_units_a"),
+        F.col("n_b").cast("bigint").alias("n_units_b"),
+        F.round(F.col("ma"), 6).alias("mean_a"),
+        F.round(F.col("mb"), 6).alias("mean_b"),
+        F.round(diff, 6).alias("lift"),
+        F.round(diff * diff / se2, 6).alias("welch_t2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-randomized design: nation-level assignment
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_cluster_randomized_nation",
+    category="experiment",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+  FROM events GROUP BY user_id),
+clus AS (
+  SELECT n.n_name,
+         CAST(round(CAST(sum(p.s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS m,
+         (('0x' || substr(md5('cluster:' || n.n_name), 1, 8))::BIGINT) % 2 AS g
+  FROM pu p
+  JOIN customer c ON c.c_custkey = p.u
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name),
+{_unit_welch_sql("clus")}
+""",
+)
+def exp_cluster_randomized_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-randomized design: whole NATIONS are assigned to arms (the
+    design when treatment spills over within a market, so user-level
+    randomization is invalid). Inference happens at the cluster level —
+    per-nation mean of the per-user metric (DECIMAL(18,6)-projected), the
+    across-cluster lift, and a cluster-level Welch t² whose df reflects
+    |clusters|, not |users| — the variance penalty that makes naive
+    user-level readouts anti-conservative.
+
+    Scale: one groupBy(user) corpus pass, one broadcast dimension chain,
+    one groupBy(nation) to |nations| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("s")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    clus = (
+        pu.join(F.broadcast(cust), pu["u"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("m")
+        )
+    )
+    clus = clus.withColumn("g", _hash_bucket(F.col("n_name"), F.lit("cluster"), 2))
+    return _unit_welch_frame(clus)

@@ -328,3 +328,52 @@ def test_lift_by_region_segments_partition_the_users(spark):
             )
         else:
             assert r["lift"] is None
+
+
+def _unit_welch(ms_a, ms_b):
+    na, nb = len(ms_a), len(ms_b)
+    ma, mb = sum(ms_a) / na, sum(ms_b) / nb
+    va = sum((x - ma) ** 2 for x in ms_a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in ms_b) / (nb - 1)
+    return ma, mb, (ma - mb) ** 2 / (va / na + vb / nb)
+
+
+def test_switchback_units_are_days(spark):
+    out = REGISTRY["exp_switchback_daily"].fn(spark, SF_SMALL).collect()[0]
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    days: dict[str, list[float]] = {}
+    for r in rows:
+        days.setdefault(str(r["ts"])[:10], []).append(round(r["value"], 2))
+    ms = {0: [], 1: []}
+    for d, vs in days.items():
+        ms[_bucket("swb", d, 2)].append(round(sum(vs) / len(vs), 6))
+    assert (out["n_units_a"], out["n_units_b"]) == (len(ms[0]), len(ms[1]))
+    ma, mb, t2 = _unit_welch(ms[0], ms[1])
+    assert math.isclose(out["mean_a"], ma, rel_tol=1e-6, abs_tol=1e-5)
+    assert math.isclose(out["lift"], ma - mb, rel_tol=1e-5, abs_tol=1e-5)
+    assert math.isclose(out["welch_t2"], t2, rel_tol=1e-4, abs_tol=1e-5)
+
+
+def test_cluster_randomized_units_are_nations(spark):
+    out = (
+        REGISTRY["exp_cluster_randomized_nation"].fn(spark, SF_SMALL).collect()[0]
+    )
+    users = _per_user(spark)
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF_SMALL}/nation.parquet").collect()
+    }
+    clus: dict[str, list[float]] = {}
+    for u, (s, _) in users.items():
+        clus.setdefault(nat[cust[u]], []).append(s)
+    ms = {0: [], 1: []}
+    for nm, vs in clus.items():
+        ms[_bucket("cluster", nm, 2)].append(round(sum(vs) / len(vs), 6))
+    assert (out["n_units_a"], out["n_units_b"]) == (len(ms[0]), len(ms[1]))
+    ma, mb, t2 = _unit_welch(ms[0], ms[1])
+    assert math.isclose(out["mean_a"], ma, rel_tol=1e-6, abs_tol=1e-4)
+    assert math.isclose(out["welch_t2"], t2, rel_tol=1e-4, abs_tol=1e-4)
