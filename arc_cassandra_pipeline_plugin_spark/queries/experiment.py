@@ -65,13 +65,13 @@ _CONV_VALUE = "200.0"
 
 
 def _hash_bucket(col: F.Column, salt: F.Column, modulus: int) -> F.Column:
-    """32-bit md5-prefix bucket of ``salt || ':' || col`` in [0, modulus)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(salt, F.lit(":"), col.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
-    return h % modulus
+    """32-bit md5-prefix bucket of ``salt || ':' || col`` in [0, modulus)
+    — the shared portable convention (functions.hash_bucket) with the
+    salt prepended, so a future change to the bucket convention cannot
+    silently fork the certified arm assignment."""
+    from arc_cassandra_pipeline_plugin_spark.functions import hash_bucket
+
+    return hash_bucket(F.concat(salt, F.lit(":"), col.cast("string")), modulus)
 
 
 def _per_user_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,8 +778,11 @@ def exp_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete quantile ≡ DuckDB ``quantile_disc`` (stored doubles compared
     verbatim, no interpolation, no rounding).
 
-    Scale: groupBy(arm) over the user frame — two mergeable GK sketches;
-    at 100 TB accuracy becomes the recall lever, the call shape holds."""
+    Scale: groupBy(arm) over the user frame — two mergeable GK sketches.
+    The exact-equivalence contract holds while |arm| ≤ accuracy (1e6
+    here, ≫ every shipped SF); beyond that the sketch degrades gracefully
+    to its ε-rank guarantee and the oracle comparison no longer applies —
+    raise accuracy with the fleet's memory budget at real scale."""
     users = _per_user_metric(spark, sf_dir)
     d = users.select("g", F.col("s").cast("double").alias("sv"))
     return d.groupBy(F.col("g").cast("bigint").alias("arm")).agg(
@@ -1211,15 +1214,18 @@ def exp_lift_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     effects. Segments whose arm is empty report NULL (guarded identically
     on both engines) rather than dividing by zero.
 
-    Scale: the user frame joins three BROADCAST dimensions (customer is
-    the largest at |users|-scale; nation/region are constants) — no
-    second corpus shuffle; the final groupBy lands on |regions| rows."""
+    Scale: nation/region are constant dims (broadcast hint); customer
+    grows with SF, so its join strategy is left to AQE — broadcast while
+    it fits, shuffle join beyond. The final groupBy lands on |regions|
+    rows."""
     users = _per_user_metric(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer grows with SF — leave its join strategy to AQE's size-based
+    # decision (sources.ALWAYS_BROADCAST covers only nation/region)
     seg = (
-        users.join(F.broadcast(cust), users["u"] == cust["c_custkey"])
+        users.join(cust, users["u"] == cust["c_custkey"])
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -1412,16 +1418,19 @@ def exp_cluster_randomized_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     |clusters|, not |users| — the variance penalty that makes naive
     user-level readouts anti-conservative.
 
-    Scale: one groupBy(user) corpus pass, one broadcast dimension chain,
-    one groupBy(nation) to |nations| rows."""
+    Scale: one groupBy(user) corpus pass, a dimension chain (nation
+    broadcast-hinted; customer left to AQE's size-based choice), one
+    groupBy(nation) to |nations| rows."""
     ev = load_table(spark, sf_dir, "events")
     pu = ev.groupBy(F.col("user_id").alias("u")).agg(
         F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("s")
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # customer grows with SF — AQE decides its join strategy (see
+    # exp_lift_by_region)
     clus = (
-        pu.join(F.broadcast(cust), pu["u"] == cust["c_custkey"])
+        pu.join(cust, pu["u"] == cust["c_custkey"])
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(

@@ -442,15 +442,18 @@ def run_stream_accumulate(
 ) -> DataFrame:
     """Streaming ADDITIVE state via ``foreachBatch``: each micro-batch is
     pre-aggregated to per-key partial sums, then merged into the running
-    state with an outer join and coalesced addition. Sum-merge is
+    state by re-aggregating the union of state and partials (sum-merge is
     associative and commutative, so the final state is independent of
-    micro-batch boundaries — the incremental form of any
+    micro-batch boundaries) — the incremental form of any
     groupBy(key).sum() readout (experiment arm totals, per-source token
     counts) over an unbounded stream, with state bounded by |keys|, not
-    rows. Drains with availableNow; raises loudly on drain timeout."""
+    rows. Each round snapshots the state with an eager localCheckpoint;
+    reassigning ``state['df']`` drops the only reference to the previous
+    snapshot, so CPython refcounting + Spark's ContextCleaner free its
+    blocks promptly — at most two |keys|-sized snapshots are ever live
+    (the repo-wide lineage-cut idiom, see operators/graph.py). Drains
+    with availableNow; raises loudly on drain timeout."""
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from pyspark.sql import types as T
 
