@@ -1443,3 +1443,111 @@ def exp_cluster_randomized_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     clus = clus.withColumn("g", _hash_bucket(F.col("n_name"), F.lit("cluster"), 2))
     return _unit_welch_frame(clus)
+
+
+# --------------------------------------------------------------------------
+# Uplift by targeting decile (who should get the treatment?)
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_uplift_by_pre_decile",
+    category="experiment",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+         max(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                   AND event_type = 'purchase' AND value >= {_CONV_VALUE}
+                  THEN 1 ELSE 0 END) AS conv,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id),
+dec AS (
+  SELECT u, conv, g,
+         ntile(10) OVER (ORDER BY CAST(x AS DOUBLE), u) AS decile
+  FROM pu),
+gs AS (
+  SELECT decile,
+         count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(conv) FILTER (WHERE g = 0) AS x_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(conv) FILTER (WHERE g = 1) AS x_b
+  FROM dec GROUP BY decile)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(coalesce(x_a, 0) AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(coalesce(x_b, 0) AS BIGINT) AS x_b,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            ELSE round(CAST(coalesce(x_a, 0) AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(coalesce(x_b, 0) AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+       END AS uplift
+FROM gs
+""",
+)
+def exp_uplift_by_pre_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift targeting curve: users deciled by the PRE-period covariate
+    (the targeting score), post-period conversion lift per decile — the
+    readout behind 'treat only the deciles where the lift concentrates'.
+    The decile assignment is the two-phase bucketed global ntile operator
+    (partitioned windows + broadcast offsets — no single-partition
+    corpus sort), certified ≡ SQL ``ntile`` through the
+    window_ntile_scalable equivalence; per-decile counts are exact
+    integers with empty-arm NULL guards.
+
+    Scale: one groupBy(user) corpus pass, the two-phase rank on the
+    |users| frame, one groupBy(decile) to 10 rows."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    val = F.col("value").cast("decimal(18,2)")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum(F.when(F.col("ts") < cutoff, val).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cutoff)
+                & (F.col("event_type") == "purchase")
+                & (F.col("value") >= float(_CONV_VALUE)),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    pu = pu.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    dec = global_ntile(
+        pu.withColumn("xo", F.col("x").cast("double")),
+        order_key="xo",
+        tiebreaks=["u"],
+        n=10,
+        out_col="decile",
+    )
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = dec.groupBy("decile").agg(
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.coalesce(F.sum(F.when(g0, F.col("conv"))), F.lit(0)).alias("x_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(g1, F.col("conv"))), F.lit(0)).alias("x_b"),
+    )
+    return gs.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_a").cast("bigint").alias("x_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("x_b").cast("bigint").alias("x_b"),
+        F.when(
+            (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.col("x_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("x_b").cast("double") / F.col("n_b").cast("double"),
+                6,
+            )
+        )
+        .alias("uplift"),
+    )

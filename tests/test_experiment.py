@@ -377,3 +377,30 @@ def test_cluster_randomized_units_are_nations(spark):
     ma, mb, t2 = _unit_welch(ms[0], ms[1])
     assert math.isclose(out["mean_a"], ma, rel_tol=1e-6, abs_tol=1e-4)
     assert math.isclose(out["welch_t2"], t2, rel_tol=1e-4, abs_tol=1e-4)
+
+
+def test_uplift_deciles_partition_users_and_match_counts(spark):
+    rows = sorted(
+        REGISTRY["exp_uplift_by_pre_decile"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["decile"],
+    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    pu: dict[int, list] = {}
+    for r in ev:
+        rec = pu.setdefault(r["user_id"], [0.0, 0])
+        if str(r["ts"]) < "2024-01-15":
+            rec[0] += round(r["value"], 2)
+        elif r["event_type"] == "purchase" and r["value"] >= 200.0:
+            rec[1] = 1
+    n = len(pu)
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # SQL ntile sizing: first N % 10 deciles get one extra row
+    base, rem = divmod(n, 10)
+    sizes = [r["n_a"] + r["n_b"] for r in rows]
+    assert sizes == [base + 1 if i < rem else base for i in range(10)]
+    # decile 1 holds the globally smallest pre-period covariates
+    order = sorted(pu.items(), key=lambda kv: (kv[1][0], kv[0]))
+    d1 = {u for u, _ in order[: sizes[0]]}
+    arms = {u: _bucket("expassign", u, 2) for u in pu}
+    assert rows[0]["x_a"] == sum(pu[u][1] for u in d1 if arms[u] == 0)
