@@ -1551,3 +1551,196 @@ def exp_uplift_by_pre_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("uplift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Novelty-effect check: the weekly lift trajectory
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_novelty_weekly_lift",
+    category="experiment",
+    oracle=f"""
+WITH uw AS (
+  SELECT user_id AS u,
+         CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS INT) + 1 AS week,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id, 2),
+gs AS (
+  SELECT week,
+         count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(s)   FILTER (WHERE g = 0) AS s_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(s)   FILTER (WHERE g = 1) AS s_b
+  FROM uw GROUP BY week)
+SELECT CAST(week AS INT) AS week,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            ELSE round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+       END AS lift
+FROM gs
+""",
+)
+def exp_novelty_weekly_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-effect check: the arm lift recomputed per calendar week of
+    the experiment — a lift that decays week over week is a novelty
+    artifact, not a durable effect, and shipping on the week-1 readout
+    overstates it. Week ids are exact integer day arithmetic from the
+    fixture epoch (no timezone-dependent week-of-year semantics).
+
+    Scale: one groupBy(user, week) corpus pass (map-side combinable),
+    one groupBy(week) to |weeks| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        ).cast("int")
+        + 1
+    )
+    uw = ev.groupBy(F.col("user_id").alias("u"), week.alias("week")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("s")
+    )
+    uw = uw.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = uw.groupBy("week").agg(
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("s"))).alias("s_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("s"))).alias("s_b"),
+    )
+    return gs.select(
+        F.col("week").cast("int").alias("week"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when(
+            (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.col("s_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("s_b").cast("double") / F.col("n_b").cast("double"),
+                6,
+            )
+        )
+        .alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Differential-attrition guardrail
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_attrition_check",
+    category="experiment",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         max(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}' THEN 1 ELSE 0 END) AS pre,
+         max(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}' THEN 1 ELSE 0 END) AS post,
+         (('0x' || substr(md5('{_ASSIGN_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS g
+  FROM events GROUP BY user_id),
+gs AS (
+  SELECT sum(pre) FILTER (WHERE g = 0) AS n_a,
+         sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) FILTER (WHERE g = 0) AS d_a,
+         sum(pre) FILTER (WHERE g = 1) AS n_b,
+         sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) FILTER (WHERE g = 1) AS d_b
+  FROM pu),
+d AS (
+  SELECT n_a, d_a, n_b, d_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(d_a AS DOUBLE) AS xa,
+         CAST(n_b AS DOUBLE) AS nb, CAST(d_b AS DOUBLE) AS xb
+  FROM gs),
+p AS (
+  SELECT n_a, d_a, n_b, d_b, na, nb,
+         xa / na AS pa, xb / nb AS pb,
+         (xa + xb) / (na + nb) AS pp
+  FROM d)
+SELECT CAST(n_a AS BIGINT) AS n_pre_a,
+       CAST(d_a AS BIGINT) AS dropped_a,
+       CAST(n_b AS BIGINT) AS n_pre_b,
+       CAST(d_b AS BIGINT) AS dropped_b,
+       round(pa, 6) AS attrition_a,
+       round(pb, 6) AS attrition_b,
+       CASE WHEN pp * (1.0 - pp) = 0.0 THEN NULL
+            ELSE round((pa - pb) * (pa - pb)
+                       / (pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) END AS z2
+FROM p
+""",
+)
+def exp_attrition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-attrition guardrail: among users active in the PRE
+    period, the fraction that disappears in the POST period, per arm,
+    with a two-proportion z² on the attrition rates — selective dropout
+    between arms invalidates the treatment readout before any lift is
+    worth reading (the companion gate to SRM). Degenerate pools (nobody
+    or everybody drops) report NULL identically on both engines.
+
+    Scale: one groupBy(user) with two boolean maxes, a 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    pu = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.max(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("pre"),
+        F.max(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("post"),
+    )
+    pu = pu.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
+    dropped = F.when((F.col("pre") == 1) & (F.col("post") == 0), 1).otherwise(0)
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = pu.agg(
+        F.sum(F.when(g0, F.col("pre"))).alias("n_a"),
+        F.sum(F.when(g0, dropped)).alias("d_a"),
+        F.sum(F.when(g1, F.col("pre"))).alias("n_b"),
+        F.sum(F.when(g1, dropped)).alias("d_b"),
+    )
+    d = gs.select(
+        "n_a",
+        "d_a",
+        "n_b",
+        "d_b",
+        F.col("n_a").cast("double").alias("na"),
+        F.col("d_a").cast("double").alias("xa"),
+        F.col("n_b").cast("double").alias("nb"),
+        F.col("d_b").cast("double").alias("xb"),
+    )
+    p = d.select(
+        "n_a",
+        "d_a",
+        "n_b",
+        "d_b",
+        "na",
+        "nb",
+        (F.col("xa") / F.col("na")).alias("pa"),
+        (F.col("xb") / F.col("nb")).alias("pb"),
+        ((F.col("xa") + F.col("xb")) / (F.col("na") + F.col("nb"))).alias("pp"),
+    )
+    dp = F.col("pa") - F.col("pb")
+    return p.select(
+        F.col("n_a").cast("bigint").alias("n_pre_a"),
+        F.col("d_a").cast("bigint").alias("dropped_a"),
+        F.col("n_b").cast("bigint").alias("n_pre_b"),
+        F.col("d_b").cast("bigint").alias("dropped_b"),
+        F.round(F.col("pa"), 6).alias("attrition_a"),
+        F.round(F.col("pb"), 6).alias("attrition_b"),
+        F.when(
+            F.col("pp") * (F.lit(1.0) - F.col("pp")) == F.lit(0.0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                dp * dp
+                / (
+                    F.col("pp")
+                    * (F.lit(1.0) - F.col("pp"))
+                    * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+                ),
+                6,
+            )
+        )
+        .alias("z2"),
+    )

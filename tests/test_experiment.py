@@ -404,3 +404,64 @@ def test_uplift_deciles_partition_users_and_match_counts(spark):
     d1 = {u for u, _ in order[: sizes[0]]}
     arms = {u: _bucket("expassign", u, 2) for u in pu}
     assert rows[0]["x_a"] == sum(pu[u][1] for u in d1 if arms[u] == 0)
+
+
+def test_novelty_weeks_partition_user_weeks(spark):
+    rows = sorted(
+        REGISTRY["exp_novelty_weekly_lift"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["week"],
+    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    import datetime as dt
+
+    uw: dict[tuple, list] = {}
+    for r in ev:
+        week = (r["ts"].date() - dt.date(2024, 1, 1)).days // 7 + 1
+        uw.setdefault((r["user_id"], week), []).append(round(r["value"], 2))
+    per_week: dict[int, list] = {}
+    for (u, w), vs in uw.items():
+        per_week.setdefault(w, []).append((sum(vs), _bucket("expassign", u, 2)))
+    assert [r["week"] for r in rows] == sorted(per_week)
+    for r in rows:
+        seg = per_week[r["week"]]
+        a = [s for s, g in seg if g == 0]
+        b = [s for s, g in seg if g == 1]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        if a and b:
+            assert math.isclose(
+                r["lift"], sum(a) / len(a) - sum(b) / len(b),
+                rel_tol=1e-5, abs_tol=1e-4,
+            )
+
+
+def test_attrition_counts_exact(spark):
+    out = REGISTRY["exp_attrition_check"].fn(spark, SF_SMALL).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    pre: dict[int, int] = {}
+    post: dict[int, int] = {}
+    for r in ev:
+        if str(r["ts"]) < "2024-01-15":
+            pre[r["user_id"]] = 1
+        else:
+            post[r["user_id"]] = 1
+    n = [0, 0]
+    d = [0, 0]
+    for u in pre:
+        g = _bucket("expassign", u, 2)
+        n[g] += 1
+        d[g] += 0 if u in post else 1
+    assert (out["n_pre_a"], out["dropped_a"], out["n_pre_b"], out["dropped_b"]) == (
+        n[0],
+        d[0],
+        n[1],
+        d[1],
+    )
+    # degenerate pool (zero drops) must yield NULL z2, else the formula
+    tot = d[0] + d[1]
+    if tot == 0 or tot == n[0] + n[1]:
+        assert out["z2"] is None
+    else:
+        pa, pb = d[0] / n[0], d[1] / n[1]
+        pp = tot / (n[0] + n[1])
+        z2 = (pa - pb) ** 2 / (pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+        assert math.isclose(out["z2"], z2, rel_tol=1e-4, abs_tol=1e-5)
