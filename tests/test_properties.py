@@ -1049,3 +1049,49 @@ def test_temporal_incremental_equals_full_fixpoint(spark, edges, t0, split):
         ).collect()
     }
     assert inc == full, (inc, full, split)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),        # key
+            st.integers(min_value=-10_000, max_value=10_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_files=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_stream_accumulate_equals_batch_for_any_split(spark, tmp_path_factory, rows, n_files):
+    """Property: run_stream_accumulate over ANY file split of ANY keyed
+    decimal table equals the batch groupBy sum exactly — sum-merge
+    associativity as a hypothesis invariant, not just the one fixture."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from arc_cassandra_pipeline_plugin_spark.streaming import run_stream_accumulate
+
+    src = str(tmp_path_factory.mktemp("accum_prop"))
+    df = spark.createDataFrame(
+        [(k, Decimal(c) / 100) for k, c in rows], "k INT, v DECIMAL(18,2)"
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in run_stream_accumulate(
+            stream, key_cols=("k",), sum_cols=("v",)
+        ).collect()
+    }
+    want = {
+        (r["k"], r["v"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").cast("decimal(38,2)").alias("v"))
+        .collect()
+    }
+    assert got == want
