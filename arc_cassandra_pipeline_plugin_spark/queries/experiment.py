@@ -74,6 +74,16 @@ def _hash_bucket(col: F.Column, salt: F.Column, modulus: int) -> F.Column:
     return hash_bucket(F.concat(salt, F.lit(":"), col.cast("string")), modulus)
 
 
+def _hash_bucket_wide(col: F.Column, salt: F.Column, modulus: int) -> F.Column:
+    """48-bit sibling of :func:`_hash_bucket` (functions.hash_bucket_wide)
+    for moduli that do not divide a power-of-two hash space — used where a
+    32-bit prefix's ~0.02% residue bias would tilt a weight distribution
+    (the Poisson bootstrap's [0,1e6) bucket grid)."""
+    from arc_cassandra_pipeline_plugin_spark.functions import hash_bucket_wide
+
+    return hash_bucket_wide(F.concat(salt, F.lit(":"), col.cast("string")), modulus)
+
+
 def _per_user_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → (u, s DECIMAL(18,2), g ∈ {0,1}): per-user value sum and arm."""
     ev = load_table(spark, sf_dir, "events")
@@ -115,18 +125,28 @@ d AS (
          n_a, n_b
   FROM gs),
 v AS (
-  SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
-         (qa - sa * sa / na) / (na - 1.0) AS va,
-         (qb - sb * sb / nb) / (nb - 1.0) AS vb
+  -- degenerate-arm guard (mirrored in the Spark frame): 0/1-unit arms
+  -- must yield NULL, not an ANSI error / IEEE Infinity cross-engine fork
+  SELECT n_a, n_b, na, nb,
+         CASE WHEN na = 0 THEN NULL ELSE sa / na END AS ma,
+         CASE WHEN nb = 0 THEN NULL ELSE sb / nb END AS mb,
+         CASE WHEN na <= 1 THEN NULL
+              ELSE (qa - sa * sa / na) / (na - 1.0) END AS va,
+         CASE WHEN nb <= 1 THEN NULL
+              ELSE (qb - sb * sb / nb) / (nb - 1.0) END AS vb
   FROM d)
 SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
        round(ma, 6) AS mean_a,
        round(mb, 6) AS mean_b,
-       round((ma - mb) * (ma - mb) / (va / na + vb / nb), 6) AS welch_t2,
-       round((va / na + vb / nb) * (va / na + vb / nb)
-             / ((va / na) * (va / na) / (na - 1.0)
-                + (vb / nb) * (vb / nb) / (nb - 1.0)), 4) AS welch_df
+       round(CASE WHEN va / na + vb / nb = 0 THEN NULL
+                  ELSE (ma - mb) * (ma - mb) / (va / na + vb / nb) END,
+             6) AS welch_t2,
+       round(CASE WHEN va / na + vb / nb = 0 THEN NULL
+                  ELSE (va / na + vb / nb) * (va / na + vb / nb)
+                       / ((va / na) * (va / na) / (na - 1.0)
+                          + (vb / nb) * (vb / nb) / (nb - 1.0)) END,
+             4) AS welch_df
 FROM v
 """,
 )
@@ -161,37 +181,53 @@ def exp_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_b").cast("double").alias("sb"),
         F.col("q_b").cast("double").alias("qb"),
     )
+    # degenerate-arm guard mirrored from the oracle: 0/1-unit arms yield
+    # NULL instead of an ANSI error / IEEE Infinity fork
     v = d.select(
         "n_a",
         "n_b",
         "na",
         "nb",
-        (F.col("sa") / F.col("na")).alias("ma"),
-        (F.col("sb") / F.col("nb")).alias("mb"),
-        (
+        F.when(F.col("na") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sa") / F.col("na"))
+        .alias("ma"),
+        F.when(F.col("nb") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sb") / F.col("nb"))
+        .alias("mb"),
+        F.when(F.col("na") <= 1, F.lit(None).cast("double"))
+        .otherwise(
             (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"))
             / (F.col("na") - F.lit(1.0))
-        ).alias("va"),
-        (
+        )
+        .alias("va"),
+        F.when(F.col("nb") <= 1, F.lit(None).cast("double"))
+        .otherwise(
             (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"))
             / (F.col("nb") - F.lit(1.0))
-        ).alias("vb"),
+        )
+        .alias("vb"),
     )
     se_a = F.col("va") / F.col("na")
     se_b = F.col("vb") / F.col("nb")
     se2 = se_a + se_b
     diff = F.col("ma") - F.col("mb")
+    null_d = F.lit(None).cast("double")
     return v.select(
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(F.col("ma"), 6).alias("mean_a"),
         F.round(F.col("mb"), 6).alias("mean_b"),
-        F.round(diff * diff / se2, 6).alias("welch_t2"),
         F.round(
-            se2 * se2
-            / (
-                se_a * se_a / (F.col("na") - F.lit(1.0))
-                + se_b * se_b / (F.col("nb") - F.lit(1.0))
+            F.when(se2 == 0, null_d).otherwise(diff * diff / se2), 6
+        ).alias("welch_t2"),
+        F.round(
+            F.when(se2 == 0, null_d).otherwise(
+                se2
+                * se2
+                / (
+                    se_a * se_a / (F.col("na") - F.lit(1.0))
+                    + se_b * se_b / (F.col("nb") - F.lit(1.0))
+                )
             ),
             4,
         ).alias("welch_df"),
@@ -586,7 +622,7 @@ WITH {_PER_USER_CTE},
 reps AS (
   SELECT p.u, p.s, r.b,
          CASE WHEN r.b = {_N_BOOT} THEN 1
-              ELSE {_poisson_weight_sql("(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 8))::BIGINT) % 1000000")}
+              ELSE {_poisson_weight_sql("(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 12))::BIGINT) % 1000000")}
          END AS w
   FROM peruser p CROSS JOIN (SELECT range AS b FROM range(0, {_N_BOOT + 1})) r),
 rmean AS (
@@ -614,7 +650,9 @@ def exp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2nd/31st order statistics bracket the ≈94% CI.
 
     The Poisson thresholds are shared integer literals on the [0,1e6)
-    bucket grid, so the weights are engine-exact; each replicate mean is
+    bucket grid, so the weights are engine-exact; the bucket is a 48-bit
+    md5 prefix (hash_bucket_wide) so the non-dividing modulus biases a
+    residue by ~4e-9, not the 32-bit prefix's ~2e-4; each replicate mean is
     one DECIMAL-exact weighted sum and one double division. The 32-row
     ranking is an empty-partition window on a constant-size frame (the
     kmv precedent), not a corpus sort.
@@ -633,7 +671,7 @@ def exp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.when(F.col("b") == _N_BOOT, 1).otherwise(
             _poisson_weight_col(
-                _hash_bucket(
+                _hash_bucket_wide(
                     F.col("u"),
                     F.concat(F.lit("boot"), F.col("b").cast("string")),
                     1_000_000,
@@ -1283,16 +1321,25 @@ d AS (
          CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb, CAST(q_b AS DOUBLE) AS qb
   FROM gs),
 v AS (
-  SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
-         (qa - sa * sa / na) / (na - 1.0) AS va,
-         (qb - sb * sb / nb) / (nb - 1.0) AS vb
+  -- degenerate-arm guard (mirrored in the Spark frame): an arm with 0
+  -- or 1 units would divide by zero, where Spark ANSI errors/NULLs but
+  -- DuckDB IEEE double division yields Infinity — a cross-engine fork
+  SELECT n_a, n_b, na, nb,
+         CASE WHEN na = 0 THEN NULL ELSE sa / na END AS ma,
+         CASE WHEN nb = 0 THEN NULL ELSE sb / nb END AS mb,
+         CASE WHEN na <= 1 THEN NULL
+              ELSE (qa - sa * sa / na) / (na - 1.0) END AS va,
+         CASE WHEN nb <= 1 THEN NULL
+              ELSE (qb - sb * sb / nb) / (nb - 1.0) END AS vb
   FROM d)
 SELECT CAST(n_a AS BIGINT) AS n_units_a,
        CAST(n_b AS BIGINT) AS n_units_b,
        round(ma, 6) AS mean_a,
        round(mb, 6) AS mean_b,
        round(ma - mb, 6) AS lift,
-       round((ma - mb) * (ma - mb) / (va / na + vb / nb), 6) AS welch_t2
+       round(CASE WHEN va / na + vb / nb = 0 THEN NULL
+                  ELSE (ma - mb) * (ma - mb) / (va / na + vb / nb) END,
+             6) AS welch_t2
 FROM v
 """
 
@@ -1357,21 +1404,31 @@ def _unit_welch_frame(units: DataFrame) -> DataFrame:
         F.col("s_b").cast("double").alias("sb"),
         F.col("q_b").cast("double").alias("qb"),
     )
+    # degenerate-arm guard mirrored from _unit_welch_sql: 0/1-unit arms
+    # must yield NULL, not an ANSI error / IEEE Infinity fork
     v = d.select(
         "n_a",
         "n_b",
         "na",
         "nb",
-        (F.col("sa") / F.col("na")).alias("ma"),
-        (F.col("sb") / F.col("nb")).alias("mb"),
-        (
+        F.when(F.col("na") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sa") / F.col("na"))
+        .alias("ma"),
+        F.when(F.col("nb") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sb") / F.col("nb"))
+        .alias("mb"),
+        F.when(F.col("na") <= 1, F.lit(None).cast("double"))
+        .otherwise(
             (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"))
             / (F.col("na") - F.lit(1.0))
-        ).alias("va"),
-        (
+        )
+        .alias("va"),
+        F.when(F.col("nb") <= 1, F.lit(None).cast("double"))
+        .otherwise(
             (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"))
             / (F.col("nb") - F.lit(1.0))
-        ).alias("vb"),
+        )
+        .alias("vb"),
     )
     diff = F.col("ma") - F.col("mb")
     se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
@@ -1381,7 +1438,12 @@ def _unit_welch_frame(units: DataFrame) -> DataFrame:
         F.round(F.col("ma"), 6).alias("mean_a"),
         F.round(F.col("mb"), 6).alias("mean_b"),
         F.round(diff, 6).alias("lift"),
-        F.round(diff * diff / se2, 6).alias("welch_t2"),
+        F.round(
+            F.when(se2 == 0, F.lit(None).cast("double")).otherwise(
+                diff * diff / se2
+            ),
+            6,
+        ).alias("welch_t2"),
     )
 
 
