@@ -4739,13 +4739,16 @@ def events_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after runs on the (bounded) core-cell set — neighbor
     edges come from a +-1-offset explode + equi-join on the value
     bucket (never an all-pairs cell join at the Spark side), and the
-    component loop is the dedup CC operator (O(diameter) rounds, two
-    cell-keyed shuffles each). Point data is scanned exactly once.
+    component step is the large-star/small-star CC operator — O(log n)
+    rounds on ANY diameter, so the certified labels are the true
+    transitive closure even on a long chain of adjacent core cells
+    (plain min-label propagation hit max_iter on this grid's
+    path-shaped cell graph). Point data is scanned exactly once.
 
     Determinism: floor(value/10) is an exactly-rounded IEEE op; all
     thresholds and labels are integers."""
     from arc_cassandra_pipeline_plugin_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -4769,7 +4772,7 @@ def events_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.abs(F.col("hb") - F.col("hb2")) <= 1) & (F.col("cell") < F.col("cell2")))
         .select("cell", "cell2")
     )
-    labels = connected_components(pairs, "cell", "cell2").select(
+    labels = connected_components_star(pairs, "cell", "cell2").select(
         F.col("doc_id").alias("cell"), "cluster_id"
     )
     labeled = core.join(labels, "cell", "left").select(
