@@ -851,13 +851,10 @@ def _seq_cutoff_sql() -> str:
     return f"(VALUES {rows}) AS cp(week, cutoff)"
 
 
-@register(
-    "exp_sequential_z2",
-    category="experiment",
-    plan_shape="dimension_bounded",
-    plan_reason="4-row checkpoint dimension joined against per-user first-times",
-    oracle=f"""
-WITH pu AS (
+#: shared oracle CTE chain ending in ``traj(week, n_a, x_a, n_b, x_b, z2)``
+#: — the z² trajectory both exp_sequential_z2 and the O'Brien–Fleming
+#: boundary readout are built on
+_SEQ_Z2_CTES = f"""pu AS (
   SELECT user_id AS u,
          min(ts) AS first_seen,
          min(CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE}
@@ -885,16 +882,27 @@ p AS (
   SELECT week, n_a, x_a, n_b, x_b, na, nb,
          xa / na AS pa, xb / nb AS pb,
          (xa + xb) / (na + nb) AS pp
-  FROM d)
-SELECT CAST(week AS INT) AS week,
-       CAST(n_a AS BIGINT) AS n_a,
-       CAST(x_a AS BIGINT) AS x_a,
-       CAST(n_b AS BIGINT) AS n_b,
-       CAST(x_b AS BIGINT) AS x_b,
-       CASE WHEN pp * (1.0 - pp) = 0.0 THEN NULL
-            ELSE round((pa - pb) * (pa - pb)
-                       / (pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) END AS z2
-FROM p
+  FROM d),
+traj AS (
+  SELECT CAST(week AS INT) AS week,
+         CAST(n_a AS BIGINT) AS n_a,
+         CAST(x_a AS BIGINT) AS x_a,
+         CAST(n_b AS BIGINT) AS n_b,
+         CAST(x_b AS BIGINT) AS x_b,
+         CASE WHEN pp * (1.0 - pp) = 0.0 THEN NULL
+              ELSE round((pa - pb) * (pa - pb)
+                         / (pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) END AS z2
+  FROM p)"""
+
+
+@register(
+    "exp_sequential_z2",
+    category="experiment",
+    plan_shape="dimension_bounded",
+    plan_reason="4-row checkpoint dimension joined against per-user first-times",
+    oracle=f"""
+WITH {_SEQ_Z2_CTES}
+SELECT week, n_a, x_a, n_b, x_b, z2 FROM traj
 """,
 )
 def exp_sequential_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,6 +915,11 @@ def exp_sequential_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: groupBy(user) with two min aggregates, a ×4 dimension join on
     the user frame, one groupBy(week) to 4 rows."""
+    return _seq_z2_traj(spark, sf_dir)
+
+
+def _seq_z2_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of the ``traj`` CTE in :data:`_SEQ_Z2_CTES`."""
     ev = load_table(spark, sf_dir, "events")
     pu = ev.groupBy(F.col("user_id").alias("u")).agg(
         F.min("ts").alias("first_seen"),
@@ -1805,4 +1818,226 @@ def exp_attrition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("z2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O'Brien–Fleming group-sequential boundary readout
+# --------------------------------------------------------------------------
+
+#: squared O'Brien–Fleming boundaries for K = 4 equally-spaced looks at
+#: two-sided alpha = 0.05: z_k = C * sqrt(K/k) with the published constant
+#: C = 2.024 (O'Brien & Fleming 1979, standard K=4 table), squared so the
+#: comparison against the z-squared trajectory is sqrt-free. Shared literal
+#: LUT per the registry's transcendental rule — both engines parse the
+#: identical decimal literals, never compute a normal quantile.
+_OBF_BOUND_Z2 = [
+    (1, 16.386304),
+    (2, 8.193152),
+    (3, 5.462101333333333),
+    (4, 4.096576),
+]
+
+
+@register(
+    "exp_group_sequential_obf",
+    category="experiment",
+    plan_shape="dimension_bounded",
+    plan_reason="4-row checkpoint dimension joined against per-user first-times",
+    oracle=f"""
+WITH {_SEQ_Z2_CTES},
+lut(week, obf_bound_z2) AS (VALUES {", ".join(f"({k}, {b})" for k, b in _OBF_BOUND_Z2)}),
+j AS (
+  SELECT t.week, t.n_a, t.n_b, t.z2, l.obf_bound_z2,
+         CASE WHEN t.z2 IS NOT NULL AND t.z2 >= l.obf_bound_z2
+              THEN 1 ELSE 0 END AS crossed
+  FROM traj t JOIN lut l ON l.week = t.week)
+SELECT CAST(week AS INT) AS week,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       z2,
+       obf_bound_z2,
+       CAST(crossed AS INT) AS crossed,
+       CAST(max(crossed) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         AS rejected_by
+FROM j
+""",
+)
+def exp_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential DECISION readout: the weekly conversion z²
+    trajectory (shared with ``exp_sequential_z2``) judged against the
+    O'Brien–Fleming K=4 boundary — the classic early-stopping envelope
+    that spends almost no alpha at the first looks (z₁ = 4.05) and ends
+    near the fixed-horizon cut (z₄ = 2.024). ``crossed`` flags each look
+    that clears its boundary; ``rejected_by`` is the running OR — 1 from
+    the first crossing look onward, i.e. "the experiment would have
+    stopped by week k". Boundaries ship as shared squared literals
+    (the LUT rule), so the whole readout is sqrt- and quantile-free.
+
+    Scale: identical to exp_sequential_z2 — one groupBy(user) corpus
+    pass, a ×4 broadcast dimension join, 4-row tail; the boundary join
+    and running max act on the 4-row frame."""
+    traj = _seq_z2_traj(spark, sf_dir)
+    lut = spark.createDataFrame(_OBF_BOUND_Z2, "week INT, obf_bound_z2 DOUBLE")
+    j = traj.join(F.broadcast(lut), "week").select(
+        "week",
+        "n_a",
+        "n_b",
+        "z2",
+        "obf_bound_z2",
+        F.when(
+            F.col("z2").isNotNull() & (F.col("z2") >= F.col("obf_bound_z2")), 1
+        )
+        .otherwise(0)
+        .alias("crossed"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("week").cast("int").alias("week"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "z2",
+        "obf_bound_z2",
+        F.col("crossed").cast("int").alias("crossed"),
+        F.max("crossed").over(w).cast("int").alias("rejected_by"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Post-stratified estimator (CUPED's categorical sibling)
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_post_stratified",
+    category="experiment",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+st AS (
+  SELECT p.u, p.s, p.g, coalesce(c.c_mktsegment, 'NONE') AS stratum
+  FROM peruser p LEFT JOIN customer c ON c.c_custkey = p.u),
+gs AS (
+  SELECT stratum,
+         CAST(count(*) AS BIGINT) AS n_s,
+         count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(s)   FILTER (WHERE g = 0) AS s_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(s)   FILTER (WHERE g = 1) AS s_b
+  FROM st GROUP BY stratum),
+m AS (
+  SELECT stratum, n_s, n_a, n_b, s_a, s_b,
+         CASE WHEN n_a >= 1 AND n_b >= 1 THEN 1 ELSE 0 END AS incl,
+         CASE WHEN n_a >= 1 THEN CAST(round(CAST(s_a AS DOUBLE)
+              / CAST(n_a AS DOUBLE), 6) AS DECIMAL(18,6)) END AS ma,
+         CASE WHEN n_b >= 1 THEN CAST(round(CAST(s_b AS DOUBLE)
+              / CAST(n_b AS DOUBLE), 6) AS DECIMAL(18,6)) END AS mb
+  FROM gs),
+tot AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n_users,
+         CAST(sum(incl) AS BIGINT) AS n_strata,
+         CAST(sum(CASE WHEN incl = 1 THEN n_s END) AS BIGINT) AS n_included,
+         sum(CASE WHEN incl = 1
+                  THEN CAST(n_s AS DECIMAL(18,0)) * (ma - mb) END) AS wsum,
+         CAST(sum(n_a) AS DOUBLE) AS na, CAST(sum(s_a) AS DOUBLE) AS sa,
+         CAST(sum(n_b) AS DOUBLE) AS nb, CAST(sum(s_b) AS DOUBLE) AS sb
+  FROM m)
+SELECT n_users,
+       n_strata,
+       round(CASE WHEN na = 0 OR nb = 0 THEN NULL
+                  ELSE sa / na - sb / nb END, 6) AS raw_diff,
+       round(CASE WHEN n_included IS NULL OR n_included = 0 THEN NULL
+                  ELSE CAST(wsum AS DOUBLE) / CAST(n_included AS DOUBLE) END,
+             6) AS poststrat_diff
+FROM tot
+""",
+)
+def exp_post_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified lift — CUPED's categorical sibling: users are
+    stratified by their pre-experiment market segment (customer join;
+    unmatched users form a 'NONE' stratum), and the estimator reweights
+    per-stratum arm differences by the stratum's population share,
+    removing the variance/imbalance the segment explains:
+    Δ_ps = Σ_s (N_s/N)·(mean_a,s − mean_b,s). Strata missing an arm are
+    excluded from the weighted sum (their weight has no defined
+    difference); N is re-normalized over included strata.
+
+    Exactness: per-stratum arm means are projected to the DECIMAL(18,6)
+    grid (the cluster/switchback convention), so N_s·Δ_s and its sum
+    across strata are DECIMAL-exact and order-free; ONE double division
+    at the end, mirrored verbatim in the oracle.
+
+    Scale: one map-side-combinable groupBy(user) corpus pass, one join
+    against the customer dimension (AQE-decided strategy), a groupBy to
+    |segments|+1 rows, then a single-row aggregate."""
+    pu = _per_user_metric(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    st = pu.join(cust, pu["u"] == cust["c_custkey"], "left").select(
+        "u", "s", "g", F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("stratum")
+    )
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = st.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("s"))).alias("s_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("s"))).alias("s_b"),
+    )
+    m = gs.select(
+        "n_s",
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.when((F.col("n_a") >= 1) & (F.col("n_b") >= 1), 1).otherwise(0).alias("incl"),
+        F.when(
+            F.col("n_a") >= 1,
+            F.round(
+                F.col("s_a").cast("double") / F.col("n_a").cast("double"), 6
+            ).cast("decimal(18,6)"),
+        ).alias("ma"),
+        F.when(
+            F.col("n_b") >= 1,
+            F.round(
+                F.col("s_b").cast("double") / F.col("n_b").cast("double"), 6
+            ).cast("decimal(18,6)"),
+        ).alias("mb"),
+    )
+    tot = m.agg(
+        F.sum("n_s").cast("bigint").alias("n_users"),
+        F.sum("incl").cast("bigint").alias("n_strata"),
+        F.sum(F.when(F.col("incl") == 1, F.col("n_s"))).cast("bigint").alias("n_included"),
+        F.sum(
+            F.when(
+                F.col("incl") == 1,
+                F.col("n_s").cast("decimal(18,0)") * (F.col("ma") - F.col("mb")),
+            )
+        ).alias("wsum"),
+        F.sum("n_a").cast("double").alias("na"),
+        F.sum("s_a").cast("double").alias("sa"),
+        F.sum("n_b").cast("double").alias("nb"),
+        F.sum("s_b").cast("double").alias("sb"),
+    )
+    null_d = F.lit(None).cast("double")
+    return tot.select(
+        "n_users",
+        "n_strata",
+        F.round(
+            F.when((F.col("na") == 0) | (F.col("nb") == 0), null_d).otherwise(
+                F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+            ),
+            6,
+        ).alias("raw_diff"),
+        F.round(
+            F.when(
+                F.col("n_included").isNull() | (F.col("n_included") == 0), null_d
+            ).otherwise(
+                F.col("wsum").cast("double") / F.col("n_included").cast("double")
+            ),
+            6,
+        ).alias("poststrat_diff"),
     )

@@ -150,7 +150,12 @@ def test_poisson_bootstrap_order_statistics(spark):
     users = _per_user(spark)
 
     def weight(b, u):
-        bucket = _bucket(f"boot{b}", u, 1_000_000)
+        # 48-bit md5 prefix (hash_bucket_wide): the [0,1e6) grid's modulus
+        # does not divide a power-of-two space, so the draw uses 12 hex chars
+        bucket = (
+            int(hashlib.md5(f"boot{b}:{u}".encode()).hexdigest()[:12], 16)
+            % 1_000_000
+        )
         for k, t in enumerate(_POISSON_CUM_1M):
             if bucket < t:
                 return k
@@ -465,3 +470,62 @@ def test_attrition_counts_exact(spark):
         pp = tot / (n[0] + n[1])
         z2 = (pa - pb) ** 2 / (pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
         assert math.isclose(out["z2"], z2, rel_tol=1e-4, abs_tol=1e-5)
+
+
+def test_group_sequential_obf_boundaries_and_decision(spark):
+    out = sorted(
+        REGISTRY["exp_group_sequential_obf"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["week"],
+    )
+    assert [r["week"] for r in out] == [1, 2, 3, 4]
+    # boundary LUT is exactly C^2 * K / k for the published C = 2.024
+    c2 = 2.024 * 2.024
+    for r in out:
+        assert math.isclose(r["obf_bound_z2"], c2 * 4 / r["week"], rel_tol=1e-12)
+    # boundaries are strictly decreasing (the OBF envelope shape)
+    for a, b in zip(out, out[1:]):
+        assert a["obf_bound_z2"] > b["obf_bound_z2"]
+    # crossed is the pointwise comparison; rejected_by is its running max
+    seq = sorted(
+        REGISTRY["exp_sequential_z2"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["week"],
+    )
+    running = 0
+    for r, s in zip(out, seq):
+        assert r["z2"] == s["z2"] and r["n_a"] == s["n_a"] and r["n_b"] == s["n_b"]
+        expect_crossed = int(r["z2"] is not None and r["z2"] >= r["obf_bound_z2"])
+        assert r["crossed"] == expect_crossed
+        running = max(running, expect_crossed)
+        assert r["rejected_by"] == running
+
+
+def test_post_stratified_matches_textbook_reweighting(spark):
+    out = REGISTRY["exp_post_stratified"].fn(spark, SF_SMALL).collect()[0]
+    users = _per_user(spark)
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    }
+    strata: dict[str, list] = {}
+    for u, (s, g) in users.items():
+        strata.setdefault(seg.get(u, "NONE"), []).append((s, g))
+    assert out["n_users"] == len(users)
+    # raw diff over all users
+    a = [s for s, g in users.values() if g == 0]
+    b = [s for s, g in users.values() if g == 1]
+    assert math.isclose(
+        out["raw_diff"], sum(a) / len(a) - sum(b) / len(b), rel_tol=1e-6, abs_tol=1e-5
+    )
+    # post-stratified: population-share-weighted per-stratum differences,
+    # renormalized over strata holding both arms
+    num, den, n_incl = 0.0, 0, 0
+    for vals in strata.values():
+        sa = [s for s, g in vals if g == 0]
+        sb = [s for s, g in vals if g == 1]
+        if not sa or not sb:
+            continue
+        n_incl += 1
+        num += len(vals) * (sum(sa) / len(sa) - sum(sb) / len(sb))
+        den += len(vals)
+    assert out["n_strata"] == n_incl
+    assert math.isclose(out["poststrat_diff"], num / den, rel_tol=1e-5, abs_tol=1e-5)
