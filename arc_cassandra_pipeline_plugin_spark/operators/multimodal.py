@@ -2,14 +2,16 @@
 columns with typed metadata.
 
 The container has no image/audio codec libraries, so decode kernels for
-formats needing them (JPEG/MP3/H.264) are deterministic fakes /
-clearly-marked stubs — but the Spark-side plumbing is real and tested
-(schema contracts, Arrow-batched ``mapInPandas`` transforms, batch shapes,
-partition sizing), and three codecs are REAL, standard-library-only:
-:func:`decode_wav_pcm16` (RIFF/WAVE chunk parser), :func:`decode_bmp24`
-(24-bit BMP), and :func:`decode_png` (compressed PNG — zlib inflate, CRC
-validation, predictive scanline unfilter), each certified end-to-end
-through an encode→decode→feature loop (``multimodal_*_roundtrip``).
+formats needing them (color JPEG via PIL, MP3, H.264) are deterministic
+fakes / clearly-marked stubs — but the Spark-side plumbing is real and
+tested (schema contracts, Arrow-batched ``mapInPandas`` transforms, batch
+shapes, partition sizing), and four codecs are REAL with no codec
+library: :func:`decode_wav_pcm16` (RIFF/WAVE chunk parser),
+:func:`decode_bmp24` (24-bit BMP), :func:`decode_png` (compressed PNG —
+zlib inflate, CRC validation, predictive scanline unfilter), and
+:func:`decode_jpeg_gray` (baseline-sequential T.81 JPEG — Huffman
+entropy decode, dequant, float IDCT), each certified end-to-end through
+an encode→decode→feature loop (``multimodal_*_roundtrip``).
 Swapping a stub body for PIL/ffmpeg is a one-function change; nothing in
 the plan changes.
 
@@ -57,14 +59,16 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB for formats that need codec libraries (JPEG et al.): real
-    deployments decode with PIL/turbojpeg here; the container has none.
-    PNG and 24-bit BMP have REAL stdlib decoders in this module
-    (:func:`decode_png`, :func:`decode_bmp24`)."""
+    """STUB for formats that need codec libraries (color/progressive JPEG,
+    WebP et al.): real deployments decode with PIL/turbojpeg here; the
+    container has none. PNG, 24-bit BMP and baseline grayscale JPEG have
+    REAL decoders in this module (:func:`decode_png`, :func:`decode_bmp24`,
+    :func:`decode_jpeg_gray`)."""
     raise NotImplementedError(
-        "JPEG decode requires PIL/libjpeg, not present in this environment; "
-        "use decode_png/decode_bmp24 for the stdlib-decodable formats, or "
-        "extract_features' deterministic byte-level fake"
+        "color/progressive JPEG decode requires PIL/libjpeg, not present in "
+        "this environment; use decode_png/decode_bmp24/decode_jpeg_gray for "
+        "the library-free formats, or extract_features' deterministic "
+        "byte-level fake"
     )
 
 
@@ -1314,3 +1318,438 @@ def bmp_edge_energy(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=BMP_EDGE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, grayscale) — pure stdlib + numpy
+# --------------------------------------------------------------------------
+# The last gap in the codec matrix: a REAL baseline JPEG encoder/decoder
+# with no codec library — canonical Huffman entropy coding (the spec's
+# Annex K luminance tables), zigzag run-length AC coding, byte stuffing,
+# dequantization and a float IDCT (numpy matrix form of the separable
+# 8×8 DCT-II). Grayscale (one component) keeps the certified path free of
+# YCbCr rounding; the certified corpus is block-constant, where the
+# DC-only transform with quantizer step 8 is EXACT (see
+# synthesize_jpeg_assets), so an SQL oracle re-derives every decoded
+# pixel. Arbitrary images take the same code path lossily (pytest covers
+# the general path with an error bound).
+
+#: zigzag scan order: _JPEG_ZIGZAG[k] = natural index of the k-th coefficient
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.3.3.1 luminance DC table: counts per code length 1..16, values
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+
+#: Annex K.3.3.2 luminance AC table
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: quantization table (natural order): DC step 8 — EXACT for the
+#: block-constant certified corpus (8·(v−128)/8 = v−128) — AC step 16
+_JPEG_QTABLE = [8] + [16] * 63
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Decoder-side map: (length, code) → value."""
+    return {(l, c): v for v, (c, l) in _jpeg_huff_codes(bits, vals).items()}
+
+
+def _dct_matrix():
+    """Orthonormal 8×8 DCT-II matrix A: F = A·f·Aᵀ is the T.81 FDCT,
+    f = Aᵀ·F·A the IDCT. Built from math.cos once per process."""
+    import numpy as np
+
+    a = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+_DCT_A = None
+
+
+def _dct_a():
+    global _DCT_A
+    if _DCT_A is None:
+        _DCT_A = _dct_matrix()
+    return _DCT_A
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (FF → FF 00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data, un-stuffing FF 00."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream at FF")
+                marker = self.data[self.pos]
+                if marker == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unexpected marker FF{marker:02X} inside entropy data"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, lookup: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            v = lookup.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """T.81 EXTEND: map `size` raw amplitude bits to the signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
+    """Baseline-sequential JPEG encoder (T.81, SOF0), single grayscale
+    component, no subsampling: edge-replicated 8×8 blocks, float FDCT,
+    quantization on :data:`_JPEG_QTABLE`, zigzag run-length AC coding and
+    differential DC coding through the Annex K luminance Huffman tables,
+    with byte stuffing. ``pixels`` is top-down row-major grayscale 0-255."""
+    import struct
+
+    import numpy as np
+
+    a = _dct_a()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    # edge-replicated padded plane, level-shifted
+    plane = np.empty((bh * 8, bw * 8))
+    for y in range(bh * 8):
+        sy = min(y, height - 1)
+        row = pixels[sy * width : (sy + 1) * width]
+        plane[y, :width] = row
+        plane[y, width:] = row[-1]
+    plane -= 128.0
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            f = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = a @ f @ a.T
+            q = [
+                int(round(coef.flat[_JPEG_ZIGZAG[k]] / _JPEG_QTABLE[_JPEG_ZIGZAG[k]]))
+                for k in range(64)
+            ]
+            diff = q[0] - prev_dc
+            prev_dc = q[0]
+            size = abs(diff).bit_length()
+            code, length = dc_codes[size]
+            w.put(code, length)
+            if size:
+                amp = diff if diff > 0 else diff + (1 << size) - 1
+                w.put(amp, size)
+            run = 0
+            for k in range(1, 64):
+                v = q[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+                    w.put(zc, zl)
+                    run -= 16
+                size = abs(v).bit_length()
+                code, length = ac_codes[(run << 4) | size]
+                w.put(code, length)
+                amp = v if v > 0 else v + (1 << size) - 1
+                w.put(amp, size)
+                run = 0
+            if run:
+                ec, el = ac_codes[0x00]  # EOB
+                w.put(ec, el)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qz = bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[k]] for k in range(64))
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFDB, bytes([0x00]) + qz)  # DQT, 8-bit table 0
+        + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + w.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL baseline JPEG decoder (stdlib + numpy): walks the marker
+    segments (SOI/DQT/SOF0/DHT/SOS/EOI), rebuilds the canonical Huffman
+    tables from their BITS/HUFFVAL serialization, entropy-decodes the
+    differential-DC / run-length-AC coefficient stream (un-stuffing
+    FF 00), dequantizes on the transmitted table, applies the float IDCT
+    and level shift, and crops the edge-padded plane to (width, height).
+    Gates on baseline/8-bit/1-component; raises ``ValueError`` on
+    malformed payloads — corrupt assets surface as data errors."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file: missing SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_lookup: dict[int, dict] = {}
+    ac_lookup: dict[int, dict] = {}
+    sof = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zz = body[p + 1 : p + 65]
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_JPEG_ZIGZAG[k]] = zz[k]
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported JPEG: precision={prec} components={ncomp} "
+                    "(baseline grayscale only)"
+                )
+            cid, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling not supported for 1-component scan")
+            sof = (w_, h, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF marker FF{marker:02X} (baseline only)")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                if tc == 0:
+                    dc_lookup[th] = _jpeg_huff_lookup(bits, vals)
+                else:
+                    ac_lookup[th] = _jpeg_huff_lookup(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDA:  # SOS
+            ncomp = body[0]
+            if ncomp != 1:
+                raise ValueError("interleaved multi-component scan not supported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan = (td, ta, pos + 2 + length)
+            break
+        pos += 2 + length
+    if sof is None or scan is None:
+        raise ValueError("truncated JPEG: missing SOF0/SOS")
+    width, height, tq = sof
+    if tq not in qtables:
+        raise ValueError(f"missing quant table {tq}")
+    td, ta, data_pos = scan
+    if td not in dc_lookup or ta not in ac_lookup:
+        raise ValueError("missing Huffman table for scan")
+    qt = qtables[tq]
+    a = _dct_a()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    plane = np.empty((bh * 8, bw * 8))
+    r = _JpegBitReader(payload, data_pos)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            size = r.huff(dc_lookup[td])
+            prev_dc += _jpeg_extend(r.bits(size), size)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = r.huff(ac_lookup[ta])
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                zz[k] = _jpeg_extend(r.bits(size), size)
+                k += 1
+            coef = np.zeros((8, 8))
+            for k in range(64):
+                if zz[k]:
+                    nat = _JPEG_ZIGZAG[k]
+                    coef.flat[nat] = zz[k] * qt[nat]
+            f = a.T @ coef @ a
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f
+    out = np.clip(np.round(plane[:height, :width] + 128.0), 0, 255).astype(int)
+    return width, height, [int(v) for v in out.ravel()]
+
+
+JPEG_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, n_pixels int, "
+    "mean_gray double, compressed_bytes int"
+)
+
+
+def jpeg_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction via the REAL baseline JPEG decoder:
+    dimensions, exact grayscale mean (6 dp), compressed payload size."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "width", "height", "n_pixels",
+                "mean_gray", "compressed_bytes")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_gray(payload)
+                n = w * h
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                out["mean_gray"].append(round(sum(px) / n, 6) if n else 0.0)
+                out["compressed_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+def synthesize_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG corpus for the encode→decode certification loop:
+    asset ``i`` is ``(8 + i%8) × (8 + i%5)`` grayscale where every pixel of
+    8×8 block ``(bx, by)`` holds ``(3i + 7·bx + 11·by) % 256``. On
+    block-constant input the DCT has ONLY the DC coefficient, and with DC
+    quantizer step 8 the chain 8·(v−128) → /8 → round → ·8 → /8 is exact
+    (AC coefficients are analytically zero; their ~1e-13 float residue
+    quantizes to zero), so decode returns the source pixels EXACTLY and
+    an SQL oracle re-derives them — while the bitstream still exercises
+    differential DC Huffman coding across blocks, EOB, byte stuffing and
+    edge-replicated padding (partial blocks stay constant because the pad
+    replicates the block's own edge)."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_ = pdf[id_col].tolist()
+            payloads = []
+            for i in ids_:
+                # w stops at 15: no reachable w·h is 2^7·5^k, the class
+                # where an odd pixel sum lands exactly on a 6-dp half
+                # boundary and Python/DuckDB round() could fork
+                w, h = 8 + i % 8, 8 + i % 5
+                px = [
+                    (3 * i + 7 * (x // 8) + 11 * (y // 8)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(encode_jpeg_gray(w, h, px))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")

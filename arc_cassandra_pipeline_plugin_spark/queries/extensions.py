@@ -962,6 +962,47 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_roundtrip",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS asset_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents),
+px AS (
+  SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+v AS (
+  SELECT asset_id, w, h,
+         (3 * asset_id + 7 * ((p % w) // 8) + 11 * ((p // w) // 8)) % 256 AS g
+  FROM px),
+agg AS (
+  SELECT asset_id, max(w) AS w, max(h) AS h, sum(g) AS sg, count(*) AS n
+  FROM v GROUP BY asset_id)
+SELECT asset_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_pixels,
+       round(sg * 1.0 / n, 6) AS mean_gray
+FROM agg
+""",
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of the lossy-DCT format with no codec library: a
+    deterministic block-constant grayscale corpus is serialized through
+    the baseline-sequential T.81 JPEG encoder (float FDCT, quantization,
+    zigzag run-length AC + differential DC coding through the Annex K
+    Huffman tables, byte stuffing) and parsed back by the genuine decoder
+    (operators/multimodal.py decode_jpeg_gray — marker walk, canonical
+    Huffman rebuild from BITS/HUFFVAL, entropy decode with un-stuffing,
+    dequant, float IDCT, crop). The corpus is chosen where the transform
+    is EXACT (DC-only blocks, DC quantizer step 8), so the oracle
+    re-derives every decoded pixel from the integer formula — any bug in
+    the Huffman chain, zigzag order, dequant, or IDCT scaling breaks the
+    value hash. Color/progressive JPEG stays gated on codec libs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = M.jpeg_features(M.synthesize_jpeg_assets(docs))
+    return feats.select("asset_id", "width", "height", "n_pixels", "mean_gray")
+
+
+@register(
     "multimodal_png_resize",
     category="multimodal",
     oracle="""

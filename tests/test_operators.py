@@ -1875,3 +1875,72 @@ def test_lsh_topk_single_table_unchanged_and_multitable_superset(spark):
     b = {(r.query_id, r.rank): r.cosine for r in multi.collect()}
     for key, cos1 in a.items():
         assert key in b and b[key] >= cos1 - 1e-12, (key, cos1, b.get(key))
+
+
+def test_jpeg_codec_exact_on_block_constant_and_bounded_on_general():
+    from arc_cassandra_pipeline_plugin_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    # certified subset: block-constant images roundtrip EXACTLY (DC-only
+    # transform, quantizer step 8) — including partial edge blocks
+    for i in (0, 3, 14, 39, 255, 12345):
+        w, h = 8 + i % 8, 8 + i % 5
+        px = [(3 * i + 7 * (x // 8) + 11 * (y // 8)) % 256 for y in range(h) for x in range(w)]
+        assert decode_jpeg_gray(encode_jpeg_gray(w, h, px)) == (w, h, px)
+
+    # general path: lossy, but dims exact and error bounded by the quant
+    # tables (AC step 16 → worst-case block error far below full range)
+    import random
+
+    rnd = random.Random(7)
+    for w, h in ((19, 13), (8, 8), (24, 16), (9, 23)):
+        px = [rnd.randrange(256) for _ in range(w * h)]
+        gw, gh, got = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+        assert (gw, gh) == (w, h)
+        diffs = [abs(a - b) for a, b in zip(px, got)]
+        assert max(diffs) <= 64 and sum(diffs) / len(diffs) <= 12
+
+    # gradients exercise nonzero ACs, ZRL-free long runs and DC deltas
+    w, h = 16, 16
+    px = [min(255, x * 8 + y * 4) for y in range(h) for x in range(w)]
+    gw, gh, got = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    assert max(abs(a - b) for a, b in zip(px, got)) <= 48
+
+
+def test_jpeg_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(10, 9, [(x + y) % 256 for y in range(9) for x in range(10)])
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01" + good[2:])  # no SOI
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(good[:20])  # truncated segments
+    with _pytest.raises(ValueError):
+        # SOF0 swapped for progressive SOF2
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # truncated entropy stream: chop before EOI
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(good[: len(good) // 2])
+
+
+def test_jpeg_features_match_python(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    ids = spark.range(40).selectExpr("id AS doc_id")
+    rows = {
+        r["asset_id"]: r
+        for r in M.jpeg_features(M.synthesize_jpeg_assets(ids)).collect()
+    }
+    for i in range(40):
+        w, h = 8 + i % 8, 8 + i % 5
+        px = [(3 * i + 7 * (x // 8) + 11 * (y // 8)) % 256 for y in range(h) for x in range(w)]
+        r = rows[i]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["mean_gray"] == round(sum(px) / (w * h), 6)
