@@ -21,14 +21,19 @@ from arc_cassandra_pipeline_plugin_spark.sources import load_table
     category="aggregation",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)          AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)     AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE)                                                 AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)           AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4)                            AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4)                            AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4)                            AS avg_disc,
+       count(*)                                                        AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -41,20 +46,42 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed down, partial hash aggregate per partition, one shuffle on the
     2-value group key, final aggregate — the canonical map-side-combine
     shape that scales linearly with data volume.
-    """
+
+    Money/quantity sums ride the DECIMAL grid (the registry convention:
+    the per-row double product is row-deterministic, the decimal sum is
+    order-free) — a raw double sum's accumulation-order error reached a
+    half-cent boundary in q5 at sf1, so the whole module now follows
+    tpch2's _rev_dec pattern, with 2-dp rounding done ON the decimal
+    before the double cast (the text_bm25 half-boundary rule). Averages
+    are one double division of the exact sum, rounded once."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(qty_dec).cast("double").alias("sum_qty"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(qty_dec).cast("double") / n.cast("double"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(price_dec).cast("double") / n.cast("double"), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(disc_dec).cast("double") / n.cast("double"), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -65,7 +92,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -94,9 +121,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
@@ -109,7 +143,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey  = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -164,9 +198,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -176,7 +217,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -205,9 +246,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -242,7 +290,7 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6_forecast_revenue",
     category="aggregation",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -262,7 +310,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 

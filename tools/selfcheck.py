@@ -85,7 +85,11 @@ def main() -> int:
     for t in TABLES:
         p = table_path(sf_dir, t)
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # driver fixtures are single files; twin fixtures are Spark
+            # multi-file directories (glob part files — works through
+            # symlinked dirs, unlike a bare directory path)
+            src = f"{p}/part*" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     failures = []
     report: dict[str, dict] = {}
