@@ -19,7 +19,8 @@ from arc_cassandra_pipeline_plugin_spark.sources import load_table
     category="udf",
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS weighted_avg_price
+       round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 2) AS weighted_avg_price
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -28,11 +29,20 @@ def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arc context carries a udfPlugins registry — TestUtils.scala:80): a
     grouped-aggregate Pandas UDF (Arrow-batched, the only acceptable Python
     path in a hot loop) computing quantity-weighted average price,
-    certified against the pure-SQL formulation."""
+    certified against the pure-SQL formulation.
+
+    The UDF accumulates in integer CENTS (prices are a 2-dp grid; the
+    rounded int64 products sum exactly), so its result is independent of
+    Arrow batch/partition order — a raw float pandas sum would drift with
+    physical layout, the q5-at-sf1 bug class. One double division at the
+    end mirrors the oracle's expression tree; rounding happens OUTSIDE
+    the UDF in Spark SQL (engine-consistent half-up on the double)."""
 
     @pandas_udf("double")
     def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return float(int((cents * q).sum()) / 100.0 / float(int(q.sum())))
 
     return (
         load_table(spark, sf_dir, "lineitem")

@@ -570,7 +570,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="timeseries",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -583,7 +583,7 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -1048,7 +1048,7 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 WHERE o_orderkey < 2000 AND o_custkey > 10
 GROUP BY o_orderstatus
@@ -1105,7 +1105,7 @@ def cassandra_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
 
@@ -1118,7 +1118,7 @@ def cassandra_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_declarative",
     category="pipeline",
     oracle="""
-SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
 """,
@@ -1145,7 +1145,7 @@ def pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "environments": ["production", "test"],
                 "sql": (
                     "SELECT o_orderpriority, count(*) AS n_orders, "
-                    "round(sum(o_totalprice), 2) AS total "
+                    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
                     "FROM orders_v WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
                 ),
                 "outputView": "priority_summary",
@@ -2302,7 +2302,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -2328,7 +2328,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH mx AS (SELECT max(ts) AS max_ts FROM events)
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events, mx
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= max_ts - INTERVAL 2 HOUR
 GROUP BY 1, 2
@@ -2623,7 +2623,7 @@ WITH w AS (
   UNION ALL
   SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
 )
-SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT window_start, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM w GROUP BY 1
 """,
 )
@@ -2637,7 +2637,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )

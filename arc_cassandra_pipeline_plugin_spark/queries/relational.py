@@ -219,32 +219,72 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     category="aggregation",
     oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+         -- DECIMAL(19,2) forces DuckDB's square onto the hugeint path
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2))
+                  * CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) AS qp,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+  FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag,
-       count(*)                              AS n_rows,
-       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-       round(min(l_quantity), 2)             AS min_qty,
-       round(max(l_quantity), 2)             AS max_qty,
-       round(avg(l_extendedprice), 4)        AS avg_price,
-       round(stddev_samp(l_extendedprice), 4) AS sd_price,
-       round(sum(l_tax), 2)                  AS sum_tax
-FROM lineitem
-GROUP BY l_returnflag
+       n AS n_rows,
+       n_suppliers,
+       round(min_q, 2) AS min_qty,
+       round(max_q, 2) AS max_qty,
+       round(sp / CAST(n AS DOUBLE), 4) AS avg_price,
+       round(CASE WHEN n <= 1 THEN NULL
+                  ELSE sqrt((qp - sp * sp / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0)) END, 4) AS sd_price,
+       sum_tax
+FROM s
 """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate function battery incl. count-distinct and sample stddev."""
-    return (
+    """Aggregate function battery incl. count-distinct and sample stddev.
+
+    avg/stddev are rebuilt from DECIMAL-exact (n, Σx, Σx²) partials so the
+    result is independent of float accumulation order (the q5-at-sf1 bug
+    class; a native stddev_samp over doubles drifts with partition
+    layout), with ONE double expression tree mirrored in the oracle —
+    sqrt is IEEE correctly-rounded on both engines. Spark keeps
+    (18,2)² = (37,4) exact; the oracle casts to DECIMAL(19,2) so DuckDB's
+    square lands on the hugeint path."""
+    price2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
-            F.round(F.min("l_quantity"), 2).alias("min_qty"),
-            F.round(F.max("l_quantity"), 2).alias("max_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-            F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+            F.sum(price2).cast("double").alias("sp"),
+            F.sum(price2 * price2).cast("double").alias("qp"),
+            F.sum(F.col("l_tax").cast("decimal(18,2)")).cast("double").alias("sum_tax"),
         )
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        "n_suppliers",
+        F.round(F.col("min_q"), 2).alias("min_qty"),
+        F.round(F.col("max_q"), 2).alias("max_qty"),
+        F.round(F.col("sp") / nd, 4).alias("avg_price"),
+        F.round(
+            F.when(F.col("n") <= 1, F.lit(None).cast("double")).otherwise(
+                F.sqrt(
+                    (F.col("qp") - F.col("sp") * F.col("sp") / nd)
+                    / (nd - F.lit(1.0))
+                )
+            ),
+            4,
+        ).alias("sd_price"),
+        "sum_tax",
     )
 
 
@@ -348,7 +388,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GROUPING_SETS_SQL = """
-SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
@@ -1141,7 +1181,7 @@ def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderpriority
 """,
 )
@@ -1164,7 +1204,7 @@ def ddl_ctas_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         CREATE TABLE {name} USING parquet AS
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_orderpriority
     """)
     return spark.table(name)
@@ -1375,7 +1415,7 @@ _PRICE_TIERS = [
 WITH tiers(lo, hi, tier) AS (VALUES
   {", ".join(f"({lo!r}, {hi!r}, '{t}')" for lo, hi, t in _PRICE_TIERS)})
 SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY tier
 """,
@@ -1397,7 +1437,7 @@ def join_range_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
 
@@ -1461,7 +1501,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH yearly AS (
   SELECT CAST(year(o_orderdate) AS INT) AS yr,
-         round(sum(o_totalprice), 2) AS revenue
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1)
 SELECT yr, revenue,
        round(revenue - lag(revenue) OVER (ORDER BY yr), 2) AS yoy_delta
@@ -1478,7 +1518,7 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
     )
     w = Window.orderBy("yr")
     return yearly.select(
@@ -1550,7 +1590,7 @@ _SCD2_CUTOVER = "1996-01-01"
 SELECT CASE WHEN o_orderdate < TIMESTAMP '{_SCD2_CUTOVER}'
             THEN c_mktsegment || '_v1' ELSE c_mktsegment || '_v2' END AS segment_version,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """,
@@ -1598,7 +1638,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("seg_v").alias("segment_version")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
 
 
@@ -1617,7 +1657,7 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HAVING_SQL = """
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 """
 
@@ -2286,7 +2326,7 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_price
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem WHERE l_orderkey < 2000
 GROUP BY l_returnflag, l_linestatus
 """,
@@ -2308,7 +2348,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
 
 

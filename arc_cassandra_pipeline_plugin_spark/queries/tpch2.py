@@ -45,7 +45,7 @@ _REV_DEC_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(CAST(sum({_REV_DEC_SQL}) AS DOUBLE), 2) AS revenue
+       CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -99,7 +99,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -192,7 +192,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="tpch",
     oracle=f"""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(CAST(sum({_REV_DEC_SQL}) AS DOUBLE), 2) AS sum_profit
+       CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON p_partkey  = l_partkey
 JOIN supplier ON s_suppkey  = l_suppkey
@@ -229,7 +229,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -373,7 +373,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive_revenue",
     category="tpch",
     oracle=f"""
-SELECT round(CAST(sum({_REV_DEC_SQL}) AS DOUBLE), 2) AS revenue
+SELECT CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
@@ -400,7 +400,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -487,7 +487,7 @@ WITH pos AS (
 )
 SELECT substr(c_name, length(c_name) - 1, 2) AS cntrycode,
        count(*) AS numcust,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer, pos
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_cnt > bal_sum
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -530,9 +530,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
 
