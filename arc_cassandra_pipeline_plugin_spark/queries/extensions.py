@@ -570,7 +570,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="timeseries",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -583,7 +583,14 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            # integer-CENTS sum: value is a 2-dp grid, so round(value*100) is the
+            # exact integer on both engines; the long sum stays on the vectorized
+            # codegen fast path (a decimal sum costs ~2x here) and cannot
+            # overflow per bounded time-window group at any corpus scale
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -2302,7 +2309,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -2328,7 +2335,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH mx AS (SELECT max(ts) AS max_ts FROM events)
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events, mx
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= max_ts - INTERVAL 2 HOUR
 GROUP BY 1, 2
@@ -2623,7 +2630,7 @@ WITH w AS (
   UNION ALL
   SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
 )
-SELECT window_start, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+SELECT window_start, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM w GROUP BY 1
 """,
 )
@@ -2637,7 +2644,14 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            # integer-CENTS sum: value is a 2-dp grid, so round(value*100) is the
+            # exact integer on both engines; the long sum stays on the vectorized
+            # codegen fast path (a decimal sum costs ~2x here) and cannot
+            # overflow per bounded time-window group at any corpus scale
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
