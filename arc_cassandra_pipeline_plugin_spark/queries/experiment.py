@@ -2041,3 +2041,275 @@ def exp_post_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("poststrat_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) — the distribution-free lift test
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_mann_whitney_u",
+    category="experiment",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+d AS (SELECT CAST(s AS DOUBLE) AS sv, g FROM peruser),
+gv AS (
+  SELECT sv, count(*) AS t, count(*) FILTER (WHERE g = 1) AS tb
+  FROM d GROUP BY sv),
+rk AS (
+  SELECT sv, t, tb,
+         coalesce(sum(t) OVER (ORDER BY sv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+  FROM gv),
+tot AS (
+  SELECT sum(t) AS n, sum(tb) AS nb, sum(t) - sum(tb) AS na,
+         sum(CAST(tb AS DECIMAL(19,0))
+             * CAST(2 * lt + t + 1 AS DECIMAL(19,0))) AS r2b,
+         sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+             * CAST(t AS DECIMAL(12,0)) - t) AS tcube
+  FROM rk),
+f AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CAST(r2b - CAST(nb AS DECIMAL(19,0)) * CAST(nb + 1 AS DECIMAL(19,0))
+              AS BIGINT) AS u2,
+         CAST(tcube AS BIGINT) AS tie_cubes,
+         CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+         CAST(n AS DOUBLE) AS nd, CAST(tcube AS DOUBLE) AS td
+  FROM tot),
+v AS (
+  SELECT n_a, n_b, u2, tie_cubes, nad, nbd,
+         CASE WHEN n_a <= 1 OR n_b <= 1 THEN NULL
+              ELSE nad * nbd / 12.0
+                   * ((nd + 1.0) - td / (nd * (nd - 1.0))) END AS var
+  FROM f)
+SELECT n_a, n_b, u2, tie_cubes,
+       round(CASE WHEN var IS NULL OR var = 0 THEN NULL
+                  ELSE (CAST(u2 AS DOUBLE) - nad * nbd)
+                       * (CAST(u2 AS DOUBLE) - nad * nbd) / (4.0 * var) END,
+             6) AS z2
+FROM v
+""",
+)
+def exp_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the arms of the
+    per-user metric — the distribution-free lift test a heavy-tailed
+    revenue metric calls for when the Welch t's normality is suspect.
+    Average ranks for ties ride an INTEGER grid (×2 units: a tie group at
+    exclusive-prefix lt with size t has rank-sum-×2 per member
+    2·lt + t + 1), so U×2, the tie-correction Σ(t³−t), and every
+    aggregate are exact; the variance
+    n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))) and z² are ONE double
+    expression tree mirrored in the oracle, with the z2 degenerate-arm /
+    all-tied guards NULLed identically on both engines.
+
+    Scale: one groupBy(user) corpus pass, one groupBy(value) collapse to
+    the value histogram, then the scale-safe two-phase
+    ``global_prefix_sum`` (operators/ranking.py) for exclusive rank
+    offsets — NO single-partition window — and a single-row aggregate.
+    Sums are DECIMAL so rank products cannot overflow at any corpus
+    scale (u2/tie_cubes output as BIGINT — exact to ~9e18, far past any
+    shipped fixture)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    users = _per_user_metric(spark, sf_dir)
+    d = users.select(F.col("s").cast("double").alias("sv"), "g")
+    gv = d.groupBy("sv").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.count(F.when(F.col("g") == 1, 1)).cast("long").alias("tb"),
+    )
+    ps = global_prefix_sum(gv, "sv", "t", out_col="lt", num_buckets=32)
+    t12 = F.col("t").cast("decimal(12,0)")
+    tot = ps.agg(
+        F.sum("t").alias("n"),
+        F.sum("tb").alias("nb"),
+        (F.sum("t") - F.sum("tb")).alias("na"),
+        F.sum(
+            F.col("tb").cast("decimal(19,0)")
+            * (2 * F.col("lt") + F.col("t") + 1).cast("decimal(19,0)")
+        ).alias("r2b"),
+        F.sum(t12 * t12 * t12 - F.col("t")).alias("tcube"),
+    )
+    fr = tot.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (
+            F.col("r2b")
+            - F.col("nb").cast("decimal(19,0)")
+            * (F.col("nb") + 1).cast("decimal(19,0)")
+        )
+        .cast("bigint")
+        .alias("u2"),
+        F.col("tcube").cast("bigint").alias("tie_cubes"),
+        F.col("na").cast("double").alias("nad"),
+        F.col("nb").cast("double").alias("nbd"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("tcube").cast("double").alias("td"),
+    )
+    var = F.when(
+        (F.col("n_a") <= 1) | (F.col("n_b") <= 1), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("nad")
+        * F.col("nbd")
+        / F.lit(12.0)
+        * (
+            (F.col("nd") + F.lit(1.0))
+            - F.col("td") / (F.col("nd") * (F.col("nd") - F.lit(1.0)))
+        )
+    )
+    v = fr.select("n_a", "n_b", "u2", "tie_cubes", "nad", "nbd", var.alias("var"))
+    diff = F.col("u2").cast("double") - F.col("nad") * F.col("nbd")
+    return v.select(
+        "n_a",
+        "n_b",
+        "u2",
+        "tie_cubes",
+        F.round(
+            F.when(
+                F.col("var").isNull() | (F.col("var") == 0),
+                F.lit(None).cast("double"),
+            ).otherwise(diff * diff / (F.lit(4.0) * F.col("var"))),
+            6,
+        ).alias("z2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown–Forsythe variance homogeneity (the equal-variance guardrail)
+# --------------------------------------------------------------------------
+
+@register(
+    "exp_variance_homogeneity",
+    category="experiment",
+    oracle=f"""
+WITH {_PER_USER_CTE},
+d AS (SELECT CAST(s AS DOUBLE) AS sv, g FROM peruser),
+med AS (
+  SELECT g, quantile_disc(sv, 0.50) AS med FROM d GROUP BY g),
+z AS (
+  SELECT d.g, CAST(abs(d.sv - med.med) AS DECIMAL(18,2)) AS z
+  FROM d JOIN med ON med.g = d.g),
+gs AS (
+  SELECT count(*) FILTER (WHERE g = 0) AS n_a,
+         sum(z)   FILTER (WHERE g = 0) AS s_a,
+         sum(CAST(z AS DECIMAL(19,2)) * CAST(z AS DECIMAL(19,2)))
+           FILTER (WHERE g = 0) AS q_a,
+         count(*) FILTER (WHERE g = 1) AS n_b,
+         sum(z)   FILTER (WHERE g = 1) AS s_b,
+         sum(CAST(z AS DECIMAL(19,2)) * CAST(z AS DECIMAL(19,2)))
+           FILTER (WHERE g = 1) AS q_b
+  FROM z),
+dd AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa, CAST(q_a AS DOUBLE) AS qa,
+         CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb, CAST(q_b AS DOUBLE) AS qb
+  FROM gs),
+v AS (
+  SELECT n_a, n_b, na, nb, sa, sb,
+         CASE WHEN na = 0 OR nb = 0 THEN NULL
+              ELSE (qa - sa * sa / na) + (qb - sb * sb / nb) END AS within,
+         CASE WHEN na = 0 OR nb = 0 THEN NULL
+              ELSE na * (sa / na - (sa + sb) / (na + nb))
+                      * (sa / na - (sa + sb) / (na + nb))
+                 + nb * (sb / nb - (sa + sb) / (na + nb))
+                      * (sb / nb - (sa + sb) / (na + nb)) END AS between_ss
+  FROM dd)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       (SELECT med FROM med WHERE g = 0) AS med_a,
+       (SELECT med FROM med WHERE g = 1) AS med_b,
+       round(CASE WHEN within IS NULL OR within = 0
+                       OR n_a <= 1 OR n_b <= 1 THEN NULL
+                  ELSE (na + nb - 2.0) * between_ss / within END, 6) AS bf_f
+FROM v
+""",
+)
+def exp_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity guardrail: the one-way ANOVA F
+    on |metric − arm median| — did the treatment move the SPREAD of the
+    per-user metric, not just its mean (median-centered, so heavy tails
+    don't masquerade as variance change; and the check that validates the
+    pooled-variance assumptions other readouts lean on).
+
+    Exactness: arm medians via the lossless-sketch equivalence
+    (``approx_percentile`` acc 1e6 ≡ ``quantile_disc``); |s − med| is
+    mathematically a 2-dp value, so its DECIMAL(18,2) cast is exact and
+    identical on both engines; Σz, Σz² are order-free decimal sums
+    (Spark (18,2)² = (37,4) exact; the oracle casts DECIMAL(19,2) so
+    DuckDB squares on the hugeint path); the F ratio is ONE double
+    expression tree with mirrored degenerate guards.
+
+    Scale: one groupBy(user) corpus pass, one groupBy(arm) GK sketch for
+    medians, one broadcast join of the 2-row median table, one 6-column
+    single-row aggregate."""
+    users = _per_user_metric(spark, sf_dir)
+    d = users.select(F.col("s").cast("double").alias("sv"), "g")
+    med = d.groupBy("g").agg(
+        F.expr("approx_percentile(sv, 0.50, 1000000)").alias("med")
+    )
+    z = d.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("sv") - F.col("med")).cast("decimal(18,2)").alias("z")
+    )
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    gs = z.agg(
+        F.count(F.when(g0, 1)).alias("n_a"),
+        F.sum(F.when(g0, F.col("z"))).alias("s_a"),
+        F.sum(F.when(g0, F.col("z") * F.col("z"))).alias("q_a"),
+        F.count(F.when(g1, 1)).alias("n_b"),
+        F.sum(F.when(g1, F.col("z"))).alias("s_b"),
+        F.sum(F.when(g1, F.col("z") * F.col("z"))).alias("q_b"),
+    )
+    dd = gs.select(
+        "n_a",
+        "n_b",
+        F.col("n_a").cast("double").alias("na"),
+        F.col("s_a").cast("double").alias("sa"),
+        F.col("q_a").cast("double").alias("qa"),
+        F.col("n_b").cast("double").alias("nb"),
+        F.col("s_b").cast("double").alias("sb"),
+        F.col("q_b").cast("double").alias("qb"),
+    )
+    null_d = F.lit(None).cast("double")
+    zbar = (F.col("sa") + F.col("sb")) / (F.col("na") + F.col("nb"))
+    within = F.when((F.col("na") == 0) | (F.col("nb") == 0), null_d).otherwise(
+        (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"))
+        + (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"))
+    )
+    between = F.when((F.col("na") == 0) | (F.col("nb") == 0), null_d).otherwise(
+        F.col("na") * (F.col("sa") / F.col("na") - zbar)
+        * (F.col("sa") / F.col("na") - zbar)
+        + F.col("nb") * (F.col("sb") / F.col("nb") - zbar)
+        * (F.col("sb") / F.col("nb") - zbar)
+    )
+    v = dd.select(
+        "n_a", "n_b", "na", "nb",
+        within.alias("within"), between.alias("between_ss"),
+    )
+    med_a = med.filter(g0).select(F.col("med").alias("med_a"))
+    med_b = med.filter(g1).select(F.col("med").alias("med_b"))
+    return (
+        v.crossJoin(F.broadcast(med_a))
+        .crossJoin(F.broadcast(med_b))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "med_a",
+            "med_b",
+            F.round(
+                F.when(
+                    F.col("within").isNull()
+                    | (F.col("within") == 0)
+                    | (F.col("n_a") <= 1)
+                    | (F.col("n_b") <= 1),
+                    null_d,
+                ).otherwise(
+                    (F.col("na") + F.col("nb") - F.lit(2.0))
+                    * F.col("between_ss")
+                    / F.col("within")
+                ),
+                6,
+            ).alias("bf_f"),
+        )
+    )

@@ -529,3 +529,53 @@ def test_post_stratified_matches_textbook_reweighting(spark):
         den += len(vals)
     assert out["n_strata"] == n_incl
     assert math.isclose(out["poststrat_diff"], num / den, rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_mann_whitney_matches_textbook_ranksum(spark):
+    out = REGISTRY["exp_mann_whitney_u"].fn(spark, SF_SMALL).collect()[0]
+    users = _per_user(spark)
+    vals = sorted((round(s, 2), g) for s, g in users.values())
+    n = len(vals)
+    n_b = sum(1 for _, g in vals if g == 1)
+    n_a = n - n_b
+    assert (out["n_a"], out["n_b"]) == (n_a, n_b)
+    # average ranks with ties, in x2 units to stay integral
+    rank2 = {}
+    i = 0
+    tie_cubes = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        t = j - i
+        tie_cubes += t**3 - t
+        rank2[vals[i][0]] = (i + 1) + j  # 2 * average of ranks i+1..j
+        i = j
+    r2b = sum(rank2[v] for v, g in vals if g == 1)
+    u2 = r2b - n_b * (n_b + 1)
+    assert out["u2"] == u2 and out["tie_cubes"] == tie_cubes
+    var = n_a * n_b / 12.0 * ((n + 1.0) - tie_cubes / (n * (n - 1.0)))
+    z2 = (u2 - n_a * n_b) ** 2 / (4.0 * var)
+    assert math.isclose(out["z2"], z2, rel_tol=1e-6, abs_tol=1e-5)
+
+
+def test_variance_homogeneity_matches_textbook_bf(spark):
+    out = REGISTRY["exp_variance_homogeneity"].fn(spark, SF_SMALL).collect()[0]
+    users = _per_user(spark)
+    arms = {0: [], 1: []}
+    for s, g in users.values():
+        arms[g].append(round(s, 2))
+    med = {}
+    for g, xs in arms.items():
+        xs.sort()
+        med[g] = xs[math.ceil(0.5 * len(xs)) - 1]  # quantile_disc lower-median
+    assert math.isclose(out["med_a"], med[0], rel_tol=1e-9)
+    assert math.isclose(out["med_b"], med[1], rel_tol=1e-9)
+    z = {g: [round(abs(x - med[g]), 2) for x in xs] for g, xs in arms.items()}
+    na, nb = len(z[0]), len(z[1])
+    za, zb = sum(z[0]) / na, sum(z[1]) / nb
+    zbar = (sum(z[0]) + sum(z[1])) / (na + nb)
+    between = na * (za - zbar) ** 2 + nb * (zb - zbar) ** 2
+    within = sum((x - za) ** 2 for x in z[0]) + sum((x - zb) ** 2 for x in z[1])
+    f = (na + nb - 2.0) * between / within
+    assert math.isclose(out["bf_f"], f, rel_tol=1e-4, abs_tol=1e-4)
