@@ -194,13 +194,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # the streaming file source wants a directory: stream the sf_dir with a
-    # glob filter selecting just the events fixture
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # multi-file fixture (Spark-written twin): the directory IS the
+        # natural streaming source; a name glob would match no leaf file
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file driver fixture: the streaming file source wants a
+        # directory, so stream sf_dir with a glob selecting the fixture
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     from pyspark.sql import types as T
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
@@ -390,8 +395,12 @@ def events_stream_flushed(
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev_src = os.path.join(sf_dir, "events.parquet")
+    # absolute target: a relative sf_dir would make the link resolve
+    # against the scratch dir and dangle (0-row stream, no error)
+    ev_src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     link = os.path.join(work_dir, "events.parquet")
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)  # repair a dangling link from an older relative run
     if not os.path.lexists(link):
         os.symlink(ev_src, link)
     raw = spark.read.parquet(ev_src)
