@@ -2,16 +2,18 @@
 columns with typed metadata.
 
 The container has no image/audio codec libraries, so decode kernels for
-formats needing them (color JPEG via PIL, MP3, H.264) are deterministic
+formats needing them (progressive JPEG, MP3, H.264) are deterministic
 fakes / clearly-marked stubs — but the Spark-side plumbing is real and
 tested (schema contracts, Arrow-batched ``mapInPandas`` transforms, batch
-shapes, partition sizing), and four codecs are REAL with no codec
+shapes, partition sizing), and five codecs are REAL with no codec
 library: :func:`decode_wav_pcm16` (RIFF/WAVE chunk parser),
 :func:`decode_bmp24` (24-bit BMP), :func:`decode_png` (compressed PNG —
-zlib inflate, CRC validation, predictive scanline unfilter), and
+zlib inflate, CRC validation, predictive scanline unfilter),
 :func:`decode_jpeg_gray` (baseline-sequential T.81 JPEG — Huffman
-entropy decode, dequant, float IDCT), each certified end-to-end through
-an encode→decode→feature loop (``multimodal_*_roundtrip``).
+entropy decode, dequant, float IDCT), and :func:`decode_jpeg_color`
+(baseline COLOR JPEG — YCbCr 4:2:0 interleaved MCUs, chrominance Huffman
+tables), each certified end-to-end through an encode→decode→feature loop
+(``multimodal_*_roundtrip``).
 Swapping a stub body for PIL/ffmpeg is a one-function change; nothing in
 the plan changes.
 
@@ -59,16 +61,17 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB for formats that need codec libraries (color/progressive JPEG,
-    WebP et al.): real deployments decode with PIL/turbojpeg here; the
-    container has none. PNG, 24-bit BMP and baseline grayscale JPEG have
-    REAL decoders in this module (:func:`decode_png`, :func:`decode_bmp24`,
-    :func:`decode_jpeg_gray`)."""
+    """STUB for formats that need codec libraries (progressive/arithmetic
+    JPEG, WebP et al.): real deployments decode with PIL/turbojpeg here;
+    the container has none. PNG, 24-bit BMP, baseline grayscale JPEG and
+    baseline COLOR JPEG (YCbCr 4:2:0) have REAL decoders in this module
+    (:func:`decode_png`, :func:`decode_bmp24`, :func:`decode_jpeg_gray`,
+    :func:`decode_jpeg_color`)."""
     raise NotImplementedError(
-        "color/progressive JPEG decode requires PIL/libjpeg, not present in "
-        "this environment; use decode_png/decode_bmp24/decode_jpeg_gray for "
-        "the library-free formats, or extract_features' deterministic "
-        "byte-level fake"
+        "progressive/arithmetic JPEG decode requires PIL/libjpeg, not "
+        "present in this environment; use decode_png/decode_bmp24/"
+        "decode_jpeg_gray/decode_jpeg_color for the library-free formats, "
+        "or extract_features' deterministic byte-level fake"
     )
 
 
@@ -1503,7 +1506,6 @@ def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
 
     import numpy as np
 
-    a = _dct_a()
     bw, bh = (width + 7) // 8, (height + 7) // 8
     # edge-replicated padded plane, level-shifted
     plane = np.empty((bh * 8, bw * 8))
@@ -1521,38 +1523,7 @@ def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
     for by in range(bh):
         for bx in range(bw):
             f = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = a @ f @ a.T
-            q = [
-                int(round(coef.flat[_JPEG_ZIGZAG[k]] / _JPEG_QTABLE[_JPEG_ZIGZAG[k]]))
-                for k in range(64)
-            ]
-            diff = q[0] - prev_dc
-            prev_dc = q[0]
-            size = abs(diff).bit_length()
-            code, length = dc_codes[size]
-            w.put(code, length)
-            if size:
-                amp = diff if diff > 0 else diff + (1 << size) - 1
-                w.put(amp, size)
-            run = 0
-            for k in range(1, 64):
-                v = q[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
-                    w.put(zc, zl)
-                    run -= 16
-                size = abs(v).bit_length()
-                code, length = ac_codes[(run << 4) | size]
-                w.put(code, length)
-                amp = v if v > 0 else v + (1 << size) - 1
-                w.put(amp, size)
-                run = 0
-            if run:
-                ec, el = ac_codes[0x00]  # EOB
-                w.put(ec, el)
+            prev_dc = _jpeg_encode_block(w, f, prev_dc, dc_codes, ac_codes, _JPEG_QTABLE)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1581,113 +1552,31 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
     and level shift, and crops the edge-padded plane to (width, height).
     Gates on baseline/8-bit/1-component; raises ``ValueError`` on
     malformed payloads — corrupt assets surface as data errors."""
-    import struct
-
     import numpy as np
 
-    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG file: missing SOI")
-    pos = 2
-    qtables: dict[int, list[int]] = {}
-    dc_lookup: dict[int, dict] = {}
-    ac_lookup: dict[int, dict] = {}
-    sof = None
-    scan = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"bad marker alignment at byte {pos}")
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        body = payload[pos + 4 : pos + 2 + length]
-        if len(body) != length - 2:
-            raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 0x0F
-                if pq != 0:
-                    raise ValueError("only 8-bit quant tables supported")
-                zz = body[p + 1 : p + 65]
-                nat = [0] * 64
-                for k in range(64):
-                    nat[_JPEG_ZIGZAG[k]] = zz[k]
-                qtables[tq] = nat
-                p += 65
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError(
-                    f"unsupported JPEG: precision={prec} components={ncomp} "
-                    "(baseline grayscale only)"
-                )
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("subsampling not supported for 1-component scan")
-            sof = (w_, h, tq)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"unsupported SOF marker FF{marker:02X} (baseline only)")
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                tc, th = body[p] >> 4, body[p] & 0x0F
-                bits = list(body[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(body[p + 17 : p + 17 + nv])
-                if tc == 0:
-                    dc_lookup[th] = _jpeg_huff_lookup(bits, vals)
-                else:
-                    ac_lookup[th] = _jpeg_huff_lookup(bits, vals)
-                p += 17 + nv
-        elif marker == 0xDA:  # SOS
-            ncomp = body[0]
-            if ncomp != 1:
-                raise ValueError("interleaved multi-component scan not supported")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            scan = (td, ta, pos + 2 + length)
-            break
-        pos += 2 + length
-    if sof is None or scan is None:
-        raise ValueError("truncated JPEG: missing SOF0/SOS")
-    width, height, tq = sof
+    qtables, dc_lookup, ac_lookup, comps, width, height, scan, data_pos = (
+        _jpeg_parse_segments(payload)
+    )
+    if len(comps) != 1 or len(scan) != 1:
+        raise ValueError(
+            f"unsupported JPEG: {len(comps)} components (baseline grayscale only)"
+        )
+    cid, sampling, tq = comps[0]
+    if sampling != 0x11:
+        raise ValueError("subsampling not supported for 1-component scan")
+    _, td, ta = scan[0]
     if tq not in qtables:
         raise ValueError(f"missing quant table {tq}")
-    td, ta, data_pos = scan
     if td not in dc_lookup or ta not in ac_lookup:
         raise ValueError("missing Huffman table for scan")
     qt = qtables[tq]
-    a = _dct_a()
     bw, bh = (width + 7) // 8, (height + 7) // 8
     plane = np.empty((bh * 8, bw * 8))
     r = _JpegBitReader(payload, data_pos)
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            size = r.huff(dc_lookup[td])
-            prev_dc += _jpeg_extend(r.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = r.huff(ac_lookup[ta])
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _jpeg_extend(r.bits(size), size)
-                k += 1
-            coef = np.zeros((8, 8))
-            for k in range(64):
-                if zz[k]:
-                    nat = _JPEG_ZIGZAG[k]
-                    coef.flat[nat] = zz[k] * qt[nat]
-            f = a.T @ coef @ a
+            f, prev_dc = _jpeg_read_block(r, dc_lookup[td], ac_lookup[ta], prev_dc, qt)
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f
     out = np.clip(np.round(plane[:height, :width] + 128.0), 0, 255).astype(int)
     return width, height, [int(v) for v in out.ravel()]
@@ -1753,3 +1642,482 @@ def synthesize_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
 
     return ids.select(id_col).mapInPandas(batches, schema="asset_id bigint, payload binary")
+
+# --------------------------------------------------------------------------
+# Baseline COLOR JPEG (T.81 sequential DCT, YCbCr 4:2:0) — pure stdlib+numpy
+# --------------------------------------------------------------------------
+# The next honest codec increment over the r9 grayscale codec: 3-component
+# interleaved MCUs (4 Y blocks + Cb + Cr per 16×16 MCU), separate
+# luminance/chrominance Huffman tables (Annex K.3.3), per-component
+# differential DC prediction, 2×2-mean chroma subsampling at encode and
+# nearest-neighbour upsampling at decode, and the JFIF RGB↔YCbCr color
+# transform written in EXACT form (1/1.772 = 250/443, 1/1.402 = 500/701;
+# G recovered from the Y definition itself rather than the JFIF Annex's
+# 6-digit-truncated 0.344136/0.714136 constants, so the float inverse is
+# the true matrix inverse to ~1e-13).
+#
+# Certification path (multimodal_jpeg_color_roundtrip): on an
+# MCU-constant corpus every block is DC-only and the DC quantizer step 8
+# makes quantization a plain nearest-integer rounding of the (real-valued)
+# YCbCr channel, so the decoded RGB of each palette color is a CLOSED-FORM
+# function of the source color — computed independently with
+# exact-fraction arithmetic at import time (_jpeg_color_decode_exact) and
+# embedded in the SQL oracle as a literal LUT. Palette entries are
+# screened so every rounding site sits ≥1e-3 from a half-integer
+# (float error ~1e-12 can never flip a round), making the lossy decode
+# bit-deterministic and engine-independent.
+
+#: Annex K.3.3.1 chrominance DC table
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+
+#: Annex K.3.3.2 chrominance AC table
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+assert sum(_JPEG_AC_BITS_C) == len(_JPEG_AC_VALS_C) == 162
+assert sum(_JPEG_DC_BITS_C) == len(_JPEG_DC_VALS_C) == 12
+
+#: chrominance quantization table (slot 1): same DC-step-8 grid as luma so
+#: the block-constant exactness argument holds for chroma too
+_JPEG_QTABLE_C = list(_JPEG_QTABLE)
+
+
+def _jpeg_encode_block(w: "_JpegBitWriter", blk, prev_dc: int,
+                       dc_codes: dict, ac_codes: dict, qt: list[int]) -> int:
+    """FDCT + quantize + entropy-code ONE level-shifted 8×8 block (shared
+    by the gray and color encoders); returns the block's quantized DC for
+    the component's differential predictor."""
+    a = _dct_a()
+    coef = a @ blk @ a.T
+    q = [
+        int(round(coef.flat[_JPEG_ZIGZAG[k]] / qt[_JPEG_ZIGZAG[k]]))
+        for k in range(64)
+    ]
+    diff = q[0] - prev_dc
+    size = abs(diff).bit_length()
+    code, length = dc_codes[size]
+    w.put(code, length)
+    if size:
+        amp = diff if diff > 0 else diff + (1 << size) - 1
+        w.put(amp, size)
+    run = 0
+    for k in range(1, 64):
+        v = q[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+            w.put(zc, zl)
+            run -= 16
+        size = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        w.put(code, length)
+        amp = v if v > 0 else v + (1 << size) - 1
+        w.put(amp, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        w.put(ec, el)
+    return q[0]
+
+
+def _jpeg_read_block(r: "_JpegBitReader", dc_lu: dict, ac_lu: dict,
+                     prev_dc: int, qt: list[int]):
+    """Entropy-decode + dequantize + IDCT one block (shared by the gray
+    and color decoders); returns (8×8 level-shifted float block, new DC
+    predictor)."""
+    import numpy as np
+
+    zz = [0] * 64
+    size = r.huff(dc_lu)
+    prev_dc += _jpeg_extend(r.bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = r.huff(ac_lu)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _jpeg_extend(r.bits(size), size)
+        k += 1
+    coef = np.zeros((8, 8))
+    for k in range(64):
+        if zz[k]:
+            nat = _JPEG_ZIGZAG[k]
+            coef.flat[nat] = zz[k] * qt[nat]
+    a = _dct_a()
+    return a.T @ coef @ a, prev_dc
+
+
+def _jpeg_pad_replicate(arr, mult: int):
+    """Edge-replicate a (H, W[, C]) array up to multiples of ``mult``."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ph = (h + mult - 1) // mult * mult
+    pw = (w + mult - 1) // mult * mult
+    if ph == h and pw == w:
+        return arr
+    pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pad, mode="edge")
+
+
+def encode_jpeg_color(
+    width: int, height: int, pixels: list[tuple[int, int, int]]
+) -> bytes:
+    """Baseline-sequential COLOR JPEG encoder (T.81 SOF0, JFIF YCbCr,
+    4:2:0): RGB → YCbCr in exact-form constants, 2×2-mean chroma
+    subsampling, 16×16 interleaved MCUs (Y00 Y01 Y10 Y11 Cb Cr) with
+    per-component DC predictors, luminance tables (slot 0) for Y and the
+    Annex K chrominance tables (slot 1) for Cb/Cr."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(pixels, dtype=float).reshape(height, width, 3)
+    rgb = _jpeg_pad_replicate(rgb, 16)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - y) / 1.772
+    cr = 128.0 + (r - y) / 1.402
+    # 4:2:0: chroma is the mean of each 2×2 (exact when the 2×2 is constant)
+    ph, pw = y.shape
+    cb_s = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+    cr_s = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+    y = y - 128.0
+
+    dc_y = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_y = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    w = _JpegBitWriter()
+    mcw, mch = pw // 16, ph // 16
+    pdc = [0, 0, 0]  # per-component DC predictors: Y, Cb, Cr
+    for my in range(mch):
+        for mx in range(mcw):
+            for dy in (0, 1):  # the 4 luma blocks, left-to-right top-down
+                for dx in (0, 1):
+                    by, bx = my * 2 + dy, mx * 2 + dx
+                    blk = y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    pdc[0] = _jpeg_encode_block(w, blk, pdc[0], dc_y, ac_y, _JPEG_QTABLE)
+            blk = cb_s[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            pdc[1] = _jpeg_encode_block(w, blk, pdc[1], dc_c, ac_c, _JPEG_QTABLE_C)
+            blk = cr_s[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            pdc[2] = _jpeg_encode_block(w, blk, pdc[2], dc_c, ac_c, _JPEG_QTABLE_C)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qz_y = bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[k]] for k in range(64))
+    qz_c = bytes(_JPEG_QTABLE_C[_JPEG_ZIGZAG[k]] for k in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + qz_y)
+        + seg(0xFFDB, bytes([0x01]) + qz_c)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFC4, bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C))
+        + seg(0xFFC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
+        + seg(0xFFDA, sos)
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_parse_segments(payload: bytes):
+    """Shared T.81 marker walk: returns (qtables, dc_lookup, ac_lookup,
+    components, width, height, scan, data_pos) where components is the
+    SOF0 list of (cid, sampling, tq) and scan the SOS list of (cid, td,
+    ta). Gates on baseline 8-bit (progressive & friends raise)."""
+    import struct
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file: missing SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_lookup: dict[int, dict] = {}
+    ac_lookup: dict[int, dict] = {}
+    sof = None
+    scan = None
+    data_pos = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zz = body[p + 1 : p + 65]
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_JPEG_ZIGZAG[k]] = zz[k]
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = [
+                (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
+                for c in range(ncomp)
+            ]
+            sof = (w_, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF marker FF{marker:02X} (baseline only)")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                if tc == 0:
+                    dc_lookup[th] = _jpeg_huff_lookup(bits, vals)
+                else:
+                    ac_lookup[th] = _jpeg_huff_lookup(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDA:  # SOS
+            ncomp = body[0]
+            scan = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ncomp)
+            ]
+            data_pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if sof is None or scan is None:
+        raise ValueError("truncated JPEG: missing SOF0/SOS")
+    return qtables, dc_lookup, ac_lookup, sof[2], sof[0], sof[1], scan, data_pos
+
+
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """REAL baseline COLOR JPEG decoder (stdlib + numpy): shared marker
+    walk, canonical Huffman rebuild, interleaved-MCU entropy decode with
+    per-component DC predictors, dequant + float IDCT per block,
+    nearest-neighbour chroma upsampling, and the exact-form YCbCr→RGB
+    inverse (G recovered from the Y definition). Gates on the baseline
+    3-component 4:2:0 layout this engine emits; grayscale payloads decode
+    via :func:`decode_jpeg_gray`."""
+    import numpy as np
+
+    qtables, dc_lu, ac_lu, comps, width, height, scan, data_pos = (
+        _jpeg_parse_segments(payload)
+    )
+    if len(comps) != 3 or len(scan) != 3:
+        raise ValueError(
+            f"unsupported JPEG: {len(comps)} components (color decoder needs 3)"
+        )
+    if [c[1] for c in comps] != [0x22, 0x11, 0x11]:
+        raise ValueError("unsupported chroma layout (4:2:0 YCbCr only)")
+    table_for = {cid: (td, ta) for cid, td, ta in scan}
+    sel = []
+    for cid, sampling, tq in comps:
+        td, ta = table_for[cid]
+        if tq not in qtables or td not in dc_lu or ta not in ac_lu:
+            raise ValueError("missing quant/Huffman table for scan")
+        sel.append((qtables[tq], dc_lu[td], ac_lu[ta]))
+    mcw, mch = (width + 15) // 16, (height + 15) // 16
+    yp = np.empty((mch * 16, mcw * 16))
+    cbp = np.empty((mch * 8, mcw * 8))
+    crp = np.empty((mch * 8, mcw * 8))
+    r = _JpegBitReader(payload, data_pos)
+    pdc = [0, 0, 0]
+    for my in range(mch):
+        for mx in range(mcw):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    blk, pdc[0] = _jpeg_read_block(r, sel[0][1], sel[0][2], pdc[0], sel[0][0])
+                    by, bx = my * 2 + dy, mx * 2 + dx
+                    yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            blk, pdc[1] = _jpeg_read_block(r, sel[1][1], sel[1][2], pdc[1], sel[1][0])
+            cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+            blk, pdc[2] = _jpeg_read_block(r, sel[2][1], sel[2][2], pdc[2], sel[2][0])
+            crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+    y = yp[:height, :width] + 128.0
+    cb = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)[:height, :width] + 128.0
+    cr = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)[:height, :width] + 128.0
+    rf = y + 1.402 * (cr - 128.0)
+    bf = y + 1.772 * (cb - 128.0)
+    gf = (y - 0.299 * rf - 0.114 * bf) / 0.587
+    out = np.clip(np.round(np.stack([rf, gf, bf], axis=-1)), 0, 255).astype(int)
+    flat = out.reshape(-1, 3)
+    return width, height, [tuple(int(v) for v in p) for p in flat]
+
+
+def _jpeg_color_decode_exact(rgb: tuple[int, int, int]):
+    """EXACT-fraction model of what the color codec does to one
+    MCU-constant color (forward transform → DC-only quantize-round →
+    inverse transform → final round): the independent arbiter the SQL
+    oracle's literal LUT is built from — no float, no codec code.
+    Returns None when any rounding site sits within 1e-3 of a
+    half-integer (such colors are excluded from the certified palette so
+    float error ~1e-12 can never flip a round) or when a decoded channel
+    leaves [1, 254] (clipping margin)."""
+    from fractions import Fraction as Fr
+
+    R, G, B = (Fr(v) for v in rgb)
+    y = (299 * R + 587 * G + 114 * B) / 1000
+    cb = (B - y) * Fr(250, 443)  # (B−Y)/1.772 in exact form
+    cr = (R - y) * Fr(500, 701)  # (R−Y)/1.402 in exact form
+
+    def nearest(x):
+        fl = x.__floor__()
+        fr = x - fl
+        if abs(fr - Fr(1, 2)) < Fr(1, 1000):
+            return None
+        return fl if fr < Fr(1, 2) else fl + 1
+
+    yq, cbq, crq = nearest(y - 128), nearest(cb), nearest(cr)
+    if None in (yq, cbq, crq):
+        return None
+    yy = 128 + yq
+    rf = yy + Fr(701, 500) * crq
+    bf = yy + Fr(443, 250) * cbq
+    gf = (1000 * yy - 299 * rf - 114 * bf) / 587
+    out = []
+    for v in (rf, gf, bf):
+        if v < 1 or v > 254:
+            return None
+        n = nearest(v)
+        if n is None:
+            return None
+        out.append(n)
+    return tuple(out)
+
+
+def _jpeg_color_palette(n: int = 64):
+    """The certified color palette and its exact decoded twin: the first
+    ``n`` colors of a deterministic enumeration that pass every margin
+    screen of :func:`_jpeg_color_decode_exact`. Returns (sources,
+    decoded), each a list of RGB triples."""
+    src, dec = [], []
+    k = 0
+    while len(src) < n:
+        cand = ((97 * k + 13) % 256, (57 * k + 101) % 256, (17 * k + 29) % 256)
+        got = _jpeg_color_decode_exact(cand)
+        if got is not None:
+            src.append(cand)
+            dec.append(got)
+        k += 1
+        if k > 100000:  # pragma: no cover - enumeration is dense
+            raise RuntimeError("palette search failed")
+    return src, dec
+
+
+_JPEG_COLOR_SRC, _JPEG_COLOR_DEC = _jpeg_color_palette(64)
+
+JPEG_COLOR_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, n_pixels int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, sig bigint"
+)
+
+
+def jpeg_color_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction via the REAL color JPEG decoder:
+    dimensions plus EXACT integer channel sums and a position-weighted
+    signature sig = Σ (p+1)·(r + 256·g + 65536·b) — integer outputs keep
+    the certification free of any rounding convention (a swapped MCU,
+    zigzag slip or chroma-plane offset moves sig even when plain sums
+    collide). Per-term bound 800·1.67e7 ≈ 1.3e10, per-asset < 1e13:
+    int64-safe."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "sig")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_color(payload)
+                sr = sg = sb = sig = 0
+                for p, (r, g, b) in enumerate(px):
+                    sr += r
+                    sg += g
+                    sb += b
+                    sig += (p + 1) * (r + 256 * g + 65536 * b)
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=JPEG_COLOR_FEATURE_SCHEMA)
+
+
+def synthesize_jpeg_color_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COLOR JPEG corpus for the encode→decode certification
+    loop: asset ``i`` is ``(16 + i%17) × (16 + i%9)`` RGB where every
+    16×16 MCU cell ``(bx, by)`` holds palette color
+    ``(3i + 5·bx + 7·by) % 64`` — MCU-constant, so all six blocks of every
+    MCU are DC-only and the decode is the closed-form
+    :func:`_jpeg_color_decode_exact` of the palette entry, while the
+    bitstream still exercises interleaved MCUs, per-component DC
+    prediction, both Huffman table pairs, chroma subsampling, byte
+    stuffing and edge-replicated partial MCUs. Widths 16..32 × heights
+    16..24 give 1–2 MCUs per axis with partials on both.
+
+    The id frame is round-robin repartitioned to the session's default
+    parallelism first: synthesis cost is per-IMAGE Python work, so its
+    parallelism must track the cluster, not the (possibly single-split)
+    parquet layout of the id source — output content is per-row
+    deterministic, so partitioning cannot change the result."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_ = pdf[id_col].tolist()
+            payloads = []
+            for i in ids_:
+                w, h = 16 + i % 17, 16 + i % 9
+                px = [
+                    _JPEG_COLOR_SRC[(3 * i + 5 * (x // 16) + 7 * (y // 16)) % 64]
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(encode_jpeg_color(w, h, px))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    npart = ids.sparkSession.sparkContext.defaultParallelism
+    return (
+        ids.select(id_col)
+        .repartition(npart)
+        .mapInPandas(batches, schema="asset_id bigint, payload binary")
+    )

@@ -2241,18 +2241,26 @@ def exp_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree with mirrored degenerate guards.
 
     Scale: one groupBy(user) corpus pass, one groupBy(arm) GK sketch for
-    medians, one broadcast join of the 2-row median table, one 6-column
-    single-row aggregate."""
+    medians, one broadcast equi-join of the 2-row median table, one
+    single-row aggregate that also recovers the arm medians via
+    min(when(arm)) — no crossJoin anywhere, and an empty arm yields one
+    row with NULL medians exactly like the oracle's scalar subqueries."""
     users = _per_user_metric(spark, sf_dir)
     d = users.select(F.col("s").cast("double").alias("sv"), "g")
     med = d.groupBy("g").agg(
         F.expr("approx_percentile(sv, 0.50, 1000000)").alias("med")
     )
     z = d.join(F.broadcast(med), "g").select(
-        "g", F.abs(F.col("sv") - F.col("med")).cast("decimal(18,2)").alias("z")
+        "g",
+        F.abs(F.col("sv") - F.col("med")).cast("decimal(18,2)").alias("z"),
+        "med",
     )
     g0 = F.col("g") == 0
     g1 = F.col("g") == 1
+    # med is constant within an arm, so min(when(arm)) recovers the arm
+    # median as a scalar in the SAME single-row aggregate as the moment
+    # sums — an empty arm yields NULL, matching the oracle's scalar
+    # subqueries, and no crossJoin/BNLJ appears in the plan.
     gs = z.agg(
         F.count(F.when(g0, 1)).alias("n_a"),
         F.sum(F.when(g0, F.col("z"))).alias("s_a"),
@@ -2260,10 +2268,14 @@ def exp_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(g1, 1)).alias("n_b"),
         F.sum(F.when(g1, F.col("z"))).alias("s_b"),
         F.sum(F.when(g1, F.col("z") * F.col("z"))).alias("q_b"),
+        F.min(F.when(g0, F.col("med"))).alias("med_a"),
+        F.min(F.when(g1, F.col("med"))).alias("med_b"),
     )
     dd = gs.select(
         "n_a",
         "n_b",
+        "med_a",
+        "med_b",
         F.col("n_a").cast("double").alias("na"),
         F.col("s_a").cast("double").alias("sa"),
         F.col("q_a").cast("double").alias("qa"),
@@ -2284,15 +2296,11 @@ def exp_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("sb") / F.col("nb") - zbar)
     )
     v = dd.select(
-        "n_a", "n_b", "na", "nb",
+        "n_a", "n_b", "na", "nb", "med_a", "med_b",
         within.alias("within"), between.alias("between_ss"),
     )
-    med_a = med.filter(g0).select(F.col("med").alias("med_a"))
-    med_b = med.filter(g1).select(F.col("med").alias("med_b"))
     return (
-        v.crossJoin(F.broadcast(med_a))
-        .crossJoin(F.broadcast(med_b))
-        .select(
+        v.select(
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
             "med_a",

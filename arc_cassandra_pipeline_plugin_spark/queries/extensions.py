@@ -1009,6 +1009,82 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "width", "height", "n_pixels", "mean_gray")
 
 
+def _jpeg_color_lut_sql() -> str:
+    """The oracle's literal LUT of DECODED palette colors, computed by the
+    exact-fraction model (operators/multimodal.py _jpeg_color_decode_exact
+    — independent of the float codec): three DuckDB list literals."""
+    rl = ", ".join(str(c[0]) for c in M._JPEG_COLOR_DEC)
+    gl = ", ".join(str(c[1]) for c in M._JPEG_COLOR_DEC)
+    bl = ", ".join(str(c[2]) for c in M._JPEG_COLOR_DEC)
+    return f"SELECT [{rl}] AS rl, [{gl}] AS gl, [{bl}] AS bl"
+
+
+@register(
+    "multimodal_jpeg_color_roundtrip",
+    category="multimodal",
+    oracle=f"""
+WITH lut AS ({{LUT}}),
+d AS (
+  SELECT doc_id AS asset_id, 16 + doc_id % 17 AS w, 16 + doc_id % 9 AS h
+  FROM documents),
+grid AS (
+  SELECT asset_id, w, h, bx, by
+  FROM d CROSS JOIN range(0, 2) tx(bx) CROSS JOIN range(0, 2) ty(by)
+  WHERE bx < (w + 15) // 16 AND by < (h + 15) // 16),
+cell AS (
+  SELECT asset_id, w, h,
+         (3 * asset_id + 5 * bx + 7 * by) % 64 AS ci,
+         16 * bx AS x0, LEAST(w, 16 * bx + 16) AS x1,
+         16 * by AS y0, LEAST(h, 16 * by + 16) AS y1
+  FROM grid),
+v AS (
+  SELECT asset_id, w, h,
+         rl[ci + 1] AS r, gl[ci + 1] AS g, bl[ci + 1] AS b,
+         (x1 - x0) AS nc, (y1 - y0) AS nr,
+         (x0 + x1 - 1) * (x1 - x0) // 2 AS sx,
+         (y0 + y1 - 1) * (y1 - y0) // 2 AS sy
+  FROM cell CROSS JOIN lut),
+agg AS (
+  SELECT asset_id, max(w) AS w, max(h) AS h,
+         sum(nr * nc * r) AS sr, sum(nr * nc * g) AS sg, sum(nr * nc * b) AS sb,
+         sum((w * nc * sy + nr * sx + nr * nc) * (r + 256 * g + 65536 * b)) AS sig
+  FROM v GROUP BY asset_id)
+SELECT asset_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS INT) AS n_pixels,
+       CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+       CAST(sb AS BIGINT) AS sum_b, CAST(sig AS BIGINT) AS sig
+FROM agg
+""".replace("{LUT}", _jpeg_color_lut_sql()),
+)
+def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of COLOR JPEG with no codec library: a deterministic
+    MCU-constant RGB corpus is serialized through the baseline T.81 color
+    encoder (JFIF YCbCr in exact-form constants, 2×2-mean 4:2:0 chroma
+    subsampling, interleaved 16×16 MCUs, per-component DC prediction
+    through the Annex K luminance AND chrominance Huffman tables) and
+    parsed back by the genuine decoder (operators/multimodal.py
+    decode_jpeg_color — shared marker walk, canonical Huffman rebuild,
+    MCU entropy decode, dequant + float IDCT, nearest-neighbour chroma
+    upsampling, exact-form YCbCr→RGB inverse).
+
+    The corpus is MCU-constant so every block is DC-only and the decode
+    of each palette color is closed-form; the oracle's LUT of decoded
+    colors is derived INDEPENDENTLY with exact-fraction arithmetic
+    (_jpeg_color_decode_exact), and palette screening keeps every
+    rounding site ≥1e-3 from a half-integer so the lossy decode is
+    bit-deterministic. Outputs are exact integer channel sums plus a
+    position-weighted signature — a swapped MCU, zigzag slip, chroma
+    offset, or Huffman-table mixup moves the hash. Progressive JPEG /
+    MP3 / H.264 stay honestly gated on codec libs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = M.jpeg_color_features(M.synthesize_jpeg_color_assets(docs))
+    return feats.select(
+        "asset_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "sig",
+    )
+
+
 @register(
     "multimodal_png_resize",
     category="multimodal",

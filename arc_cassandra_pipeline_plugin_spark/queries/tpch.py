@@ -42,48 +42,80 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: scan-heavy groupBy/agg on lineitem.
 
-    Flagship query. Catalyst plans: parquet scan with the shipdate filter
-    pushed down, partial hash aggregate per partition, one shuffle on the
-    2-value group key, final aggregate — the canonical map-side-combine
-    shape that scales linearly with data volume.
+    Flagship query. Two-level exact aggregation — decimal-exact output at
+    vectorized-long speed (the r9 all-decimal rewrite was order-free but
+    put a BigDecimal accumulator in the per-row hot loop; this buys that
+    cost back with identical output):
 
-    Money/quantity sums ride the DECIMAL grid (the registry convention:
-    the per-row double product is row-deterministic, the decimal sum is
-    order-free) — a raw double sum's accumulation-order error reached a
-    half-cent boundary in q5 at sf1, so the whole module now follows
-    tpch2's _rev_dec pattern, with 2-dp rounding done ON the decimal
-    before the double cast (the text_bm25 half-boundary rule). Averages
-    are one double division of the exact sum, rounded once."""
+    1. Per-partition LONG partials: ``groupBy(keys, spark_partition_id)``
+       summing integer CENTS / MICROS — pure int64 whole-stage codegen
+       for every data row, and because all rows of a hash-agg partition
+       share one pid, the map-side partial collapses each partition to
+       ≤|groups| rows before any shuffle (the shuffle moves ~6×P tiny
+       rows).
+    2. Order-free merge: the ≤partitions×groups partials are summed as
+       DECIMAL(38,0) — integer decimal addition is exact in any order —
+       then scaled down by ONE exact decimal division (result scale 6 ≥
+       the value's 2/6 fractional digits, so no rounding) and cast to
+       double, which is bit-identical to the oracle's
+       ``CAST(sum(DECIMAL) AS DOUBLE)``.
+
+    Exactness of the long grid: all four money columns are 2-dp values,
+    so ``round(x*100)::BIGINT`` recovers the exact cents (certified
+    registry cents convention), and the true products
+    price·(1−disc) / price·(1−disc)·(1+tax) lie ON the 4/6-dp grid —
+    micros are exactly ``p_c·(100−d_c)·100`` and ``p_c·(100−d_c)·(100+t_c)``
+    in int64 (≤ ~1.2e11/row). The certified per-row DECIMAL(18,6) cast of
+    the double product equals that same grid point (double product error
+    ~1e-11 ≪ 5e-7 half-grid), so the sums are identical to the oracle's.
+
+    Overflow headroom: per-partition micros sum ≤ rows/partition × 1.2e11;
+    int64-safe below ~7e7 rows per partition — a 128 MB parquet split of
+    lineitem is ~1–6M rows, 10×+ margin; the merge is DECIMAL(38,0), safe
+    at any scale. Plan: pushed shipdate filter, two tiny shuffles
+    (keys+pid, then keys), all per-row work in one codegen stage."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = F.col("l_discount").cast("decimal(18,2)")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
-    n = F.count(F.lit(1))
-    return (
+    l100 = F.lit(100).cast("bigint")
+    p_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    q_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    d_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    t_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    dp_u = p_c * (l100 - d_c) * l100
+    ch_u = p_c * (l100 - d_c) * (l100 + t_c)
+    part = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            F.sum(qty_dec).cast("double").alias("sum_qty"),
-            F.sum(price_dec).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.round(
-                F.sum(qty_dec).cast("double") / n.cast("double"), 4
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(price_dec).cast("double") / n.cast("double"), 4
-            ).alias("avg_price"),
-            F.round(
-                F.sum(disc_dec).cast("double") / n.cast("double"), 4
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(q_c).alias("qty_c"),
+            F.sum(p_c).alias("price_c"),
+            F.sum(d_c).alias("disc_c"),
+            F.sum(dp_u).alias("dp_u"),
+            F.sum(ch_u).alias("ch_u"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+
+    def dec_sum(c: str):
+        return F.sum(F.col(c).cast("decimal(38,0)")).alias(c)
+
+    tot = part.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("qty_c"), dec_sum("price_c"), dec_sum("disc_c"),
+        dec_sum("dp_u"), dec_sum("ch_u"), F.sum("n").alias("n"),
+    )
+    sum_qty_d = (F.col("qty_c") / F.lit(100)).cast("double")
+    sum_price_d = (F.col("price_c") / F.lit(100)).cast("double")
+    n_d = F.col("n").cast("double")
+    return tot.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty_d.alias("sum_qty"),
+        sum_price_d.alias("sum_base_price"),
+        F.round(F.col("dp_u") / F.lit(1000000), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.col("ch_u") / F.lit(1000000), 2).cast("double").alias("sum_charge"),
+        F.round(sum_qty_d / n_d, 4).alias("avg_qty"),
+        F.round(sum_price_d / n_d, 4).alias("avg_price"),
+        F.round((F.col("disc_c") / F.lit(100)).cast("double") / n_d, 4).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 

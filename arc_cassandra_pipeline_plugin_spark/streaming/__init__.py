@@ -56,11 +56,24 @@ def tumbling_window_counts(
     """Watermarked tumbling-window aggregation — works identically on batch
     and streaming frames (same plan shape as the certified
     ``events_windowed_agg`` query; the watermark bounds state for late
-    data in streaming mode)."""
+    data in streaming mode).
+
+    sum_value accumulates in integer CENTS (BIGINT) and divides once at
+    the end: a raw double sum is partition/batch-order dependent and can
+    cross a half-cent rounding boundary at scale (the q5-at-sf1 drift
+    class) — a window's total provably fits int64. This matches the
+    certified oracles of streaming_windowed_agg /
+    streaming_append_closed_windows and the batch twins."""
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
     )
 

@@ -1944,3 +1944,92 @@ def test_jpeg_features_match_python(spark):
         r = rows[i]
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
         assert r["mean_gray"] == round(sum(px) / (w * h), 6)
+
+
+def test_jpeg_color_codec_exact_on_mcu_constant_and_bounded_on_general():
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    # palette integrity: 64 screened colors, exact model in range
+    assert len(M._JPEG_COLOR_SRC) == len(M._JPEG_COLOR_DEC) == 64
+    for s, d in zip(M._JPEG_COLOR_SRC, M._JPEG_COLOR_DEC):
+        assert M._jpeg_color_decode_exact(s) == d
+        assert all(0 <= v <= 255 for v in d)
+
+    # certified subset: MCU-constant corpus decodes to the exact-fraction
+    # model of each palette color — incl. partial MCUs on both axes
+    for i in (0, 5, 16, 33, 150, 99999):
+        w, h = 16 + i % 17, 16 + i % 9
+        src = [
+            M._JPEG_COLOR_SRC[(3 * i + 5 * (x // 16) + 7 * (y // 16)) % 64]
+            for y in range(h)
+            for x in range(w)
+        ]
+        want = [
+            M._JPEG_COLOR_DEC[(3 * i + 5 * (x // 16) + 7 * (y // 16)) % 64]
+            for y in range(h)
+            for x in range(w)
+        ]
+        got = M.decode_jpeg_color(M.encode_jpeg_color(w, h, src))
+        assert got == (w, h, want)
+
+    # general path: lossy but dims exact and smooth-content error bounded
+    w, h = 32, 24
+    px = [
+        (min(255, x * 6 + y), min(255, 60 + x * 2 + y * 3), min(255, 200 - x * 3))
+        for y in range(h)
+        for x in range(w)
+    ]
+    gw, gh, got = M.decode_jpeg_color(M.encode_jpeg_color(w, h, px))
+    assert (gw, gh) == (w, h)
+    errs = [max(abs(a - b) for a, b in zip(p, q)) for p, q in zip(px, got)]
+    assert max(errs) <= 64 and sum(errs) / len(errs) <= 16
+
+
+def test_jpeg_color_decoder_rejects_malformed_and_gates_layout():
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    color = M.encode_jpeg_color(17, 18, [(10, 200, 30)] * (17 * 18))
+    gray = M.encode_jpeg_gray(10, 9, [(x + y) % 256 for y in range(9) for x in range(10)])
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_color(b"\x00\x01" + color[2:])  # no SOI
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_color(color[:24])  # truncated segments
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_color(color.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_color(color[: len(color) // 2])  # truncated entropy
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_color(gray)  # 1-component payload → gray decoder's job
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_gray(color)  # 3-component payload → color decoder's job
+    # 4:4:4 layout (sampling 0x11 on Y) is gated, not mis-decoded
+    bad = color.replace(bytes([1, 0x22, 0]), bytes([1, 0x11, 0]), 1)
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_color(bad)
+
+
+def test_jpeg_color_features_match_python(spark):
+    from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
+
+    ids = spark.range(30).selectExpr("id AS doc_id")
+    rows = {
+        r["asset_id"]: r
+        for r in M.jpeg_color_features(M.synthesize_jpeg_color_assets(ids)).collect()
+    }
+    for i in range(30):
+        w, h = 16 + i % 17, 16 + i % 9
+        dec = [
+            M._JPEG_COLOR_DEC[(3 * i + 5 * (x // 16) + 7 * (y // 16)) % 64]
+            for y in range(h)
+            for x in range(w)
+        ]
+        r = rows[i]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["sum_r"] == sum(p[0] for p in dec)
+        assert r["sum_g"] == sum(p[1] for p in dec)
+        assert r["sum_b"] == sum(p[2] for p in dec)
+        assert r["sig"] == sum(
+            (p + 1) * (c[0] + 256 * c[1] + 65536 * c[2]) for p, c in enumerate(dec)
+        )
