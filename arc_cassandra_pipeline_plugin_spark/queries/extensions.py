@@ -2184,13 +2184,11 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate,
     )
 
-    path = table_path(sf_dir, "documents")
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    # r10: ST.table_stream, not a hand-rolled pathGlobFilter source — the
+    # glob matches no leaf file of a multi-file fixture and the stream
+    # silently reads 0 rows (caught by the sf1 sweep: the sketch was empty
+    # and the top-15 estimates were all zero)
+    stream = ST.table_stream(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     tok = stream.select(F.explode(F.split(norm, " ")).alias("token")).filter(
         F.length("token") > 0

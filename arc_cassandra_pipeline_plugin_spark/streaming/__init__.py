@@ -195,30 +195,40 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str, how: str = "left")
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Streaming read of ANY fixture table, handling both physical source
+    shapes (the r9 bug class — a query that hand-rolls a
+    ``pathGlobFilter`` source silently reads 0 rows from a multi-file
+    fixture, because the glob filters LEAF file names and the Spark-written
+    twins are ``<table>.parquet/part-*.parquet`` directories):
+
+    - directory fixture → the directory IS the streaming source
+    - single-file driver fixture → stream ``sf_dir`` with a name glob
+
+    Schema is snapshotted with a batch read up-front, as Structured
+    Streaming requires."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture (TIMESTAMP(NANOS) handled the
     same way as sources.load_table: nanosAsLong + exact ns→µs truncation);
     schema is fixed up-front as Structured Streaming requires."""
-    import os
-
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        # multi-file fixture (Spark-written twin): the directory IS the
-        # natural streaming source; a name glob would match no leaf file
-        df = spark.readStream.schema(schema).parquet(path)
-    else:
-        # single-file driver fixture: the streaming file source wants a
-        # directory, so stream sf_dir with a glob selecting the fixture
-        df = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+    df = table_stream(spark, sf_dir, "events")
     from pyspark.sql import types as T
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
