@@ -1796,8 +1796,8 @@ def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH cuts AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS lo,
-         quantile_cont(value, 0.95) AS hi
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
@@ -1812,16 +1812,26 @@ GROUP BY e.event_type
 )
 def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized features: clip each group's values at its exact 5th/95th
-    percentile and report the robust mean plus clip counts — the
-    outlier-tolerant normalization step of a feature pipeline.
+    percentile ORDER STATISTIC and report the robust mean plus clip
+    counts — the outlier-tolerant normalization step of a feature
+    pipeline.
 
-    Two-pass: exact interpolated percentiles per group (tiny, broadcast
-    back), then a single clipped-aggregate pass with DECIMAL-exact sums.
-    The clip itself is `greatest(least(...))` — pure codegen."""
+    The cuts are exact DISCRETE percentiles (the certified
+    lossless-sketch equivalence: ``approx_percentile(x, p, 1e6)`` ≡
+    DuckDB ``quantile_disc``) — an order statistic is an actual 2-dp data
+    value, bit-identical in both engines, so the `<`/clip comparisons and
+    the DECIMAL cast of the clipped value can never fork. The r10 sf1
+    sweep caught the interpolated form (`percentile`/`quantile_cont`)
+    drifting by one ulp between engines and flipping a clip at one
+    group's cut.
+
+    Two-pass: exact percentile sketch per group (tiny, broadcast back),
+    then a single clipped-aggregate pass with DECIMAL-exact sums. The
+    clip itself is `greatest(least(...))` — pure codegen."""
     ev = load_table(spark, sf_dir, "events")
     cuts = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+        F.expr("approx_percentile(value, 0.05, 1000000)").alias("lo"),
+        F.expr("approx_percentile(value, 0.95, 1000000)").alias("hi"),
     )
     clipped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
     return (
