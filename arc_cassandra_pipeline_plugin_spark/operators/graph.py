@@ -435,18 +435,35 @@ def hits(
     partition-independent — an L2 normalizer would sum floats). Returns
     (node, hub, authority).
 
-    Same iterate family and determinism recipe as :func:`pagerank`:
-    per-edge contributions rounded to 12 dp then summed as exact DECIMAL
-    (order-free), each round's vector re-rounded to 12 dp — bit-identical
-    on both engines. Scale shape per round: two |E|-contribution shuffles
-    (keyed by dst then src) + two O(V) vector joins; the 1-row max
-    normalizer broadcasts (declared scalar_broadcast)."""
+    Same iterate family as :func:`pagerank`, but every step is pinned to
+    the certified 6-dp conventions (the r10 sf1 sweep caught the r9
+    12-dp recipe forking two ways at scale: ``round(hub·w, 12)`` in
+    double breaks once |hub·w| ≳ 1e4 because ulp exceeds the 12-dp grid,
+    and ``round(q, 12)`` of a double quotient sits only ~1e-4 from
+    DuckDB's float-round decision boundary at the 1e12 multiplier —
+    certified-safe rounding of double quotients is ≤6 dp, where the
+    boundary margin is ~1e-10):
+
+    - per-edge contribution = hub(8,6) × w(20,6) as an exact DECIMAL
+      product (29,12) — no rounding at all, order-free sum;
+    - each sum is rounded to 6 dp ON THE DECIMAL (exact, identical in
+      both engines) before the double cast, so the cast is exact below
+      ~1e9 total in-weight (13 significant digits);
+    - the normalizer is the max of those rounded decimals (max of exact
+      decimals — partition- and engine-independent);
+    - the round vector is ONE double division of bit-identical doubles
+      re-rounded to 6 dp — the certified quotient pattern.
+
+    Scale shape per round: two |E|-contribution shuffles (keyed by dst
+    then src) + two O(V) vector joins; the 1-row max normalizer
+    broadcasts (declared scalar_broadcast)."""
     if iters < 1:
         raise ValueError(f"hits needs iters >= 1, got {iters}")
-    dec = f"decimal(20,{_SCALE})"
+    vec_dec = "decimal(8,6)"  # round-vector values are in [0, 1] at 6 dp
+    w_dec = "decimal(20,6)"  # exact for integral / 6-dp edge weights
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"),
-        F.col(weight).cast("double").alias("_w"),
+        F.col(weight).cast("double").cast(w_dec).alias("_w"),
     ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -461,10 +478,10 @@ def hits(
             e.join(h.select(F.col("node").alias("_src"), "hub"), "_src")
             .select(
                 "_dst",
-                F.round(F.col("hub") * F.col("_w"), _SCALE).cast(dec).alias("_c"),
+                (F.col("hub").cast(vec_dec) * F.col("_w")).alias("_c"),
             )
             .groupBy("_dst")
-            .agg(F.sum("_c").alias("_s"))
+            .agg(F.round(F.sum("_c"), 6).alias("_s"))
         )
         a_max = a_raw.agg(F.max("_s").alias("_m"))
         a = (
@@ -475,7 +492,7 @@ def hits(
                 F.round(
                     F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
                     / F.col("_m").cast("double"),
-                    _SCALE,
+                    6,
                 ).alias("auth"),
             )
         )
@@ -483,10 +500,10 @@ def hits(
             e.join(a.select(F.col("node").alias("_dst"), "auth"), "_dst")
             .select(
                 "_src",
-                F.round(F.col("auth") * F.col("_w"), _SCALE).cast(dec).alias("_c"),
+                (F.col("auth").cast(vec_dec) * F.col("_w")).alias("_c"),
             )
             .groupBy("_src")
-            .agg(F.sum("_c").alias("_s"))
+            .agg(F.round(F.sum("_c"), 6).alias("_s"))
         )
         h_max = h_raw.agg(F.max("_s").alias("_m"))
         h = (
@@ -497,7 +514,7 @@ def hits(
                 F.round(
                     F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
                     / F.col("_m").cast("double"),
-                    _SCALE,
+                    6,
                 ).alias("hub"),
             )
         )
@@ -508,8 +525,12 @@ def hits(
 
 def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
     """DuckDB oracle for :func:`hits`: identical rounds unrolled as CTEs
-    from the same rounding constants."""
-    dec = f"DECIMAL(20,{_SCALE})"
+    from the same conventions — exact-decimal contribution products
+    (hub(8,6) × w(20,6), no per-edge rounding), decimal-rounded sums
+    before the double cast, and 6-dp quotient rounds (see :func:`hits`
+    for why the r9 12-dp recipe forked at sf1 magnitudes)."""
+    vdec = "DECIMAL(8,6)"
+    wdec = "DECIMAL(20,6)"
     parts = [
         f"edges AS ({edges_cte})",
         "nodes AS (SELECT DISTINCT src AS node FROM edges"
@@ -519,7 +540,7 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
     for i in range(iters):
         parts.append(
             f"""ar{i} AS (
-  SELECT e.dst, sum(CAST(round(h.hub * e.w, {_SCALE}) AS {dec})) AS s
+  SELECT e.dst, round(sum(CAST(h.hub AS {vdec}) * CAST(e.w AS {wdec})), 6) AS s
   FROM edges e JOIN h{i} h ON h.node = e.src GROUP BY 1)"""
         )
         parts.append(f"am{i} AS (SELECT max(s) AS m FROM ar{i})")
@@ -527,12 +548,12 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
             f"""a{i + 1} AS (
   SELECT n.node,
          round(coalesce(CAST(ar{i}.s AS DOUBLE), 0.0) / CAST(am{i}.m AS DOUBLE),
-               {_SCALE}) AS auth
+               6) AS auth
   FROM nodes n CROSS JOIN am{i} LEFT JOIN ar{i} ON ar{i}.dst = n.node)"""
         )
         parts.append(
             f"""hr{i} AS (
-  SELECT e.src, sum(CAST(round(a.auth * e.w, {_SCALE}) AS {dec})) AS s
+  SELECT e.src, round(sum(CAST(a.auth AS {vdec}) * CAST(e.w AS {wdec})), 6) AS s
   FROM edges e JOIN a{i + 1} a ON a.node = e.dst GROUP BY 1)"""
         )
         parts.append(f"hm{i} AS (SELECT max(s) AS m FROM hr{i})")
@@ -540,7 +561,7 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
             f"""h{i + 1} AS (
   SELECT n.node,
          round(coalesce(CAST(hr{i}.s AS DOUBLE), 0.0) / CAST(hm{i}.m AS DOUBLE),
-               {_SCALE}) AS hub
+               6) AS hub
   FROM nodes n CROSS JOIN hm{i} LEFT JOIN hr{i} ON hr{i}.src = n.node)"""
         )
     return (
