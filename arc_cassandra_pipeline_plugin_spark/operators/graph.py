@@ -531,8 +531,12 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
     for why the r9 12-dp recipe forked at sf1 magnitudes)."""
     vdec = "DECIMAL(8,6)"
     wdec = "DECIMAL(20,6)"
+    # MATERIALIZED: the aggregated edge list is referenced 2·iters+1
+    # times; inlined, DuckDB would run the full fact-table join once per
+    # reference CONCURRENTLY (OOM'd at sf1 — 7 copies of a 6M-row 4-way
+    # join). Materializing pins one ~|V|² row table instead.
     parts = [
-        f"edges AS ({edges_cte})",
+        f"edges AS MATERIALIZED ({edges_cte})",
         "nodes AS (SELECT DISTINCT src AS node FROM edges"
         " UNION SELECT DISTINCT dst FROM edges)",
         "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
