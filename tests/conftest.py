@@ -78,3 +78,41 @@ _KNOWN_ROWS = [
         datetime.datetime(2017, 12, 29, 17, 21, 49, tzinfo=datetime.timezone.utc),
     ),
 ]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Write SUITE_STAMP.json after a FULL clean suite run (the mechanical
+    form of the round-close rule "the committed suite figure must come
+    from a run at the final source state" — verify any time with
+    ``python tools/suite_stamp.py``). Filtered/partial runs don't stamp."""
+    config = session.config
+    if config.getoption("-k") or config.getoption("-m"):
+        return
+    # a full run targets the tests dir (or nothing, from the repo root)
+    args = [a for a in config.args if not a.startswith("-")]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    full_targets = {"tests", "tests/", os.path.join(root, "tests")}
+    if args and not all(os.path.normpath(a) in {os.path.normpath(t) for t in full_targets} for a in args):
+        return
+    tr = config.pluginmanager.get_plugin("terminalreporter")
+    if tr is None:
+        return
+    passed = len(tr.stats.get("passed", []))
+    failed = len(tr.stats.get("failed", [])) + len(tr.stats.get("error", []))
+    skipped = len(tr.stats.get("skipped", []))
+    if passed == 0:
+        return
+    import json as _json
+
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from suite_stamp import source_digest
+
+    stamp = {
+        "passed": passed,
+        "failed": failed,
+        "skipped": skipped,
+        "source_digest": source_digest(),
+        "when": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+    }
+    with open(os.path.join(root, "SUITE_STAMP.json"), "w") as fh:
+        _json.dump(stamp, fh, indent=1, sort_keys=True)
