@@ -78,6 +78,33 @@ def hex_hash64(col: Column, length: int = 16) -> Column:
     return F.substring(F.md5(col), 1, length)
 
 
+# Accuracy for the certified lossless-sketch equivalence
+# ``approx_percentile(x, p, LOSSLESS_PCTL_ACC)`` ≡ DuckDB ``quantile_disc``:
+# the equivalence holds ONLY while the per-group (or, for global
+# percentiles, per-table) row count stays ≤ the accuracy — beyond that the
+# GK sketch's rank-error budget (n/acc) exceeds one rank and the returned
+# order statistic can silently fork from the oracle's (the r10
+# feature_winsorize drift class). 1e7 gives ≥10× headroom over every
+# certified fixture (largest certified input: lineitem sf1 = 6M rows;
+# largest percentile input: orders sf1 = 1.5M). If a fixture decade ever
+# pushes a percentile input past 1e6 rows/group × 10, bump this and
+# re-certify. At true 100 TB scale the exact-percentile contract is
+# intentionally dropped: use a real approximate accuracy (1e4-ish) and
+# accept sketch semantics — the oracle equivalence is a TEST-SCALE pin.
+LOSSLESS_PCTL_ACC = 10_000_000
+
+
+def lossless_pctl(col: str, frac, acc: int = LOSSLESS_PCTL_ACC) -> Column:
+    """Exact discrete percentile(s) via the lossless-sketch equivalence
+    (see ``LOSSLESS_PCTL_ACC``). ``frac`` is a float or list of floats;
+    the DuckDB oracle twin is ``quantile_disc(col, frac)``."""
+    if isinstance(frac, (list, tuple)):
+        fr = "array(" + ",".join(repr(f) for f in frac) + ")"
+    else:
+        fr = repr(frac)
+    return F.expr(f"approx_percentile({col}, {fr}, {acc})")
+
+
 def hash_bucket(col: Column, buckets: int) -> Column:
     """Uniform bucket id in [0, buckets) from an md5 prefix — portable
     (``('0x' || substr(md5(x),1,8))::bigint % buckets`` in DuckDB)."""

@@ -456,14 +456,36 @@ def hits(
 
     Scale shape per round: two |E|-contribution shuffles (keyed by dst
     then src) + two O(V) vector joins; the 1-row max normalizer
-    broadcasts (declared scalar_broadcast)."""
+    broadcasts (declared scalar_broadcast).
+
+    PRECONDITION: edge weights must be non-negative (validated in-plan
+    with ``raise_error`` — a negative weight would let the normalized
+    quotient leave [-1, 1] and overflow the decimal(8,6) round vector)."""
     if iters < 1:
         raise ValueError(f"hits needs iters >= 1, got {iters}")
     vec_dec = "decimal(8,6)"  # round-vector values are in [0, 1] at 6 dp
     w_dec = "decimal(20,6)"  # exact for integral / 6-dp edge weights
+    # PRECONDITION: weights must be >= 0. The decimal(8,6) round vector
+    # assumes hub/auth ∈ [0, 1] (guaranteed by max-normalization of
+    # NON-NEGATIVE contributions); a negative weight would let the
+    # quotient leave ±0.999999 and overflow the cast (ANSI error or NULL
+    # poisoning the iterate). Nothing downstream guards this, so fail
+    # loudly at the source: raise_error inside the plan keeps the check
+    # distributed — no extra pass, it rides the checkpoint scan.
+    w_cast = F.col(weight).cast("double")
+    w_guarded = F.when(
+        w_cast < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("hits(): negative edge weight "),
+                w_cast.cast("string"),
+                F.lit(" — HITS requires non-negative weights"),
+            )
+        ).cast("double"),
+    ).otherwise(w_cast)
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"),
-        F.col(weight).cast("double").cast(w_dec).alias("_w"),
+        w_guarded.cast(w_dec).alias("_w"),
     ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_src").alias("node"))

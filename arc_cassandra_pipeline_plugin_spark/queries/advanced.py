@@ -94,7 +94,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.to_json(
-            F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000000)")
+            F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000000)")
         ).alias("approx_pcts")
     )
 

@@ -1816,8 +1816,14 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the outlier-tolerant normalization step of a feature
     pipeline.
 
+    PRECONDITION (lossless-sketch contract): per-group row count must
+    stay ≤ the sketch accuracy (``functions.LOSSLESS_PCTL_ACC`` = 1e7;
+    sf1 events groups are ~200k, 50× margin — and the margin now spans
+    the next fixture decade, the r10-ADVICE gap). Past it the cut drifts
+    off the stored-value grid and the clip comparisons fork silently.
+
     The cuts are exact DISCRETE percentiles (the certified
-    lossless-sketch equivalence: ``approx_percentile(x, p, 1e6)`` ≡
+    lossless-sketch equivalence: ``approx_percentile(x, p, acc)`` with acc ≥ group rows (LOSSLESS_PCTL_ACC=1e7) ≡
     DuckDB ``quantile_disc``) — an order statistic is an actual 2-dp data
     value, bit-identical in both engines, so the `<`/clip comparisons and
     the DECIMAL cast of the clipped value can never fork. The r10 sf1
@@ -1830,8 +1836,8 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip itself is `greatest(least(...))` — pure codegen."""
     ev = load_table(spark, sf_dir, "events")
     cuts = ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.05, 1000000)").alias("lo"),
-        F.expr("approx_percentile(value, 0.95, 1000000)").alias("hi"),
+        F.expr("approx_percentile(value, 0.05, 10000000)").alias("lo"),
+        F.expr("approx_percentile(value, 0.95, 10000000)").alias("hi"),
     )
     clipped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
     return (
@@ -2703,8 +2709,8 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_converted"),
-        F.expr("approx_percentile(latency_s, 0.5, 1000000)").cast("bigint").alias("p50_s"),
-        F.expr("approx_percentile(latency_s, 0.9, 1000000)").cast("bigint").alias("p90_s"),
+        F.expr("approx_percentile(latency_s, 0.5, 10000000)").cast("bigint").alias("p50_s"),
+        F.expr("approx_percentile(latency_s, 0.9, 10000000)").cast("bigint").alias("p90_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
 
@@ -3731,7 +3737,7 @@ def orders_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
-            F.expr("approx_percentile(gap_d, 0.5, 1000000)")
+            F.expr("approx_percentile(gap_d, 0.5, 10000000)")
             .cast("bigint")
             .alias("median_gap_d"),
             F.min("gap_d").cast("bigint").alias("min_gap_d"),

@@ -817,18 +817,19 @@ def exp_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim, no interpolation, no rounding).
 
     Scale: groupBy(arm) over the user frame — two mergeable GK sketches.
-    The exact-equivalence contract holds while |arm| ≤ accuracy (1e6
-    here, ≫ every shipped SF); beyond that the sketch degrades gracefully
+    The exact-equivalence contract holds while |arm| ≤ accuracy (1e7
+    here — ``functions.LOSSLESS_PCTL_ACC`` — ≥10× the largest certified
+    fixture input); beyond that the sketch degrades gracefully
     to its ε-rank guarantee and the oracle comparison no longer applies —
     raise accuracy with the fleet's memory budget at real scale."""
     users = _per_user_metric(spark, sf_dir)
     d = users.select("g", F.col("s").cast("double").alias("sv"))
     return d.groupBy(F.col("g").cast("bigint").alias("arm")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.expr("approx_percentile(sv, 0.25, 1000000)").alias("q25"),
-        F.expr("approx_percentile(sv, 0.50, 1000000)").alias("q50"),
-        F.expr("approx_percentile(sv, 0.75, 1000000)").alias("q75"),
-        F.expr("approx_percentile(sv, 0.90, 1000000)").alias("q90"),
+        F.expr("approx_percentile(sv, 0.25, 10000000)").alias("q25"),
+        F.expr("approx_percentile(sv, 0.50, 10000000)").alias("q50"),
+        F.expr("approx_percentile(sv, 0.75, 10000000)").alias("q75"),
+        F.expr("approx_percentile(sv, 0.90, 10000000)").alias("q90"),
     )
 
 
@@ -1012,7 +1013,7 @@ gs AS (
   FROM peruser GROUP BY g)
 SELECT CAST(g AS BIGINT) AS arm,
        CAST(n_users AS BIGINT) AS n_users,
-       CAST(total AS DECIMAL(38,2)) AS total_value,
+       CAST(CAST(total AS DECIMAL(38,2)) AS DOUBLE) AS total_value,
        round(CAST(total AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_value
 FROM gs
 """,
@@ -1029,7 +1030,9 @@ def streaming_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: streaming state is |users| rows of (key, decimal sum) —
     bounded by the entity space, not the stream length; each micro-batch
-    costs one partial aggregation of its own rows."""
+    costs one partial aggregation of its own rows. Output totals are cast
+    decimal->DOUBLE (on-grid, lossless at certified scales): decimal-typed
+    result columns are a driver-hash hazard (r10 agg_decimal_exact)."""
     from arc_cassandra_pipeline_plugin_spark import streaming as ST
 
     ev = ST.events_stream(spark, sf_dir).select(
@@ -1044,7 +1047,7 @@ def streaming_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gs.select(
         "arm",
         "n_users",
-        F.col("total").cast("decimal(38,2)").alias("total_value"),
+        F.col("total").cast("decimal(38,2)").cast("double").alias("total_value"),
         F.round(
             F.col("total").cast("double") / F.col("n_users").cast("double"), 6
         ).alias("mean_value"),
@@ -2233,7 +2236,7 @@ def exp_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled-variance assumptions other readouts lean on).
 
     Exactness: arm medians via the lossless-sketch equivalence
-    (``approx_percentile`` acc 1e6 ≡ ``quantile_disc``); |s − med| is
+    (``approx_percentile`` at lossless accuracy (1e7 ≥ 10× any certified group) ≡ ``quantile_disc``); |s − med| is
     mathematically a 2-dp value, so its DECIMAL(18,2) cast is exact and
     identical on both engines; Σz, Σz² are order-free decimal sums
     (Spark (18,2)² = (37,4) exact; the oracle casts DECIMAL(19,2) so
@@ -2248,7 +2251,7 @@ def exp_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = _per_user_metric(spark, sf_dir)
     d = users.select(F.col("s").cast("double").alias("sv"), "g")
     med = d.groupBy("g").agg(
-        F.expr("approx_percentile(sv, 0.50, 1000000)").alias("med")
+        F.expr("approx_percentile(sv, 0.50, 10000000)").alias("med")
     )
     z = d.join(F.broadcast(med), "g").select(
         "g",

@@ -150,9 +150,14 @@ _SHINGLE_K = 5
 
 
 def _shingle_cte(k: int) -> str:
+    # sh is MATERIALIZED: several audit oracles reference it 2-3× (sizes +
+    # both sides of the intersection join) and DuckDB inlines per
+    # reference, re-running the shingle explosion each time (the r10 sf1
+    # oracle-cost exclusions). Single-reference users pay one buffered
+    # materialization — noise at every certified SF.
     return (
         f"WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),\n"
-        f"sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform("
         f"generate_series(1, greatest(length(t) - {k - 1}, 1)), i -> substr(t, i, {k})"
         f"))) AS shingle FROM norm)"
     )
@@ -1246,7 +1251,14 @@ def _clusters_cte() -> str:
     """The MinHash → LSH bands → recursive-closure CTE chain (everything
     after ``WITH RECURSIVE``), ending in a ``comp(doc_id, cluster_id)``
     relation. Shared by the cluster queries and the leakage-safe split
-    oracle (queries/curation.py) so the band layout cannot drift."""
+    oracle (queries/curation.py) so the band layout cannot drift.
+
+    ``sh``/``sig``/``pairs`` are MATERIALIZED: DuckDB inlines a CTE per
+    reference, and the audit-style oracles reference ``sh`` up to 3× and
+    ``pairs`` 2× — inlined, each reference re-derives the ENTIRE
+    shingle→minhash chain (~1h per extra copy at sf1; the r10 sf1
+    exclusions were exactly this). Materializing pins each stage once —
+    the same remedy as the HITS edge CTE (commit 0479d61)."""
     rows = _NUM_PERM // _BANDS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
@@ -1256,12 +1268,12 @@ def _clusters_cte() -> str:
     )
     return f"""
 norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
          generate_series(1, greatest(length(t) - {_SHINGLE_K - 1}, 1)),
          i -> substr(t, i, {_SHINGLE_K})))) AS shingle FROM norm),
-sig AS ({_minhash_select()}),
+sig AS MATERIALIZED ({_minhash_select()}),
 banded AS ({band_selects}),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
@@ -3854,9 +3866,9 @@ def _minhash_calibration_oracle() -> str:
     )
     return f"""
 {_shingle_cte(_SHINGLE_K)},
-sig AS ({_minhash_select()}),
+sig AS MATERIALIZED ({_minhash_select()}),
 banded AS ({band_selects}),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),

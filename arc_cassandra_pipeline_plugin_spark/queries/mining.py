@@ -302,7 +302,7 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     fracs = ", ".join(repr(f) for f in _EQD_FRACS)
     b = orders.agg(
-        F.expr(f"approx_percentile(o_totalprice, array({fracs}), 1000000)").alias("qs")
+        F.expr(f"approx_percentile(o_totalprice, array({fracs}), 10000000)").alias("qs")
     )
     bucket = " + ".join(
         f"(CASE WHEN o_totalprice > element_at(qs, {i + 1}) THEN 1 ELSE 0 END)"
@@ -417,7 +417,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle wider than the 9-row grid broadcast."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     fracs = ", ".join(repr(f) for f in _KS_FRACS)
-    b = ev.agg(F.expr(f"approx_percentile(value, array({fracs}), 1000000)").alias("qs"))
+    b = ev.agg(F.expr(f"approx_percentile(value, array({fracs}), 10000000)").alias("qs"))
     # distinct: concentrated distributions can repeat decile values; a
     # duplicated threshold would double-count its CDF rows after the
     # cross join while n_base/n_cand do not scale (ADVICE r2)
@@ -729,13 +729,13 @@ def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     key."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.5, 1000000)").alias("med")
+        F.expr("approx_percentile(value, 0.5, 10000000)").alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("approx_percentile(ad, 0.5, 1000000)").alias("mad")
+        F.expr("approx_percentile(ad, 0.5, 10000000)").alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -819,9 +819,9 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fracs = ", ".join(repr(f) for f in _RFM_FRACS)
     qs = base.agg(
-        F.expr(f"approx_percentile(recency_d, array({fracs}), 1000000)").alias("qr"),
-        F.expr(f"approx_percentile(freq, array({fracs}), 1000000)").alias("qf"),
-        F.expr(f"approx_percentile(monetary, array({fracs}), 1000000)").alias("qm"),
+        F.expr(f"approx_percentile(recency_d, array({fracs}), 10000000)").alias("qr"),
+        F.expr(f"approx_percentile(freq, array({fracs}), 10000000)").alias("qf"),
+        F.expr(f"approx_percentile(monetary, array({fracs}), 10000000)").alias("qm"),
     )
 
     def bucket(val: str, qcol: str):

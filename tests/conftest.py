@@ -88,11 +88,25 @@ def pytest_sessionfinish(session, exitstatus):
     config = session.config
     if config.getoption("-k") or config.getoption("-m"):
         return
-    # a full run targets the tests dir (or nothing, from the repo root)
+    # partial-run selectors beyond -k/-m: --lf/--ff replay a subset of the
+    # suite, --deselect drops tests — none of these may stamp (ADVICE r10)
+    for opt in ("lf", "last_failed", "failedfirst", "ff"):
+        try:
+            if config.getoption(opt):
+                return
+        except (ValueError, KeyError):
+            pass
+    if config.getoption("deselect", default=None):
+        return
+    # a full run targets the tests dir, the repo root itself, or nothing
     args = [a for a in config.args if not a.startswith("-")]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    full_targets = {"tests", "tests/", os.path.join(root, "tests")}
-    if args and not all(os.path.normpath(a) in {os.path.normpath(t) for t in full_targets} for a in args):
+    full_targets = {"tests", "tests/", os.path.join(root, "tests"), root, "."}
+    if args and not all(
+        os.path.normpath(os.path.abspath(a))
+        in {os.path.normpath(os.path.abspath(t)) for t in full_targets}
+        for a in args
+    ):
         return
     tr = config.pluginmanager.get_plugin("terminalreporter")
     if tr is None:
@@ -100,7 +114,16 @@ def pytest_sessionfinish(session, exitstatus):
     passed = len(tr.stats.get("passed", []))
     failed = len(tr.stats.get("failed", [])) + len(tr.stats.get("error", []))
     skipped = len(tr.stats.get("skipped", []))
-    if passed == 0:
+    deselected = len(tr.stats.get("deselected", []))
+    if passed == 0 or deselected > 0:
+        return
+    # cross-check: everything collected must have actually run (a plugin
+    # that silently drops tests would otherwise stamp a partial run)
+    executed = passed + failed + skipped + len(tr.stats.get("xfailed", [])) + len(
+        tr.stats.get("xpassed", [])
+    )
+    collected = getattr(session, "testscollected", executed)
+    if collected and executed < collected:
         return
     import json as _json
 

@@ -1746,6 +1746,31 @@ def test_graph_degenerate_iteration_guards(spark):
         G.label_propagation(e, rounds=0)
 
 
+def test_hits_rejects_negative_weights(spark):
+    """hits() max-normalizes NON-NEGATIVE contributions into a
+    decimal(8,6) round vector; a negative weight would push the quotient
+    outside ±0.999999 and overflow the cast (r10 ADVICE). The in-plan
+    raise_error guard must fail loudly at evaluation, and the positive
+    path must be unaffected."""
+    import pytest as _pytest
+
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    bad = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", -2.5)], "src string, dst string, w double"
+    )
+    with _pytest.raises(Exception, match="non-negative"):
+        G.hits(bad, iters=1).collect()
+
+    ok = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    rows = {r["node"]: (r["hub"], r["authority"]) for r in G.hits(ok, iters=2).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert all(0.0 <= h <= 1.0 and 0.0 <= au <= 1.0 for h, au in rows.values())
+
+
 def test_label_propagation_fractional_weights_sum_before_cast(spark):
     """Fractional edge weights must sum BEFORE the bigint projection (the
     oracle's shape), and the projection is the floor-form half-toward-+inf

@@ -1,7 +1,10 @@
-"""sf1 bench lane: the 13 r1-comparable headline queries timed at the
+"""sf1 bench lane: all 24 headline queries (bench.py's set) timed at the
 sf1 twin (.fixtures/sf1, 10× sf0.1) so COST regressions show up at the
 scale where they matter — sf0.1 could not see the r9 decimal-agg cost
-growing with row count (VERDICT r9 item 9).
+growing with row count (VERDICT r9 item 9), and the r10 lane's 13-query
+subset missed the most expensive entries (iterative graph + dedup,
+VERDICT r10 task #3). The r1-comparable subtotal is still reported
+separately (``r1set_total``) so the cross-round trend line survives.
 
 Protocol mirrors bench.py where it matters (untimed warmup pass of every
 query, anchor calibration, interleaved round-robin trials, median
@@ -42,27 +45,70 @@ R1_SET = [
     "multimodal_checksums",
 ]
 
+#: the rest of bench.py's 24-query headline set (VERDICT r10 task #3: the
+#: iterative graph + dedup family — the most expensive headline entries —
+#: must be measured at sf1 too, not just the r1-comparable 13)
+EXTENDED_SET = [
+    "dedup_setsim_prefix",
+    "graph_pagerank_trade",
+    "window_rank_global_scalable",
+    "corpus_curation_pipeline",
+    "dedup_editdist_join",
+    "pack_context_windows",
+    "text_bm25_ranking",
+    "embeddings_kmeans_fast",
+    "spatial_proximity_join",
+    "graph_label_propagation",
+    "text_chunk_overlap",
+]
+
+BENCH_SET = R1_SET + EXTENDED_SET
+
 
 def _next_round_number() -> int:
+    """Round for the artifact name. Prefer an explicit ``--round N`` CLI
+    arg; otherwise take the max across BOTH name families (BENCH_r* and
+    BENCH_SF1_r*) so running the lane after the round's main bench record
+    exists doesn't mislabel the artifact as the NEXT round (r10 ADVICE:
+    max(BENCH_r*)+1 alone produced BENCH_SF1_r{N+1})."""
+    if "--round" in sys.argv:
+        return int(sys.argv[sys.argv.index("--round") + 1])
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = [
+    bench_rounds = [
         int(m.group(1))
         for f in os.listdir(root)
         for m in [re.match(r"BENCH_r(\d+)\.json", f)]
         if m
     ]
-    return (max(rounds) + 1) if rounds else 1
+    sf1_rounds = [
+        int(m.group(1))
+        for f in os.listdir(root)
+        for m in [re.match(r"BENCH_SF1_r(\d+)\.json", f)]
+        if m
+    ]
+    # the SF1 lane runs DURING round N, whose main bench record appears
+    # only at round close — so the current round is max(BENCH_r*) + 1
+    # unless an SF1 record for that round (or later) already exists.
+    n = (max(bench_rounds) + 1) if bench_rounds else 1
+    if sf1_rounds and max(sf1_rounds) >= n:
+        n = max(sf1_rounds)
+    return n
 
 
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(root, ".fixtures", "sf1")
+    positional = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--") and sys.argv[i - 1] != "--round"
+    ]
+    sf_dir = positional[0] if positional else os.path.join(root, ".fixtures", "sf1")
     registry = load_all()
     spark = get_spark("sf1-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in R1_SET:  # untimed warmup on the target fixture
+    for name in BENCH_SET:  # untimed warmup on the target fixture
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     anchor_ts = []
@@ -72,9 +118,9 @@ def main() -> None:
         anchor_ts.append(time.time() - t0)
     anchor_sec = sorted(anchor_ts)[2]
 
-    raw: dict[str, list[float]] = {name: [] for name in R1_SET}
+    raw: dict[str, list[float]] = {name: [] for name in BENCH_SET}
     for _ in range(3):
-        for name in R1_SET:
+        for name in BENCH_SET:
             t0 = time.time()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             raw[name].append(time.time() - t0)
@@ -86,8 +132,9 @@ def main() -> None:
         for n, ts in raw.items()
     }
     rec = {
-        "metric": "sf1_r1set_total_wall",
+        "metric": "sf1_headline_total_wall",
         "value": round(sum(timings.values()), 3),
+        "r1set_total": round(sum(timings[n] for n in R1_SET), 3),
         "unit": "sec",
         "queries": timings,
         "stats": stats,
