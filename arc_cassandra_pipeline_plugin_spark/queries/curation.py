@@ -1236,6 +1236,55 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-language length deciles (grouped exact discrete percentiles)
+# ---------------------------------------------------------------------------
+
+_DECILE_FRACS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+@register(
+    "text_length_deciles",
+    category="text",
+    oracle=f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"CAST(quantile_disc(length(text), {f}) AS BIGINT) AS p{int(f * 100)}"
+           for f in _DECILE_FRACS
+       )}
+FROM documents GROUP BY lang
+""",
+)
+def text_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantile profile (p10/p25/p50/p75/p90)
+    — the curation dashboard's first cut for choosing per-language length
+    filters (a p10 of 40 chars in one language and 400 in another means
+    one shared cutoff silently biases the mix).
+
+    Built on ``functions.lossless_pctl`` — the shared exact-discrete-
+    percentile helper (``approx_percentile`` at ``LOSSLESS_PCTL_ACC`` ≡
+    DuckDB ``quantile_disc`` while per-group rows ≤ accuracy; lengths are
+    stored integers, so the order statistics compare bit-identically).
+
+    Scale: one groupBy(lang) with 5 mergeable GK sketches per group —
+    map-side partials, no second pass, no sort. At true corpus scale drop
+    the accuracy to a real sketch budget (the helper's documented
+    contract)."""
+    from arc_cassandra_pipeline_plugin_spark import functions as FN
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_len", F.length("text")
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            FN.lossless_pctl("_len", f).cast("bigint").alias(f"p{int(f * 100)}")
+            for f in _DECILE_FRACS
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # content-defined chunking (rolling-hash boundaries)
 # ---------------------------------------------------------------------------
 

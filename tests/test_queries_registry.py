@@ -5,6 +5,8 @@ verify skill runs against sf0.01 — the driver's gate.)"""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -37,13 +39,44 @@ def test_oracle_coverage():
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    import os
-
     for t in TABLES:
         p = table_path(SF_SMALL, t)
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
+
+
+def test_percentile_calls_use_lossless_accuracy():
+    """Every approx_percentile call in the certified queries must use the
+    shared lossless accuracy (functions.LOSSLESS_PCTL_ACC): the
+    quantile_disc oracle equivalence holds only while per-group rows ≤
+    accuracy, and r10's ADVICE found sf1 fixtures already crossing the
+    old 1e6 bound's rank-error guarantee. A drifting literal at one call
+    site reintroduces the silent-fork class — this pins them all."""
+    import re
+
+    from arc_cassandra_pipeline_plugin_spark import functions as FN
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "arc_cassandra_pipeline_plugin_spark",
+        "queries",
+    )
+    pat = re.compile(r"approx_percentile\([^)]*?,\s*(\d[\d_]*)\)")
+    offenders = []
+    for fname in sorted(os.listdir(qdir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(qdir, fname)).read()
+        for m in pat.finditer(src):
+            acc = int(m.group(1).replace("_", ""))
+            if acc != FN.LOSSLESS_PCTL_ACC:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{fname}:{line} accuracy={acc}")
+    assert not offenders, (
+        f"approx_percentile accuracy drift from LOSSLESS_PCTL_ACC="
+        f"{FN.LOSSLESS_PCTL_ACC}: {offenders}"
+    )
 
 
 def _spark_type_cat(dt) -> str:
