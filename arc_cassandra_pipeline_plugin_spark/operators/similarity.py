@@ -214,11 +214,19 @@ def embedding_neardup_pairs(
     if blocked:
         base = srp_code(base, "v", dim, n_planes)
         join_on = [F.col("a.srp_code") == F.col("b.srp_code"), F.col("a.id") < F.col("b.id")]
+        left = base.alias("a")
+        right = base.alias("b")
     else:
         join_on = [F.col("a.id") < F.col("b.id")]
+        # exact path: parquet inputs often arrive in 1-2 splits, which
+        # would run the O(n²) comparison on 2 tasks; spread the stream
+        # side across the cluster and broadcast the build side (n·dim
+        # doubles — megabytes at any scale this path is declared for)
+        left = base.repartition(64, "id").alias("a")
+        right = F.broadcast(base.alias("b"))
     pairs = (
-        base.alias("a")
-        .join(base.alias("b"), on=join_on)
+        left
+        .join(right, on=join_on)
         .withColumn("cosine", F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"), "cosine")
