@@ -2,11 +2,10 @@
 with this round's chunk runs (re-certs of changed queries overwrite their
 old entries; the 6 formerly-excluded oracle-cost names join the union).
 
-Chunk files are the per-batch --json outputs under /tmp (see ROUND_NOTES
-r11 for the run log). Two entries (dedup_canonical_docs,
-dedup_cluster_size_hist) come from a batch whose JSON was lost to the
-batch wall-clock cap AFTER both queries printed `ok ... rows match` — they
-are reconstructed from that log with the printed row counts.
+Chunk files are the per-batch --json outputs of tools/selfcheck.py under
+.sf1_chunks/ (driven by .sf1_chunks/run_chunks.sh; the first r11 session's
+/tmp chunk outputs were lost to a session restart, so the chunks were
+re-run against the regenerated — deterministic — sf1 twin).
 
 Usage: python tools/merge_sf1_r11.py
 """
@@ -23,22 +22,17 @@ from arc_cassandra_pipeline_plugin_spark.queries import load_all
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHUNKS = [
-    "/tmp/sf1_chunk_a.json",   # containment, calibration (curve FAILED here)
-    "/tmp/sf1_chunk_b.json",   # graph_link_prediction
-    "/tmp/sf1_chunk_c2.json",  # dedup_lsh_quality_audit (solo re-run)
-    "/tmp/sf1_chunk_d.json",   # 14 light changed queries
-    "/tmp/sf1_chunk_e.json",   # calibration_curve (solo, 24g driver)
-    "/tmp/sf1_chunk_f.json",   # split_leakage_safe
-    "/tmp/sf1_chunk_g.json",   # 8 light materialized re-certs + new query
-    "/tmp/sf1_chunk_i.json",   # dedup_clusters, dedup_clusters_star
+    ".sf1_chunks/excl.json",    # 5 former oracle-cost exclusions
+    ".sf1_chunks/curve.json",   # calibration_curve (solo, 24g driver)
+    ".sf1_chunks/light.json",   # 15 light changed queries (accuracy/decimal/hits/new)
+    ".sf1_chunks/mh.json",      # minhash-oracle-changed re-certs
+    ".sf1_chunks/heavy1.json",  # dedup_clusters, dedup_clusters_star
+    ".sf1_chunks/heavy2.json",  # dedup_canonical_docs
+    ".sf1_chunks/heavy3.json",  # dedup_embedding_neardup
 ]
 
-#: green results whose batch JSON was killed by the wall-clock cap after
-#: the `ok` line printed (log: /tmp/sf1_h.log)
-SALVAGED = {
-    "dedup_canonical_docs": 899,
-    "dedup_cluster_size_hist": 19,
-}
+#: green results salvaged from a killed batch's log (none this run)
+SALVAGED: dict[str, int] = {}
 
 
 def is_green(rec: dict) -> bool:
@@ -58,7 +52,7 @@ def main() -> int:
             if not k.startswith("_"):
                 merged[k] = v
     for path in CHUNKS:
-        d = json.load(open(path))
+        d = json.load(open(os.path.join(ROOT, path)))
         for k, v in d.items():
             if k.startswith("_"):
                 continue
