@@ -11,6 +11,7 @@ Usage: python tools/merge_sf1_r11.py
 """
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -21,15 +22,11 @@ from arc_cassandra_pipeline_plugin_spark.queries import load_all
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHUNKS = [
-    ".sf1_chunks/excl.json",    # 5 former oracle-cost exclusions
-    ".sf1_chunks/curve.json",   # calibration_curve (solo, 24g driver)
-    ".sf1_chunks/light.json",   # 15 light changed queries (accuracy/decimal/hits/new)
-    ".sf1_chunks/mh.json",      # minhash-oracle-changed re-certs
-    ".sf1_chunks/heavy1.json",  # dedup_clusters, dedup_clusters_star
-    ".sf1_chunks/heavy2.json",  # dedup_canonical_docs
-    ".sf1_chunks/heavy3.json",  # dedup_embedding_neardup
-]
+#: every per-batch selfcheck JSON under .sf1_chunks/ (excl/curve/light/mh/
+#: heavy* from run_sf1_chunks_r11.sh plus retry_* solo re-runs at 24g);
+#: red entries in an earlier chunk are superseded by a later green re-run,
+#: and chunks that had not finished by round close are simply absent.
+CHUNKS = sorted(glob.glob(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1_chunks", "*.json")))
 
 #: green results salvaged from a killed batch's log (none this run)
 SALVAGED: dict[str, int] = {}
@@ -52,7 +49,7 @@ def main() -> int:
             if not k.startswith("_"):
                 merged[k] = v
     for path in CHUNKS:
-        d = json.load(open(os.path.join(ROOT, path)))
+        d = json.load(open(path))
         for k, v in d.items():
             if k.startswith("_"):
                 continue
@@ -83,15 +80,15 @@ def main() -> int:
         "round": 11,
         "fixture": ".fixtures/sf1 (10x content-disjoint twin, multi-file parquet)",
         "union_of": "SELFCHECK_SF1_r9 + SELFCHECK_SF1_r10 + r11 chunk runs "
-        "(changed queries re-certified; 6 former oracle-cost exclusions "
-        "certified after the MATERIALIZED-CTE oracle rewrite)",
+        "under .sf1_chunks/ (changed queries re-certified; former "
+        "oracle-cost exclusions certified after the MATERIALIZED-CTE "
+        "oracle rewrite of commit 228a3bf)",
         "excluded": {
             "dedup_semantic_clusters": (
                 "intrinsic all-pairs clustering: the DuckDB closure over the "
-                "sf1 similarity graph (95k edges / 20k vecs, near-single-"
-                "cluster) exceeds practical oracle time; certified EXACT at "
-                "the sf0.5 midpoint instead (10k vectors, SELFCHECK_MID_r11"
-                ".json) per VERDICT r10 task 6"
+                "sf1 similarity graph exceeds practical oracle time; "
+                "certified EXACT at the sf0.5 midpoint instead (10k vectors, "
+                "SELFCHECK_MID_r11.json) per VERDICT r10 task 6"
             ),
             "dedup_setsim_prefix": (
                 "51.1M-pair output too large to collect; certified at sf1 by "
@@ -99,6 +96,7 @@ def main() -> int:
                 "operator code unchanged)"
             ),
         },
+        "uncovered": uncovered,
     }
     dst = os.path.join(ROOT, "SELFCHECK_SF1_r11.json")
     with open(dst, "w") as fh:
