@@ -124,6 +124,20 @@ def hash_bucket_wide(col: Column, buckets: int) -> Column:
     ).cast("int")
 
 
+def small_df(spark, rows, schema) -> DataFrame:
+    """Driver-built control-plane DataFrame (LUTs, offsets, centroids,
+    query-term lists) materialized in ONE partition.
+
+    ``spark.createDataFrame(list)`` parallelizes the rows over
+    ``defaultParallelism`` slices, so a handful of literal rows schedules
+    32 Python-worker tasks at ``local[32]`` (measured ~2x the wall of a
+    single-slice parallelize per call, and multiple seconds of pure
+    worker-spawn CPU). These frames are O(k)/O(buckets) literals that ride
+    broadcast joins anyway — one partition is the right shape at any
+    scale, cluster or local."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the input
     has fewer partitions.

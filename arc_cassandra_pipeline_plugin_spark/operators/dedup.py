@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism, hex_hash64
+from arc_cassandra_pipeline_plugin_spark.functions import (
+    ensure_parallelism,
+    hex_hash64,
+    small_df,
+)
 
 
 def normalize_text(col: F.Column) -> F.Column:
@@ -101,17 +105,38 @@ def minhash_signature(
     hash; signature element p is the min over shingles. Integer arithmetic
     is identical in DuckDB, so the oracle mirrors it exactly.
 
-    One explode + one groupBy(doc) shuffle; signature width is
-    ``num_perm * 8`` bytes/doc.
+    Computed ROW-LOCALLY (base hashes as one array projection, each
+    signature element an ``array_min`` over an affine ``transform``) —
+    zero shuffle, where the previous explode → groupBy(doc).agg(min × 16)
+    moved every (doc, shingle-hash) row through an exchange just to
+    rebuild per-doc minima (guide §2.4, same class as the setsim docsets
+    fix). Exact equivalence: min over exploded rows == array_min over the
+    array (duplicates and NULL md5-of-NULL rows affect neither); the
+    shingle position sequence is the identical expression, so empty/NULL
+    documents produce the identical (possibly NULL) signature rows. The
+    base-hash array is materialized in its own projection and referenced
+    by ``num_perm`` cheap transforms — CollapseProject keeps non-cheap
+    multi-referenced aliases separate, so the md5 still runs once per
+    shingle (asserted in pytest via the plan's md5 count).
     """
-    shingled = shingle_rows(df, text_col, id_col, shingle_k, distinct=False)
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
-    hashed = shingled.select(F.col(id_col), base.alias("h"))
-    aggs = []
+    k = shingle_k
+    normed = ensure_parallelism(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    )
+    harr = F.expr(
+        f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 8), 16, 10)"
+        f" as bigint))"
+    )
+    sel = [F.col(id_col)]
     for p in range(num_perm):
         a, b = minhash_coeffs(p)
-        aggs.append(F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{p}"))
-    return hashed.groupBy(id_col).agg(*aggs)
+        sel.append(
+            F.array_min(
+                F.expr(f"transform(harr, h -> (h * {a}L + {b}L) % {MINHASH_P}L)")
+            ).alias(f"mh_{p}")
+        )
+    return normed.select(F.col(id_col), harr.alias("harr")).select(*sel)
 
 
 def lsh_candidate_pairs(
@@ -531,11 +556,28 @@ _SETSIM_ALLPAIRS_COST_FACTOR = 16
 _SETSIM_BITMASK_BROADCAST_MAX = 64 << 20
 
 
+def _setsim_small_vocab(reps: DataFrame) -> list | None:
+    """Distinct token list over the representative sets when it fits the
+    bitmask gate, else ``None``. ONE bounded job — ``limit(MAX+1)`` collect
+    of the distinct tokens — instead of the previous count job PLUS a
+    second distributed evaluation of the distinct for the dictionary build.
+    Driver state is capped at ``_SETSIM_BITMASK_VOCAB_MAX + 1`` short
+    strings (control-plane sized, like the IVF centroid collect)."""
+    rows = (
+        reps.select(F.explode("arr").alias("token"))
+        .distinct()
+        .limit(_SETSIM_BITMASK_VOCAB_MAX + 1)
+        .collect()
+    )
+    if len(rows) > _SETSIM_BITMASK_VOCAB_MAX:
+        return None
+    return sorted(r["token"] for r in rows)
+
+
 def _setsim_allpairs_bitmask(
     reps: DataFrame,
     members: DataFrame,
-    vocab: DataFrame,
-    n_vocab: int,
+    vocab_tokens: list,
     threshold_pct: int,
     verify_ok: F.Column,
     jaccard_of_c: F.Column,
@@ -549,15 +591,17 @@ def _setsim_allpairs_bitmask(
     nested-loop join sweeps every ``ra < rb`` pair surviving the exact size
     gate ``100*min(ma,mb) >= t_pct*max(ma,mb)`` (max possible Jaccard is
     min/max)."""
-    from pyspark.sql.window import Window
-
+    n_vocab = len(vocab_tokens)
     # max(1, ..): an all-empty-document corpus has an empty vocabulary, and
     # groupBy().agg() requires at least one aggregate expression
     n_words = max(1, (n_vocab + 63) // 64)
-    # dense ids 0..V-1: the single-partition window is bounded by the
-    # _SETSIM_BITMASK_VOCAB_MAX gate (<=1024 rows), never data-sized
-    dic = vocab.select(
-        "token", (F.row_number().over(Window.orderBy("token")) - 1).alias("tid")
+    # dense ids 0..V-1 assigned driver-side in sorted-token order (same ids
+    # the previous Window.orderBy(token) row_number produced, without the
+    # extra distributed evaluation of the distinct)
+    dic = small_df(
+        reps.sparkSession,
+        [(t, i) for i, t in enumerate(vocab_tokens)],
+        "token STRING, tid INT",
     )
     word_aggs = [
         F.expr(
@@ -694,13 +738,25 @@ def setsim_join_prefix(
     """
     from pyspark.sql.window import Window
 
-    # per-doc sorted token ARRAY (one agg), fingerprinted to collapse
-    # identical sets; the set is carried as the array from here on — later
-    # stages never re-explode tokens to count overlaps
+    # per-doc sorted token ARRAY built ROW-LOCALLY (array_sort ∘
+    # array_distinct over the tokenizer's array) — zero shuffle, where the
+    # previous explode → groupBy(id).collect_set shape moved every token of
+    # the corpus through an exchange just to rebuild a set each row already
+    # had (guide §2.4: remove shuffles outright). Equivalence: collect_set
+    # over the exploded distinct tokens == array_distinct of the token
+    # array; both sort ascending; docs with ZERO tokens are dropped exactly
+    # as the explode dropped them (size >= 1 filter). The set is carried as
+    # the array from here on — later stages never re-explode tokens to
+    # count overlaps.
+    tokens = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+    )
     docsets = (
-        word_token_sets(df, text_col, id_col)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("token")).alias("arr"))
+        ensure_parallelism(df.select(F.col(id_col), tokens.alias("toks")))
+        .select(
+            id_col, F.array_sort(F.array_distinct(F.col("toks"))).alias("arr")
+        )
+        .filter(F.size("arr") >= 1)
         .select(
             id_col,
             "arr",
@@ -730,11 +786,10 @@ def setsim_join_prefix(
     )
     n_reps = reps.count()  # reps is checkpointed; this reads the snapshot
     if 0 < n_reps <= allpairs_rep_limit:
-        vocab = reps.select(F.explode("arr").alias("token")).distinct()
-        n_vocab = vocab.count()
-        if n_vocab <= _SETSIM_BITMASK_VOCAB_MAX:
+        vocab_tokens = _setsim_small_vocab(reps)
+        if vocab_tokens is not None:
             return _setsim_allpairs_bitmask(
-                reps, members, vocab, n_vocab, threshold_pct,
+                reps, members, vocab_tokens, threshold_pct,
                 verify_ok, jaccard_of_c, id_col,
             )
         # small R but large vocabulary: prefix filtering stays effective
@@ -781,18 +836,15 @@ def setsim_join_prefix(
         )
         pair_work = n_reps * (n_reps - 1) / 2
         if pair_work <= _SETSIM_ALLPAIRS_COST_FACTOR * est_cand:
-            vocab = reps.select(F.explode("arr").alias("token")).distinct()
-            n_vocab = vocab.count()
-            n_words = (n_vocab + 63) // 64
-            mask_bytes = n_reps * (n_words + 2) * 8
-            if (
-                n_vocab <= _SETSIM_BITMASK_VOCAB_MAX
-                and mask_bytes <= _SETSIM_BITMASK_BROADCAST_MAX
-            ):
-                return _setsim_allpairs_bitmask(
-                    reps, members, vocab, n_vocab, threshold_pct,
-                    verify_ok, jaccard_of_c, id_col,
-                )
+            vocab_tokens = _setsim_small_vocab(reps)
+            if vocab_tokens is not None:
+                n_words = (len(vocab_tokens) + 63) // 64
+                mask_bytes = n_reps * (n_words + 2) * 8
+                if mask_bytes <= _SETSIM_BITMASK_BROADCAST_MAX:
+                    return _setsim_allpairs_bitmask(
+                        reps, members, vocab_tokens, threshold_pct,
+                        verify_ok, jaccard_of_c, id_col,
+                    )
     # positional filter (PPJoin): a token match at positions (pa, pb) bounds
     # the overlap by ub = 1 + min(ma-pa, mb-pb); rows whose bound can't
     # reach the threshold are dropped BEFORE the pair-dedup shuffle. Exact:

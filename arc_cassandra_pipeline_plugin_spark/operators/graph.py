@@ -64,7 +64,17 @@ def pagerank(
     # loop and snapshot — each round then joins the rank vector against one
     # static edge list instead of re-deriving (edges ⋈ out-weights) per
     # round (one join + one shuffle subtree fewer per iteration)
-    e_norm = e.join(outw, "_src").localCheckpoint(eager=True)
+    e_norm = e.join(outw, "_src")
+    if broadcast_rank:
+        # broadcast mode: the rank join imposes no clustering, so lay the
+        # static edge list out by the aggregation key ONCE — each round's
+        # groupBy(_dst) then reuses this partitioning (hash(_dst) satisfies
+        # the agg's clustering; broadcast joins preserve the streamed
+        # side's partitioning) and the iterate runs with ZERO per-round
+        # edge shuffles. Shuffled mode keeps the join-key layout instead:
+        # there the per-round _src join is the one worth serving.
+        e_norm = e_norm.repartition("_dst")
+    e_norm = e_norm.localCheckpoint(eager=True)
     maybe_b = F.broadcast if broadcast_rank else (lambda df: df)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     base = nodes.crossJoin(F.broadcast(n_nodes))
@@ -325,6 +335,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection): every
     node starts labeled with itself; each round it adopts the label with
@@ -365,14 +376,26 @@ def label_propagation(
         )
         .groupBy("_a", "_b")
         .agg(F.floor(F.sum("_w") + half).cast("bigint").alias("_w"))
-        .localCheckpoint(eager=True)
     )
+    if broadcast_labels:
+        # dimension-bounded graphs (caller-declared, like pagerank's
+        # broadcast_rank): the label vector rides broadcast joins, so the
+        # round's only clustering requirement is the two-level vote
+        # aggregation — partition the static edge list by the vote
+        # destination ONCE and every round's groupBy(_b, label) AND
+        # groupBy(_b) reuse it (hash(_b) clusters both key sets; broadcast
+        # joins preserve the streamed side's partitioning): zero per-round
+        # edge shuffles. Web-scale graphs keep the shuffled path — a
+        # V-sized label vector must never transit the driver.
+        und = und.repartition("_b")
+    und = und.localCheckpoint(eager=True)
+    maybe_b = F.broadcast if broadcast_labels else (lambda df: df)
     labels = und.select(F.col("_a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     for _ in range(rounds):
         votes = (
-            und.join(labels.select(F.col("node").alias("_a"), "label"), "_a")
+            und.join(maybe_b(labels.select(F.col("node").alias("_a"), "label")), "_a")
             .groupBy("_b", "label")
             .agg(F.sum("_w").alias("_v"))
         )
@@ -382,7 +405,7 @@ def label_propagation(
             ).alias("_new")
         ).select(F.col("_b").alias("node"), "_new")
         labels = (
-            labels.join(best, "node", "left")
+            labels.join(maybe_b(best), "node", "left")
             .select("node", F.coalesce(F.col("_new"), F.col("label")).alias("label"))
             .localCheckpoint(eager=False)
         )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 #: fixed-point scale for per-row products (dot-product and outer terms)
 _SCALE = 12
@@ -60,7 +61,7 @@ def power_iteration_top_component(
         "_id", (F.col("_p") + 1).alias("j"), F.col("_xf").cast("double").alias("x")
     ).localCheckpoint(eager=True)
 
-    v = spark.createDataFrame([(1, 1.0)], "j INT, val DOUBLE")
+    v = small_df(spark, [(1, 1.0)], "j INT, val DOUBLE")
     dec = f"decimal(30,{_SCALE})"
     for _ in range(iters):
         s = (
@@ -253,7 +254,7 @@ def kmeans_lloyd(
         for g in range(k)
         for j in range(len(cent[g]))
     ]
-    return spark.createDataFrame(
+    return small_df(spark, 
         out, "cluster_id int, j int, loading double, n_members bigint"
     )
 
@@ -478,7 +479,7 @@ def kmeans_lloyd_fast(
         (g, int(n), int(id_sum))
         for g, (n, id_sum) in sorted((last_stats or {}).items())
     ]
-    return spark.createDataFrame(
+    return small_df(spark, 
         out, "cluster_id int, n_members bigint, id_checksum bigint"
     )
 
@@ -684,7 +685,7 @@ def perceptron_train(
             w[int(r["d"])] += int(r["du"])
     mis_after = base.where(F.expr(f"({margin_expr()}) <= 0")).count()
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return small_df(spark, 
         [(d, int(w[d]), int(mis_after)) for d in range(dim + 1)],
         "d INT, w BIGINT, mis_after BIGINT",
     )

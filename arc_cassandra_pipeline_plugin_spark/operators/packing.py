@@ -62,8 +62,24 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     docs = df.filter(F.col(tokens_col) > 0)
+    # sketch the range-bucket bounds on the UNFILTERED id column: the
+    # ``> 0`` filter references tokens_col, which is typically an expensive
+    # projection (a tokenize), so bounding over ``docs`` would evaluate
+    # that projection twice — once for the sketch, once for the prefix
+    # sum's materialization. Bounds over all ids are equally valid (they
+    # only steer balance; the prefix sum is exact under any bounds) and
+    # prune the projection away, leaving a bare id-column scan.
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    row = df.select(
+        F.percentile_approx(id_col, qs, 10_000).alias("b")
+    ).first()
     started = global_prefix_sum(
-        docs, id_col, tokens_col, out_col="__start", num_buckets=num_buckets
+        docs,
+        id_col,
+        tokens_col,
+        out_col="__start",
+        num_buckets=num_buckets,
+        bounds=list(row["b"] or []),
     )
     s = F.col("__start")
     n = F.col(tokens_col).cast("long")

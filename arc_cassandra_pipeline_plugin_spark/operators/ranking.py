@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 
 def _bucketed_row_number(
@@ -68,7 +69,7 @@ def _bucketed_row_number(
     for bucket, cnt in counts:
         offsets.append((bucket, running))
         running += cnt
-    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "__bucket INT, __offset BIGINT")
+    offsets_df = small_df(spark, offsets or [(0, 0)], "__bucket INT, __offset BIGINT")
 
     w = Window.partitionBy("__bucket").orderBy(order_key, *tiebreaks)
     ranked = (
@@ -138,6 +139,7 @@ def global_prefix_sum(
     out_col: str = "prefix_sum",
     num_buckets: int = 32,
     accuracy: int = 10_000,
+    bounds: list | None = None,
 ) -> DataFrame:
     """Exact EXCLUSIVE global prefix sum of ``value_col`` under
     ``ORDER BY order_key, *tiebreaks`` — the running-total twin of
@@ -158,9 +160,18 @@ def global_prefix_sum(
     """
     tiebreaks = tiebreaks or []
     spark = df.sparkSession
-    qs = [i / num_buckets for i in range(1, num_buckets)]
-    row = df.select(F.percentile_approx(order_key, qs, accuracy).alias("b")).first()
-    bounds = sorted(set(row["b"] or []))
+    if bounds is None:
+        # the boundary pass evaluates df's full lineage just to sketch the
+        # leading key; callers whose input is an expensive projection (e.g.
+        # a tokenize) can pass ``bounds`` sketched from a CHEAPER frame —
+        # boundary placement only affects bucket balance, never the exact
+        # result (strict-comparison bucketing + within-bucket tiebreaks)
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        row = df.select(
+            F.percentile_approx(order_key, qs, accuracy).alias("b")
+        ).first()
+        bounds = row["b"] or []
+    bounds = sorted(set(bounds))
     if not bounds:
         bucketed = df.withColumn("__bucket", F.lit(0))
     else:
@@ -180,7 +191,7 @@ def global_prefix_sum(
     for bucket, s in sums:
         offsets.append((bucket, running))
         running += s
-    offsets_df = spark.createDataFrame(
+    offsets_df = small_df(spark, 
         offsets or [(0, 0)], "__bucket INT, __offset BIGINT"
     )
     w = (

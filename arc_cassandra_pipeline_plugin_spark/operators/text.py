@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 from arc_cassandra_pipeline_plugin_spark.functions import (
     hex_hash64,
@@ -647,7 +648,7 @@ def bpe_train(
         # per-iteration checkpoints dominated the batched loop's runtime)
         if bpe_train.last_iterations % 4 == 0:
             seqs = seqs.localCheckpoint(eager=True)
-    merge_df = spark.createDataFrame(
+    merge_df = small_df(spark, 
         merges, "round INT, p1 STRING, p2 STRING, cnt BIGINT"
     )
     return (merge_df, seqs) if return_seqs else merge_df
@@ -782,7 +783,6 @@ def bm25_scores(
     boundary with probability ~1e-2 per row, where Spark (shortest-decimal
     HALF_UP) and DuckDB (scaled-float) disagree by 1e-4.
     """
-    spark = df.sparkSession
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -805,8 +805,10 @@ def bm25_scores(
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("corpus_tokens")
     )
-    terms_df = spark.createDataFrame([(t,) for t in terms], "token string")
-    tf = tc.join(F.broadcast(terms_df), "token")
+    # the term list is a literal — an isin filter is the same inner
+    # semi-join (terms are distinct) without building/shipping a broadcast
+    # relation for a handful of strings
+    tf = tc.filter(F.col("token").isin(list(terms)))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     avgdl = F.col("corpus_tokens") / F.col("n_docs")
     idf = F.round(

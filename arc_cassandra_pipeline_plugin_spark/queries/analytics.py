@@ -1659,6 +1659,7 @@ def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 import math as _math
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 #: shared natural-log lookup (6 dp) for integer counts 1..4096 — BOTH engines
 #: consume these literals, so entropy terms are identical by construction
@@ -1710,7 +1711,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the lookup (inner join) — the fixture maximum is ~600."""
     from arc_cassandra_pipeline_plugin_spark.functions import ensure_parallelism
 
-    lut = spark.createDataFrame(
+    lut = small_df(spark, 
         [(i + 1, v) for i, v in enumerate(_LN_LUT)], "i long, lnv double"
     )
     docs = ensure_parallelism(
@@ -4073,7 +4074,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    out = label_propagation(edges, rounds=3)
+    # the vertex set is the 25-nation dimension — declare it so the label
+    # vector rides broadcast joins and the vote aggregations reuse the
+    # edge list's one-time hash(_b) layout (zero per-round edge shuffles)
+    out = label_propagation(edges, rounds=3, broadcast_labels=True)
     return out.select(F.col("node").alias("nation"), F.col("label").alias("community"))
 
 

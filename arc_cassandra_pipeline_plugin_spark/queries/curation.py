@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
 from arc_cassandra_pipeline_plugin_spark.operators.blocking import blocked_pair_join
@@ -2486,7 +2487,7 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
         ).alias("token"),
     )
-    q = spark.createDataFrame([("spark",), ("join",), ("window",)], "token string")
+    q = small_df(spark, [("spark",), ("join",), ("window",)], "token string")
     hits = toks.join(F.broadcast(q), "token").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matched")
     )
@@ -2812,7 +2813,7 @@ def er_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.get((0, 0), 0), counts.get((0, 1), 0),
         counts.get((1, 0), 0), counts.get((1, 1), 0),
     )
-    out = spark.createDataFrame(
+    out = small_df(spark, 
         [(k, float(v)) for k, v in est.items()], "param string, value double"
     )
     # nano-unit integers: engine-side rounding (never Python round()),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 from arc_cassandra_pipeline_plugin_spark.queries import register
 from arc_cassandra_pipeline_plugin_spark.sources import load_table
@@ -134,7 +135,7 @@ def _ranked_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         ),
     )
-    q = spark.createDataFrame([("spark",), ("join",), ("window",)], "term string")
+    q = small_df(spark, [("spark",), ("join",), ("window",)], "term string")
     tf = (
         toks.join(F.broadcast(q), F.col("token") == F.col("term"))
         .groupBy("term", "doc_id")
@@ -1484,7 +1485,7 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = rx.join(ry, "doc_id")
     n = docs.count()
     inv = count_inversions(r, "rx", "ry")
-    return spark.createDataFrame(
+    return small_df(spark, 
         [(n, inv)], "n bigint, n_inv bigint"
     ).selectExpr(
         "n", "n_inv",
@@ -1638,7 +1639,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b, n, sy, sy * 1000000 // n, fitted[b])
         for b, n, sy in sorted(bins)
     ]
-    return spark.createDataFrame(
+    return small_df(spark, 
         out,
         "bin int, n bigint, n_pos bigint, raw_rate_micro bigint, fitted_micro bigint",
     )

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 from arc_cassandra_pipeline_plugin_spark.queries import register
 from arc_cassandra_pipeline_plugin_spark.sources import load_table
@@ -933,7 +934,7 @@ def _seq_z2_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_conv"),
     )
     pu = pu.withColumn("g", _hash_bucket(F.col("u"), F.lit(_ASSIGN_SALT), 2))
-    cp = spark.createDataFrame(
+    cp = small_df(spark, 
         [(i + 1, c) for i, c in enumerate(_SEQ_CUTOFFS)], "week INT, cutoff_s STRING"
     ).select("week", F.col("cutoff_s").cast("timestamp").alias("cutoff"))
     cw = pu.crossJoin(F.broadcast(cp)).select(
@@ -1882,7 +1883,7 @@ def exp_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, a ×4 broadcast dimension join, 4-row tail; the boundary join
     and running max act on the 4-row frame."""
     traj = _seq_z2_traj(spark, sf_dir)
-    lut = spark.createDataFrame(_OBF_BOUND_Z2, "week INT, obf_bound_z2 DOUBLE")
+    lut = small_df(spark, _OBF_BOUND_Z2, "week INT, obf_bound_z2 DOUBLE")
     j = traj.join(F.broadcast(lut), "week").select(
         "week",
         "n_a",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
 from arc_cassandra_pipeline_plugin_spark.operators import multimodal as M
@@ -3366,6 +3367,9 @@ def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_cassandra_pipeline_plugin_spark.sources.pyds import (
         register_python_datasources,
     )
+    from arc_cassandra_pipeline_plugin_spark.streaming import (
+        stream_shuffle_pinned,
+    )
 
     register_python_datasources(spark)
     stream = (
@@ -3380,26 +3384,31 @@ def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.col("text"), 1, 8), 16, 10).cast("bigint")
         ).cast("bigint").alias("checksum"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("pyds_stream_agg")
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pyds_q_"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    deadline = time.time() + 120
-    drained = 0
-    try:
-        while time.time() < deadline:
-            rows = spark.table("pyds_stream_agg").collect()
-            drained = sum(r["n_docs"] for r in rows)
-            if drained >= 400:
-                break
-            time.sleep(0.5)
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    # pin the state partitioning to actual parallelism for the drain: an
+    # unconfigured session's static 200 schedules 200 state-store tasks
+    # per micro-batch for a 5-group aggregate — the r11 plain-gauntlet
+    # 150/400-rows-in-120s timeout
+    with stream_shuffle_pinned(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("pyds_stream_agg")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pyds_q_"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        drained = 0
+        try:
+            while time.time() < deadline:
+                rows = spark.table("pyds_stream_agg").collect()
+                drained = sum(r["n_docs"] for r in rows)
+                if drained >= 400:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     if drained < 400:
         # fail loudly: a partial complete-mode aggregate would otherwise
         # surface downstream as a confusing oracle hash mismatch (ADVICE r2)
@@ -3731,7 +3740,7 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (key, vid, rm, mmr)
         selected.append((best[1], best[2], best[3]))
         chosen.add(best[1])
-    return spark.createDataFrame(
+    return small_df(spark, 
         [
             (rank + 1, vid, rm, mmr)
             for rank, (vid, rm, mmr) in enumerate(selected)
@@ -4158,7 +4167,7 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("token"),
     )
-    q = spark.createDataFrame([(t,) for t in _RRF_TERMS], "token string")
+    q = small_df(spark, [(t,) for t in _RRF_TERMS], "token string")
     hits = (
         toks.join(F.broadcast(q), "token")
         .groupBy("doc_id")

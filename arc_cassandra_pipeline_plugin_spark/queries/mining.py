@@ -33,6 +33,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 from arc_cassandra_pipeline_plugin_spark.queries import register
 from arc_cassandra_pipeline_plugin_spark.sources import load_table
@@ -101,7 +102,7 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bkt, m in bucket_max:
         carry.append((bkt, running))  # max over all strictly-lower buckets
         running = m if running is None else max(running, m)
-    carry_df = spark.createDataFrame(
+    carry_df = small_df(spark, 
         [(b, -1 if m is None else m) for b, m in carry], "__bkt INT, prev_max INT"
     )
 
@@ -179,7 +180,7 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    expected = spark.createDataFrame(_BENFORD, "digit STRING, expected DOUBLE")
+    expected = small_df(spark, _BENFORD, "digit STRING, expected DOUBLE")
     total = orders.agg(F.count(F.lit(1)).alias("total"))
     return (
         counts.join(F.broadcast(expected), "digit")

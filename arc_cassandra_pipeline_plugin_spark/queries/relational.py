@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 from arc_cassandra_pipeline_plugin_spark.queries import register, scratch_dir, session_suffix
 from arc_cassandra_pipeline_plugin_spark.sources import load_table, register_tables
@@ -1427,7 +1428,7 @@ def join_range_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier/bracket/banding dimensions at any fact size (contrast
     events_proximity_pairs, where BOTH sides scale and binning is
     required). Generated VALUES keep the tier constants single-sourced."""
-    tiers = spark.createDataFrame(_PRICE_TIERS, "lo double, hi double, tier string")
+    tiers = small_df(spark, _PRICE_TIERS, "lo double, hi double, tier string")
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.join(
@@ -2527,7 +2528,7 @@ def ddl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()
     )
     ndv = int(ndv_row["info_value"])
-    return spark.createDataFrame(
+    return small_df(spark, 
         [(row_count, ndv)], "row_count bigint, priority_ndv bigint"
     )
 

@@ -11,6 +11,7 @@ needs: file-replay streaming extract, watermarked event-time windows, and a
 from __future__ import annotations
 
 import dataclasses
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Optional
 
@@ -238,6 +239,31 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@contextmanager
+def stream_shuffle_pinned(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to the cluster's actual
+    parallelism for the lifetime of a stream drain.
+
+    A streaming aggregation captures the shuffle-partition count into its
+    checkpoint at first start; inheriting an unconfigured session's static
+    default (200) schedules 200 state-store tasks PER MICRO-BATCH
+    regardless of cores or data — the r11 plain-gauntlet drain timeout
+    (``streaming_pyds_source`` drained 150/400 rows in 120 s under 200
+    state partitions on a loaded box). ``defaultParallelism`` scales with
+    the cluster, so this is not a local-only constant; the repo's own
+    sessions already run with partitions == cores, making this a
+    defensive pin for driver/plain sessions — the same class as
+    ``sources.load_table``'s unconditional UTC pin. Restores the previous
+    value on exit (the running query keeps its captured count)."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
 ) -> DataFrame:
@@ -248,15 +274,16 @@ def run_stream_to_memory(
     deterministic end."""
     import tempfile
 
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with stream_shuffle_pinned(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     return df.sparkSession.table(name)
 
 
@@ -307,15 +334,18 @@ def run_stream_upsert(
         # snapshot per batch: the state must not re-read source lineage
         state["df"] = merged.localCheckpoint(eager=True)
 
-    q = (
-        df.writeStream.foreachBatch(merge)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise RuntimeError(f"run_stream_upsert: drain did not finish in {timeout_s} s")
+    with stream_shuffle_pinned(df.sparkSession):
+        q = (
+            df.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError(
+                f"run_stream_upsert: drain did not finish in {timeout_s} s"
+            )
     if state["df"] is None:
         raise RuntimeError("run_stream_upsert: no micro-batches arrived")
     return state["df"]
@@ -515,17 +545,18 @@ def run_stream_accumulate(
         merged = p if prev is None else partials(prev.unionByName(p))
         state["df"] = merged.localCheckpoint(eager=True)
 
-    q = (
-        df.writeStream.foreachBatch(merge)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_accum_"))
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise RuntimeError(
-            f"run_stream_accumulate: drain did not finish in {timeout_s} s"
+    with stream_shuffle_pinned(df.sparkSession):
+        q = (
+            df.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_accum_"))
+            .start()
         )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError(
+                f"run_stream_accumulate: drain did not finish in {timeout_s} s"
+            )
     if state["df"] is None:
         raise RuntimeError("run_stream_accumulate: no micro-batches arrived")
     return state["df"]

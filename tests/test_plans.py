@@ -557,3 +557,23 @@ def test_fellegi_sunter_blocks_on_composite_key_and_salt_is_identical(spark):
     assert "_salt" in forced._jdf.queryExecution().executedPlan().toString()
     assert {(r["ck"], r["sk"]) for r in forced.collect()} == plain
     assert len(plain) > 0  # sf0.001: sparse composite blocks, few pairs
+
+
+def test_minhash_signature_is_shuffle_free_and_hashes_once(spark):
+    """The row-local MinHash rewrite: no exchange anywhere in the
+    signature plan (the old explode -> groupBy(doc) shape shuffled every
+    shingle hash), and the md5 base hash is computed ONCE per shingle —
+    CollapseProject must not inline the shared hash array into the 16
+    per-permutation transforms."""
+    from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sigs = D.minhash_signature(docs, num_perm=16, shingle_k=5)
+    plan = explain_str(df=sigs, mode="simple")
+    # the only allowed exchange is ensure_parallelism's round-robin fan-out
+    # of a tiny scan; no KEYED shuffle (the old groupBy(doc) aggregation)
+    assert "Exchange hashpartitioning" not in plan, (
+        f"signature should have no keyed shuffle:\n{plan}"
+    )
+    assert plan.count("md5") == 1, f"md5 must run once per shingle:\n{plan}"

@@ -45,6 +45,8 @@ def build_session(event_dir: str) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", event_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
 
@@ -52,11 +54,11 @@ def build_session(event_dir: str) -> SparkSession:
 def parse_event_log(event_dir: str, t_mark_ms: float):
     """Aggregate the (single) event log: stages completed after t_mark_ms,
     with per-stage wall/cpu/io attribution summed from task-end events."""
-    files = [
-        os.path.join(event_dir, f)
-        for f in os.listdir(event_dir)
-        if not f.startswith(".")
-    ]
+    files = []
+    for root, _dirs, names in os.walk(event_dir):
+        for f in names:
+            if not f.startswith(".") and "appstatus" not in f:
+                files.append(os.path.join(root, f))
     stages: dict[tuple[int, int], dict] = {}
     job_of_stage: dict[int, tuple[int, str]] = {}
     for path in files:
