@@ -138,6 +138,46 @@ def small_df(spark, rows, schema) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+def checkpoint_sized(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
+    """Eager ``localCheckpoint`` whose downstream width is re-derived from
+    the MEASURED materialized size — the rule AQE applies after a shuffle
+    (advisory partition size), applied to a checkpoint.
+
+    A frame fanned out for an expensive projection (``ensure_parallelism``
+    before a tokenize) keeps that fan-out past the checkpoint, so every
+    later control-plane stage over it schedules one task per core for
+    kilobytes of work (~6-10 ms/task of scheduler overhead per stage,
+    measured +26% on dedup_setsim_prefix end to end). The old shuffle-based
+    builds got right-sizing for free from AQE's post-shuffle coalescing;
+    with the shuffle removed this re-derives it: checkpoint, read the
+    materialized bytes from the block manager (no job), and ``coalesce``
+    (narrow, no exchange) to ``ceil(bytes / target)``. At real scale the
+    measured size keeps the width unchanged; only small-relative-to-target
+    frames narrow. Falls back to the plain checkpoint if storage info is
+    unavailable."""
+    sc = df.sparkSession.sparkContext
+    try:
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:
+        return df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=True)
+    try:
+        sizes = [
+            i.memSize() + i.diskSize()
+            for i in sc._jsc.sc().getRDDStorageInfo()
+            if i.id() not in before
+        ]
+        size = max(sizes) if sizes else None
+    except Exception:
+        return ck
+    if size is None:
+        return ck
+    want = max(1, -(-size // target_bytes))
+    if want < ck.rdd.getNumPartitions():
+        ck = ck.coalesce(want)
+    return ck
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the input
     has fewer partitions.

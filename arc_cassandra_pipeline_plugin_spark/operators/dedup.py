@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from arc_cassandra_pipeline_plugin_spark.functions import (
+    checkpoint_sized,
     ensure_parallelism,
     hex_hash64,
     small_df,
@@ -562,7 +563,11 @@ def _setsim_small_vocab(reps: DataFrame) -> list | None:
     of the distinct tokens — instead of the previous count job PLUS a
     second distributed evaluation of the distinct for the dictionary build.
     Driver state is capped at ``_SETSIM_BITMASK_VOCAB_MAX + 1`` short
-    strings (control-plane sized, like the IVF centroid collect)."""
+    strings (control-plane sized, like the IVF centroid collect), and
+    LimitPushDown caps every PARTIAL at the same bound, so executor state
+    stays bounded even on an adversarial vocabulary (a one-row
+    ``collect_set`` aggregate would merge the whole vocabulary into a
+    single buffer — rejected for that reason)."""
     rows = (
         reps.select(F.explode("arr").alias("token"))
         .distinct()
@@ -763,8 +768,16 @@ def setsim_join_prefix(
             F.size("arr").alias("m"),
             F.md5(F.concat_ws("\x1f", F.col("arr"))).alias("fp"),
         )
-        .localCheckpoint(eager=True)
     )
+    # measured-size checkpoint (functions.checkpoint_sized): the tokenize
+    # runs at full-core width, but the materialized set table narrows to
+    # ceil(bytes/64MB) partitions so downstream control-plane stages stop
+    # paying one task per core for kilobytes of work (the old explode →
+    # groupBy build got this sizing for free from AQE's post-shuffle
+    # coalescing; measured +26% end-to-end without it). The heavy sweep
+    # re-widens itself (_setsim_allpairs_bitmask repartitions masks), and
+    # at real scale the measured size keeps the width unchanged.
+    docsets = checkpoint_sized(docsets)
     # group identity = min doc id per distinct set — a BIGINT join key
     # (md5 strings as shuffle keys cost ~4× in the multi-million-row
     # candidate join below)
@@ -776,8 +789,11 @@ def setsim_join_prefix(
             id_col,
         )
         .select(F.col(id_col).alias("rid"), "arr", "m")
-        .localCheckpoint(eager=True)
     )
+    # same measured-size rule as docsets: reps inherits docsets' width via
+    # the broadcast join (broadcast preserves the streamed side's
+    # partitioning), so it needs its own narrowing
+    reps = checkpoint_sized(reps)
     jaccard_of_c = F.round(
         F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")), 6
     ).alias("jaccard")

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from arc_cassandra_pipeline_plugin_spark.functions import small_df
+from arc_cassandra_pipeline_plugin_spark.functions import checkpoint_sized, small_df
 
 #: fixed-point scale for per-row products (dot-product and outer terms)
 _SCALE = 12
@@ -388,10 +388,18 @@ def kmeans_lloyd_fast(
     """
     import numpy as np
 
-    base = df.select(
-        F.col(id_col).cast("long").alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("xs"),
-    ).localCheckpoint(eager=True)
+    # measured-size checkpoint (functions.checkpoint_sized): every Lloyd
+    # round re-reads this frame through an Arrow kernel, and per-task fixed
+    # cost (scheduler + Arrow batch setup) dominates when a small corpus is
+    # spread over every core — measured 0.44-0.81 s/round at bench scale
+    # for ~40 KB/task of real work. At real scale the measured size keeps
+    # the width, so kernel parallelism is unchanged where it matters.
+    base = checkpoint_sized(
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("xs"),
+        )
+    )
     seed_rows = (
         base.filter(F.col("_id") < k)
         .select("_id", F.transform("xs", lambda x: _round_vscale(x)).alias("v"))
