@@ -3387,8 +3387,9 @@ def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the state partitioning to actual parallelism for the drain: an
     # unconfigured session's static 200 schedules 200 state-store tasks
     # per micro-batch for a 5-group aggregate — the r11 plain-gauntlet
-    # 150/400-rows-in-120s timeout
-    with stream_shuffle_pinned(spark):
+    # 150/400-rows-in-120s timeout. The synthetic source is 400 ~1 KB docs,
+    # so pass its known volume for the data-derived state width.
+    with stream_shuffle_pinned(spark, source_bytes=400 * 1024):
         q = (
             agg.writeStream.format("memory")
             .queryName("pyds_stream_agg")

@@ -19,8 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arc_cassandra_pipeline_plugin_spark.context import PipelineContext
+from arc_cassandra_pipeline_plugin_spark.functions import small_df
 from arc_cassandra_pipeline_plugin_spark.stages.base import PipelineStage, register_view
 from arc_cassandra_pipeline_plugin_spark.stages.load import LoadStage
+
+#: per-process memo of max(ts) per (events path, mtime) — every stream
+#: query's sentinel build needs the same deterministic value; see
+#: events_stream_flushed
+_MAX_TS_CACHE: dict = {}
 
 
 @dataclass
@@ -212,6 +218,7 @@ def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     schema = spark.read.parquet(path).schema
+    _note_stream_source(spark, path)
     if os.path.isdir(path):
         return spark.readStream.schema(schema).parquet(path)
     return (
@@ -239,25 +246,72 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: per-session note of the most recent stream SOURCE's on-disk byte size,
+#: written by the stream builders (events_stream / events_stream_flushed /
+#: table_stream) and read by stream_shuffle_pinned at drain start. Streams
+#: here are built and drained inside one query function on one thread, so
+#: "most recent" is the drain's own source.
+_STREAM_SRC_BYTES: dict = {}
+
+#: state-partition sizing target: one state-store partition per this many
+#: source bytes. Every state partition costs a per-micro-batch commit
+#: (delta file create+write+rename), so width must follow DATA, not cores:
+#: a 2 MB bounded replay under 32 state partitions paid ~5 s/drain of pure
+#: commit overhead (measured; 4 partitions → 2.2 s end-to-end).
+_STREAM_STATE_TARGET_BYTES = 32 << 20
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, names in os.walk(path, followlinks=True):
+        for f in names:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _note_stream_source(spark: SparkSession, path: str) -> None:
+    try:
+        _STREAM_SRC_BYTES[id(spark)] = _path_bytes(path)
+    except Exception:
+        _STREAM_SRC_BYTES.pop(id(spark), None)
+
+
 @contextmanager
-def stream_shuffle_pinned(spark: SparkSession):
-    """Pin ``spark.sql.shuffle.partitions`` to the cluster's actual
-    parallelism for the lifetime of a stream drain.
+def stream_shuffle_pinned(spark: SparkSession, source_bytes: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for the lifetime of a stream
+    drain to a SCALE-ADAPTIVE state width: ``ceil(source_bytes / 32MB)``,
+    capped at the cluster's ``defaultParallelism`` (falls back to the cap
+    when the builder didn't record a source size). ``source_bytes``
+    overrides the recorded size for callers whose source is not a file
+    path (e.g. a synthetic Python DataSource of known volume).
 
     A streaming aggregation captures the shuffle-partition count into its
-    checkpoint at first start; inheriting an unconfigured session's static
-    default (200) schedules 200 state-store tasks PER MICRO-BATCH
-    regardless of cores or data — the r11 plain-gauntlet drain timeout
-    (``streaming_pyds_source`` drained 150/400 rows in 120 s under 200
-    state partitions on a loaded box). ``defaultParallelism`` scales with
-    the cluster, so this is not a local-only constant; the repo's own
-    sessions already run with partitions == cores, making this a
-    defensive pin for driver/plain sessions — the same class as
-    ``sources.load_table``'s unconditional UTC pin. Restores the previous
-    value on exit (the running query keeps its captured count)."""
+    checkpoint at first start, and every state partition then costs one
+    state-store commit per micro-batch. Two failure modes, both measured:
+    an unconfigured session's static 200 scheduled 200 state tasks per
+    micro-batch (the r11 plain-gauntlet ``streaming_pyds_source`` timeout,
+    150/400 rows in 120 s), and partitions == cores paid ~5 s of commit
+    overhead per drain for a 2 MB replay (7.6 s → 2.3 s at the derived
+    width). The width grows with the source (at 100 TB the cap, i.e. full
+    cluster parallelism, wins), so this is a data-derived setting, not a
+    local constant. Restores the previous value on exit (the running query
+    keeps its captured count)."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    cap = spark.sparkContext.defaultParallelism
+    src = source_bytes if source_bytes is not None else _STREAM_SRC_BYTES.get(id(spark))
+    if src is None:
+        want = cap
+    else:
+        want = max(1, min(cap, -(-src // _STREAM_STATE_TARGET_BYTES)))
+    spark.conf.set(key, str(want))
     try:
         yield
     finally:
@@ -461,7 +515,15 @@ def events_stream_flushed(
     if not os.path.exists(os.path.join(sent, "_SUCCESS")):
         from pyspark.sql import types as T
 
-        mx = raw.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        # every stream query builds its sentinel in its OWN scratch dir, so
+        # without this memo each one re-scans the whole events table for
+        # the same max(ts) (deterministic per fixture file — keyed on
+        # mtime like sources._SCHEMA_CACHE, ~2 s/query at bench scale)
+        mkey = (ev_src, os.path.getmtime(ev_src))
+        mx = _MAX_TS_CACHE.get(mkey)
+        if mx is None:
+            mx = raw.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            _MAX_TS_CACHE[mkey] = mx
         if isinstance(raw.schema["ts"].dataType, T.LongType):
             future = int(mx) + 30 * 86400 * 1_000_000_000  # ns
         else:
@@ -479,9 +541,9 @@ def events_stream_flushed(
                 "props": None,
             }
             rows.append(tuple(vals[f.name] for f in raw.schema.fields))
-        spark.createDataFrame(rows, raw.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sent)
+        # two literal rows — one slice, not a defaultParallelism fan-out
+        small_df(spark, rows, raw.schema).write.mode("overwrite").parquet(sent)
+    _note_stream_source(spark, ev_src)
     df = (
         spark.readStream.schema(raw.schema)
         .option("recursiveFileLookup", "true")
