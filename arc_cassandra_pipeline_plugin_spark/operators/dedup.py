@@ -69,10 +69,25 @@ def shingle_rows(
     """(id, shingle) rows: normalize once, explode the position sequence,
     one codegen'd ``substring`` per row. ``distinct=True`` dedupes per-doc
     shingle sets (needed for Jaccard set sizes; MinHash minima are
-    duplicate-insensitive so the extra shuffle is skipped)."""
+    duplicate-insensitive so that work is skipped).
+
+    The distinct is ROW-LOCAL (``array_distinct`` over the per-doc shingle
+    array, then explode) — the dedup key is (id, shingle), so no row can
+    collide across documents and a global ``dropDuplicates`` shuffle adds
+    nothing (guide §2.4). The shuffle it replaces also sabotaged
+    consumers: AQE coalesced the small exchange to one partition, so e.g.
+    the audit's shingle self-join — whose work is quadratic in hot-shingle
+    groups, far larger than its input bytes — ran single-task."""
     normed = ensure_parallelism(
         df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
     )
+    if distinct:
+        arr = F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(length(t) - {k - 1}, 1)),"
+            f" i -> substring(t, i, {k})))"
+        )
+        return normed.select(id_col, F.explode(arr).alias("shingle"))
     pos = normed.select(
         id_col,
         "t",
@@ -80,8 +95,7 @@ def shingle_rows(
             F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(k - 1), F.lit(1)))
         ).alias("i"),
     )
-    out = pos.select(id_col, F.expr(f"substring(t, i, {k})").alias("shingle"))
-    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+    return pos.select(id_col, F.expr(f"substring(t, i, {k})").alias("shingle"))
 
 
 #: affine-permutation constants for MinHash: mh_p = (A(p)·h + B(p)) mod P
@@ -313,30 +327,37 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-token 64-bit hash from the
     md5 prefix; each bit contributes +1/-1; sign of the per-bit sum forms the
-    code. Expressed as explode → groupBy(doc) with 64 conditional sums folded
-    into one ``sum`` over a bit-array column (single shuffle)."""
-    tokens = ensure_parallelism(
-        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
-    ).select(
-        F.col(id_col), F.explode(F.split(F.col("t"), " ")).alias("tok")
-    ).filter(F.length("tok") > 0)
-    # bit b of the 60-bit token hash → ±1 contribution; SQL lambda because
-    # the Python shiftright API needs a literal shift amount
-    with_bits = tokens.select(
-        F.col(id_col),
-        F.expr(
-            "transform(sequence(0, 59), b -> "
-            "CASE WHEN (CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) "
-            "div shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1 THEN 1 ELSE -1 END)"
-        ).alias("bits"),
+    code. Computed ROW-LOCALLY (the per-doc token set is already on the row;
+    the old explode → groupBy(doc) shape shuffled a 60-wide ±1 array per
+    TOKEN occurrence just to rebuild per-doc sums — guide §2.4, same class
+    as the minhash-signature rewrite). Exact: integer sums are order-free;
+    docs with zero tokens are dropped exactly as the explode dropped them.
+    The md5 is materialized once per token in its own projection (``harr``)
+    before the 60 per-bit aggregates reference it."""
+    toks = F.expr("filter(split(t, ' '), x -> length(x) > 0)")
+    harr = F.expr(
+        "transform(toks, x ->"
+        " CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))"
     )
-    summed = with_bits.groupBy(id_col).agg(
-        *[F.sum(F.element_at("bits", b + 1)).alias(f"bit_{b}") for b in range(60)]
+    # sign of the per-bit sum over tokens → bit b of the code; one fold per
+    # bit over the shared hash array (same 60·|tokens| adds the groupBy
+    # paid, without materializing a 60-wide array per token row)
+    code = F.expr(
+        "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (code, b) ->"
+        " code + CASE WHEN aggregate(harr, 0L, (acc, h) ->"
+        "   acc + CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1"
+        "   THEN 1 ELSE -1 END) > 0"
+        " THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
     )
-    code = F.lit(0).cast("bigint")
-    for b in range(60):
-        code = code + F.when(F.col(f"bit_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
-    return summed.select(F.col(id_col), code.alias("simhash"))
+    return (
+        ensure_parallelism(
+            df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+        )
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(F.col(id_col), harr.alias("harr"))
+        .select(F.col(id_col), code.alias("simhash"))
+    )
 
 
 def connected_components(

@@ -993,6 +993,7 @@ def temporal_earliest_arrival(
     src: str = "src",
     dst: str = "dst",
     etime: str = "et",
+    broadcast_arrivals: bool = False,
 ) -> DataFrame:
     """Earliest-arrival reachability on a TEMPORAL graph: a path is
     time-respecting when its edge times are non-decreasing, and a node's
@@ -1005,17 +1006,30 @@ def temporal_earliest_arrival(
     per-node minimum — the same iterate discipline as
     :func:`sssp_cheapest` (two node-keyed shuffles per round, lineage cut
     per round, fixed ``rounds`` so both engines run the identical
-    schedule). Arrival times are exact integers."""
+    schedule). Arrival times are exact integers.
+
+    ``broadcast_arrivals`` (opt-in, same contract as pagerank's
+    ``broadcast_rank`` — only the caller knows its vertex set is
+    dimension-bounded) carries the arrival vector through BROADCAST joins:
+    the static edge list is then never shuffled per round (one exchange
+    per round — the min-merge — instead of three). Web-scale graphs keep
+    the shuffled path: a large arrival vector must never transit the
+    driver."""
     if rounds < 1:
         raise ValueError(f"temporal_earliest_arrival needs rounds >= 1, got {rounds}")
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"),
         F.col(etime).cast("bigint").alias("_t"),
     )
+    maybe_b = F.broadcast if broadcast_arrivals else (lambda df: df)
+    if broadcast_arrivals:
+        # snapshot the static edge list once: every round re-reads it, and
+        # broadcast joins preserve the streamed side so the layout survives
+        e = e.localCheckpoint(eager=True)
     arr = seeds.select(F.col("node"), F.col("t0").cast("bigint").alias("at"))
     for _ in range(rounds):
         relaxed = (
-            e.join(arr.select(F.col("node").alias("_s"), "at"), "_s")
+            e.join(maybe_b(arr.select(F.col("node").alias("_s"), "at")), "_s")
             .filter(F.col("_t") >= F.col("at"))
             .select(F.col("_d").alias("node"), F.col("_t").alias("at"))
         )

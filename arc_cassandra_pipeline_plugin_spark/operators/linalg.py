@@ -53,7 +53,11 @@ def power_iteration_top_component(
     mean-center the vectors first (a broadcast of the d-dim column means).
     """
     spark = df.sparkSession
-    # long form (id, j, x): one explode, reused by both products per round
+    # long form (id, j, x): one explode, reused by both products per round.
+    # NOT checkpoint_sized: the per-round decimal(30,12) aggregations are
+    # CPU-dense relative to their bytes, so narrowing by the 64 MB byte
+    # target serializes real compute (A/B'd: 2.9 s -> 7.5 s at sf0.01) —
+    # the byte rule only fits frames whose downstream work is byte-shaped
     e = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col)).alias("_p", "_xf"),

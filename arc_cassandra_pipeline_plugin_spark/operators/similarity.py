@@ -361,20 +361,67 @@ def pq_codebooks(
     (lowest-id seeds, ``iterations`` Lloyd rounds, 6-dp-rounded centroids —
     same discipline as :func:`_centroids_kmeans`) of ``n_codes`` centroids
     per subspace. Driver state is O(n_sub · n_codes · d_sub) floats — the
-    codebook, never data."""
-    dim = len(
-        corpus.orderBy(id_col).limit(1).select(vec_double(vec_col).alias("v")).collect()[0]["v"]
+    codebook, never data.
+
+    All subspaces train in the SAME jobs: one seed collect (the lowest-id
+    vectors, sliced driver-side) and ONE corpus pass per Lloyd round — the
+    per-row assignments for every subspace explode into (s, cluster, sub)
+    rows and a single (s, cluster) mean aggregation updates every codebook
+    (the sequential per-subspace loop re-scanned the corpus n_sub times
+    per round: 13 jobs → 1 + iterations). Numerics are the certified
+    per-boundary 6-dp rounding — the oracle re-derives the identical
+    quantizer in SQL, where summation order already differs per engine, so
+    the round is the bridge in both directions."""
+    seed_rows = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(vec_double(vec_col).alias("v"))
+        .collect()
     )
+    dim = len(seed_rows[0]["v"])
     if dim % n_sub != 0:
         raise ValueError(f"dim ({dim}) must be divisible by n_sub ({n_sub})")
     d_sub = dim // n_sub
-    books = []
-    for s in range(n_sub):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(vec_double(vec_col), s * d_sub + 1, d_sub).alias("sub"),
+    books = [
+        [
+            (i, list(r["v"])[s * d_sub : (s + 1) * d_sub])
+            for i, r in enumerate(seed_rows)
+        ]
+        for s in range(n_sub)
+    ]
+    base = corpus.select(vec_double(vec_col).alias("v"))
+    for _ in range(iterations):
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _nearest_centroid_expr(
+                        books[s], F.slice("v", s * d_sub + 1, d_sub)
+                    ).alias("cluster"),
+                    F.slice("v", s * d_sub + 1, d_sub).alias("sub"),
+                )
+                for s in range(n_sub)
+            ]
         )
-        books.append(_centroids_kmeans(sub, "sub", id_col, n_codes, iterations))
+        rows = (
+            base.select(F.explode(per_sub).alias("x"))
+            .select(
+                F.col("x.s").alias("s"),
+                F.col("x.cluster").alias("cluster"),
+                *[F.element_at("x.sub", i + 1).alias(f"d{i}") for i in range(d_sub)],
+            )
+            .groupBy("s", "cluster")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(d_sub)])
+            .collect()
+        )
+        new_books: list[list[tuple[int, list[float]]]] = [[] for _ in range(n_sub)]
+        for r in rows:
+            new_books[r["s"]].append(
+                (r["cluster"], [round(float(r[f"d{i}"]), 6) for i in range(d_sub)])
+            )
+        for b in new_books:
+            b.sort(key=lambda c: c[0])
+        books = new_books
     return books
 
 

@@ -4893,7 +4893,9 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _temporal_trade_edges(spark, sf_dir)
     seeds = _temporal_seed(spark, sf_dir, 1996)
-    arr = temporal_earliest_arrival(edges, seeds, rounds=3)
+    # 25-nation dimension graph (caller-declared): arrival vector
+    # rides broadcast joins, static edges never shuffle per round
+    arr = temporal_earliest_arrival(edges, seeds, rounds=3, broadcast_arrivals=True)
     return arr.select(F.col("node").alias("nation"), F.col("at").cast("bigint").alias("arrival_year"))
 
 
@@ -4955,9 +4957,10 @@ def graph_temporal_reachability_incremental(spark: SparkSession, sf_dir: str) ->
     seeds = _temporal_seed(spark, sf_dir, 1992)
     base = edges.filter(F.col("et") <= _TEMPORAL_SPLIT_YEAR)
     delta = edges.filter(F.col("et") > _TEMPORAL_SPLIT_YEAR)
-    arr_base = temporal_earliest_arrival(base, seeds, rounds=8)
+    arr_base = temporal_earliest_arrival(base, seeds, rounds=8, broadcast_arrivals=True)
     arr = temporal_earliest_arrival(
-        delta, arr_base.select("node", F.col("at").alias("t0")), rounds=8
+        delta, arr_base.select("node", F.col("at").alias("t0")), rounds=8,
+        broadcast_arrivals=True,
     )
     return arr.select(
         F.col("node").alias("nation"), F.col("at").cast("bigint").alias("arrival_year")

@@ -577,3 +577,29 @@ def test_minhash_signature_is_shuffle_free_and_hashes_once(spark):
         f"signature should have no keyed shuffle:\n{plan}"
     )
     assert plan.count("md5") == 1, f"md5 must run once per shingle:\n{plan}"
+
+
+def test_distinct_shingles_are_shuffle_free_and_match_old_shape(spark):
+    """shingle_rows(distinct=True) dedups per-doc shingles ROW-LOCALLY
+    (array_distinct before the explode): the dedup key is (id, shingle), so
+    the old global dropDuplicates shuffle added nothing — and its exchange,
+    AQE-coalesced to one partition, serialized downstream self-joins. Plan
+    must carry no keyed exchange; the row multiset must equal the
+    dropDuplicates formulation exactly."""
+    from arc_cassandra_pipeline_plugin_spark.operators import dedup as D
+    from arc_cassandra_pipeline_plugin_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sh = D.shingle_rows(docs, "text", "doc_id", k=5, distinct=True)
+    plan = explain_str(df=sh, mode="simple")
+    assert "Exchange hashpartitioning" not in plan, (
+        f"distinct shingles should have no keyed shuffle:\n{plan}"
+    )
+    old = (
+        D.shingle_rows(docs, "text", "doc_id", k=5, distinct=False)
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    new_counts = {tuple(r) for r in sh.groupBy("doc_id").count().collect()}
+    old_counts = {tuple(r) for r in old.groupBy("doc_id").count().collect()}
+    assert new_counts == old_counts and len(new_counts) > 0
