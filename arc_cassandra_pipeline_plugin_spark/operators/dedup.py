@@ -811,6 +811,12 @@ def setsim_join_prefix(
         )
         .select(F.col(id_col).alias("rid"), "arr", "m")
     )
+    from pyspark.sql import Observation
+
+    # the rep count rides the checkpoint materialization action (the
+    # connected_components idiom) — one job instead of checkpoint + count
+    _obs = Observation()
+    reps = reps.observe(_obs, F.count(F.lit(1)).alias("n"))
     # same measured-size rule as docsets: reps inherits docsets' width via
     # the broadcast join (broadcast preserves the streamed side's
     # partitioning), so it needs its own narrowing
@@ -821,7 +827,7 @@ def setsim_join_prefix(
     verify_ok = F.lit(100) * F.col("c") >= F.lit(threshold_pct) * (
         F.col("ma") + F.col("mb") - F.col("c")
     )
-    n_reps = reps.count()  # reps is checkpointed; this reads the snapshot
+    n_reps = int(_obs.get["n"] or 0)  # collected by the checkpoint job
     if 0 < n_reps <= allpairs_rep_limit:
         vocab_tokens = _setsim_small_vocab(reps)
         if vocab_tokens is not None:
