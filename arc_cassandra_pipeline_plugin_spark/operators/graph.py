@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 #: fixed-point scale for per-round rank values and edge contributions
 _SCALE = 12
 
+#: driver-iterate safety cap: a caller that declares its graph
+#: dimension-bounded gets the driver-side iterate only while the rolled-up
+#: edge list actually is bounded — past this the distributed path runs
+_DRIVER_EDGE_CAP = 65536
+
+_Q12 = decimal.Decimal(1).scaleb(-_SCALE)
+
+
+def _round12(x: float) -> float:
+    """Bit-exact Python twin of Spark's ``round(double, 12)``: Spark routes
+    the double through ``BigDecimal.valueOf`` (``Double.toString`` shortest
+    round-trip decimal — same digits CPython ``repr`` produces) and
+    ``setScale(12, HALF_UP)``. Used by the driver-side iterate so its ranks
+    land on the identical 12-dp grid as the distributed/oracle rounds."""
+    return float(
+        decimal.Decimal(repr(x)).quantize(_Q12, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _dec12(x: float) -> decimal.Decimal:
+    """Python twin of Spark's ``CAST(double AS DECIMAL(20,12))`` (shortest
+    decimal repr, then HALF_UP to scale 12) — the exact order-free per-edge
+    contribution type the distributed iterate sums."""
+    return decimal.Decimal(repr(x)).quantize(_Q12, rounding=decimal.ROUND_HALF_UP)
+
 
 def pagerank(
     edges: DataFrame,
@@ -32,6 +57,7 @@ def pagerank(
     dst: str = "dst",
     weight: str = "w",
     broadcast_rank: bool = False,
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """Weighted PageRank with ``iters`` synchronous rounds over an edge
     DataFrame (src, dst, w). Returns (node, rank).
@@ -50,10 +76,29 @@ def pagerank(
     cluster summaries) each round then costs one shuffle (the dst
     aggregation) instead of three. Web-scale graphs keep the shuffled
     path: a rank vector with millions of entries must never transit the
-    driver."""
+    driver.
+
+    ``driver_iterate`` (opt-in, same caller-declared dimension bound as
+    ``broadcast_rank``) runs the rounds on the DRIVER over the collected
+    edge rollup — the perceptron/k-means convention, where O(dim²) control
+    state ferries through the driver while the data-sized rollup that
+    produced it stays distributed. Each local-mode Spark job costs a
+    ~60 ms scheduler floor, so a 3-round iterate over a 25-node graph is
+    pure job-count tax (~25 jobs) distributed; the driver iterate replays
+    the identical 12-dp fixed-point arithmetic in Python (bit-equal: see
+    :func:`_round12`) in zero jobs. Guarded by a LimitPushDown-bounded
+    collect — past ``_DRIVER_EDGE_CAP`` edges the distributed path runs,
+    so a misdeclared web-scale graph degrades to correct, not to a driver
+    blowup."""
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
     )
+    if driver_iterate:
+        head = e.limit(_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= _DRIVER_EDGE_CAP:
+            return _pagerank_driver(
+                edges.sparkSession, head, iters, damping, e.schema[0].dataType
+            )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -63,18 +108,13 @@ def pagerank(
     # normalize ONCE: every round needs w/out_w, so join it in before the
     # loop and snapshot — each round then joins the rank vector against one
     # static edge list instead of re-deriving (edges ⋈ out-weights) per
-    # round (one join + one shuffle subtree fewer per iteration)
-    e_norm = e.join(outw, "_src")
-    if broadcast_rank:
-        # broadcast mode: the rank join imposes no clustering, so lay the
-        # static edge list out by the aggregation key ONCE — each round's
-        # groupBy(_dst) then reuses this partitioning (hash(_dst) satisfies
-        # the agg's clustering; broadcast joins preserve the streamed
-        # side's partitioning) and the iterate runs with ZERO per-round
-        # edge shuffles. Shuffled mode keeps the join-key layout instead:
-        # there the per-round _src join is the one worth serving.
-        e_norm = e_norm.repartition("_dst")
-    e_norm = e_norm.localCheckpoint(eager=True)
+    # round (one join + one shuffle subtree fewer per iteration).
+    # (r12: an earlier upfront repartition(_dst) for the broadcast mode was
+    # removed — localCheckpoint surfaces as ExistingRDD with
+    # UnknownPartitioning, so Catalyst cannot reuse the layout and the
+    # repartition was a pure extra shuffle; the r11 plan dumps proved the
+    # per-round Exchange count unchanged.)
+    e_norm = e.join(outw, "_src").localCheckpoint(eager=True)
     maybe_b = F.broadcast if broadcast_rank else (lambda df: df)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     base = nodes.crossJoin(F.broadcast(n_nodes))
@@ -108,6 +148,50 @@ def pagerank(
             )
         )
     return rank.select("node", "rank")
+
+
+def _pagerank_driver(spark, edge_rows, iters, damping, node_type) -> DataFrame:
+    """Driver-side PageRank rounds over a collected dimension-bounded edge
+    rollup — bit-identical to the distributed iterate: contributions are
+    ``round(rank * w / out_w, 12)`` doubles cast onto the exact
+    DECIMAL(20,12) grid (:func:`_dec12`), summed exactly (Python Decimal,
+    order-free like Spark's decimal sum), and each round's rank re-rounds
+    to 12 dp via the same shortest-repr HALF_UP (:func:`_round12`). Weight
+    sums accumulate in the weights' native Python type (int for BIGINT
+    counts, Decimal for decimals — exact in both engines); float weights
+    are order-dependent in the distributed path already and carry the same
+    caveat here."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions import small_df
+
+    out_w: dict = {}
+    nodes = set()
+    for r in edge_rows:
+        s, d, w = r[0], r[1], r[2]
+        nodes.add(s)
+        nodes.add(d)
+        out_w[s] = out_w[s] + w if s in out_w else w
+    n = len(nodes)
+    schema = StructType(
+        [StructField("node", node_type), StructField("rank", DoubleType())]
+    )
+    if n == 0:
+        return small_df(spark, [], schema)
+    rank = {v: _round12(1.0 / n) for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        acc: dict = {}
+        for r in edge_rows:
+            s, d, w = r[0], r[1], r[2]
+            c = _dec12(_round12(rank[s] * float(w) / float(out_w[s])))
+            acc[d] = acc[d] + c if d in acc else c
+        rank = {
+            v: _round12(base + damping * (float(acc[v]) if v in acc else 0.0))
+            for v in nodes
+        }
+    ordered = sorted(nodes, key=lambda v: (v is None, v))
+    return small_df(spark, [(v, rank[v]) for v in ordered], schema)
 
 
 def pagerank_oracle_sql(
@@ -336,6 +420,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str = "w",
     broadcast_labels: bool = False,
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection): every
     node starts labeled with itself; each round it adopts the label with
@@ -377,17 +462,26 @@ def label_propagation(
         .groupBy("_a", "_b")
         .agg(F.floor(F.sum("_w") + half).cast("bigint").alias("_w"))
     )
-    if broadcast_labels:
-        # dimension-bounded graphs (caller-declared, like pagerank's
-        # broadcast_rank): the label vector rides broadcast joins, so the
-        # round's only clustering requirement is the two-level vote
-        # aggregation — partition the static edge list by the vote
-        # destination ONCE and every round's groupBy(_b, label) AND
-        # groupBy(_b) reuse it (hash(_b) clusters both key sets; broadcast
-        # joins preserve the streamed side's partitioning): zero per-round
-        # edge shuffles. Web-scale graphs keep the shuffled path — a
-        # V-sized label vector must never transit the driver.
-        und = und.repartition("_b")
+    if driver_iterate:
+        # dimension-bounded graphs (caller-declared): run the rounds on
+        # the driver over the collected symmetrized rollup — the
+        # perceptron convention (O(dim²) control state through the
+        # driver, the data-sized rollup stays distributed). The iterate
+        # is exact BIGINT votes with a deterministic argmax, so the
+        # Python replay is trivially bit-equal; distributed, each of the
+        # 3 rounds costs 2 aggregations + a checkpoint ≈ a dozen ~60 ms
+        # local-mode jobs over a 25-node vector. Bounded collect: past
+        # the cap the distributed path runs (misdeclared graphs degrade
+        # to correct, never to a driver blowup).
+        head = und.limit(_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= _DRIVER_EDGE_CAP:
+            return _label_propagation_driver(
+                edges.sparkSession, head, rounds, und.schema[0].dataType
+            )
+    # (r12: the broadcast-mode upfront repartition(_b) was removed —
+    # localCheckpoint surfaces as ExistingRDD with UnknownPartitioning, so
+    # the vote groupBy could never reuse the layout and the repartition
+    # was a pure extra shuffle; the r11 plan dumps proved it.)
     und = und.localCheckpoint(eager=True)
     maybe_b = F.broadcast if broadcast_labels else (lambda df: df)
     labels = und.select(F.col("_a").alias("node")).distinct().select(
@@ -410,6 +504,37 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def _label_propagation_driver(spark, und_rows, rounds, node_type) -> DataFrame:
+    """Driver-side synchronous LPA rounds over the collected symmetrized
+    rollup — bit-identical to the distributed iterate by construction: the
+    votes are exact BIGINT sums (Python int, order-free) and the argmax is
+    the same deterministic (votes DESC, label ASC) rule ``min_by`` encodes
+    via its (-votes, label) struct ordering."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..functions import small_df
+
+    labels = {r[0]: r[0] for r in und_rows}
+    for _ in range(rounds):
+        votes: dict = {}
+        for r in und_rows:
+            a, b, w = r[0], r[1], r[2]
+            k = (b, labels[a])
+            votes[k] = votes[k] + w if k in votes else w
+        best: dict = {}
+        for (b, lab), v in votes.items():
+            cur = best.get(b)
+            if cur is None or (-v, lab) < cur[0]:
+                best[b] = ((-v, lab), lab)
+        labels = {node: best[node][1] if node in best else lab
+                  for node, lab in labels.items()}
+    schema = StructType(
+        [StructField("node", node_type), StructField("label", node_type)]
+    )
+    ordered = sorted(labels, key=lambda v: (v is None, v))
+    return small_df(spark, [(v, labels[v]) for v in ordered], schema)
 
 
 def label_propagation_oracle_sql(edges_sql: str, rounds: int = 3) -> str:

@@ -1041,9 +1041,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round and the corpus is scanned three times
         .localCheckpoint(eager=True)
     )
-    # the vertex set is the 25-nation dimension — declare it so the rank
-    # vector rides broadcast joins (1 shuffle/round) without an auto-count
-    pr = pagerank(edges, iters=3, damping=0.85, broadcast_rank=True)
+    # the vertex set is the 25-nation dimension — declare it so the three
+    # rounds run on the driver over the collected ≤|V|² edge rollup (the
+    # perceptron convention — r12: the distributed iterate was ~25
+    # local-mode jobs of pure ~60 ms scheduler floor for a 25-row vector)
+    pr = pagerank(edges, iters=3, damping=0.85, driver_iterate=True)
     return pr.select(
         F.col("node").alias("nation"), F.round("rank", 8).alias("pagerank")
     )
@@ -4074,10 +4076,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # the vertex set is the 25-nation dimension — declare it so the label
-    # vector rides broadcast joins and the vote aggregations reuse the
-    # edge list's one-time hash(_b) layout (zero per-round edge shuffles)
-    out = label_propagation(edges, rounds=3, broadcast_labels=True)
+    # the vertex set is the 25-nation dimension — declare it so the rounds
+    # run on the driver over the collected ≤|V|² rollup (the perceptron
+    # convention: the data-sized fact rollup stays distributed, the
+    # dimension-bounded iterate pays zero per-round jobs — r12, was ~12
+    # local-mode scheduler floors of ~60 ms for 25-node vote rounds)
+    out = label_propagation(edges, rounds=3, driver_iterate=True)
     return out.select(F.col("node").alias("nation"), F.col("label").alias("community"))
 
 

@@ -515,6 +515,60 @@ def test_pagerank_sink_attracts_mass(spark):
     assert abs(sum(ranks.values())) > 0
 
 
+def test_pagerank_driver_iterate_bit_equal_to_distributed(spark):
+    """The opt-in driver-side iterate (r12) must be BIT-identical to the
+    distributed rounds — same 12-dp grid, same decimal contribution sums —
+    on an irregular weighted graph (non-uniform out-weights, a dangling
+    sink, parallel-free multi-edges)."""
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import pagerank
+
+    edges = [
+        (f"n{a}", f"n{(a * 3 + b) % 13}", (a * 5 + b * 7) % 9 + 1)
+        for a in range(13)
+        for b in range(4)
+        if a != (a * 3 + b) % 13
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    dist = {(r.node, r.rank) for r in pagerank(df, iters=3).collect()}
+    drv = {(r.node, r.rank) for r in pagerank(df, iters=3, driver_iterate=True).collect()}
+    assert drv == dist and len(drv) == 13
+
+
+def test_pagerank_driver_iterate_cap_falls_back_to_distributed(spark, monkeypatch):
+    """Past the dimension cap the bounded collect bails out and the
+    distributed path runs — a misdeclared graph degrades to correct."""
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "a", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    want = {(r.node, r.rank) for r in G.pagerank(df, iters=2).collect()}
+    monkeypatch.setattr(G, "_DRIVER_EDGE_CAP", 2)
+    got = {(r.node, r.rank) for r in G.pagerank(df, iters=2, driver_iterate=True).collect()}
+    assert got == want
+
+
+def test_label_propagation_driver_iterate_bit_equal(spark, monkeypatch):
+    """Driver-side LPA rounds (r12) equal the distributed iterate exactly,
+    including fractional-weight rollup (decimal sum before the bigint
+    projection) and the (votes DESC, label ASC) argmax; past the cap the
+    distributed path runs."""
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    edges = [
+        (f"n{a}", f"n{b}", ((a * 7 + b) % 5) / 2 + 0.5)
+        for a in range(20)
+        for b in range(20)
+        if a != b and (a * 31 + b * 17) % 7 == 0
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    dist = {tuple(r) for r in G.label_propagation(df, rounds=3).collect()}
+    drv = {tuple(r) for r in G.label_propagation(df, rounds=3, driver_iterate=True).collect()}
+    assert drv == dist and len(drv) == 20
+    monkeypatch.setattr(G, "_DRIVER_EDGE_CAP", 3)
+    capped = {tuple(r) for r in G.label_propagation(df, rounds=3, driver_iterate=True).collect()}
+    assert capped == dist
+
+
 def test_compact_files_reduces_file_count(spark, tmp_path):
     from arc_cassandra_pipeline_plugin_spark.operators.layout import compact_files
 
