@@ -1137,16 +1137,27 @@ def _editdist_join_deletion(strs: DataFrame, max_dist: int) -> DataFrame:
     equi-join on ≤ len+1 deletion keys per string, which is near-output-
     sized on real key-like data (measured 22.3M q-gram candidate rows →
     0.4M deletion candidates on 15k sequential customer names, 18 s → 2 s).
-    The key join is exact-substring equality — no hot gram can blow it up;
-    identical strings share all their keys, so the pair-distinct runs
-    BEFORE verification here (the dup factor is len+1 for equal pairs,
-    unlike the bounded k+1 of the gram path). Keys scale as O(len) per
-    string, which is why this path is gated to short-ish strings via the
-    caller's ``max_dist == 1`` fuzzy-key regime; the q-gram prefix path
-    remains the long-document route."""
+    The key join is exact-substring equality — no hot gram can blow it up.
+    Keys scale as O(len) per string, which is why this path is gated to
+    short-ish strings via the caller's ``max_dist == 1`` fuzzy-key regime;
+    the q-gram prefix path remains the long-document route.
+
+    The strings ride the key rows, so the banded-DP verify runs directly
+    on the RAW join output inside the wide candidate stage, and the one
+    pair-distinct runs on verified (id_a, id_b, edit_dist) rows (r12 —
+    previously candidates were pair-distincted first and the strings
+    joined back on, which cost two extra broadcast-build jobs and pushed
+    the whole levenshtein bill into the post-distinct stage, where AQE had
+    coalesced the byte-sized exchange far below the levenshtein bill's
+    width: the §2.2 "AQE sizes by bytes, work is super-linear" trap. The
+    occurrence-level dup factor on unequal pairs is ~1-2 shared keys, so
+    the re-verify tax is small and the distinct now ships only verified
+    pairs; equal strings — the len+1-dup worst case — verify at O(1) each
+    because the banded DP exits on the first row of an equal pair)."""
     keys = strs.select(
         "rid",
         "len",
+        "s",
         F.explode(
             F.expr(
                 "array_distinct(transform(sequence(0, len),"
@@ -1155,20 +1166,20 @@ def _editdist_join_deletion(strs: DataFrame, max_dist: int) -> DataFrame:
             )
         ).alias("k"),
     )
-    cand = (
-        keys.select(F.col("rid").alias("ra"), F.col("len").alias("la"), "k")
+    return (
+        keys.select(
+            F.col("rid").alias("ra"), F.col("len").alias("la"),
+            F.col("s").alias("sa"), "k",
+        )
         .join(
-            keys.select(F.col("rid").alias("rb"), F.col("len").alias("lb"), "k"),
+            keys.select(
+                F.col("rid").alias("rb"), F.col("len").alias("lb"),
+                F.col("s").alias("sb"), "k",
+            ),
             "k",
         )
         .filter(F.col("ra") < F.col("rb"))
         .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
-        .select("ra", "rb")
-        .distinct()
-    )
-    return (
-        cand.join(strs.select(F.col("rid").alias("ra"), F.col("s").alias("sa")), "ra")
-        .join(strs.select(F.col("rid").alias("rb"), F.col("s").alias("sb")), "rb")
         .withColumn("edit_dist", F.levenshtein("sa", "sb", max_dist))
         .filter(F.col("edit_dist") >= 0)
         .select(
@@ -1176,6 +1187,7 @@ def _editdist_join_deletion(strs: DataFrame, max_dist: int) -> DataFrame:
             F.col("rb").alias("id_b"),
             F.col("edit_dist").cast("int").alias("edit_dist"),
         )
+        .distinct()
     )
 
 
