@@ -642,9 +642,11 @@ def _setsim_allpairs_bitmask(
         .agg(*word_aggs)
         # spread the nested-loop sweep across every core: upstream AQE
         # typically coalesces this tiny table to ONE partition, which would
-        # serialize the R^2/2 scan
+        # serialize the R^2/2 scan. No checkpoint: the probe side and the
+        # broadcast build each recompute this ~R-row aggregation from the
+        # checkpointed reps (~tens of ms), which is cheaper than the extra
+        # materialization job + scheduling barrier it replaced (r12)
         .repartition(reps.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
     )
     left = masks.select(
         F.col("rid").alias("ra"),
@@ -671,7 +673,7 @@ def _setsim_allpairs_bitmask(
         .filter(verify_ok)
         .select("ra", "rb", jaccard_of_c)
     )
-    return _setsim_expand(passing, members, id_col)
+    return _setsim_expand(passing, members, id_col, reps)
 
 
 def word_token_sets(
@@ -934,36 +936,45 @@ def setsim_join_prefix(
         .filter(verify_ok)
         .select("ra", "rb", jaccard_of_c)
     )
-    return _setsim_expand(passing, members, id_col)
+    return _setsim_expand(passing, members, id_col, reps)
 
 
-def _setsim_expand(passing: DataFrame, members: DataFrame, id_col: str) -> DataFrame:
+def _setsim_expand(
+    passing: DataFrame, members: DataFrame, id_col: str, reps: DataFrame
+) -> DataFrame:
     """Expand passing representative pairs back to doc pairs — output-bound
     joins on the group key (AQE skew-join splits the template-clique hot
-    groups at runtime); within-group pairs are Jaccard 1 by construction."""
+    groups at runtime); within-group pairs are Jaccard 1 by construction.
+
+    The within-group pairs are exactly the expansion of the IDENTITY rep
+    pair (r, r, jaccard 1) under an ``ia < ib`` guard, so both lanes run
+    through ONE pair of member joins: augment the passing pairs with the
+    identity pairs and filter ``(ra != rb) OR (ia < ib)`` (r12 — the
+    previous separate cross/within subtrees cost a third member broadcast
+    build job and a second join subtree in the final plan; cross-group
+    member ids are distinct so least/greatest normalization is unchanged,
+    and within-group expansion keeps each unordered pair once via the
+    guard). ``reps`` supplies the rep ids for the identity pairs (already
+    checkpointed by the caller — a distinct over members would cost a
+    shuffle)."""
+    ident = reps.select(
+        F.col("rid").alias("ra"),
+        F.col("rid").alias("rb"),
+        F.round(F.lit(1.0), 6).alias("jaccard"),
+    )
+    pairs = passing.unionByName(ident)
     ma_ = members.select(F.col("rid").alias("ra"), F.col(id_col).alias("ia"))
     mb_ = members.select(F.col("rid").alias("rb"), F.col(id_col).alias("ib"))
-    cross = (
-        passing.join(ma_, "ra")
+    return (
+        pairs.join(ma_, "ra")
         .join(mb_, "rb")
+        .filter((F.col("ra") != F.col("rb")) | (F.col("ia") < F.col("ib")))
         .select(
             F.least("ia", "ib").alias("doc_a"),
             F.greatest("ia", "ib").alias("doc_b"),
             "jaccard",
         )
     )
-    g1 = members.select("rid", F.col(id_col).alias("ia"))
-    g2 = members.select("rid", F.col(id_col).alias("ib"))
-    within = (
-        g1.join(g2, "rid")
-        .filter(F.col("ia") < F.col("ib"))
-        .select(
-            F.col("ia").alias("doc_a"),
-            F.col("ib").alias("doc_b"),
-            F.round(F.lit(1.0), 6).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def editdist_join_prefix(
