@@ -30,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from arc_cassandra_pipeline_plugin_spark.queries import load_all
-from arc_cassandra_pipeline_plugin_spark.sources import get_spark
+from arc_cassandra_pipeline_plugin_spark.sources import get_spark, load_table
 
 #: representative mix: scan-agg, multi-join, window, cube, time-series,
 #: dedup, similarity, text, multimodal
@@ -71,6 +71,30 @@ HEADLINE = [
     "graph_label_propagation",
     "text_chunk_overlap",
 ]
+
+#: bench-only compute-bound probe (r12, NOT a registered/declared query —
+#: no oracle, additive per the bench contract: entries may be ADDED to the
+#: queries payload). Every sf0.1 headline query is fixed-overhead-bound at
+#: this scale (~60 ms/job local scheduler floor), so 8-vs-32-core ratios
+#: sit at ~1 and the driver's suspect_cpus_ignored heuristic fired in r11
+#: even though the harness honors $SPARK_GRAFT_CPUS. This probe is pure
+#: embarrassingly-parallel CPU over the parquet input (an md5 chain per
+#: row, partial-aggregated count — no shuffle, computed fresh every run),
+#: so its wall scales ~linearly with the core count and makes a core-count
+#: change measurable: expect roughly 4x between cpus=8 and cpus=32.
+PROBE_NAME = "probe_compute_bound"
+
+
+def _probe_compute_bound(spark, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ~50 chained md5 per row: ~30M digests at sf0.1 — ≈1 s of pure CPU at
+    # 32 cores, ≈4 s at 8; the aggregate chain defeats constant-folding and
+    # the final count is partial-aggregated (no exchange of note)
+    return li.selectExpr(
+        "aggregate(sequence(1, 50),"
+        " cast(l_orderkey as string),"
+        " (acc, i) -> md5(concat(acc, l_partkey, i))) AS h"
+    ).selectExpr("count(h) AS n", "max(substring(h, 1, 4)) AS tag")
 
 
 def _split_fixture_dir(src: str) -> str:
@@ -122,9 +146,15 @@ def main() -> None:
     # bitmask width follows vocabulary size), so the small-SF pass compiles
     # different generated code and the first timed trial would still pay
     # JIT/classloading.
+    def _query_df(name):
+        if name == PROBE_NAME:
+            return _probe_compute_bound(spark, sf_dir)
+        return registry[name].fn(spark, sf_dir)
+
+    all_names = HEADLINE + [PROBE_NAME]
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in all_names:
+        _query_df(name).write.format("noop").mode("overwrite").save()
 
     # calibration anchor: median of 5 timed reps of a fixed CPU-bound
     # workload. Cross-round machine-state shifts move the anchor and the
@@ -143,14 +173,37 @@ def main() -> None:
     # queries instead of all trials of one query, so a single query can no
     # longer soak up a whole noise burst — the r5 lesson, where +21-25%
     # "regressions" appeared on queries whose code had not changed.
-    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    raw: dict[str, list[float]] = {name: [] for name in all_names}
+    # effective-parallelism evidence (r12): widest stage scheduled by each
+    # query on the LAST trial — legible proof that task width follows
+    # $SPARK_GRAFT_CPUS (the r11 driver heuristic misread the ≈1 low/high
+    # core ratios as CPUS being ignored; they are real — sf0.1 queries are
+    # scheduler-floor-bound — and the probe query above is the
+    # compute-bound counterexample)
+    max_stage_tasks: dict[str, int] = {}
+    tracker = spark.sparkContext.statusTracker()
     N_TRIALS = 5
-    for _ in range(N_TRIALS):
-        for name in HEADLINE:
-            q = registry[name]
+    for trial in range(N_TRIALS):
+        for name in all_names:
+            last = trial == N_TRIALS - 1
+            if last:
+                spark.sparkContext.setJobGroup(f"bench_{name}", name)
             t0 = time.time()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _query_df(name).write.format("noop").mode("overwrite").save()
             raw[name].append(time.time() - t0)
+            if last:
+                widest = 0
+                try:
+                    for jid in tracker.getJobIdsForGroup(f"bench_{name}"):
+                        ji = tracker.getJobInfo(jid)
+                        for sid in ji.stageIds if ji else []:
+                            si = tracker.getStageInfo(sid)
+                            if si:
+                                widest = max(widest, si.numTasks)
+                except Exception:
+                    widest = 0
+                max_stage_tasks[name] = widest
+                spark.sparkContext.setJobGroup(None, None)
 
     # median is the headline estimator (robust to one slow AND one lucky
     # trial); min/max/spread published per query so a cross-round delta can
@@ -240,13 +293,20 @@ def main() -> None:
                 )
             prev_deltas[name] = row
 
-    total = round(sum(timings.values()), 3)
+    # the headline total stays the sum of the 24 tracked queries — the
+    # bench-only probe is ADDITIVE evidence (extra key in `queries`), never
+    # part of the cross-round total
+    total = round(sum(v for k, v in timings.items() if k != PROBE_NAME), 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     full_name = f"BENCH_FULL_r{this_round:02d}.json"
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpus": cpus,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "max_stage_tasks": max_stage_tasks,
         "anchor_sec": round(anchor_sec, 4),
         "anchored": anchored,
         "stats": stats,
@@ -288,6 +348,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpus": cpus,
                 "anchor_sec": round(anchor_sec, 4),
                 "full": full_name,
             },
