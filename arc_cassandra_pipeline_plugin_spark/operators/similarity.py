@@ -273,32 +273,70 @@ def _centroids_kmeans(
     return centroids
 
 
+def _vec_double_sql(vec_col: str) -> str:
+    """SQL twin of :func:`vec_double` for text-generated expressions."""
+    return f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: repr round-trips the float and the
+    string→double cast is correctly rounded, so the parsed constant is
+    bit-identical to the Python value F.lit would have embedded."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _centroid_scores_sql(
+    centroids: list[tuple[int, list[float]]], vec_sql: str = "v"
+) -> str:
+    """SQL text for the array of per-centroid scores (dot(v,c) - ||c||²/2),
+    rounded to 6 dp so argmax ties resolve identically across engines.
+
+    Generated as ONE SQL string parsed JVM-side (r12): the previous
+    Column-API construction issued thousands of py4j round-trips per
+    codebook (one per literal/lambda node — measured 1.5-1.7 s of pure
+    DRIVER Python per Lloyd round at k=8×4 subspaces, dominating the PQ
+    training wall). Per-centroid float semantics are IDENTICAL: left-fold
+    dot via zip_with/aggregate, subtract the half-norm, 6-dp round; the
+    transform preserves codebook order so the first-max tiebreak
+    downstream is unchanged."""
+    cvs = ", ".join(
+        "array(" + ", ".join(_sql_double(x) for x in cv) + ")" for _, cv in centroids
+    )
+    hns = ", ".join(_sql_double(sum(x * x for x in cv) / 2.0) for _, cv in centroids)
+    return (
+        f"transform(array({cvs}), (cv, i) -> round(aggregate("
+        f"zip_with({vec_sql}, cv, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+        f" - element_at(array({hns}), i + 1), 6))"
+    )
+
+
 def _centroid_scores(
     centroids: list[tuple[int, list[float]]], vec: F.Column | None = None
 ) -> F.Column:
-    """array of per-centroid scores (dot(v,c) - ||c||²/2) for column ``v``
-    (or ``vec`` when given), rounded to 6 dp so argmax ties resolve
-    identically across engines."""
-    v = F.col("v") if vec is None else vec
-    scores = []
-    for _, c_vec in centroids:
-        arr = F.array(*[F.lit(x) for x in c_vec])
-        dot = F.aggregate(
-            F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
-        scores.append(F.round(dot - F.lit(sum(x * x for x in c_vec) / 2.0), 6))
-    return F.array(*scores)
+    if vec is not None:
+        raise ValueError("Column vec no longer supported; use _centroid_scores_sql")
+    return F.expr(_centroid_scores_sql(centroids, "v"))
+
+
+def _nearest_centroid_sql(
+    centroids: list[tuple[int, list[float]]], vec_sql: str = "v"
+) -> str:
+    """argmin_{c} ||v - c||² (≡ argmax of dot - ||c||²/2) as ONE SQL
+    expression. Array-based argmax keeps the tree O(k·dim); a nested
+    when-chain would be O(k²·dim) and blow up codegen. The scores text
+    appears twice (position + max) exactly as the Column build duplicated
+    the subtree."""
+    ids = ", ".join(str(cid) for cid, _ in centroids)
+    sc = _centroid_scores_sql(centroids, vec_sql)
+    return f"element_at(array({ids}), CAST(array_position({sc}, array_max({sc})) AS INT))"
 
 
 def _nearest_centroid_expr(
     centroids: list[tuple[int, list[float]]], vec: F.Column | None = None
 ) -> F.Column:
-    """argmin_{c} ||v - c||² (≡ argmax of dot - ||c||²/2) as ONE column
-    expression. Array-based argmax keeps the expression tree O(k·dim);
-    a nested when-chain would be O(k²·dim) and blow up codegen."""
-    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    scores = _centroid_scores(centroids, vec)
-    return F.element_at(ids, F.array_position(scores, F.array_max(scores)).cast("int"))
+    if vec is not None:
+        raise ValueError("Column vec no longer supported; use _nearest_centroid_sql")
+    return F.expr(_nearest_centroid_sql(centroids, "v"))
 
 
 def ivf_topk(
@@ -395,8 +433,10 @@ def pq_codebooks(
             *[
                 F.struct(
                     F.lit(s).alias("s"),
-                    _nearest_centroid_expr(
-                        books[s], F.slice("v", s * d_sub + 1, d_sub)
+                    F.expr(
+                        _nearest_centroid_sql(
+                            books[s], f"slice(v, {s * d_sub + 1}, {d_sub})"
+                        )
                     ).alias("cluster"),
                     F.slice("v", s * d_sub + 1, d_sub).alias("sub"),
                 )
@@ -437,11 +477,13 @@ def pq_encode(
     what a 100 TB ANN system scans, sized RAM-resident where the raw
     vectors never could be."""
     d_sub = len(books[0][0][1])
-    v = vec_double(vec_col)
+    v_sql = _vec_double_sql(vec_col)
     return _parallel_corpus(corpus).select(
         F.col(id_col),
         *[
-            _nearest_centroid_expr(cents, F.slice(v, s * d_sub + 1, d_sub)).alias(f"code_{s}")
+            F.expr(
+                _nearest_centroid_sql(cents, f"slice({v_sql}, {s * d_sub + 1}, {d_sub})")
+            ).alias(f"code_{s}")
             for s, cents in enumerate(books)
         ],
     )
@@ -485,26 +527,25 @@ def pq_topk(
     codes = pq_encode(corpus, books, vec_col, id_col).withColumnRenamed(id_col, "match_id")
 
     qv = vec_double(vec_col)
+    # per-subspace ADC lookup tables as ONE parsed SQL expression each —
+    # same py4j-construction fix as _centroid_scores_sql; per-entry float
+    # ops (left-fold dot, 6-dp round) and table order are unchanged
+    qv_sql = _vec_double_sql(vec_col)
+
+    def _qtab_sql(cents, s):
+        cvs = ", ".join(
+            "array(" + ", ".join(_sql_double(x) for x in cv) + ")" for _, cv in cents
+        )
+        return (
+            f"transform(array({cvs}), cv -> round(aggregate(zip_with("
+            f"slice({qv_sql}, {s * d_sub + 1}, {d_sub}), cv, (a, b) -> a * b),"
+            f" 0.0D, (acc, x) -> acc + x), 6))"
+        )
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         *[
-            F.array(
-                *[
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                F.slice(qv, s * d_sub + 1, d_sub),
-                                F.array(*[F.lit(x) for x in c_vec]),
-                                lambda a, b: a * b,
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ),
-                        6,
-                    )
-                    for _, c_vec in cents
-                ]
-            ).alias(f"qtab_{s}")
+            F.expr(_qtab_sql(cents, s)).alias(f"qtab_{s}")
             for s, cents in enumerate(books)
         ],
     )
