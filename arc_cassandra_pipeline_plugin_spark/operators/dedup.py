@@ -381,6 +381,13 @@ def connected_components(
 
     Intermediate lineage is cut with ``localCheckpoint`` every round: an
     iterative plan otherwise grows exponentially in Catalyst.
+
+    (r12 note: folding 2 propagation steps per materialized job was
+    A/B'd — without an intermediate pin the step-1 subtree duplicates and
+    recomputes (~2× slower); with a lazy localCheckpoint pin the
+    checkpoint-finalization jobs ate the saved scheduler floors (flat).
+    The one-step-per-job shape stands; the star variant keeps its lazy
+    mid-round pin, which DID win because it replaced an eager job.)
     """
     edges = (
         pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
@@ -525,7 +532,13 @@ def connected_components_star(
             .join(m_large, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        edges = _symmetrize(large).localCheckpoint(eager=True)
+        # LAZY mid-round checkpoint (r12): the large-star output feeds the
+        # small-star half of the SAME job (one scheduler floor per round,
+        # not two — the old eager checkpoint here was its own job), while
+        # the lazy pin keeps one RDD identity for the three small-star
+        # references so the large-star subtree is not recomputed per
+        # reference
+        edges = _symmetrize(large).localCheckpoint(eager=False)
 
         # small-star: m over the small-side neighborhood (v <= u) plus u
         small_side = edges.filter(F.col("v") < F.col("u"))
