@@ -35,6 +35,21 @@ from pyspark.sql.window import Window
 from arc_cassandra_pipeline_plugin_spark.functions import small_df
 
 
+def _bucket_expr(bounds: list, order_key: str) -> F.Column:
+    """``#{b in bounds : b < order_key}`` as a descending codegen'd CASE
+    chain (r12 — the previous ``size(filter(array_of_literals, ...))``
+    higher-order form is evaluated INTERPRETED per row, measured ~10 s of
+    CPU per 150k-row bucketing pass; a when-chain over ≤31 sorted bounds
+    compiles into whole-stage codegen). Identical semantics including
+    NULL keys (no bound compares true → bucket 0)."""
+    c = None
+    k = len(bounds)
+    for i, b in enumerate(reversed(bounds)):
+        cond = F.lit(b) < F.col(order_key)
+        c = F.when(cond, F.lit(k - i)) if c is None else c.when(cond, F.lit(k - i))
+    return c.otherwise(F.lit(0)) if c is not None else F.lit(0)
+
+
 def _bucketed_row_number(
     df: DataFrame,
     order_key: str,
@@ -44,31 +59,32 @@ def _bucketed_row_number(
     accuracy: int,
 ) -> tuple[DataFrame, int]:
     """Two-phase exact global row_number; returns (ranked_df, total_rows)."""
+    from pyspark.sql import Observation
+
     spark = df.sparkSession
     qs = [i / num_buckets for i in range(1, num_buckets)]
     row = df.select(F.percentile_approx(order_key, qs, accuracy).alias("b")).first()
     bounds = sorted(set(row["b"] or []))
 
-    if not bounds:  # empty/constant leading key: one bucket, still correct
-        bucketed = df.withColumn("__bucket", F.lit(0))
-    else:
-        bounds_arr = F.array(*[F.lit(b) for b in bounds])
-        bucketed = df.withColumn(
-            "__bucket",
-            F.size(F.filter(bounds_arr, lambda b: b < F.col(order_key))),
-        )
-    # lineage cut: bucket counts + the final ranked output both read this;
-    # one materialization instead of two source scans
-    bucketed = bucketed.localCheckpoint(eager=True)
-
-    counts = sorted(
-        (r["__bucket"], r["cnt"])
-        for r in bucketed.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()
-    )
+    bucketed = df.withColumn("__bucket", _bucket_expr(bounds, order_key))
+    # lineage cut: the final ranked output reads this; the per-bucket
+    # counts RIDE the materialization via Observation (≤ num_buckets
+    # map-side-combinable conditional sums — one job instead of
+    # checkpoint + a groupBy-count action, r12)
+    obs = Observation()
+    n_b = len(bounds) + 1
+    bucketed = bucketed.observe(
+        obs,
+        *[
+            F.sum((F.col("__bucket") == i).cast("long")).alias(f"n{i}")
+            for i in range(n_b)
+        ],
+    ).localCheckpoint(eager=True)
+    vals = obs.get
     offsets, running = [], 0
-    for bucket, cnt in counts:
+    for bucket in range(n_b):
         offsets.append((bucket, running))
-        running += cnt
+        running += int(vals[f"n{bucket}"] or 0)
     offsets_df = small_df(spark, offsets or [(0, 0)], "__bucket INT, __offset BIGINT")
 
     w = Window.partitionBy("__bucket").orderBy(order_key, *tiebreaks)
@@ -172,26 +188,31 @@ def global_prefix_sum(
         ).first()
         bounds = row["b"] or []
     bounds = sorted(set(bounds))
-    if not bounds:
-        bucketed = df.withColumn("__bucket", F.lit(0))
-    else:
-        bounds_arr = F.array(*[F.lit(b) for b in bounds])
-        bucketed = df.withColumn(
-            "__bucket",
-            F.size(F.filter(bounds_arr, lambda b: b < F.col(order_key))),
-        )
-    bucketed = bucketed.localCheckpoint(eager=True)
-    sums = sorted(
-        (r["__bucket"], int(r["s"] or 0))
-        for r in bucketed.groupBy("__bucket")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
-        .collect()
-    )
+    bucketed = df.withColumn("__bucket", _bucket_expr(bounds, order_key))
+    # per-bucket totals ride the checkpoint materialization (Observation,
+    # ≤ num_buckets exact-long conditional sums) — one job instead of
+    # checkpoint + a groupBy-sum action (r12); codegen'd CASE bucketing
+    # replaces the interpreted higher-order filter, see _bucket_expr
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    n_b = len(bounds) + 1
+    bucketed = bucketed.observe(
+        obs,
+        *[
+            F.sum(
+                F.when(F.col("__bucket") == i, F.col(value_col).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias(f"s{i}")
+            for i in range(n_b)
+        ],
+    ).localCheckpoint(eager=True)
+    vals = obs.get
     offsets, running = [], 0
-    for bucket, s in sums:
+    for bucket in range(n_b):
         offsets.append((bucket, running))
-        running += s
-    offsets_df = small_df(spark, 
+        running += int(vals[f"s{bucket}"] or 0)
+    offsets_df = small_df(spark,
         offsets or [(0, 0)], "__bucket INT, __offset BIGINT"
     )
     w = (
