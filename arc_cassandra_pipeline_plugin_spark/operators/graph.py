@@ -171,7 +171,8 @@ def _pagerank_driver(spark, edge_rows, iters, damping, node_type) -> DataFrame:
         s, d, w = r[0], r[1], r[2]
         nodes.add(s)
         nodes.add(d)
-        out_w[s] = out_w[s] + w if s in out_w else w
+        if s is not None:
+            out_w[s] = out_w[s] + w if s in out_w else w
     n = len(nodes)
     schema = StructType(
         [StructField("node", node_type), StructField("rank", DoubleType())]
@@ -184,6 +185,11 @@ def _pagerank_driver(spark, edge_rows, iters, damping, node_type) -> DataFrame:
         acc: dict = {}
         for r in edge_rows:
             s, d, w = r[0], r[1], r[2]
+            if s is None or d is None:
+                # NULL keys never match the distributed equi-joins: a NULL
+                # src drops from the normalized edge list, a NULL dst's
+                # contribution sum never re-attaches to the rank vector
+                continue
             c = _dec12(_round12(rank[s] * float(w) / float(out_w[s])))
             acc[d] = acc[d] + c if d in acc else c
         rank = {
@@ -241,7 +247,13 @@ def _bfs_inf(rounds: int) -> int:
     return rounds + 1
 
 
-def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst") -> DataFrame:
+def bfs_levels(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    driver_iterate: bool = False,
+) -> DataFrame:
     """Breadth-first levels from the lexicographically-smallest vertex:
     ``rounds`` synchronous frontier expansions over the edge list, the
     single-source shortest-path shape for unweighted graphs. Returns
@@ -259,6 +271,16 @@ def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_iterate:
+        # caller-declared dimension-bounded graph: expand frontiers on the
+        # driver over the collected distinct edge set (pure INT min —
+        # trivially bit-equal; the perceptron/pagerank convention, r12).
+        # Bounded collect; past the cap the distributed path runs.
+        head = e.limit(_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= _DRIVER_EDGE_CAP:
+            return _bfs_driver(
+                edges.sparkSession, head, rounds, e.schema[0].dataType
+            )
     nodes = e.select(F.col("_s").alias("node")).union(
         e.select(F.col("_d").alias("node"))
     ).distinct()
@@ -287,6 +309,44 @@ def bfs_levels(edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "
     return lvl.filter(F.col("lvl") < inf).select(
         "node", F.col("lvl").cast("int").alias("level")
     )
+
+
+def _bfs_driver(spark, edge_rows, rounds, node_type) -> DataFrame:
+    """Driver-side synchronous frontier expansion over the collected
+    distinct edge set — exact INT min against the rounds+1 infinity
+    sentinel, identical to the distributed rounds (source = minimum node
+    over src ∪ dst, matching the distributed ``nodes.agg(min)``)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..functions import small_df
+
+    inf = _bfs_inf(rounds)
+    nodes = set()
+    for r in edge_rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    schema = StructType(
+        [StructField("node", node_type), StructField("level", IntegerType())]
+    )
+    if not nodes:
+        return small_df(spark, [], schema)
+    nn = [v for v in nodes if v is not None]
+    if not nn:  # all-NULL vertices: the distributed min is NULL, nothing expands
+        return small_df(spark, [], schema)
+    src0 = min(nn)
+    lvl = {v: (0 if v == src0 else inf) for v in nodes}
+    for _ in range(rounds):
+        cand: dict = {}
+        for s, d in edge_rows:
+            if s is None or d is None:  # NULL keys never match the equi-joins
+                continue
+            if lvl[s] < inf:
+                m = lvl[s] + 1
+                if d not in cand or m < cand[d]:
+                    cand[d] = m
+        lvl = {v: min(lvl[v], cand.get(v, inf)) for v in nodes}
+    ordered = sorted((v for v in nodes if lvl[v] < inf), key=lambda v: (v is None, v))
+    return small_df(spark, [(v, lvl[v]) for v in ordered], schema)
 
 
 def bfs_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
@@ -329,6 +389,7 @@ def sssp_cheapest(
     src: str = "src",
     dst: str = "dst",
     cost: str = "cost",
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """Weighted single-source shortest path (Bellman-Ford relaxation) from
     the lexicographically-smallest vertex: ``rounds`` synchronous passes
@@ -348,6 +409,16 @@ def sssp_cheapest(
         .agg(F.min(F.col(cost).cast("bigint")).alias("_c"))
         .localCheckpoint(eager=True)
     )
+    if driver_iterate:
+        # caller-declared dimension-bounded graph: relax on the driver
+        # over the collected min-collapsed rollup (pure BIGINT min-plus —
+        # trivially bit-equal; the perceptron/pagerank convention, r12).
+        # Bounded collect; past the cap the distributed path runs.
+        head = e.limit(_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= _DRIVER_EDGE_CAP:
+            return _sssp_driver(
+                edges.sparkSession, head, rounds, e.schema[0].dataType
+            )
     nodes = e.select(F.col("_s").alias("node")).union(
         e.select(F.col("_d").alias("node"))
     ).distinct()
@@ -380,6 +451,44 @@ def sssp_cheapest(
     return dist.filter(F.col("dist") < _SSSP_INF).select(
         "node", F.col("dist").cast("bigint").alias("dist")
     )
+
+
+def _sssp_driver(spark, edge_rows, rounds, node_type) -> DataFrame:
+    """Driver-side Bellman-Ford over the collected (s, d, c) rollup —
+    exact BIGINT min-plus, identical to the distributed rounds (finite-
+    source relaxation, min candidate per destination, least-fold against
+    the INT infinity sentinel)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions import small_df
+
+    inf = _SSSP_INF
+    nodes = set()
+    for r in edge_rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    schema = StructType(
+        [StructField("node", node_type), StructField("dist", LongType())]
+    )
+    if not nodes:
+        return small_df(spark, [], schema)
+    srcs = [r[0] for r in edge_rows if r[0] is not None]
+    if not srcs:  # all-NULL sources: the distributed min is NULL, nothing relaxes
+        return small_df(spark, [], schema)
+    src0 = min(srcs)
+    dist = {v: (0 if v == src0 else inf) for v in nodes}
+    for _ in range(rounds):
+        cand: dict = {}
+        for s, d, c in edge_rows:
+            if s is None or d is None:  # NULL keys never match the equi-joins
+                continue
+            if dist[s] < inf:
+                m = dist[s] + c
+                if d not in cand or m < cand[d]:
+                    cand[d] = m
+        dist = {v: min(dist[v], cand.get(v, inf)) for v in nodes}
+    ordered = sorted((v for v in nodes if dist[v] < inf), key=lambda v: (v is None, v))
+    return small_df(spark, [(v, dist[v]) for v in ordered], schema)
 
 
 def sssp_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
@@ -521,6 +630,11 @@ def _label_propagation_driver(spark, und_rows, rounds, node_type) -> DataFrame:
         votes: dict = {}
         for r in und_rows:
             a, b, w = r[0], r[1], r[2]
+            if a is None or b is None:
+                # NULL keys never match the distributed equi-joins (no
+                # label attaches to a NULL source, no vote reaches a NULL
+                # node) — NULL-keyed nodes simply keep their own label
+                continue
             k = (b, labels[a])
             votes[k] = votes[k] + w if k in votes else w
         best: dict = {}

@@ -1088,7 +1088,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
-    lv = bfs_levels(edges, rounds=3)
+    # same dimension-bounded declaration as pagerank/SSSP: frontier
+    # expansion on the driver over the collected distinct edge set (r12)
+    lv = bfs_levels(edges, rounds=3, driver_iterate=True)
     return lv.select(F.col("node").alias("nation"), "level")
 
 
@@ -4026,7 +4028,11 @@ def graph_sssp_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(1000000.0 / w) AS BIGINT)").alias("cost"),
         )
     )
-    d = sssp_cheapest(edges, rounds=4)
+    # 25-nation dimension graph — rounds relax on the driver over the
+    # collected <=|V|^2 rollup (exact BIGINT min-plus; r12, the pagerank
+    # convention: the fact rollup stays distributed, the iterate pays
+    # zero per-round jobs)
+    d = sssp_cheapest(edges, rounds=4, driver_iterate=True)
     return d.select(F.col("node").alias("nation"), F.col("dist").alias("cost"))
 
 

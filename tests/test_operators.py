@@ -547,6 +547,30 @@ def test_pagerank_driver_iterate_cap_falls_back_to_distributed(spark, monkeypatc
     assert got == want
 
 
+def test_sssp_bfs_driver_iterate_bit_equal(spark, monkeypatch):
+    """Driver-side Bellman-Ford / BFS rounds (r12) equal the distributed
+    iterates exactly (integer min arithmetic, same source rule, same
+    infinity sentinel); past the cap the distributed path runs."""
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    edges = [
+        (f"n{a}", f"n{(a * 5 + b) % 11}", (a * 3 + b) % 7 + 1)
+        for a in range(11)
+        for b in range(3)
+        if a != (a * 5 + b) % 11
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, cost long")
+    want_s = {tuple(r) for r in G.sssp_cheapest(df, rounds=3).collect()}
+    got_s = {tuple(r) for r in G.sssp_cheapest(df, rounds=3, driver_iterate=True).collect()}
+    assert got_s == want_s and len(got_s) > 3
+    want_b = {tuple(r) for r in G.bfs_levels(df, rounds=3).collect()}
+    got_b = {tuple(r) for r in G.bfs_levels(df, rounds=3, driver_iterate=True).collect()}
+    assert got_b == want_b and len(got_b) > 3
+    monkeypatch.setattr(G, "_DRIVER_EDGE_CAP", 2)
+    assert {tuple(r) for r in G.sssp_cheapest(df, rounds=3, driver_iterate=True).collect()} == want_s
+    assert {tuple(r) for r in G.bfs_levels(df, rounds=3, driver_iterate=True).collect()} == want_b
+
+
 def test_label_propagation_driver_iterate_bit_equal(spark, monkeypatch):
     """Driver-side LPA rounds (r12) equal the distributed iterate exactly,
     including fractional-weight rollup (decimal sum before the bigint
