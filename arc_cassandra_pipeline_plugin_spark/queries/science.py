@@ -1650,7 +1650,11 @@ def text_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         # trade-rank convention): each round re-references edges
         .localCheckpoint(eager=True)
     )
-    ranks = pagerank(edges, iters=3, damping=0.85)
+    # the vocab gate bounds the graph (<= 2000 frequent words); rounds run
+    # on the driver over the collected rollup (r12) — and if an unusual
+    # corpus pushes the rollup past the collect cap, the operator falls
+    # back to the distributed iterate unchanged
+    ranks = pagerank(edges, iters=3, damping=0.85, driver_iterate=True)
     return ranks.select(
         F.col("node").alias("word"), F.round("rank", 8).alias("textrank")
     )
