@@ -31,22 +31,39 @@ _DRIVER_EDGE_CAP = 65536
 _Q12 = decimal.Decimal(1).scaleb(-_SCALE)
 
 
+def _round_py(x: float, q: decimal.Decimal) -> float:
+    """Bit-exact Python twin of Spark's ``round(double, scale)``: Spark
+    routes the double through ``BigDecimal.valueOf`` (``Double.toString``
+    shortest round-trip decimal — same digits CPython ``repr`` produces)
+    and ``setScale(scale, HALF_UP)``; NaN/±Inf pass through unchanged as
+    in Spark's RoundBase. Used by the driver-side iterates so their
+    vectors land on the identical fixed-point grid as the distributed/
+    oracle rounds."""
+    import math
+
+    if not math.isfinite(x):
+        return x
+    return float(decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+
 def _round12(x: float) -> float:
-    """Bit-exact Python twin of Spark's ``round(double, 12)``: Spark routes
-    the double through ``BigDecimal.valueOf`` (``Double.toString`` shortest
-    round-trip decimal — same digits CPython ``repr`` produces) and
-    ``setScale(12, HALF_UP)``. Used by the driver-side iterate so its ranks
-    land on the identical 12-dp grid as the distributed/oracle rounds."""
-    return float(
-        decimal.Decimal(repr(x)).quantize(_Q12, rounding=decimal.ROUND_HALF_UP)
-    )
+    return _round_py(x, _Q12)
+
+
+def _dec_py(x: float, q: decimal.Decimal) -> decimal.Decimal | None:
+    """Python twin of Spark's ``CAST(double AS DECIMAL(p,s))`` (shortest
+    decimal repr, then HALF_UP) — the exact order-free contribution type
+    the distributed iterates sum. Non-finite doubles cast to NULL in
+    Spark's non-ANSI mode → ``None`` here."""
+    import math
+
+    if not math.isfinite(x):
+        return None
+    return decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
 
 
 def _dec12(x: float) -> decimal.Decimal:
-    """Python twin of Spark's ``CAST(double AS DECIMAL(20,12))`` (shortest
-    decimal repr, then HALF_UP to scale 12) — the exact order-free per-edge
-    contribution type the distributed iterate sums."""
-    return decimal.Decimal(repr(x)).quantize(_Q12, rounding=decimal.ROUND_HALF_UP)
+    return _dec_py(x, _Q12)
 
 
 def pagerank(
@@ -191,6 +208,8 @@ def _pagerank_driver(spark, edge_rows, iters, damping, node_type) -> DataFrame:
                 # contribution sum never re-attaches to the rank vector
                 continue
             c = _dec12(_round12(rank[s] * float(w) / float(out_w[s])))
+            if c is None:  # non-finite contribution casts to NULL; sum skips it
+                continue
             acc[d] = acc[d] + c if d in acc else c
         rank = {
             v: _round12(base + damping * (float(acc[v]) if v in acc else 0.0))
@@ -690,6 +709,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities: ``iters`` synchronous rounds of
     a = norm(Aᵀh), h = norm(A a) over a weighted edge list, max-normalized
@@ -749,6 +769,16 @@ def hits(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"),
         w_guarded.cast(w_dec).alias("_w"),
     ).localCheckpoint(eager=True)
+    if driver_iterate:
+        # caller-declared dimension bound (pagerank convention, r12): the
+        # weights arrive as exact decimal(20,6) values from the guarded
+        # checkpoint, so the driver replay works in the identical decimal
+        # algebra; bounded collect, distributed fallback past the cap
+        head = e.limit(_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= _DRIVER_EDGE_CAP:
+            return _hits_driver(
+                edges.sparkSession, head, iters, e.schema[0].dataType
+            )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -804,6 +834,92 @@ def hits(
         )
     return h.join(a, "node").select(
         "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("authority")
+    )
+
+
+_Q6 = decimal.Decimal(1).scaleb(-6)
+
+
+def _hits_driver(spark, edge_rows, iters, node_type) -> DataFrame:
+    """Driver-side HITS rounds over the collected (src, dst, w) edge list
+    (w already exact decimal(20,6) from the guarded checkpoint) — the
+    identical certified 6-dp algebra: decimal(8,6) vector cast × decimal
+    weight (exact product), exact decimal sums rounded to 6 dp, exact
+    decimal max normalizer, one double quotient re-rounded to 6 dp. NULL
+    propagation mirrors Spark exactly (NULL keys never join; a NULL
+    normalizer NULLs the vector; sums skip NULL inputs and are NULL only
+    when every input is)."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions import small_df
+
+    nodes = set()
+    for r in edge_rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    schema = StructType(
+        [
+            StructField("node", node_type),
+            StructField("hub", DoubleType()),
+            StructField("authority", DoubleType()),
+        ]
+    )
+    if not nodes:
+        return small_df(spark, [], schema)
+
+    def _vec_dec(x):  # CAST(double AS DECIMAL(8,6)) — NULL on non-finite
+        return None if x is None else _dec_py(x, _Q6)
+
+    def _div(a: float, b: float) -> float:  # IEEE double division incl. /0
+        if b == 0.0:
+            return float("nan") if a == 0.0 else math.copysign(math.inf, a)
+        return a / b
+
+    def _step(vec: dict, key_idx: int, out_idx: int) -> dict:
+        # contributions grouped by the out-side key; sums skip NULL inputs,
+        # a group whose inputs are all NULL sums to NULL (Spark sum)
+        acc: dict = {}
+        for r in edge_rows:
+            kin, kout = r[key_idx], r[out_idx]
+            if kin is None or kout is None:
+                continue
+            v6 = _vec_dec(vec[kin])
+            c = None if v6 is None else v6 * r[2]
+            if kout in acc:
+                if c is not None:
+                    acc[kout] = c if acc[kout] is None else acc[kout] + c
+            else:
+                acc[kout] = c
+        s6 = {
+            k: (None if v is None else v.quantize(_Q6, rounding=decimal.ROUND_HALF_UP))
+            for k, v in acc.items()
+        }
+        finite = [v for v in s6.values() if v is not None]
+        m = max(finite) if finite else None
+        out: dict = {}
+        for v in nodes:
+            if m is None:
+                out[v] = None
+                continue
+            sv = s6.get(v)
+            num = float(sv) if sv is not None else 0.0
+            out[v] = _round_py(_div(num, float(m)), _Q6)
+        return out
+
+    h = {v: 1.0 for v in nodes}
+    a: dict = {}
+    for _ in range(iters):
+        a = _step(h, 0, 1)  # auth from hubs along src -> dst
+        h = _step(a, 1, 0)  # hubs from auths along dst -> src
+    ordered = sorted(nodes, key=lambda v: (v is None, v))
+
+    def _r6(x):
+        return None if x is None else _round_py(x, _Q6)
+
+    return small_df(
+        spark, [(v, _r6(h[v]), _r6(a[v])) for v in ordered], schema
     )
 
 
@@ -1123,6 +1239,7 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: identical fixed-point discipline as
     :func:`pagerank` (per-edge contributions rounded to 12 dp, exact
@@ -1139,6 +1256,26 @@ def personalized_pagerank(
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
     )
+    if driver_iterate:
+        # caller-declared dimension bound, same contract and bit-exact
+        # replication as pagerank's driver iterate (r12); the seed set is
+        # collected under the same cap
+        e_head = e.limit(_DRIVER_EDGE_CAP + 1).collect()
+        s_head = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .limit(_DRIVER_EDGE_CAP + 1)
+            .collect()
+        )
+        if len(e_head) <= _DRIVER_EDGE_CAP and len(s_head) <= _DRIVER_EDGE_CAP:
+            return _personalized_pagerank_driver(
+                edges.sparkSession,
+                e_head,
+                {r[0] for r in s_head},
+                iters,
+                damping,
+                e.schema[0].dataType,
+            )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -1182,6 +1319,63 @@ def personalized_pagerank(
             )
         )
     return rank.select("node", "rank")
+
+
+def _personalized_pagerank_driver(
+    spark, edge_rows, seed_set, iters, damping, node_type
+) -> DataFrame:
+    """Driver-side personalized-PageRank rounds — the pagerank replication
+    with seed-targeted teleport: init mass round(is_seed/|S|, 12), base
+    term ((1-d)·is_seed)/|S|. |S| counts ALL distinct seeds (the
+    distributed 1-row count does, graph members or not); a NULL seed rows
+    into the count but never equi-joins a node, exactly as distributed."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions import small_df
+
+    out_w: dict = {}
+    nodes = set()
+    for r in edge_rows:
+        s, d, w = r[0], r[1], r[2]
+        nodes.add(s)
+        nodes.add(d)
+        if s is not None:
+            out_w[s] = out_w[s] + w if s in out_w else w
+    ns = len(seed_set)
+    schema = StructType(
+        [StructField("node", node_type), StructField("rank", DoubleType())]
+    )
+    if not nodes:
+        return small_df(spark, [], schema)
+    if ns == 0:
+        # distributed 0/0 double division is NaN and the iterate keeps it
+        # NaN (round(NaN)=NaN); Python would raise, so short-circuit
+        nan = float("nan")
+        ordered = sorted(nodes, key=lambda v: (v is None, v))
+        return small_df(spark, [(v, nan) for v in ordered], schema)
+    is_seed = {
+        v: (1 if (v is not None and v in seed_set) else 0) for v in nodes
+    }
+    rank = {v: _round12(is_seed[v] / ns) for v in nodes}
+    for _ in range(iters):
+        acc: dict = {}
+        for r in edge_rows:
+            s, d, w = r[0], r[1], r[2]
+            if s is None or d is None:
+                continue
+            c = _dec12(_round12(rank[s] * float(w) / float(out_w[s])))
+            if c is None:  # non-finite contribution casts to NULL; sum skips it
+                continue
+            acc[d] = acc[d] + c if d in acc else c
+        rank = {
+            v: _round12(
+                (1.0 - damping) * is_seed[v] / ns
+                + damping * (float(acc[v]) if v in acc else 0.0)
+            )
+            for v in nodes
+        }
+    ordered = sorted(nodes, key=lambda v: (v is None, v))
+    return small_df(spark, [(v, rank[v]) for v in ordered], schema)
 
 
 def personalized_pagerank_oracle_sql(

@@ -4179,7 +4179,9 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    out = hits(edges, iters=3)
+    # 25-nation dimension graph — the certified 6-dp decimal HITS algebra
+    # replays on the driver (r12; bounded collect, distributed fallback)
+    out = hits(edges, iters=3, driver_iterate=True)
     return out.select(F.col("node").alias("nation"), "hub", "authority")
 
 
@@ -4489,7 +4491,11 @@ def graph_ppr_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .select(F.col("n_name").alias("node"))
     )
-    out = personalized_pagerank(edges, seeds, iters=3, damping=0.85)
+    # 25-nation dimension graph + region-bounded seeds — driver iterate
+    # (r12, the trade-rank convention; bounded collect, distributed
+    # fallback past the cap)
+    out = personalized_pagerank(edges, seeds, iters=3, damping=0.85,
+                                driver_iterate=True)
     return out.select(
         F.col("node").alias("nation"), F.round("rank", 8).alias("ppr")
     )

@@ -547,6 +547,39 @@ def test_pagerank_driver_iterate_cap_falls_back_to_distributed(spark, monkeypatc
     assert got == want
 
 
+def test_hits_and_ppr_driver_iterate_bit_equal(spark, monkeypatch):
+    """Driver-side HITS (6-dp decimal algebra) and personalized-PageRank
+    (12-dp fixed point, seed teleport) equal the distributed iterates
+    bit-for-bit on an irregular weighted graph, including a seed that is
+    not a graph member (counts into |S|, gets no mass); past the cap the
+    distributed paths run."""
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    edges = [
+        (f"n{a}", f"n{(a * 3 + b) % 13}", (a * 5 + b * 7) % 9 + 1)
+        for a in range(13)
+        for b in range(4)
+        if a != (a * 3 + b) % 13
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    want_h = {tuple(r) for r in G.hits(df, iters=3).collect()}
+    got_h = {tuple(r) for r in G.hits(df, iters=3, driver_iterate=True).collect()}
+    assert got_h == want_h and len(got_h) == 13
+    seeds = spark.createDataFrame([("n1",), ("n4",), ("zz_outside",)], "node string")
+    want_p = {tuple(r) for r in G.personalized_pagerank(df, seeds, iters=3).collect()}
+    got_p = {
+        tuple(r)
+        for r in G.personalized_pagerank(df, seeds, iters=3, driver_iterate=True).collect()
+    }
+    assert got_p == want_p and len(got_p) == 13
+    monkeypatch.setattr(G, "_DRIVER_EDGE_CAP", 2)
+    assert {tuple(r) for r in G.hits(df, iters=3, driver_iterate=True).collect()} == want_h
+    assert {
+        tuple(r)
+        for r in G.personalized_pagerank(df, seeds, iters=3, driver_iterate=True).collect()
+    } == want_p
+
+
 def test_sssp_bfs_driver_iterate_bit_equal(spark, monkeypatch):
     """Driver-side Bellman-Ford / BFS rounds (r12) equal the distributed
     iterates exactly (integer min arithmetic, same source rule, same
