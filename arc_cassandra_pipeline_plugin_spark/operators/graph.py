@@ -981,6 +981,7 @@ def hash_random_walk(
     steps: int = 4,
     src: str = "src",
     dst: str = "dst",
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """Hash-seeded random walk (DeepWalk-style corpus sampling made
     REPRODUCIBLE): one walker starts at every vertex; at step t the walker
@@ -1000,6 +1001,18 @@ def hash_random_walk(
     from pyspark.sql import Window
 
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    if driver_iterate:
+        from pyspark.sql.types import IntegralType, StringType
+
+        # caller-declared dimension bound (pagerank convention, r12): the
+        # hop rule is md5 over the node's STRING form — replicated with
+        # hashlib only for string/integral node types, whose Spark string
+        # cast equals Python str(); other types keep the distributed path
+        nt = e.schema[0].dataType
+        if isinstance(nt, (StringType, IntegralType)):
+            head = e.limit(_DRIVER_EDGE_CAP + 1).collect()
+            if len(head) <= _DRIVER_EDGE_CAP:
+                return _hash_random_walk_driver(edges.sparkSession, head, steps, nt)
     w = Window.partitionBy("_s").orderBy("_d")
     nbrs = (
         e.select(
@@ -1030,6 +1043,53 @@ def hash_random_walk(
             "start", F.coalesce(F.col("_d"), F.col("cur")).alias("cur")
         )
     return walk.select("start", F.col("cur").alias("node"))
+
+
+def _hash_random_walk_driver(spark, edge_rows, steps, node_type) -> DataFrame:
+    """Driver-side replay of the hash-seeded walk: neighbor lists in the
+    same lexicographic order Spark's window uses (UTF-8 binary ==
+    code-point order; NULL neighbors sort FIRST, matching Spark's
+    ascending NULLS FIRST), hop index ``int(md5('walk{t}:' + str(cur))
+    hex[:8], 16) % degree`` — hashlib md5 over UTF-8 bytes is the same
+    digest Spark's md5(concat(...)) computes for string/integral nodes.
+    Walkers on sinks (or NULL-keyed nodes, which never join) stay put."""
+    import hashlib
+
+    from pyspark.sql.types import StructField, StructType
+
+    from ..functions import small_df
+
+    adj: dict = {}
+    nodes = set()
+    for r in edge_rows:
+        s, d = r[0], r[1]
+        nodes.add(s)
+        nodes.add(d)
+        if s is not None:
+            adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort(key=lambda v: (v is not None, v if v is not None else ""))
+    schema = StructType(
+        [StructField("start", node_type), StructField("node", node_type)]
+    )
+    if not nodes:
+        return small_df(spark, [], schema)
+    walk = {v: v for v in nodes}
+    for t in range(1, steps + 1):
+        nxt = {}
+        for start, cur in walk.items():
+            if cur is None or cur not in adj:
+                nxt[start] = cur
+                continue
+            nbrs = adj[cur]
+            h = hashlib.md5(f"walk{t}:{cur}".encode("utf-8")).hexdigest()
+            chosen = nbrs[int(h[:8], 16) % len(nbrs)]
+            # a NULL neighbor row coalesces back to cur in the distributed
+            # step (coalesce(_d, cur)) — stay put, don't hop to NULL
+            nxt[start] = cur if chosen is None else chosen
+        walk = nxt
+    ordered = sorted(nodes, key=lambda v: (v is None, v))
+    return small_df(spark, [(v, walk[v]) for v in ordered], schema)
 
 
 def hash_random_walk_oracle_sql(edges_cte: str, steps: int = 4) -> str:
@@ -1064,6 +1124,7 @@ def ktruss_edges(
     rounds: int = 2,
     src: str = "src",
     dst: str = "dst",
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """K-truss peeling (bounded synchronous rounds): keep edges whose
     triangle support (common-neighbor count in the undirected graph) is
@@ -1088,6 +1149,16 @@ def ktruss_edges(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_iterate:
+        # caller-declared dimension bound (pagerank convention, r12): the
+        # peel is pure integer set counting — trivially bit-equal on the
+        # driver. Bounded collect, distributed fallback past the cap.
+        # (NULL keys cannot appear: a != b filters them.)
+        head = und.limit(_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= _DRIVER_EDGE_CAP:
+            return _ktruss_driver(
+                edges.sparkSession, head, k, rounds, und.schema[0].dataType
+            )
     cur = und
     # early stop at the FIXED POINT: a round that drops no edge makes every
     # later round recompute identical support — result-identical to running
@@ -1116,6 +1187,44 @@ def ktruss_edges(
             break
         prev_cnt = cnt
     return last_sup
+
+
+def _ktruss_driver(spark, und_rows, k, rounds, node_type) -> DataFrame:
+    """Driver-side k-truss peel over the collected symmetrized edge set —
+    exact integer triangle-support counting (|N(a) ∩ N(b)| for canonical
+    a < b; self-loops already filtered, so no a/b contamination), same
+    fixed-point early stop."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions import small_df
+
+    cur = {(r[0], r[1]) for r in und_rows}
+    schema = StructType(
+        [
+            StructField("a", node_type),
+            StructField("b", node_type),
+            StructField("support", LongType()),
+        ]
+    )
+    last_sup: dict = {}
+    prev_cnt = len(cur)
+    for _ in range(rounds):
+        adj: dict = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+        sup = {}
+        for a, b in cur:
+            if a < b:
+                s = len(adj[a] & adj[b])
+                if s >= k - 2:
+                    sup[(a, b)] = s
+        cur = {(a, b) for (a, b) in sup} | {(b, a) for (a, b) in sup}
+        last_sup = sup
+        if len(cur) == prev_cnt:
+            break
+        prev_cnt = len(cur)
+    ordered = sorted(last_sup)
+    return small_df(spark, [(a, b, last_sup[(a, b)]) for a, b in ordered], schema)
 
 
 def ktruss_oracle_sql(edges_cte: str, k: int = 4, rounds: int = 2) -> str:
@@ -1156,6 +1265,7 @@ def kcore_vertices(
     rounds: int = 2,
     src: str = "src",
     dst: str = "dst",
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """K-core peeling (bounded synchronous rounds), the VERTEX-side
     complement of :func:`ktruss_edges`: drop vertices whose degree in the
@@ -1179,6 +1289,15 @@ def kcore_vertices(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_iterate:
+        # caller-declared dimension bound (pagerank convention, r12):
+        # integer degree peeling — trivially bit-equal on the driver;
+        # bounded collect, distributed fallback past the cap
+        head = und.limit(_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= _DRIVER_EDGE_CAP:
+            return _kcore_driver(
+                edges.sparkSession, head, k, rounds, und.schema[0].dataType
+            )
     cur = und
     keep_deg = None
     # fixed-point early stop, as in ktruss_edges: an unchanged edge frame
@@ -1201,6 +1320,34 @@ def kcore_vertices(
             break
         prev_cnt = cnt
     return keep_deg
+
+
+def _kcore_driver(spark, und_rows, k, rounds, node_type) -> DataFrame:
+    """Driver-side k-core peel over the collected symmetrized edge set —
+    exact integer degree counting, restriction to survivors on both edge
+    ends, same fixed-point early stop; returns the LAST round's
+    qualifying (vertex, degree) rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions import small_df
+
+    cur = {(r[0], r[1]) for r in und_rows}
+    schema = StructType(
+        [StructField("a", node_type), StructField("degree", LongType())]
+    )
+    keep_deg: dict = {}
+    prev_cnt = len(cur)
+    for _ in range(rounds):
+        deg: dict = {}
+        for a, _b in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep_deg = {a: d for a, d in deg.items() if d >= k}
+        cur = {(a, b) for (a, b) in cur if a in keep_deg and b in keep_deg}
+        if len(cur) == prev_cnt:
+            break
+        prev_cnt = len(cur)
+    ordered = sorted(keep_deg)
+    return small_df(spark, [(a, keep_deg[a]) for a in ordered], schema)
 
 
 def kcore_oracle_sql(edges_cte: str, k: int = 6, rounds: int = 2) -> str:

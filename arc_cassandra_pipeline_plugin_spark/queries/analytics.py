@@ -4224,7 +4224,9 @@ def graph_hash_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    walks = hash_random_walk(edges, steps=4)
+    # 25-nation dimension graph, string nodes — hashlib replay of the
+    # md5 hop rule on the driver (r12)
+    walks = hash_random_walk(edges, steps=4, driver_iterate=True)
     return walks.groupBy(F.col("node").alias("nation")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_walkers")
     )
@@ -4358,7 +4360,9 @@ def graph_ktruss_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    out = ktruss_edges(edges, k=8, rounds=2)
+    # 25-nation dimension graph — integer peel on the driver (r12,
+    # pagerank convention; bounded collect, distributed fallback)
+    out = ktruss_edges(edges, k=8, rounds=2, driver_iterate=True)
     return out.select(
         F.col("a").alias("nation_a"), F.col("b").alias("nation_b"), "support"
     )
@@ -4427,7 +4431,8 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") * F.col("c") * 4 >= F.col("s") * 5)
         .select("src", "dst")
     )
-    out = kcore_vertices(edges, k=6, rounds=2)
+    # 25-nation dimension graph — integer peel on the driver (r12)
+    out = kcore_vertices(edges, k=6, rounds=2, driver_iterate=True)
     return out.select(F.col("a").alias("nation"), "degree")
 
 

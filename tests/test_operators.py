@@ -547,6 +547,34 @@ def test_pagerank_driver_iterate_cap_falls_back_to_distributed(spark, monkeypatc
     assert got == want
 
 
+def test_kcore_ktruss_walk_driver_iterate_bit_equal(spark, monkeypatch):
+    """Driver-side k-core/k-truss peels (integer counting) and the
+    hash-seeded walk (hashlib md5 replay, lexicographic neighbor order)
+    equal the distributed iterates exactly; past the cap the distributed
+    paths run."""
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    edges = [
+        (f"n{a}", f"n{(a * 3 + b) % 13}", 1)
+        for a in range(13)
+        for b in range(6)
+        if a != (a * 3 + b) % 13
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    want_c = {tuple(r) for r in G.kcore_vertices(df, k=4, rounds=2).collect()}
+    got_c = {tuple(r) for r in G.kcore_vertices(df, k=4, rounds=2, driver_iterate=True).collect()}
+    assert got_c == want_c and len(got_c) > 3
+    want_t = {tuple(r) for r in G.ktruss_edges(df, k=4, rounds=2).collect()}
+    got_t = {tuple(r) for r in G.ktruss_edges(df, k=4, rounds=2, driver_iterate=True).collect()}
+    assert got_t == want_t and len(got_t) > 3
+    want_w = sorted(tuple(r) for r in G.hash_random_walk(df, steps=4).collect())
+    got_w = sorted(tuple(r) for r in G.hash_random_walk(df, steps=4, driver_iterate=True).collect())
+    assert got_w == want_w and len(got_w) == 13
+    monkeypatch.setattr(G, "_DRIVER_EDGE_CAP", 2)
+    assert {tuple(r) for r in G.kcore_vertices(df, k=4, rounds=2, driver_iterate=True).collect()} == want_c
+    assert sorted(tuple(r) for r in G.hash_random_walk(df, steps=4, driver_iterate=True).collect()) == want_w
+
+
 def test_hits_and_ppr_driver_iterate_bit_equal(spark, monkeypatch):
     """Driver-side HITS (6-dp decimal algebra) and personalized-PageRank
     (12-dp fixed point, seed teleport) equal the distributed iterates
