@@ -4584,6 +4584,43 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # 25-nation dimension graph: the 3-hop census is pure set algebra over
+    # the collected heavy-edge set (r12, the driver-iterate convention —
+    # bounded collect; past the cap the distributed hop/anti-join census
+    # below runs unchanged). Was 26 jobs of hop joins + anti-joins for a
+    # <=600-row edge set.
+    from arc_cassandra_pipeline_plugin_spark.operators.graph import _DRIVER_EDGE_CAP
+
+    head = u.limit(_DRIVER_EDGE_CAP + 1).collect()
+    if len(head) <= _DRIVER_EDGE_CAP:
+        from arc_cassandra_pipeline_plugin_spark.functions import small_df
+
+        adj: dict = {}
+        for r in head:
+            adj.setdefault(r["a"], set()).add(r["b"])
+        rows = []
+        for a in sorted(adj):
+            d1s = adj[a]
+            d2s = set().union(*(adj[m] for m in d1s)) - d1s - {a} if d1s else set()
+            d3s = (
+                (set().union(*(adj[m] for m in d2s)) - d1s - d2s - {a})
+                if d2s
+                else set()
+            )
+            rows.append(
+                (
+                    a,
+                    len(d1s),
+                    len(d2s),
+                    len(d3s),
+                    len(d1s) * 1000000 + len(d2s) * 500000 + len(d3s) * 333333,
+                )
+            )
+        return small_df(
+            spark,
+            rows,
+            "nation STRING, n1 BIGINT, n2 BIGINT, n3 BIGINT, harmonic_micro BIGINT",
+        )
     hop = lambda frontier: (
         frontier.select(F.col("a"), F.col("b").alias("m"))
         .join(u.select(F.col("a").alias("m"), F.col("b")), "m")
