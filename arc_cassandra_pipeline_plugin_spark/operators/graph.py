@@ -1574,6 +1574,7 @@ def temporal_earliest_arrival(
     dst: str = "dst",
     etime: str = "et",
     broadcast_arrivals: bool = False,
+    driver_iterate: bool = False,
 ) -> DataFrame:
     """Earliest-arrival reachability on a TEMPORAL graph: a path is
     time-respecting when its edge times are non-decreasing, and a node's
@@ -1601,6 +1602,20 @@ def temporal_earliest_arrival(
         F.col(src).alias("_s"), F.col(dst).alias("_d"),
         F.col(etime).cast("bigint").alias("_t"),
     )
+    if driver_iterate:
+        # caller-declared dimension bound (pagerank convention, r12): the
+        # relaxation is exact integer min over (node, time) — trivially
+        # bit-equal on the driver; bounded collects, distributed fallback
+        e_head = e.limit(_DRIVER_EDGE_CAP + 1).collect()
+        s_head = (
+            seeds.select(F.col("node"), F.col("t0").cast("bigint").alias("at"))
+            .limit(_DRIVER_EDGE_CAP + 1)
+            .collect()
+        )
+        if len(e_head) <= _DRIVER_EDGE_CAP and len(s_head) <= _DRIVER_EDGE_CAP:
+            return _temporal_earliest_driver(
+                edges.sparkSession, e_head, s_head, rounds, e.schema[0].dataType
+            )
     maybe_b = F.broadcast if broadcast_arrivals else (lambda df: df)
     if broadcast_arrivals:
         # snapshot the static edge list once: every round re-reads it, and
@@ -1620,6 +1635,43 @@ def temporal_earliest_arrival(
             .localCheckpoint(eager=False)
         )
     return arr
+
+
+def _temporal_earliest_driver(spark, e_rows, seed_rows, rounds, node_type) -> DataFrame:
+    """Driver-side time-respecting relaxation — exact integer min merge,
+    Spark-faithful edge cases: duplicate seed nodes collapse to their min
+    in the first round's groupBy; a NULL source never joins; a NULL
+    destination forms its own min group (one NULL output row, exactly as
+    the distributed groupBy does); NULL edge times fail the >= filter."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions import small_df
+
+    arr: dict = {}
+    for r in seed_rows:
+        n, t = r[0], r[1]
+        if n in arr:
+            arr[n] = t if (arr[n] is None or (t is not None and t < arr[n])) else arr[n]
+        else:
+            arr[n] = t
+    for _ in range(rounds):
+        nxt = dict(arr)
+        for r in e_rows:
+            s, d, t = r[0], r[1], r[2]
+            if s is None or t is None or s not in arr:
+                continue
+            at = arr[s]
+            if at is None or t < at:
+                continue
+            cur = nxt.get(d)
+            if d not in nxt or cur is None or t < cur:
+                nxt[d] = t
+        arr = nxt
+    schema = StructType(
+        [StructField("node", node_type), StructField("at", LongType())]
+    )
+    ordered = sorted(arr, key=lambda v: (v is None, v))
+    return small_df(spark, [(v, arr[v]) for v in ordered], schema)
 
 
 def temporal_earliest_arrival_oracle_sql(

@@ -4953,7 +4953,7 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _temporal_seed(spark, sf_dir, 1996)
     # 25-nation dimension graph (caller-declared): arrival vector
     # rides broadcast joins, static edges never shuffle per round
-    arr = temporal_earliest_arrival(edges, seeds, rounds=3, broadcast_arrivals=True)
+    arr = temporal_earliest_arrival(edges, seeds, rounds=3, driver_iterate=True)
     return arr.select(F.col("node").alias("nation"), F.col("at").cast("bigint").alias("arrival_year"))
 
 
@@ -5015,10 +5015,10 @@ def graph_temporal_reachability_incremental(spark: SparkSession, sf_dir: str) ->
     seeds = _temporal_seed(spark, sf_dir, 1992)
     base = edges.filter(F.col("et") <= _TEMPORAL_SPLIT_YEAR)
     delta = edges.filter(F.col("et") > _TEMPORAL_SPLIT_YEAR)
-    arr_base = temporal_earliest_arrival(base, seeds, rounds=8, broadcast_arrivals=True)
+    arr_base = temporal_earliest_arrival(base, seeds, rounds=8, driver_iterate=True)
     arr = temporal_earliest_arrival(
         delta, arr_base.select("node", F.col("at").alias("t0")), rounds=8,
-        broadcast_arrivals=True,
+        driver_iterate=True,
     )
     return arr.select(
         F.col("node").alias("nation"), F.col("at").cast("bigint").alias("arrival_year")

@@ -547,6 +547,36 @@ def test_pagerank_driver_iterate_cap_falls_back_to_distributed(spark, monkeypatc
     assert got == want
 
 
+def test_temporal_arrival_driver_iterate_bit_equal(spark, monkeypatch):
+    """Driver-side time-respecting relaxation equals the distributed
+    iterate exactly, including duplicate seed nodes (min-merged in the
+    first round) and unreachable nodes; past the cap the distributed
+    path runs."""
+    from arc_cassandra_pipeline_plugin_spark.operators import graph as G
+
+    edges = [
+        (f"n{a}", f"n{(a * 3 + b) % 9}", 1990 + (a + b) % 6)
+        for a in range(9)
+        for b in range(3)
+        if a != (a * 3 + b) % 9
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, et long")
+    seeds = spark.createDataFrame(
+        [("n0", 1991), ("n4", 1993), ("n0", 1990)], "node string, t0 long"
+    )
+    want = {tuple(r) for r in G.temporal_earliest_arrival(df, seeds, rounds=3).collect()}
+    got = {
+        tuple(r)
+        for r in G.temporal_earliest_arrival(df, seeds, rounds=3, driver_iterate=True).collect()
+    }
+    assert got == want and len(got) >= 2
+    monkeypatch.setattr(G, "_DRIVER_EDGE_CAP", 2)
+    assert {
+        tuple(r)
+        for r in G.temporal_earliest_arrival(df, seeds, rounds=3, driver_iterate=True).collect()
+    } == want
+
+
 def test_kcore_ktruss_walk_driver_iterate_bit_equal(spark, monkeypatch):
     """Driver-side k-core/k-truss peels (integer counting) and the
     hash-seeded walk (hashlib md5 replay, lexicographic neighbor order)
