@@ -385,16 +385,27 @@ def global_rank_ties(
 
     Returns one row per distinct key: (key, n_rows, rank, dense_rank,
     cume_micro) with cume_dist in truncated integer micro-units."""
+    from pyspark.sql import Observation
+
     g = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.count(F.lit(1)).cast("long").alias("__cnt")
     )
+    # materialize the key histogram ONCE, with the total row count riding
+    # the same job (r12): previously the un-checkpointed groupBy recomputed
+    # the corpus aggregation inside the prefix-sum's sketch pass, its
+    # checkpoint, the row-number twin of both, AND a df.count() — five
+    # corpus-sized passes for one histogram. n == sum of per-key counts
+    # (NULL keys group and count like any other), so the count action
+    # folds away exactly.
+    obs = Observation()
+    g = g.observe(obs, F.sum("__cnt").alias("n")).localCheckpoint(eager=True)
     ps = global_prefix_sum(
         g, "__k", "__cnt", out_col="__lt", num_buckets=num_buckets
     )
     dr = global_row_number(
         g.select("__k"), "__k", [], out_col="__dr", num_buckets=num_buckets
     )
-    n = df.count()
+    n = int(obs.get["n"] or 0)
     return (
         ps.join(dr, "__k")
         .select(
